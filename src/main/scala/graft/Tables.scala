@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Harness testdata loader: `<sfDir>/<name>.parquet`.
+  *
+  * The `events` table carries a nanosecond parquet timestamp, which Spark's
+  * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as raw nanos
+  * (legacy nanosAsLong conf) and surface a standard microsecond
+  * TimestampType column — hour/minute/second semantics are unchanged.
+  */
+object Tables {
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, deterministic string hashing, shingling, language-ID
+  * scoring, quality scoring, and fingerprinting.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs) and each primitive has an exact ANSI-SQL twin used by the
+  * DuckDB oracles, so results are engine-independent and reproducible.
+  */
+object TextFunctions {
+
+  /** Large prime for polynomial rolling hashes; small enough that
+    * h*31 + 127 never overflows a signed 64-bit integer. */
+  val HashPrime: Long = 1000000007L
+  /** Second multiplier for the independent hash used by SimHash's high bits. */
+  val HashMult1 = 31L
+  val HashMult2 = 37L
+
+  /** Whitespace tokens (split on runs of whitespace, drop empties). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Polynomial rolling hash of a string column:
+    * fold (h, c) -> (h*mult + ascii(c)) % HashPrime over the characters.
+    * Deterministic and exactly reproducible in DuckDB via list_reduce. */
+  def polyHash(s: Column, mult: Long = HashMult1): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (h, c) => (h * mult + c) % HashPrime)
+
+  /** Word n-gram shingles of a token array: array of space-joined n-grams.
+    * Empty when there are fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature (as array<long>) over a shingle-hash array using the
+    * affine family h_j(x) = (a_j*x + b_j) mod HashPrime with
+    * a_j = 2j+1, b_j = j²+7919. */
+  def minHashSignature(shingleHashes: Column, numHashes: Int): Column = {
+    val sigs = (0 until numHashes).map { j =>
+      val a = 2L * j + 1
+      val b = j.toLong * j + 7919L
+      array_min(transform(shingleHashes, x => (x * a + b) % HashPrime))
+    }
+    array(sigs: _*)
+  }
+
+  /** English stopwords used by the quality score (public, standard list). */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "in", "on", "to", "is", "are", "was",
+    "be", "it", "that", "this", "for", "with", "as", "at", "by", "from")
+
+  /** Marker-token sets for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une"),
+    "es" -> Seq("el", "los", "las", "de", "y", "un", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+
+  /** Count of tokens that belong to a marker vocabulary. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers: _*)))
+}

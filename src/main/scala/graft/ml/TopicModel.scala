@@ -1,0 +1,86 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.LDA
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** In-JVM topic model replacing the reference's external MPI LDA process
+  * (reference: OniLDACWrapper.scala:25-113 — driver dictionaries, model.dat
+  * file exchange, ssh/scp corpus distribution, final.beta/final.gamma text
+  * parsing). Here the corpus never leaves Spark: word indexing is a
+  * DataFrame dictionary join, training is MLlib's LDA, and the model
+  * surfaces as two DataFrames ready for broadcast joins.
+  *
+  * docConcentration defaults to 2.5 and k to 20, mirroring the reference's
+  * operating point (reference: ml_ops.sh:67, OniLDACWrapper.scala:83).
+  */
+object TopicModel {
+
+  /** doc → topic mixture P(topic|doc); word → per-topic P(word|topic). */
+  final case class Model(
+      docTopicMix: DataFrame,   // (doc: string, topic_mix: array<double>)
+      wordTopicProb: DataFrame, // (word: string, topic_prob: array<double>)
+      topicCount: Int)
+
+  /** Train from a (doc, word, count) corpus. */
+  def train(wordCounts: DataFrame, topicCount: Int = 20, alpha: Double = 2.5,
+            seed: Long = 42L, maxIter: Int = 20): Model = {
+    val spark = wordCounts.sparkSession
+    import spark.implicits._
+
+    val corpus = wordCounts.select(
+      col("doc").cast("string").as("doc"),
+      col("word").cast("string").as("word"),
+      col("count").cast("double").as("cnt"))
+      .cache()
+
+    // Dictionary = dense word ids. The word vocabulary of a discretized
+    // feature space is small (product of bin counts), so a global
+    // row_number window over *distinct words* is cheap; it replaces the
+    // reference's driver-side collect into a Map.
+    val dict = corpus.select("word").distinct()
+      .withColumn("word_id", row_number().over(Window.orderBy("word")) - 1)
+      .cache()
+    val vocabSize = dict.count().toInt
+
+    val docVectors = corpus.join(dict, "word")
+      .groupBy("doc")
+      .agg(collect_list(struct(col("word_id"), col("cnt"))).as("pairs"))
+      .map { row =>
+        val doc = row.getString(0)
+        val pairs = row.getSeq[Row](1)
+          .map(r => (r.getInt(0), r.getDouble(1)))
+          .sortBy(_._1)
+        (doc, Vectors.sparse(vocabSize, pairs.map(_._1).toArray, pairs.map(_._2).toArray))
+      }.toDF("doc", "features")
+      .cache()
+
+    val lda = new LDA()
+      .setK(topicCount)
+      .setDocConcentration(alpha)
+      .setSeed(seed)
+      .setMaxIter(maxIter)
+      .setOptimizer("online")
+      .setFeaturesCol("features")
+    val ldaModel = lda.fit(docVectors)
+
+    val docMix = ldaModel.transform(docVectors)
+      .select(col("doc"), vector_to_array(col("topicDistribution")).cast("array<double>").as("topic_mix"))
+
+    // topicsMatrix is vocabSize x k, column-normalized P(word|topic).
+    // The discretized vocabulary is inherently small, so materializing it
+    // on the driver and re-joining through the dictionary is bounded work.
+    val tm = ldaModel.topicsMatrix
+    val rows = (0 until vocabSize).map { w =>
+      (w, (0 until topicCount).map(t => tm(w, t)).toArray)
+    }
+    val wordProb = spark.createDataFrame(rows).toDF("word_id", "topic_prob")
+      .join(dict, "word_id")
+      .select("word", "topic_prob")
+
+    Model(docMix, wordProb, topicCount)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.ml.TopicModel
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Event scoring against a trained topic model:
+  * score(doc, word) = Σ_t P(topic t | doc) · P(word | topic t),
+  * with a uniform 1/k default when the doc or word was unseen.
+  *
+  * Reference: SuspiciousConnectsScoreFunction.scala:11-23 +
+  * FlowPostLDA.scala:94-126. The reference does one shuffle join for the
+  * doc mix and a driver-collected broadcast Map for word probs; here both
+  * sides are broadcast hash joins (the doc-mix frame is bounded by distinct
+  * doc count, the word frame by the discretized vocabulary) and the dot
+  * product is a codegen'd zip_with/aggregate — no UDF, no driver collect.
+  */
+object Scoring {
+
+  /** Elementwise dot product of two array<double> columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Join the model and add a `score` column. */
+  def score(events: DataFrame, doc: Column, word: Column,
+            model: TopicModel.Model): DataFrame = {
+    val k = model.topicCount
+    val uniform = array((0 until k).map(_ => lit(1.0 / k)): _*)
+    val mixes = model.docTopicMix.withColumnRenamed("doc", "__doc")
+    val probs = model.wordTopicProb.withColumnRenamed("word", "__word")
+    events
+      .join(broadcast(mixes), doc.cast("string") === col("__doc"), "left")
+      .join(broadcast(probs), word.cast("string") === col("__word"), "left")
+      .withColumn("score",
+        dotProduct(coalesce(col("topic_mix"), uniform),
+                   coalesce(col("topic_prob"), uniform)))
+      .drop("__doc", "__word", "topic_mix", "topic_prob")
+  }
+
+  /** Threshold + ascending top-k (most suspicious first). Catalyst plans
+    * orderBy+limit as TakeOrderedAndProject — no driver materialization,
+    * no global sort (reference collected top-k via RDD.takeOrdered:
+    * DNSPostLDA.scala:51-69, DataFrameUtils.scala:21-38). */
+  def suspicious(scored: DataFrame, threshold: Double, topK: Int,
+                 tiebreak: Seq[Column] = Nil): DataFrame = {
+    val filtered = scored.where(col("score") <= threshold)
+    val ordered = filtered.orderBy(asc("score") +: tiebreak: _*)
+    if (topK >= 0) ordered.limit(topK) else ordered
+  }
+}

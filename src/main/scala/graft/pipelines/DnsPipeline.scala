@@ -1,0 +1,85 @@
+package graft.pipelines
+
+import graft.functions.{Binning, Domains, Entropy}
+import graft.ml.TopicModel
+import graft.operators.{Corpus, Quantiles, Scoring}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DNS suspicious-connects pipeline.
+  *
+  * Reference dataflow: dns/DNSPreLDA.scala + DNSWordCreation.scala +
+  * DNSPostLDA.scala. Word = topDomain_frameLenBin_timeBin_subdomainLenBin_
+  * entropyBin_numPeriodsBin_qryType_rcode; document = client IP (ip_dst).
+  * The subdomain struct extraction is a single struct-returning UDF pass
+  * (the reference rebuilds rows via RDD), entropy is a native codegen
+  * expression, and cuts are computed once and carried in the model.
+  */
+object DnsPipeline {
+
+  final case class Cuts(time: Array[Double], frameLen: Array[Double],
+                        subLen: Array[Double], entropy: Array[Double],
+                        numPeriods: Array[Double])
+  final case class Model(cuts: Cuts, popularDomains: Set[String],
+                         topics: TopicModel.Model, topicCount: Int)
+
+  def validRows(dns: DataFrame): DataFrame =
+    dns.where(col("frame_time").isNotNull && col("unix_tstamp").isNotNull)
+
+  /** Adds domain, subdomain, subdomain_length, num_periods,
+    * subdomain_entropy. */
+  def withSubdomains(dns: DataFrame): DataFrame =
+    dns.withColumn("s", Domains.extract_subdomain(col("dns_qry_name")))
+      .select(col("*"), col("s.domain"), col("s.subdomain"),
+        col("s.subdomain_length"), col("s.num_periods"))
+      .drop("s")
+      .withColumn("subdomain_entropy",
+        when(col("subdomain") === Domains.NoDomain, lit(0.0))
+          .otherwise(Entropy.string_entropy(col("subdomain"))))
+
+  def computeCuts(withSub: DataFrame): Cuts = Cuts(
+    time = Quantiles.computeDeciles(withSub, col("unix_tstamp").cast("double")),
+    frameLen = Quantiles.computeDeciles(withSub, col("frame_len").cast("double")),
+    subLen = Quantiles.computeQuintiles(
+      withSub.where(col("subdomain_length") > 0), col("subdomain_length")),
+    entropy = Quantiles.computeQuintiles(
+      withSub.where(col("subdomain_entropy") > 0), col("subdomain_entropy")),
+    numPeriods = Quantiles.computeQuintiles(
+      withSub.where(col("num_periods") > 0), col("num_periods")))
+
+  /** 8-component word (reference: DNSWordCreation.scala:215-236). */
+  def featurize(withSub: DataFrame, cuts: Cuts, popularDomains: Set[String]): DataFrame =
+    withSub
+      .withColumn("top_domain",
+        Domains.top_domain_class(col("domain"), popularDomains).cast("string"))
+      .withColumn("word", concat_ws("_",
+        col("top_domain"),
+        Binning.binCol(col("frame_len").cast("double"), cuts.frameLen.toSeq),
+        Binning.binCol(col("unix_tstamp").cast("double"), cuts.time.toSeq),
+        Binning.binCol(col("subdomain_length"), cuts.subLen.toSeq),
+        Binning.binCol(col("subdomain_entropy"), cuts.entropy.toSeq),
+        Binning.binCol(col("num_periods"), cuts.numPeriods.toSeq),
+        col("dns_qry_type"), col("dns_qry_rcode")))
+
+  def train(dns: DataFrame, popularDomains: Set[String] = Set.empty,
+            topicCount: Int = 20, alpha: Double = 2.5,
+            seed: Long = 42L, maxIter: Int = 20): Model = {
+    val withSub = withSubdomains(validRows(dns))
+    val cuts = computeCuts(withSub)
+    val feats = featurize(withSub, cuts, popularDomains)
+    val wc = Corpus.wordCounts(feats, col("ip_dst"), col("word"))
+    Model(cuts, popularDomains, TopicModel.train(wc, topicCount, alpha, seed, maxIter), topicCount)
+  }
+
+  def score(dns: DataFrame, model: Model): DataFrame = {
+    val feats = featurize(withSubdomains(validRows(dns)), model.cuts, model.popularDomains)
+    Scoring.score(feats, col("ip_dst"), col("word"), model.topics)
+  }
+
+  def run(dns: DataFrame, threshold: Double = 1.0, topK: Int = -1,
+          popularDomains: Set[String] = Set.empty,
+          topicCount: Int = 20, seed: Long = 42L): DataFrame = {
+    val model = train(dns, popularDomains, topicCount, seed = seed)
+    Scoring.suspicious(score(dns, model), threshold, topK)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.pipelines
+
+import graft.functions.Binning
+import graft.ml.TopicModel
+import graft.operators.{Corpus, Quantiles, Scoring}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The suspicious-connects dataflow applied to the generic `events` table
+  * (event_id, ts, user_id, event_type, value, props): document = user,
+  * word = eventType_hourBin_valueQuintile. This is the flagship end-to-end
+  * query — the same featurize → corpus → LDA → score → top-k shape as the
+  * flow/dns/proxy pipelines, runnable on the harness testdata.
+  */
+object EventsPipeline {
+
+  final case class Cuts(hour: Array[Double], value: Array[Double])
+  final case class Model(cuts: Cuts, topics: TopicModel.Model, topicCount: Int)
+
+  def computeCuts(events: DataFrame): Cuts = {
+    val withHour = events.withColumn("ev_hour", hour(col("ts")).cast("double"))
+    Cuts(
+      hour = Quantiles.computeDeciles(withHour, col("ev_hour")),
+      value = Quantiles.computeQuintiles(withHour, col("value")))
+  }
+
+  def featurize(events: DataFrame, cuts: Cuts): DataFrame =
+    events
+      .withColumn("ev_hour", hour(col("ts")).cast("double"))
+      .withColumn("word", concat_ws("_",
+        col("event_type"),
+        Binning.binCol(col("ev_hour"), cuts.hour.toSeq),
+        Binning.binCol(col("value"), cuts.value.toSeq)))
+
+  def train(events: DataFrame, topicCount: Int = 10, alpha: Double = 2.5,
+            seed: Long = 42L, maxIter: Int = 10): Model = {
+    val cuts = computeCuts(events)
+    val feats = featurize(events, cuts)
+    val wc = Corpus.wordCounts(feats, col("user_id"), col("word"))
+    Model(cuts, TopicModel.train(wc, topicCount, alpha, seed, maxIter), topicCount)
+  }
+
+  def score(events: DataFrame, model: Model): DataFrame =
+    Scoring.score(featurize(events, model.cuts), col("user_id"), col("word"), model.topics)
+
+  /** Train + score + ascending top-k with deterministic tiebreak. */
+  def run(events: DataFrame, threshold: Double = 1.0, topK: Int = 100,
+          topicCount: Int = 10, seed: Long = 42L): DataFrame = {
+    val model = train(events, topicCount = topicCount, seed = seed)
+    Scoring.suspicious(
+      score(events, model).select("event_id", "user_id", "event_type", "word", "score"),
+      threshold, topK, tiebreak = Seq(col("event_id")))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.pipelines
+
+import graft.functions.{Binning, FlowWords, TimeFunctions}
+import graft.ml.TopicModel
+import graft.operators.{Corpus, Quantiles, Scoring}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Netflow suspicious-connects pipeline.
+  *
+  * Reference dataflow: netflow/FlowPreLDA.scala + FlowWordCreation.scala +
+  * FlowPostLDA.scala. Differences by design: the input is scanned ONCE and
+  * the quantile cuts computed at train time are carried in the model and
+  * reused at score time (the reference re-reads and re-derives cuts on
+  * different data — FlowPostLDA.scala:30-64 — which drifts; the proxy
+  * pipeline's train/score model object is the pattern followed here).
+  */
+object FlowPipeline {
+
+  final case class Cuts(time: Array[Double], ibyt: Array[Double], ipkt: Array[Double])
+  final case class Model(cuts: Cuts, topics: TopicModel.Model, topicCount: Int)
+
+  /** Sanity filter: hour/minute/second in valid ranges
+    * (reference: FlowPreLDA.scala:107-109). */
+  def validTimes(flows: DataFrame): DataFrame =
+    flows.where(col("trhour").between(0, 23) &&
+      col("trminute").between(0, 59) && col("trsec").between(0, 59))
+
+  def computeCuts(flows: DataFrame): Cuts = {
+    val withTime = flows.withColumn("num_time",
+      TimeFunctions.fractional_hour(col("trhour"), col("trminute"), col("trsec")))
+    Cuts(
+      time = Quantiles.computeDeciles(withTime, col("num_time")),
+      ibyt = Quantiles.computeDeciles(withTime, col("ibyt").cast("double")),
+      ipkt = Quantiles.computeQuintiles(withTime, col("ipkt").cast("double")))
+  }
+
+  /** Adds num_time, the three bins, and the four word columns — all
+    * codegen'd column expressions (the reference rebuilds rows through an
+    * RDD: FlowWordCreation.scala:64-85). */
+  def featurize(flows: DataFrame, cuts: Cuts): DataFrame = {
+    val withBins = flows
+      .withColumn("num_time",
+        TimeFunctions.fractional_hour(col("trhour"), col("trminute"), col("trsec")))
+      .withColumn("ibyt_bin", Binning.binCol(col("ibyt").cast("double"), cuts.ibyt.toSeq))
+      .withColumn("ipkt_bin", Binning.binCol(col("ipkt").cast("double"), cuts.ipkt.toSeq))
+      .withColumn("time_bin", Binning.binCol(col("num_time"), cuts.time.toSeq))
+    val (portWord, ipPair, srcWord, dstWord) = FlowWords.flowWordCols(
+      col("sip"), col("dip"), col("dport"), col("sport"),
+      col("ipkt_bin"), col("ibyt_bin"), col("time_bin"))
+    withBins
+      .withColumn("port_word", portWord)
+      .withColumn("ip_pair", ipPair)
+      .withColumn("src_word", srcWord)
+      .withColumn("dst_word", dstWord)
+  }
+
+  /** Corpus: each flow contributes a (sip, src_word) and a (dip, dst_word)
+    * document entry (reference: FlowPreLDA.scala:131-139). */
+  def corpus(featurized: DataFrame, weight: org.apache.spark.sql.Column = lit(1L)): DataFrame =
+    Corpus.dualPerspective(featurized,
+      col("sip"), col("src_word"), col("dip"), col("dst_word"), weight)
+
+  def train(flows: DataFrame, topicCount: Int = 20, alpha: Double = 2.5,
+            seed: Long = 42L, maxIter: Int = 20): Model = {
+    val valid = validTimes(flows)
+    val cuts = computeCuts(valid)
+    val feats = featurize(valid, cuts)
+    val topics = TopicModel.train(corpus(feats), topicCount, alpha, seed, maxIter)
+    Model(cuts, topics, topicCount)
+  }
+
+  /** Score = min(P(src_word | sip doc), P(dst_word | dip doc))
+    * (reference: FlowPostLDA.scala:74-75,115-126). */
+  def score(flows: DataFrame, model: Model): DataFrame = {
+    val feats = featurize(validTimes(flows), model.cuts)
+    val srcScored = Scoring.score(feats, col("sip"), col("src_word"), model.topics)
+      .withColumnRenamed("score", "src_score")
+    val bothScored = Scoring.score(srcScored, col("dip"), col("dst_word"), model.topics)
+      .withColumnRenamed("score", "dst_score")
+    bothScored.withColumn("score", least(col("src_score"), col("dst_score")))
+      .drop("src_score", "dst_score")
+  }
+
+  def run(flows: DataFrame, threshold: Double = 1.0, topK: Int = -1,
+          topicCount: Int = 20, seed: Long = 42L): DataFrame = {
+    val model = train(flows, topicCount = topicCount, seed = seed)
+    Scoring.suspicious(score(flows, model), threshold, topK)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.pipelines
+
+import graft.functions.{Binning, Domains, Entropy, TimeFunctions}
+import graft.ml.TopicModel
+import graft.operators.{Corpus, Quantiles, Scoring}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Proxy suspicious-connects pipeline.
+  *
+  * Reference dataflow: proxy/ProxySuspiciousConnectsModel.scala +
+  * ProxyWordCreation.scala. Word = topDomainClass_timeBin_method_
+  * uriEntropyBin_topLevelContentType_agentCountBin_respCodeFirstChar;
+  * document = client IP. The reference collects user-agent counts to a
+  * driver Map and looks them up in a UDF
+  * (ProxySuspiciousConnectsModel.scala:45-48, ProxyWordCreation.scala:48);
+  * here agent counts stay distributed as a broadcast-joined aggregate.
+  */
+object ProxyPipeline {
+
+  final case class Cuts(time: Array[Double], entropy: Array[Double], agent: Array[Double])
+  final case class Model(cuts: Cuts, popularDomains: Set[String],
+                         topics: TopicModel.Model, topicCount: Int)
+
+  def validRows(proxy: DataFrame): DataFrame =
+    proxy.where(col("p_date").isNotNull && col("p_time").isNotNull &&
+      col("clientip").isNotNull)
+
+  /** Adds seconds-of-day, URI entropy, and the per-agent event count
+    * (broadcast join against the agent-frequency aggregate). */
+  def withFeatures(proxy: DataFrame): DataFrame = {
+    val agentCounts = proxy.groupBy(col("useragent"))
+      .agg(count(lit(1)).as("agent_count"))
+    proxy
+      .withColumn("time_of_day", TimeFunctions.seconds_of_day(col("p_time")))
+      .withColumn("uri_entropy", Entropy.string_entropy(col("fulluri")))
+      .join(broadcast(agentCounts), Seq("useragent"), "left")
+  }
+
+  def computeCuts(withFeats: DataFrame): Cuts = Cuts(
+    time = Quantiles.computeDeciles(withFeats, col("time_of_day")),
+    entropy = Quantiles.computeQuintiles(withFeats, col("uri_entropy")),
+    agent = Quantiles.computeQuintiles(withFeats, col("agent_count").cast("double")))
+
+  /** 7-component word (reference: ProxyWordCreation.scala:30-51). */
+  def featurize(withFeats: DataFrame, cuts: Cuts, popularDomains: Set[String]): DataFrame =
+    withFeats
+      .withColumn("top_domain",
+        Domains.top_domain_class(Domains.extract_domain(col("host")), popularDomains)
+          .cast("string"))
+      .withColumn("word", concat_ws("_",
+        col("top_domain"),
+        Binning.binCol(col("time_of_day"), cuts.time.toSeq),
+        col("reqmethod"),
+        Binning.binCol(col("uri_entropy"), cuts.entropy.toSeq),
+        split(col("resconttype"), "/").getItem(0),
+        Binning.binCol(col("agent_count").cast("double"), cuts.agent.toSeq),
+        substring(col("respcode"), 1, 1)))
+
+  def train(proxy: DataFrame, popularDomains: Set[String] = Set.empty,
+            topicCount: Int = 20, alpha: Double = 2.5,
+            seed: Long = 42L, maxIter: Int = 20): Model = {
+    val feats0 = withFeatures(validRows(proxy))
+    val cuts = computeCuts(feats0)
+    val feats = featurize(feats0, cuts, popularDomains)
+    val wc = Corpus.wordCounts(feats, col("clientip"), col("word"))
+    Model(cuts, popularDomains, TopicModel.train(wc, topicCount, alpha, seed, maxIter), topicCount)
+  }
+
+  def score(proxy: DataFrame, model: Model): DataFrame = {
+    val feats = featurize(withFeatures(validRows(proxy)), model.cuts, model.popularDomains)
+    Scoring.score(feats, col("clientip"), col("word"), model.topics)
+  }
+
+  def run(proxy: DataFrame, threshold: Double = 1.0, topK: Int = -1,
+          popularDomains: Set[String] = Set.empty,
+          topicCount: Int = 20, seed: Long = 42L): DataFrame = {
+    val model = train(proxy, popularDomains, topicCount, seed = seed)
+    Scoring.suspicious(score(proxy, model), threshold, topK)
+  }
+}
