@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication operators.
+  *
+  * All variants follow the inverted-index pattern: per-doc signatures are
+  * computed with codegen'd array expressions (no UDFs), then candidate
+  * generation is an explode + shuffle-on-key + self-join — the standard
+  * scalable shape (pairs are only materialized for docs sharing a bucket,
+  * never the full n² cross product). Exact-arithmetic hashes (integer
+  * polynomial rolling hashes mod a prime) keep results engine-independent
+  * and reproducible.
+  */
+object Dedup {
+
+  /** Exact duplicates: groups identical `text`, keeps the minimum id as the
+    * canonical representative. Returns (keep_id, dup_count) per duplicated
+    * group. At scale the groupBy key is a 64-bit content hash, not the full
+    * text, so shuffle rows stay narrow; collisions are impossible to
+    * observe at these cardinalities but the full-text variant is exact. */
+  def exactDuplicates(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(polyHash(text).as("content_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("dup_count"))
+      .where(col("dup_count") > 1)
+
+  /** Per-doc word n-gram shingle set (distinct shingle hashes). */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(tokens(text), n), s => polyHash(s)))
+
+  /** Exact n-gram Jaccard near-duplicates via inverted index:
+    * explode distinct shingles → self-join on shingle → intersection counts
+    * → Jaccard = |∩| / (|A| + |B| - |∩|). Returns pairs (id_a < id_b) with
+    * jaccard >= threshold. Hot (very common) shingles are the skew risk at
+    * scale — `maxShingleFreq` drops shingles shared by more than that many
+    * docs (standard df-cut; near-dup pairs share rare shingles too). */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
+                        threshold: Double, maxShingleFreq: Long = 1000): DataFrame = {
+    val docs = df.select(id.cast("long").as("doc_id"),
+      shingleHashes(text, n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val filtered = inv
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .where(col("df") <= maxShingleFreq)
+      .drop("df")
+    val pairs = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature per doc: k affine hashes over the shingle-hash set. */
+  def minHashDocs(df: DataFrame, id: Column, text: Column,
+                  n: Int, numHashes: Int): DataFrame =
+    df.select(id.cast("long").as("doc_id"),
+      minHashSignature(shingleHashes(text, n), numHashes).as("sig"))
+      .where(size(col("sig")) > 0 && !col("sig").getItem(0).isNull)
+
+  /** MinHash + LSH banding: docs sharing any band bucket become candidate
+    * pairs; est_jaccard = fraction of matching signature positions.
+    * numHashes = bands * rowsPerBand. One shuffle on band keys — never a
+    * cross product. */
+  def minHashLshPairs(df: DataFrame, id: Column, text: Column,
+                      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val docs = minHashDocs(df, id, text, n, numHashes).cache()
+    val banded = docs.select(col("doc_id"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until rowsPerBand).map(r =>
+              col("sig").getItem(b * rowsPerBand + r).cast("string")): _*).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand.withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes, 6))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Per-doc SimHash over token hashes (default 16 bits): bit i of the
+    * fingerprint is the sign of Σ_tokens (2·bit_i(hash) − 1). Expressed as
+    * explode + one hash aggregation (map-side combined). */
+  def simHashDocs(df: DataFrame, id: Column, text: Column, bits: Int = 16): DataFrame = {
+    val tokenHashes = df.select(id.cast("long").as("doc_id"),
+      explode(transform(tokens(text), t => polyHash(t))).as("h"))
+    val bitSums = (0 until bits).map { i =>
+      sum(shiftright(col("h"), i) % 2 * 2 - 1).as(s"b$i")
+    }
+    tokenHashes.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search.
+  *
+  * Baseline: exact brute-force cosine top-k (broadcast the query side —
+  * right for "few queries vs huge corpus"). Scale path: IVF-style cell
+  * partitioning — assign corpus vectors to their nearest centroid once,
+  * then probe only matching cells, turning the n×m cross product into a
+  * per-cell join. All dot products are codegen'd zip_with/aggregate folds
+  * over array<double> — sequential, so bit-identical across engines.
+  *
+  * Ranking determinism: ranks compare the cosine ROUNDED to 6 decimals
+  * with the candidate id as tiebreak, so ordering is stable across engines
+  * and across float summation error.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k: for each query vector, the k nearest corpus vectors by
+    * cosine. Query side is broadcast (bounded); corpus side streams. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qId: String = "vec_id", qVec: String = "embedding",
+                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).cast("long").as("query_id"),
+      asDouble(col(qVec)).as("qv"))
+    val c = corpus.select(col(cId).cast("long").as("cand_id"),
+      asDouble(col(cVec)).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
+  /** IVF cell assignment: nearest centroid per vector (argmax cosine).
+    * Centroids are broadcast; this is the build side of the scale path. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                cId: String = "vec_id", cVec: String = "embedding",
+                kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(cId).cast("long").as("vec_id"),
+      asDouble(col(cVec)).as("v"))
+    val cents = centroids.select(col(kId).cast("long").as("centroid_id"),
+      asDouble(col(kVec)).as("cent"))
+    val scored = c.join(broadcast(cents))
+      .withColumn("cos", round(cosine(col("v"), col("cent")), 6))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("cos").as("centroid_cos"))
+  }
+
+  /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold.
+    * Exact; for 100 TB corpora route through [[ivfAssign]] cells first and
+    * run this within each cell. */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+                         id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val v = df.select(col(id).cast("long").as("vid"), asDouble(col(vec)).as("v"))
+    v.as("a").join(v.as("b"), col("a.vid") < col("b.vid"))
+      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,267 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.1-2.8) over the harness
+  * tables, each with an exact DuckDB oracle. Every output column is
+  * explicitly aliased identically in both engines; floats are rounded on
+  * both sides so the driver's value-hash compare is engine-independent.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/P1: scan + projection + pushed-down predicate.
+    "s1_scan_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))),
+
+    // P2: range predicate (BETWEEN).
+    "p2_range_predicate" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_quantity").between(10, 20) && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"))),
+
+    // P4: numeric threshold + projection with alias.
+    "p4_threshold" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .where(col("c_acctbal") <= 1000.0)
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))),
+
+    // J1: equi inner join chain with a broadcast-able dimension.
+    "j1_equi_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      // Sum cents as integers: exact and associative, so the parallel
+      // aggregation hashes identically to the single-threaded oracle.
+      orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("order_cnt"),
+          round(sum(floor(col("o_totalprice") * 100)) / 100.0, 2).as("total_price"))}),
+
+    // J2: left outer join with a default for misses (the word-prob lookup
+    // shape — reference FlowPostLDA.scala:99-106).
+    "j2_left_join_default" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") % 7 === 0)
+      val part = t(s, dir, "part").where(col("p_size") <= 25)
+        .select(col("p_partkey"), col("p_retailprice"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(coalesce(col("p_retailprice"), lit(-1.0)), 2).as("price"))}),
+
+    // J4: left-semi join (broadcast-set membership shape).
+    "j4_semi_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val hi = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+      cust.join(hi, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))}),
+
+    // J5: left-anti join (customers with no high-value order — non-empty).
+    "j5_anti_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val hi = t(s, dir, "orders").where(col("o_totalprice") > 350000)
+      cust.join(hi, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))}),
+
+    // A1: the corpus-builder group-count (doc=user, word=event_type).
+    "a1_group_count" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id").as("doc"), col("event_type").as("word"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // A3: multi-aggregate rollup (TPC-H Q1 shape).
+    "a3_group_sum" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(floor(col("l_extendedprice") * 100)) / 100.0, 2).as("sum_base_price"),
+          round(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)) / 100.0, 2)
+            .as("sum_disc_price"),
+          round(sum(floor(col("l_discount") * 1000000)) / 1000000.0 / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // A5: distinct.
+    "a5_distinct" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_type")).distinct()),
+
+    // A8: scalar count.
+    "a8_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+
+    // T1: global top-k via orderBy+limit (TakeOrderedAndProject), with a
+    // unique tiebreak so the k-th row is deterministic.
+    "t1_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(50)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))),
+
+    // U1: positional union then aggregate.
+    "u1_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.where(col("o_totalprice") > 300000)
+        .select(col("o_orderpriority"), lit("hi").as("bucket"))
+      val lo = o.where(col("o_totalprice") < 50000)
+        .select(col("o_orderpriority"), lit("lo").as("bucket"))
+      hi.union(lo).groupBy(col("o_orderpriority"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))}),
+
+    // E1: row multiplication via explode (the feedback-duplication shape —
+    // reference FlowPreLDA.scala:98).
+    "e1_explode" -> ((s, dir) =>
+      t(s, dir, "region")
+        .withColumn("copy", explode(sequence(lit(1), lit(3))))
+        .select(col("r_regionkey"), col("r_name"), col("copy"))),
+
+    // W1: running cumulative sum per partition (the ECDF window shape —
+    // reference Quantiles.scala:30-38).
+    "w1_window_cumsum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .where(col("o_custkey") <= 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))}),
+
+    // W2: row_number per partition (sessionization precursor).
+    "w2_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).as("seq"))
+        .where(col("seq") <= 5)}),
+
+    // G1: grouping sets via rollup (beyond-reference completeness).
+    "g1_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("cnt"))),
+
+    // J6: as-of style join expressed with window over a union (latest order
+    // per customer at a cutoff date) — composition of built-ins.
+    "j6_latest_per_key" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))})
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_scan_project" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'""".stripMargin,
+
+    "p2_range_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05""".stripMargin,
+
+    "p4_threshold" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer
+        |WHERE c_acctbal <= 1000.0""".stripMargin,
+
+    "j1_equi_join" ->
+      """SELECT n_name, count(*) AS order_cnt,
+        |       round(sum(floor(o_totalprice * 100)) / 100.0, 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "j2_left_join_default" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(coalesce(p_retailprice, -1.0), 2) AS price
+        |FROM (SELECT * FROM lineitem WHERE l_orderkey % 7 = 0) li
+        |LEFT JOIN (SELECT p_partkey, p_retailprice FROM part WHERE p_size <= 25) p
+        |ON li.l_partkey = p.p_partkey""".stripMargin,
+
+    "j4_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "j5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)""".stripMargin,
+
+    "a1_group_count" ->
+      """SELECT user_id AS doc, event_type AS word, count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "a3_group_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(floor(l_extendedprice * 100)) / 100.0, 2) AS sum_base_price,
+        |       round(sum(floor(l_extendedprice * (1 - l_discount) * 100)) / 100.0, 2) AS sum_disc_price,
+        |       round(sum(floor(l_discount * 1000000)) / 1000000.0 / count(*), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "a5_distinct" -> "SELECT DISTINCT event_type FROM events",
+
+    "a8_count" -> "SELECT count(*) AS n FROM lineitem",
+
+    "t1_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
+
+    "u1_union" ->
+      """SELECT o_orderpriority, bucket, count(*) AS cnt FROM (
+        |  SELECT o_orderpriority, 'hi' AS bucket FROM orders WHERE o_totalprice > 300000
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'lo' AS bucket FROM orders WHERE o_totalprice < 50000
+        |) GROUP BY 1, 2""".stripMargin,
+
+    "e1_explode" ->
+      """SELECT r_regionkey, r_name, copy
+        |FROM region CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS copy)""".stripMargin,
+
+    "w1_window_cumsum" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders WHERE o_custkey <= 100""".stripMargin,
+
+    "w2_window_rank" ->
+      """SELECT user_id, event_id, seq FROM (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        |  FROM events)
+        |WHERE seq <= 5""".stripMargin,
+
+    "g1_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "j6_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01')
+        |WHERE rn = 1""".stripMargin
+  )
+}

@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operator coverage over `documents`, with
+  * exact DuckDB oracles. All hashes are integer polynomial rolling hashes
+  * (mod prime), so both engines compute bit-identical signatures.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** documents ∪ copies of every 10th doc (id+100000) — a deterministic
+    * corpus WITH duplicates, since the synthetic one has none. */
+  private def withDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .union(d.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id") + 100000, col("text")))
+  }
+
+  private val langOrder = Seq("de", "en", "es", "fr", "zh")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X1: token + char counting.
+    "x1_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        length(col("text")).as("n_chars"))),
+
+    // X2: quality scoring (length, token shape, stopword density).
+    "x2_quality" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val avgLen = aggregate(transform(toks, t => length(t).cast("double")),
+        lit(0.0), (a, x) => a + x) / nTok
+      val stopRatio = markerCount(toks, EnglishStopwords).cast("double") / nTok
+      val score = least(nTok / 100.0, lit(1.0)) * 0.4 +
+        stopRatio * 0.3 + least(avgLen / 8.0, lit(1.0)) * 0.3
+      t(s, dir, "documents").select(col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        round(avgLen, 6).as("avg_token_len"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(score, 6).as("quality"))}),
+
+    // X3: language-ID heuristic — argmax marker-token count, deterministic
+    // tie-break by language code order.
+    "x3_langid" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val counts = langOrder.map(l => l -> markerCount(toks, LangMarkers(l)))
+      // first lang (in order) whose count >= every later lang's count
+      val pred = langOrder.indices.init.foldRight(lit(langOrder.last)) { (i, els) =>
+        val (l, c) = counts(i)
+        val laters = counts.drop(i + 1).map(_._2)
+        when(laters.map(c >= _).reduce(_ && _), lit(l)).otherwise(els)
+      }
+      t(s, dir, "documents").select(col("doc_id"), pred.as("lang_pred"))}),
+
+    // X4: document fingerprint (rolling content hash).
+    "x4_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        polyHash(col("text")).as("content_hash"))),
+
+    // D1: exact dedup by content hash on the constructed dup corpus.
+    "d1_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDuplicates(withDups(s, dir), col("doc_id"), col("text"))),
+
+    // D2: exact n-gram Jaccard near-dup pairs (3-gram shingles, >= 0.5).
+    "d2_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)),
+
+    // D3: MinHash + LSH banding candidate pairs (8 hashes, 4 bands x 2).
+    "d3_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"), n = 3, bands = 4, rowsPerBand = 2)),
+
+    // D4: 16-bit SimHash fingerprints.
+    "d4_simhash" -> ((s, dir) =>
+      Dedup.simHashDocs(t(s, dir, "documents"),
+        col("doc_id"), col("text"), bits = 16))
+  )
+
+  // --- shared oracle SQL fragments ---------------------------------------
+
+  private val toksSql =
+    raw"""toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+         |                             x -> len(x) > 0) AS tk
+         |  FROM documents)""".stripMargin
+
+  /** char-level polynomial rolling hash of expression `e` (mod prime). */
+  private def hashSql(e: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |  [ascii(c)::BIGINT for c in string_split($e, '')]),
+       |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+
+  private val shingSql =
+    s"""shing AS (
+       |  SELECT DISTINCT doc_id, ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS sh
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i)
+       |  WHERE len(tk) >= 3)""".stripMargin
+
+  private def markerIn(l: String): String =
+    graft.functions.TextFunctions.LangMarkers(l)
+      .map(m => s"'$m'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "x1_tokens" ->
+      s"""WITH $toksSql
+         |SELECT doc_id, len(tk) AS n_tokens, length(text) AS n_chars
+         |FROM toks JOIN documents USING (doc_id)""".stripMargin,
+
+    "x2_quality" ->
+      s"""WITH $toksSql
+         |SELECT doc_id,
+         |  len(tk)::BIGINT AS n_tokens,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE,
+         |          [len(x)::DOUBLE for x in tk]), (a, b) -> a + b) / len(tk), 6)
+         |    AS avg_token_len,
+         |  round(len(list_filter(tk, x -> list_contains(${EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x)))::DOUBLE
+         |          / len(tk), 6) AS stopword_ratio,
+         |  round(least(len(tk)::DOUBLE / 100.0, 1.0) * 0.4
+         |        + len(list_filter(tk, x -> list_contains(${EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x)))::DOUBLE / len(tk) * 0.3
+         |        + least(list_reduce(list_prepend(0.0::DOUBLE, [len(x)::DOUBLE for x in tk]), (a, b) -> a + b) / len(tk) / 8.0, 1.0) * 0.3, 6)
+         |    AS quality
+         |FROM toks""".stripMargin,
+
+    "x3_langid" ->
+      s"""WITH $toksSql,
+         |c AS (
+         |  SELECT doc_id,
+         |    ${langOrder.map(l =>
+               s"len(list_filter(tk, x -> list_contains(${markerIn(l)}, x))) AS c_$l")
+               .mkString(",\n    ")}
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+         |       WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+         |       WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+         |       WHEN c_fr >= c_zh THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM c""".stripMargin,
+
+    "x4_fingerprint" ->
+      s"""SELECT doc_id, ${hashSql("text")} AS content_hash FROM documents""",
+
+    "d1_exact_dedup" ->
+      s"""WITH dup AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+         |SELECT ${hashSql("text")} AS content_hash,
+         |       min(doc_id) AS keep_id, count(*) AS dup_count
+         |FROM dup GROUP BY text HAVING count(*) > 1""".stripMargin,
+
+    "d2_ngram_jaccard" ->
+      s"""WITH $toksSql,
+         |$shingSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5""".stripMargin,
+
+    "d3_minhash_lsh" ->
+      s"""WITH $toksSql,
+         |$shingSql,
+         |hs AS (SELECT doc_id, list(sh) AS hl FROM shing GROUP BY doc_id),
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${(0 until 8).map { j =>
+               val a = 2 * j + 1; val b = j * j + 7919
+               s"list_min([(h * $a + $b) % 1000000007 for h in hl]) AS s$j"
+             }.mkString(",\n    ")}
+         |  FROM hs),
+         |banded AS (
+         |  ${(0 until 4).map { b =>
+              s"SELECT doc_id, $b AS band, s${2 * b}::VARCHAR || '_' || s${2 * b + 1}::VARCHAR AS key, s0, s1, s2, s3, s4, s5, s6, s7 FROM sig"
+            }.mkString("\n  UNION ALL\n  ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${(0 until 8).map(j => s"a.s$j AS a$j, b.s$j AS b$j").mkString(", ")}
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  round((${(0 until 8).map(j => s"(a$j = b$j)::INT").mkString(" + ")})::DOUBLE / 8, 6)
+         |    AS est_jaccard
+         |FROM cand""".stripMargin,
+
+    "d4_simhash" ->
+      s"""WITH $toksSql,
+         |th AS (
+         |  SELECT doc_id, ${hashSql("t.tok")} AS h
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) t),
+         |bits AS (
+         |  SELECT doc_id, i, sum(((h >> i) % 2) * 2 - 1) AS s
+         |  FROM th, LATERAL (SELECT unnest(generate_series(0, 15)) AS i)
+         |  GROUP BY doc_id, i)
+         |SELECT doc_id,
+         |       sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search coverage over `embeddings`, with exact
+  * DuckDB oracles. Dot products are sequential left folds in BOTH engines
+  * (Spark `aggregate`, DuckDB `list_reduce`), so the float math is
+  * bit-identical; ranking compares rounded cosines with id tiebreaks.
+  */
+object VectorQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // V1: vector norms (the zip_with/aggregate dot-product primitive, A9).
+    "v1_norm" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+        round(Similarity.norm(col("embedding").cast("array<double>")), 6)
+          .as("norm"))),
+
+    // V2: brute-force exact cosine top-k (first 10 vecs as queries, k=5).
+    "v2_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, k = 5)}),
+
+    // V3: IVF cell assignment (first 8 vecs as centroids) — the scale path
+    // for ANN: cross product only against centroids, then per-cell search.
+    "v3_ivf_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfAssign(emb, emb.where(col("vec_id") < 8))}),
+
+    // V4: embedding near-duplicate pairs (cosine >= 0.35 — the synthetic
+    // embeddings' pairwise max is ~0.51, so this yields a real result set).
+    "v4_near_dup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35))
+  )
+
+  /** DuckDB sequential-fold dot product of two DOUBLE[] exprs. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_apply(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  val oracles: Map[String, String] = Map(
+    "v1_norm" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+         |SELECT vec_id, round(sqrt(${dotSql("e", "e")}), 6) AS norm FROM v""".stripMargin,
+
+    "v2_cosine_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         round(${cosSql("q.e", "c.e")}, 6) AS cos
+         |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, cand_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, cand_id, cos, rank::INT AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "v3_ivf_assign" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |scored AS (
+         |  SELECT c.vec_id AS vec_id, k.vec_id AS centroid_id,
+         |         round(${cosSql("c.e", "k.e")}, 6) AS cos
+         |  FROM v c JOIN v k ON k.vec_id < 8),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, centroid_id ASC) AS rn
+         |  FROM scored)
+         |SELECT vec_id, centroid_id, cos AS centroid_cos
+         |FROM ranked WHERE rn = 1""".stripMargin,
+
+    "v4_near_dup" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(${cosSql("a.e", "b.e")}, 6) AS cos
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE round(${cosSql("a.e", "b.e")}, 6) >= 0.35""".stripMargin
+  )
+}
