@@ -70,12 +70,18 @@ object TopicModel {
     val docMix = ldaModel.transform(docVectors)
       .select(col("doc"), vector_to_array(col("topicDistribution")).cast("array<double>").as("topic_mix"))
 
-    // topicsMatrix is vocabSize x k, column-normalized P(word|topic).
-    // The discretized vocabulary is inherently small, so materializing it
-    // on the driver and re-joining through the dictionary is bounded work.
+    // topicsMatrix is vocabSize x k; for the online optimizer it is the
+    // unnormalized variational topic-term matrix, so normalize each topic
+    // column to a proper P(word|topic) distribution. The discretized
+    // vocabulary is inherently small, so materializing it on the driver
+    // and re-joining through the dictionary is bounded work.
     val tm = ldaModel.topicsMatrix
+    val colSums = (0 until topicCount).map { t =>
+      val s = (0 until vocabSize).map(w => tm(w, t)).sum
+      if (s == 0.0) 1.0 else s
+    }
     val rows = (0 until vocabSize).map { w =>
-      (w, (0 until topicCount).map(t => tm(w, t)).toArray)
+      (w, (0 until topicCount).map(t => tm(w, t) / colSums(t)).toArray)
     }
     val wordProb = spark.createDataFrame(rows).toDF("word_id", "topic_prob")
       .join(dict, "word_id")

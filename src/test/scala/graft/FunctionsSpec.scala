@@ -1,0 +1,103 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.functions._
+
+/** Golden-value semantics locks ported from the reference engine's unit
+  * tests (reference: DNSWordCreationTest.scala, DomainProcessorTest.scala,
+  * FlowWordCreationTest.scala, QuantilesTest.scala:146-160), plus parity
+  * checks between pure-Scala forms and the column-expression forms.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  // --- entropy (reference: DNSWordCreationTest.scala:86-92) ---
+
+  "stringEntropy" should "match the reference golden value for abcdefg" in {
+    Entropy.stringEntropy("abcdefg") shouldBe 2.807354922057604 +- 1e-12
+  }
+
+  it should "be 0 for empty and null-safe" in {
+    Entropy.stringEntropy("") shouldBe 0.0
+    Entropy.stringEntropy("aaaa") shouldBe 0.0
+  }
+
+  "string_entropy expression" should "agree with the pure function" in {
+    import spark.implicits._
+    val vals = Seq("abcdefg", "", "aaaa", "hello world", "10.0.2.115", "a b c d e f")
+    val got = vals.toDF("s")
+      .select(Entropy.string_entropy(col("s"))).as[Double].collect()
+    got.zip(vals.map(Entropy.stringEntropy)).foreach { case (g, w) =>
+      g shouldBe w +- 1e-12
+    }
+  }
+
+  // --- binning (reference: QuantilesTest.scala:146-160) ---
+
+  "bin" should "reproduce the reference cut semantics including -1 above max" in {
+    val cuts = Array(1.0, 2.0, 3.0, 4.0, 5.0)
+    Binning.bin(3.5, cuts) shouldBe 3
+    Binning.bin(0.0, cuts) shouldBe 0
+    Binning.bin(5.0, cuts) shouldBe 4
+    Binning.bin(99.0, cuts) shouldBe -1
+    Binning.bin(1.0, cuts) shouldBe 0
+  }
+
+  "binCol" should "agree with the pure bin on a value sweep" in {
+    import spark.implicits._
+    val cuts = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val vals = (-10 to 120).map(_ / 10.0)
+    val got = vals.toDF("v")
+      .select(Binning.binCol(col("v"), cuts)).as[Int].collect()
+    got.zip(vals.map(v => Binning.bin(v, cuts.toArray))).foreach { case (g, w) =>
+      g shouldBe w
+    }
+  }
+
+  // --- domains (reference: DomainProcessorTest.scala:12-67) ---
+
+  "extractDomain" should "handle TLD+country code" in {
+    Domains.extractDomain("fatosdesconhecidos.com.br") shouldBe "fatosdesconhecidos"
+  }
+  it should "handle country code only, short and long" in {
+    Domains.extractDomain("panasonic.jp") shouldBe "panasonic"
+    Domains.extractDomain("get.your.best.electronic.at.panasonic.jp") shouldBe "panasonic"
+  }
+  it should "handle TLD only, short and long" in {
+    Domains.extractDomain("forrealz.net") shouldBe "forrealz"
+    Domains.extractDomain("wow.its.really.long.forrealz.net") shouldBe "forrealz"
+  }
+  it should "return None for reverse-IP and unknown suffixes" in {
+    Domains.extractDomain("123.103.104.10.in-addr.arpa") shouldBe "None"
+    Domains.extractDomain("panasonic.c") shouldBe "None"
+  }
+
+  // --- subdomains (reference: DNSWordCreationTest.scala:13-83) ---
+
+  "extractSubdomain" should "handle reverse-IP addresses" in {
+    Domains.extractSubdomain("123.103.104.10.in-addr.arpa") shouldBe
+      ("None", "None", 0.0, 6.0)
+  }
+  it should "handle 4-part ccTLD names" in {
+    Domains.extractSubdomain("services.amazon.com.mx") shouldBe
+      ("amazon", "services", 8.0, 4.0)
+  }
+  it should "handle 3-part ccTLD names with no subdomain" in {
+    Domains.extractSubdomain("amazon.com.mx") shouldBe ("amazon", "None", 0.0, 3.0)
+  }
+  it should "handle 3-part TLD names" in {
+    Domains.extractSubdomain("services.amazon.com") shouldBe
+      ("amazon", "services", 8.0, 3.0)
+  }
+  it should "return None for 2-part names" in {
+    Domains.extractSubdomain("amazon.com") shouldBe ("None", "None", 0.0, 2.0)
+  }
+
+  // --- time ---
+
+  "fractionalHour" should "compute h + m/60 + s/3600" in {
+    TimeFunctions.fractionalHour(12, 59, 32) shouldBe 12.992222 +- 1e-6
+  }
+  "secondsOfDay" should "parse HH:MM:SS" in {
+    TimeFunctions.secondsOfDay("01:02:03") shouldBe 3723.0
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{Corpus, Dedup, Scoring, Similarity}
+import graft.ml.TopicModel
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // --- corpus -----------------------------------------------------------
+
+  "Corpus.wordCounts" should "count (doc, word) pairs with weights" in {
+    val df = Seq(("a", "x", 1L), ("a", "x", 1L), ("a", "y", 1L), ("b", "x", 1000L))
+      .toDF("d", "w", "wt")
+    val got = Corpus.wordCounts(df, col("d"), col("w"), col("wt"))
+      .as[(String, String, Long)].collect().toSet
+    got shouldBe Set(("a", "x", 2L), ("a", "y", 1L), ("b", "x", 1000L))
+  }
+
+  "Corpus.dualPerspective" should "emit one doc per endpoint before aggregating" in {
+    val df = Seq(("ip1", "w1", "ip2", "w2"), ("ip1", "w1", "ip3", "w2"))
+      .toDF("sip", "sw", "dip", "dw")
+    val got = Corpus.dualPerspective(df, col("sip"), col("sw"), col("dip"), col("dw"))
+      .as[(String, String, Long)].collect().toSet
+    got shouldBe Set(("ip1", "w1", 2L), ("ip2", "w2", 1L), ("ip3", "w2", 1L))
+  }
+
+  // --- scoring ----------------------------------------------------------
+
+  "Scoring.dotProduct" should "compute the topic-mix dot product" in {
+    val df = Seq((Seq(0.1, 0.2, 0.7), Seq(0.3, 0.3, 0.4))).toDF("a", "b")
+    val got = df.select(Scoring.dotProduct(col("a"), col("b"))).as[Double].head()
+    got shouldBe (0.03 + 0.06 + 0.28) +- 1e-12
+  }
+
+  "Scoring.score" should "fall back to uniform 1/k for unseen docs and words" in {
+    val mixes = Seq(("doc1", Seq(1.0, 0.0))).toDF("doc", "topic_mix")
+    val probs = Seq(("w1", Seq(0.5, 0.25))).toDF("word", "topic_prob")
+    val model = TopicModel.Model(mixes, probs, topicCount = 2)
+    val events = Seq(("doc1", "w1"), ("doc1", "wX"), ("docX", "w1"), ("docX", "wX"))
+      .toDF("d", "w")
+    val got = Scoring.score(events, col("d"), col("w"), model)
+      .select(col("d"), col("w"), col("score")).as[(String, String, Double)]
+      .collect().map { case (d, w, s) => (d, w) -> s }.toMap
+    got(("doc1", "w1")) shouldBe 0.5 +- 1e-12          // 1*0.5 + 0*0.25
+    got(("doc1", "wX")) shouldBe 0.5 +- 1e-12          // 1*0.5 + 0*0.5 (uniform word)
+    got(("docX", "w1")) shouldBe 0.375 +- 1e-12        // 0.5*0.5 + 0.5*0.25
+    got(("docX", "wX")) shouldBe 0.5 +- 1e-12          // uniform · uniform
+  }
+
+  "Scoring.suspicious" should "threshold and order ascending with top-k" in {
+    val df = Seq(("a", 0.9), ("b", 0.1), ("c", 0.5), ("d", 0.3)).toDF("id", "score")
+    val got = Scoring.suspicious(df, threshold = 0.6, topK = 2)
+      .as[(String, Double)].collect()
+    got shouldBe Array(("b", 0.1), ("d", 0.3))
+  }
+
+  // --- dedup ------------------------------------------------------------
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different text about spark engines here"),
+    (5L, "the quick brown fox jumps over the lazy dog")    // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  "Dedup.exactDuplicates" should "group identical texts under the min id" in {
+    val got = Dedup.exactDuplicates(docs, col("doc_id"), col("text"))
+      .select("keep_id", "dup_count").as[(Long, Long)].collect()
+    got shouldBe Array((1L, 3L))
+  }
+
+  "Dedup.ngramJaccardPairs" should "find near and exact duplicate pairs" in {
+    val got = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      n = 3, threshold = 0.4)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    got((1L, 2L)) shouldBe 1.0
+    got((1L, 5L)) shouldBe 1.0
+    got((2L, 5L)) shouldBe 1.0
+    got.keySet should contain((1L, 3L)) // near dup above threshold
+    got.keySet should not contain ((1L, 4L))
+  }
+
+  "Dedup.minHashLshPairs" should "catch exact duplicates with est_jaccard 1" in {
+    val got = Dedup.minHashLshPairs(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    got((1L, 2L)) shouldBe 1.0
+    got((1L, 5L)) shouldBe 1.0
+  }
+
+  "Dedup.simHashDocs" should "give identical fingerprints to identical docs" in {
+    val got = Dedup.simHashDocs(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    got(1L) shouldBe got(2L)
+    got(1L) shouldBe got(5L)
+    // near dup: small hamming distance; different doc: larger
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    ham(got(1L), got(3L)) should be < ham(got(1L), got(4L))
+  }
+
+  // --- similarity -------------------------------------------------------
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.0f, 1.0f, 0.0f)),
+    (2L, Seq(1.0f, 1.0f, 0.0f)),
+    (3L, Seq(2.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  "Similarity.cosine" should "honor the standard identities" in {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    got(0) shouldBe 1.0 +- 1e-12
+    got(1) shouldBe 0.0 +- 1e-12
+  }
+
+  "Similarity.bruteForceTopK" should "rank by cosine with id tiebreak" in {
+    val got = Similarity.bruteForceTopK(vecs.where(col("vec_id") === 0), vecs, k = 3)
+      .orderBy("rank").select("cand_id").as[Long].collect()
+    got shouldBe Array(3L, 2L, 1L) // colinear (1.0) first, 45° (0.707), then orthogonal
+  }
+
+  "Similarity.ivfAssign" should "assign vectors to their nearest centroid" in {
+    val cents = vecs.where(col("vec_id") <= 1)
+    val got = Similarity.ivfAssign(vecs, cents)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    got(0L) shouldBe 0L
+    got(1L) shouldBe 1L
+    got(3L) shouldBe 0L
+    got(2L) shouldBe 0L // tie 45° → smaller centroid id
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ml.TopicModel
+import graft.pipelines.EventsPipeline
+import org.apache.spark.sql.functions._
+
+/** Topic model invariants (replaces the reference's golden LDA-file
+  * numerics, which tested its text-file exchange format — here the model
+  * never leaves the JVM; reference: OniLDACWrapperTest.scala).
+  */
+class TopicModelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val corpus = {
+    val rows = for {
+      d <- 0 until 12
+      w <- 0 until 6
+      if (d + w) % 3 != 0
+    } yield (s"doc$d", s"word$w", (d % 4 + w % 3 + 1).toLong)
+    rows.toDF("doc", "word", "count")
+  }
+
+  "TopicModel.train" should "produce normalized doc mixes for every doc" in {
+    val m = TopicModel.train(corpus, topicCount = 3, maxIter = 5)
+    val mixes = m.docTopicMix.as[(String, Seq[Double])].collect()
+    mixes.length shouldBe 12
+    mixes.foreach { case (_, mix) =>
+      mix.length shouldBe 3
+      mix.sum shouldBe 1.0 +- 1e-6
+      mix.foreach(p => p should be >= 0.0)
+    }
+  }
+
+  it should "produce a probability row per distinct word" in {
+    val m = TopicModel.train(corpus, topicCount = 3, maxIter = 5)
+    val probs = m.wordTopicProb.as[(String, Seq[Double])].collect()
+    probs.length shouldBe 6
+    probs.foreach { case (_, p) =>
+      p.length shouldBe 3
+      p.foreach(v => v should be >= 0.0)
+    }
+    // P(word|topic) sums to 1 over the vocabulary for each topic
+    (0 until 3).foreach { t =>
+      probs.map(_._2(t)).sum shouldBe 1.0 +- 1e-6
+    }
+  }
+
+  it should "be deterministic under a fixed seed" in {
+    val a = TopicModel.train(corpus, topicCount = 3, maxIter = 5, seed = 7L)
+      .docTopicMix.orderBy("doc").as[(String, Seq[Double])].collect()
+    val b = TopicModel.train(corpus, topicCount = 3, maxIter = 5, seed = 7L)
+      .docTopicMix.orderBy("doc").as[(String, Seq[Double])].collect()
+    a.zip(b).foreach { case ((d1, m1), (d2, m2)) =>
+      d1 shouldBe d2
+      m1.zip(m2).foreach { case (x, y) => x shouldBe y +- 1e-9 }
+    }
+  }
+
+  "EventsPipeline" should "run train+score end-to-end with valid scores" in {
+    val events = (0 until 300).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:00:00"),
+        (i % 7).toLong, s"type${i % 3}", (i % 50).toDouble, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventsPipeline.run(events, threshold = 1.0, topK = 10, topicCount = 3)
+    val rows = out.select("score").as[Double].collect()
+    rows.length shouldBe 10
+    rows.foreach { s => s should (be >= 0.0 and be <= 1.0) }
+    rows.toSeq shouldBe rows.sorted.toSeq
+  }
+}
