@@ -1,9 +1,27 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.pipelines.EventsPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line. Results are materialized through the noop sink so
+  * every expression is fully evaluated (a bare count() would let Catalyst
+  * prune the projected expressions away and time only the scan). */
 object Bench {
+
+  /** Representative subset: one per operator family, plus the full
+    * train+score pipeline. */
+  private val headline = Seq(
+    "s1_scan_project", "p2_range_predicate", "j1_equi_join", "j4_semi_join",
+    "a1_group_count", "a3_group_sum", "a6_ecdf", "t1_topk",
+    "w1_window_cumsum", "g1_rollup", "f3_bin", "f4_entropy", "f8_flow_words",
+    "x2_quality", "x3_langid", "d1_exact_dedup", "d2_ngram_jaccard",
+    "d3_minhash_lsh", "d4_simhash", "v1_norm", "v2_cosine_topk",
+    "v3_ivf_assign")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,17 +29,38 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val timed = collection.mutable.LinkedHashMap[String, Double]()
+    def time(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try body
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      timed(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    headline.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        time(name) { run(fn(spark, sfDir)) }
+      }
+    }
+    // Full suspicious-connects pipeline (featurize → LDA → score → top-k).
+    time("pipeline_events") {
+      run(EventsPipeline.run(Tables.load(spark, sfDir, "events"),
+        threshold = 1.0, topK = 100, topicCount = 10))
+    }
+
+    val qs = timed.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = timed.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

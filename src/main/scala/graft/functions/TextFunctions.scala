@@ -26,12 +26,11 @@ object TextFunctions {
 
   /** Polynomial rolling hash of a string column:
     * fold (h, c) -> (h*mult + ascii(c)) % HashPrime over the characters.
-    * Deterministic and exactly reproducible in DuckDB via list_reduce. */
+    * Deterministic and exactly reproducible in DuckDB via list_reduce.
+    * Backed by the codegen'd native expression [[PolyHash]] (the built-in
+    * HOF composition is interpreted and allocates per character). */
   def polyHash(s: Column, mult: Long = HashMult1): Column =
-    aggregate(
-      transform(split(s, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (h, c) => (h * mult + c) % HashPrime)
+    PolyHash.poly_hash(s, mult)
 
   /** Word n-gram shingles of a token array: array of space-joined n-grams.
     * Empty when there are fewer than n tokens. */

@@ -26,9 +26,21 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("dup_count"))
       .where(col("dup_count") > 1)
 
-  /** Per-doc word n-gram shingle set (distinct shingle hashes). */
-  def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(shingles(tokens(text), n), s => polyHash(s)))
+  /** Per-doc word n-gram shingle set (distinct shingle hashes).
+    * NOTE: inside `shingles` the token array is referenced once per shingle
+    * position; pass an ATTRIBUTE (a column computed in a previous select),
+    * never the raw `tokens(text)` expression — expression children aren't
+    * memoized, so an inline tokenizer would re-run per position (O(len²)).
+    * [[shingledDocs]] is the staged form that gets this right. */
+  def shingleHashes(toks: Column, n: Int): Column =
+    array_distinct(transform(shingles(toks, n), s => polyHash(s)))
+
+  /** (doc_id, sh: array<long>) — distinct shingle hashes per doc, staged so
+    * tokenization runs once per doc and hashing once per shingle. */
+  def shingledDocs(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    df.select(id.cast("long").as("doc_id"), tokens(text).as("toks"))
+      .select(col("doc_id"), shingleHashes(col("toks"), n).as("sh"))
+      .where(size(col("sh")) > 0)
 
   /** Exact n-gram Jaccard near-duplicates via inverted index:
     * explode distinct shingles → self-join on shingle → intersection counts
@@ -38,16 +50,16 @@ object Dedup {
     * docs (standard df-cut; near-dup pairs share rare shingles too). */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
                         threshold: Double, maxShingleFreq: Long = 1000): DataFrame = {
-    val docs = df.select(id.cast("long").as("doc_id"),
-      shingleHashes(text, n).as("sh"))
-      .where(size(col("sh")) > 0)
+    val docs = shingledDocs(df, id, text, n).cache()
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val filtered = inv
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .where(col("df") <= maxShingleFreq)
-      .drop("df")
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle")).cache()
+    // df-cut as a broadcast anti-join against the (tiny) hot-shingle set:
+    // map-side-combined groupBy beats a window's full sort-shuffle, and the
+    // anti join is broadcast — no extra wide shuffle of the inverted index.
+    val hot = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleFreq)
+      .select("shingle")
+    val filtered = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
     val pairs = filtered.as("a")
       .join(filtered.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -62,36 +74,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature per doc: k affine hashes over the shingle-hash set. */
+  /** MinHash signature per doc: k affine hashes over the shingle-hash set.
+    * Staged as two projections so the (expensive) shingle hashing runs once
+    * per doc, not once per signature position — Catalyst's CollapseProject
+    * keeps non-cheap multiply-referenced aliases in their own stage. */
   def minHashDocs(df: DataFrame, id: Column, text: Column,
                   n: Int, numHashes: Int): DataFrame =
-    df.select(id.cast("long").as("doc_id"),
-      minHashSignature(shingleHashes(text, n), numHashes).as("sig"))
-      .where(size(col("sig")) > 0 && !col("sig").getItem(0).isNull)
+    shingledDocs(df, id, text, n)
+      .select(col("doc_id"), minHashSignature(col("sh"), numHashes).as("sig"))
 
   /** MinHash + LSH banding: docs sharing any band bucket become candidate
     * pairs; est_jaccard = fraction of matching signature positions.
-    * numHashes = bands * rowsPerBand. One shuffle on band keys — never a
-    * cross product. */
+    * numHashes = bands * rowsPerBand.
+    *
+    * Scale shape: the self-join runs on NARROW (doc_id, band, key) rows —
+    * signatures are re-attached to the (much smaller) candidate-pair set
+    * afterwards, so the band shuffle never carries arrays and the
+    * distinct() dedups 3-column rows, not 2×signature payloads. AQE picks
+    * broadcast for the sig side when it fits. */
   def minHashLshPairs(df: DataFrame, id: Column, text: Column,
-                      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+                      n: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val numHashes = bands * rowsPerBand
     val docs = minHashDocs(df, id, text, n, numHashes).cache()
-    val banded = docs.select(col("doc_id"), col("sig"),
+    val banded = docs.select(col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             concat_ws("_", (0 until rowsPerBand).map(r =>
               col("sig").getItem(b * rowsPerBand + r).cast("string")): _*).as("key"))
         }: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cand.withColumn("est_jaccard",
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)).cast("double") / numHashes, 6))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))

@@ -70,15 +70,18 @@ object TextQueries {
     "d1_exact_dedup" -> ((s, dir) =>
       Dedup.exactDuplicates(withDups(s, dir), col("doc_id"), col("text"))),
 
-    // D2: exact n-gram Jaccard near-dup pairs (3-gram shingles, >= 0.5).
+    // D2: exact n-gram Jaccard near-dup pairs. 5-gram shingles: on this
+    // small-vocabulary corpus 3-grams are shared by ~half of all doc pairs
+    // (no discriminative power, quadratic join blowup); 5-grams are ~95%
+    // unique, so the inverted index only pairs genuinely similar docs.
     "d2_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-        col("doc_id"), col("text"), n = 3, threshold = 0.5)),
+        col("doc_id"), col("text"), n = 5, threshold = 0.2)),
 
     // D3: MinHash + LSH banding candidate pairs (8 hashes, 4 bands x 2).
     "d3_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"),
-        col("doc_id"), col("text"), n = 3, bands = 4, rowsPerBand = 2)),
+        col("doc_id"), col("text"), n = 5, bands = 4, rowsPerBand = 2)),
 
     // D4: 16-bit SimHash fingerprints.
     "d4_simhash" -> ((s, dir) =>
@@ -102,9 +105,10 @@ object TextQueries {
 
   private val shingSql =
     s"""shing AS (
-       |  SELECT DISTINCT doc_id, ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS sh
-       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i)
-       |  WHERE len(tk) >= 3)""".stripMargin
+       |  SELECT DISTINCT doc_id,
+       |    ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]")} AS sh
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 4)) AS i)
+       |  WHERE len(tk) >= 5)""".stripMargin
 
   private def markerIn(l: String): String =
     graft.functions.TextFunctions.LangMarkers(l)
@@ -172,7 +176,7 @@ object TextQueries {
          |FROM pairs
          |JOIN sizes sa ON sa.doc_id = id_a
          |JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5""".stripMargin,
+         |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.2""".stripMargin,
 
     "d3_minhash_lsh" ->
       s"""WITH $toksSql,
