@@ -23,11 +23,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ FeatureQueries.queries ++
-      TextQueries.queries ++ VectorQueries.queries
+      TextQueries.queries ++ VectorQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ FeatureQueries.oracles ++
-      TextQueries.oracles ++ VectorQueries.oracles
+      TextQueries.oracles ++ VectorQueries.oracles ++
+      MultimodalQueries.oracles
 }

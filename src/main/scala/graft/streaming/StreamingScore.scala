@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.ml.TopicModel
+import graft.operators.Scoring
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming extensions of the batch engine (SURVEY.md §2.10: the
+  * reference is batch-only; these are the §7 extensions expressed with
+  * Structured Streaming).
+  *
+  * The model is batch-trained (TopicModel.train) and applied to a stream:
+  * scoring is stateless per-row work plus broadcast joins, so it runs
+  * unchanged under the streaming planner. Windowed aggregation uses event
+  * time + watermark; sessionization uses the built-in session_window.
+  */
+object StreamingScore {
+
+  /** Score a stream of events against a batch-trained model. Identical
+    * semantics to the batch Scoring.score — broadcast joins + dot product
+    * are stream-safe (no state). */
+  def scoreStream(stream: DataFrame, doc: Column, word: Column,
+                  model: TopicModel.Model): DataFrame =
+    Scoring.score(stream, doc, word, model)
+
+  /** Tumbling-window suspicious-event counts per doc with a watermark for
+    * state cleanup: emits (window, doc, n_events, n_suspicious, min_score).
+    */
+  def windowedScores(scored: DataFrame, ts: Column, doc: Column,
+                     threshold: Double, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    scored
+      .withColumn("__ts", ts)
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen).as("window"), doc.as("doc"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("score") <= threshold, 1)).as("n_suspicious"),
+        min(col("score")).as("min_score"))
+
+  /** Gap-based sessionization (built-in session_window): one row per
+    * (doc, session) with bounds and event count. */
+  def sessionize(events: DataFrame, ts: Column, doc: Column,
+                 gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("__ts", ts)
+      .withWatermark("__ts", watermark)
+      .groupBy(session_window(col("__ts"), gap).as("session"), doc.as("doc"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__ts")).as("first_event"), max(col("__ts")).as("last_event"))
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ml.TopicModel
+import graft.streaming.StreamingScore
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming behavior: batch-trained model applied to a
+  * MemoryStream, windowed aggregation with watermark, sessionization. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  "scoreStream" should "score streaming events with a batch-trained model" in {
+    implicit val sqlCtx = spark.sqlContext
+    val mixes = Seq(("u1", Seq(1.0, 0.0))).toDF("doc", "topic_mix")
+    val probs = Seq(("w1", Seq(0.5, 0.25))).toDF("word", "topic_prob")
+    val model = TopicModel.Model(mixes, probs, topicCount = 2)
+
+    val input = MemoryStream[(String, String, Timestamp)]
+    input.addData(("u1", "w1", ts(0)), ("u1", "wX", ts(1)), ("uX", "w1", ts(2)))
+    val scored = StreamingScore.scoreStream(
+      input.toDF().toDF("doc", "word", "ts"), col("doc"), col("word"), model)
+
+    val q = scored.writeStream.format("memory").queryName("scored_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("scored_out")
+      .select("doc", "word", "score").as[(String, String, Double)]
+      .collect().map { case (d, w, s) => (d, w) -> s }.toMap
+    got(("u1", "w1")) shouldBe 0.5 +- 1e-12
+    got(("u1", "wX")) shouldBe 0.5 +- 1e-12
+    got(("uX", "w1")) shouldBe 0.375 +- 1e-12
+  }
+
+  "windowedScores" should "aggregate per tumbling window with watermark" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double, Timestamp)]
+    input.addData(("u1", 0.1, ts(5)), ("u1", 0.9, ts(10)), ("u2", 0.2, ts(40)))
+    val agg = StreamingScore.windowedScores(
+      input.toDF().toDF("doc0", "score", "ts"),
+      col("ts"), col("doc0"), threshold = 0.5, windowLen = "30 minutes")
+
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("win_out")
+      .select("doc", "n_events", "n_suspicious").as[(String, Long, Long)]
+      .collect().toSet
+    got shouldBe Set(("u1", 2L, 1L), ("u2", 1L, 1L))
+  }
+
+  "sessionize" should "split events into gap-based sessions" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    // u1: 10:00, 10:10 (one session), then 10:55 (new session, gap > 30m)
+    input.addData(("u1", ts(0)), ("u1", ts(10)), ("u1", ts(55)))
+    val sess = StreamingScore.sessionize(
+      input.toDF().toDF("user", "ts"), col("ts"), col("user"), gap = "30 minutes")
+
+    val q = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sess_out")
+      .select("doc", "n_events").as[(String, Long)].collect().toSet
+    got shouldBe Set(("u1", 2L), ("u1", 1L))
+  }
+}
