@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Binning, Domains, Entropy, FlowWords, TimeFunctions}
+import graft.operators.Corpus
+import graft.pipelines.EventsPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's three word-construction pipelines (SURVEY.md §2.9
+  * F8/F9/F10) and the weighted-feedback corpus (§2.7 U1 + §2.8 E1 + §2.4
+  * A1), run over fabricated network-shaped projections of the harness
+  * tables with FIXED quantile cuts so every step has an exact DuckDB twin.
+  * The LDA pipeline itself has no SQL twin → rows-only check.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val LenCuts = Seq(100.0, 200.0, 300.0, 400.0)
+  private val TimeCuts = Seq(100.0, 250.0, 400.0)
+  private val SubLenCuts = Seq(3.0, 5.0, 8.0)
+  private val EntCuts = Seq(1.5, 2.0, 2.5)
+  private val PerCuts = Seq(2.0, 3.0, 4.0)
+  private val Popular = Set("src1", "src3", "src5")
+
+  /** The f5 fabrication: 4 qname shapes from documents. */
+  private def dnsEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("qname",
+        when(col("doc_id") % 4 === 0, concat(lit("api.cdn."), col("source"), lit(".com")))
+          .when(col("doc_id") % 4 === 1, concat(col("source"), lit(".com.mx")))
+          .when(col("doc_id") % 4 === 2, lit("9.8.7.6.in-addr.arpa"))
+          .otherwise(concat(col("source"), lit(".net"))))
+      .withColumn("frame_len", col("n_chars"))
+      .withColumn("unix_tstamp", col("doc_id") % 500)
+      .withColumn("qry_type", (col("doc_id") % 4).cast("int"))
+      .withColumn("rcode", (col("doc_id") % 3).cast("int"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F9: the 8-component DNS word (reference: DNSWordCreation.scala:215-236).
+    "pipe_dns_words" -> ((s, dir) => {
+      val withSub = dnsEvents(s, dir)
+        .withColumn("sd", Domains.extract_subdomain(col("qname")))
+        .select(col("doc_id"), col("qname"), col("frame_len"),
+          col("unix_tstamp"), col("qry_type"), col("rcode"),
+          col("sd.domain").as("domain"), col("sd.subdomain").as("subdomain"),
+          col("sd.subdomain_length").as("subdomain_length"),
+          col("sd.num_periods").as("num_periods"))
+        .withColumn("subdomain_entropy",
+          when(col("subdomain") === Domains.NoDomain, lit(0.0))
+            .otherwise(Entropy.string_entropy(col("subdomain"))))
+      withSub.select(col("doc_id"), concat_ws("_",
+        Domains.top_domain_class(col("domain"), Popular).cast("string"),
+        Binning.binCol(col("frame_len").cast("double"), LenCuts),
+        Binning.binCol(col("unix_tstamp").cast("double"), TimeCuts),
+        Binning.binCol(col("subdomain_length"), SubLenCuts),
+        Binning.binCol(col("subdomain_entropy"), EntCuts),
+        Binning.binCol(col("num_periods"), PerCuts),
+        col("qry_type"), col("rcode")).as("word"))}),
+
+    // F10: the 7-component proxy word (reference: ProxyWordCreation.scala:
+    // 30-51) with the agent-count broadcast-join aggregate (J3/A2).
+    "pipe_proxy_words" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("p_time", date_format(col("ts"), "HH:mm:ss"))
+        .withColumn("fulluri",
+          concat(lit("http://host/"), col("event_type"), lit("?k="), col("props")))
+        .withColumn("useragent", col("event_type"))
+        .withColumn("respcode", (lit(200) + col("event_id") % 3 * 100).cast("string"))
+        .withColumn("resconttype",
+          when(col("event_id") % 2 === 0, lit("text/plain")).otherwise(lit("image/png")))
+      val agentCounts = ev.groupBy("useragent").agg(count(lit(1)).as("agent_count"))
+      ev.join(broadcast(agentCounts), Seq("useragent"))
+        .select(col("event_id"), concat_ws("_",
+          lit("0"),
+          Binning.binCol(TimeFunctions.seconds_of_day(col("p_time")) / lit(100.0),
+            TimeCuts),
+          col("event_type"),
+          Binning.binCol(Entropy.string_entropy(col("fulluri")), EntCuts),
+          split(col("resconttype"), "/").getItem(0),
+          Binning.binCol(col("agent_count").cast("double") / lit(10.0), LenCuts),
+          substring(col("respcode"), 1, 1)).as("word"))}),
+
+    // U1+E1+A1: weighted-feedback corpus — raw events ∪ a "confirmed"
+    // subset weighted ×1000, aggregated once (the weight is a count
+    // multiplier, not a row explosion).
+    "pipe_feedback_corpus" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), lit(1L).as("w"))
+      val feedback = t(s, dir, "events")
+        .where(col("event_id") % 100 === 0)
+        .select(col("user_id"), col("event_type"), lit(1000L).as("w"))
+      Corpus.wordCounts(ev.union(feedback),
+        col("user_id"), col("event_type"), col("w"))}),
+
+    // Full suspicious-connects pipeline (LDA — no SQL twin, rows-only).
+    "pipe_events_suspicious" -> ((s, dir) =>
+      EventsPipeline.run(t(s, dir, "events"),
+        threshold = 1.0, topK = 100, topicCount = 10))
+  )
+
+  private def binSql(e: String, cuts: Seq[Double]): String = Binning.binSql(e, cuts)
+
+  private val entropySqlOf = (e: String) =>
+    s"""(SELECT coalesce(sum(-(c::DOUBLE / tot) * log10(c::DOUBLE / tot) / log10(2)), 0.0)
+       | FROM (SELECT count(*) AS c, sum(count(*)) OVER () AS tot
+       |       FROM (SELECT unnest(string_split($e, '')) AS ch) GROUP BY ch))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "pipe_dns_words" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CASE WHEN doc_id % 4 = 0 THEN 'api.cdn.' || source || '.com'
+         |         WHEN doc_id % 4 = 1 THEN source || '.com.mx'
+         |         WHEN doc_id % 4 = 2 THEN '9.8.7.6.in-addr.arpa'
+         |         ELSE source || '.net' END AS qname,
+         |    doc_id % 500 AS unix_tstamp,
+         |    (doc_id % 4)::INT AS qry_type, (doc_id % 3)::INT AS rcode
+         |  FROM documents),
+         |sub AS (
+         |  SELECT *,
+         |    CASE WHEN doc_id % 4 IN (0, 1) THEN source ELSE 'None' END AS domain,
+         |    CASE WHEN doc_id % 4 = 0 THEN 'api.cdn' ELSE 'None' END AS subdomain,
+         |    CASE WHEN doc_id % 4 = 0 THEN 7.0 ELSE 0.0 END AS sublen,
+         |    CASE WHEN doc_id % 4 = 0 THEN 4.0 WHEN doc_id % 4 = 1 THEN 3.0
+         |         WHEN doc_id % 4 = 2 THEN 6.0 ELSE 2.0 END AS nper,
+         |    CASE WHEN doc_id % 4 = 0
+         |         THEN ${entropySqlOf("'api.cdn'")} ELSE 0.0 END AS sent
+         |  FROM base)
+         |SELECT doc_id,
+         |  (CASE WHEN domain IN ('src1', 'src3', 'src5') THEN 1 ELSE 0 END)::VARCHAR
+         |  || '_' || ${binSql("n_chars::DOUBLE", LenCuts)}::VARCHAR
+         |  || '_' || ${binSql("unix_tstamp::DOUBLE", TimeCuts)}::VARCHAR
+         |  || '_' || ${binSql("sublen", SubLenCuts)}::VARCHAR
+         |  || '_' || ${binSql("sent", EntCuts)}::VARCHAR
+         |  || '_' || ${binSql("nper", PerCuts)}::VARCHAR
+         |  || '_' || qry_type::VARCHAR || '_' || rcode::VARCHAR AS word
+         |FROM sub""".stripMargin,
+
+    "pipe_proxy_words" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, event_type,
+         |    strftime(ts, '%H:%M:%S') AS p_time,
+         |    'http://host/' || event_type || '?k=' || props AS fulluri,
+         |    (200 + event_id % 3 * 100)::VARCHAR AS respcode,
+         |    CASE WHEN event_id % 2 = 0 THEN 'text/plain' ELSE 'image/png' END AS ct
+         |  FROM events),
+         |ac AS (SELECT event_type, count(*) AS agent_count FROM ev GROUP BY 1),
+         |j AS (
+         |  SELECT ev.*, ac.agent_count,
+         |    (3600 * hour(ts2) + 60 * minute(ts2) + second(ts2))::DOUBLE AS secs,
+         |    ${entropySqlOf("fulluri")} AS ent
+         |  FROM (SELECT *, strptime(p_time, '%H:%M:%S') AS ts2 FROM ev) ev
+         |  JOIN ac USING (event_type))
+         |SELECT event_id,
+         |  '0_' || ${binSql("secs / 100.0", TimeCuts)}::VARCHAR
+         |  || '_' || event_type
+         |  || '_' || ${binSql("ent", EntCuts)}::VARCHAR
+         |  || '_' || string_split(ct, '/')[1]
+         |  || '_' || ${binSql("agent_count::DOUBLE / 10.0", LenCuts)}::VARCHAR
+         |  || '_' || substr(respcode, 1, 1) AS word
+         |FROM j""".stripMargin,
+
+    "pipe_feedback_corpus" ->
+      """SELECT user_id::VARCHAR AS doc, event_type AS word, sum(w)::BIGINT AS count
+        |FROM (
+        |  SELECT user_id, event_type, 1::BIGINT AS w FROM events
+        |  UNION ALL
+        |  SELECT user_id, event_type, 1000::BIGINT AS w FROM events
+        |  WHERE event_id % 100 = 0)
+        |GROUP BY 1, 2""".stripMargin
+  )
+}
