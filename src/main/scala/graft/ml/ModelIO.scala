@@ -1,0 +1,79 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Legacy topic-model exchange formats, for cross-validating against the
+  * reference engine's artifacts (reference: OniLDACWrapper.scala:121-195 —
+  * `final.beta` per-topic log-prob lines, `final.gamma` per-doc
+  * unnormalized weights, `model.dat` sparse corpus lines). The in-JVM
+  * [[TopicModel]] replaces the file exchange; these exist for import of
+  * reference-produced models and for corpus export in the same format.
+  */
+object ModelIO {
+
+  /** One `final.beta` line (space-separated log P(word|topic)) →
+    * exp-normalized probabilities over the vocabulary. */
+  def parseBetaLine(line: String): Array[Double] = {
+    val exps = line.trim.split(" ").map(v => math.exp(v.toDouble))
+    val total = exps.sum
+    exps.map(_ / total)
+  }
+
+  /** One `final.gamma` line (space-separated unnormalized topic weights) →
+    * normalized topic mix; an all-zero-sum line yields the zero vector. */
+  def parseGammaLine(line: String): Array[Double] = {
+    val vals = line.trim.split(" ").map(_.toDouble)
+    val total = vals.sum
+    if (total == 0.0) Array.fill(vals.length)(0.0) else vals.map(_ / total)
+  }
+
+  /** Per-topic beta lines → word → per-topic probability vector
+    * (normalize each topic line over words, then transpose). */
+  def wordProbsFromBeta(topicLines: Array[String],
+                        wordIndex: Map[String, Int]): Map[String, Array[Double]] = {
+    val normalized = topicLines.map(parseBetaLine)
+    wordIndex.map { case (word, idx) =>
+      word -> normalized.map(topicRow => topicRow(idx))
+    }
+  }
+
+  /** One `model.dat` corpus line: `<distinctWordCount> <idx>:<count> ...`. */
+  def corpusLine(pairs: Seq[(Int, Long)]): String =
+    s"${pairs.length} " + pairs.map { case (i, c) => s"$i:$c" }.mkString(" ")
+
+  /** Distributed export of a (doc, word, count) corpus to model.dat lines
+    * plus the word dictionary used — the reference built both on the
+    * driver (OniLDACWrapper.scala:40-68); here the dictionary is a window
+    * over distinct words and the lines are one group-concat aggregation.
+    * Returns (lines: (doc, line), dict: (word, word_id)). */
+  def exportCorpus(wordCounts: DataFrame): (DataFrame, DataFrame) = {
+    val dict = wordCounts.select("word").distinct()
+      .withColumn("word_id", row_number().over(Window.orderBy("word")) - 1)
+    val lines = wordCounts.join(dict, "word")
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("word_id"), col("count")))).as("pairs"))
+      .select(col("doc"),
+        concat_ws(" ", size(col("pairs")).cast("string"),
+          concat_ws(" ", transform(col("pairs"),
+            p => concat(p.getField("word_id").cast("string"), lit(":"),
+              p.getField("count").cast("string"))))).as("line"))
+    (lines, dict)
+  }
+
+  /** Import a reference-format model from parsed lines: gamma lines in
+    * `docs` order, beta lines per topic. Returns a [[TopicModel.Model]]
+    * backed by DataFrames, ready for [[graft.operators.Scoring]]. */
+  def importLegacyModel(spark: org.apache.spark.sql.SparkSession,
+                        docs: Seq[String], gammaLines: Seq[String],
+                        betaLines: Seq[String],
+                        wordIndex: Map[String, Int]): TopicModel.Model = {
+    import spark.implicits._
+    val mixes = docs.zip(gammaLines.map(parseGammaLine))
+      .toDF("doc", "topic_mix")
+    val probs = wordProbsFromBeta(betaLines.toArray, wordIndex).toSeq
+      .toDF("word", "topic_prob")
+    TopicModel.Model(mixes, probs, topicCount = betaLines.length)
+  }
+}

@@ -95,6 +95,13 @@ object PipelineQueries {
       Corpus.wordCounts(ev.union(feedback),
         col("user_id"), col("event_type"), col("w"))}),
 
+    // A4: legacy model.dat corpus export — group-concat of sorted sparse
+    // (word_id:count) pairs per doc, dictionary built distributedly.
+    "a4_corpus_export" -> ((s, dir) => {
+      val wc = Corpus.wordCounts(t(s, dir, "events"),
+        col("user_id"), col("event_type"))
+      graft.ml.ModelIO.exportCorpus(wc)._1}),
+
     // Full suspicious-connects pipeline (LDA — no SQL twin, rows-only).
     "pipe_events_suspicious" -> ((s, dir) =>
       EventsPipeline.run(t(s, dir, "events"),
@@ -162,6 +169,19 @@ object PipelineQueries {
          |  || '_' || ${binSql("agent_count::DOUBLE / 10.0", LenCuts)}::VARCHAR
          |  || '_' || substr(respcode, 1, 1) AS word
          |FROM j""".stripMargin,
+
+    "a4_corpus_export" ->
+      """WITH wc AS (
+        |  SELECT user_id::VARCHAR AS doc, event_type AS word, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |dict AS (
+        |  SELECT word, row_number() OVER (ORDER BY word) - 1 AS word_id
+        |  FROM (SELECT DISTINCT word FROM wc))
+        |SELECT doc,
+        |       count(*)::VARCHAR || ' ' ||
+        |       string_agg(word_id::VARCHAR || ':' || cnt::VARCHAR, ' '
+        |                  ORDER BY word_id) AS line
+        |FROM wc JOIN dict USING (word) GROUP BY doc""".stripMargin,
 
     "pipe_feedback_corpus" ->
       """SELECT user_id::VARCHAR AS doc, event_type AS word, sum(w)::BIGINT AS count
