@@ -37,15 +37,22 @@ object DnsPipeline {
         when(col("subdomain") === Domains.NoDomain, lit(0.0))
           .otherwise(Entropy.string_entropy(col("subdomain"))))
 
-  def computeCuts(withSub: DataFrame): Cuts = Cuts(
-    time = Quantiles.computeDeciles(withSub, col("unix_tstamp").cast("double")),
-    frameLen = Quantiles.computeDeciles(withSub, col("frame_len").cast("double")),
-    subLen = Quantiles.computeQuintiles(
-      withSub.where(col("subdomain_length") > 0), col("subdomain_length")),
-    entropy = Quantiles.computeQuintiles(
-      withSub.where(col("subdomain_entropy") > 0), col("subdomain_entropy")),
-    numPeriods = Quantiles.computeQuintiles(
-      withSub.where(col("num_periods") > 0), col("num_periods")))
+  /** All five cut-sets in ONE scan+shuffle (the reference ran a full
+    * distributed pass per cut-set: DNSWordCreation.scala:78-122); the
+    * positive-value predicates (P5) become per-spec filters. */
+  def computeCuts(withSub: DataFrame): Cuts = {
+    val cuts = Quantiles.computeCutSets(withSub, Seq(
+      Quantiles.CutSpec("time", col("unix_tstamp"), Quantiles.Deciles),
+      Quantiles.CutSpec("frame_len", col("frame_len"), Quantiles.Deciles),
+      Quantiles.CutSpec("sub_len", col("subdomain_length"), Quantiles.Quintiles,
+        Some(col("subdomain_length") > 0)),
+      Quantiles.CutSpec("entropy", col("subdomain_entropy"), Quantiles.Quintiles,
+        Some(col("subdomain_entropy") > 0)),
+      Quantiles.CutSpec("periods", col("num_periods"), Quantiles.Quintiles,
+        Some(col("num_periods") > 0))))
+    Cuts(time = cuts("time"), frameLen = cuts("frame_len"), subLen = cuts("sub_len"),
+      entropy = cuts("entropy"), numPeriods = cuts("periods"))
+  }
 
   /** 8-component word (reference: DNSWordCreation.scala:215-236). */
   def featurize(withSub: DataFrame, cuts: Cuts, popularDomains: Set[String]): DataFrame =

@@ -17,11 +17,12 @@ object EventsPipeline {
   final case class Cuts(hour: Array[Double], value: Array[Double])
   final case class Model(cuts: Cuts, topics: TopicModel.Model, topicCount: Int)
 
+  /** Both cut-sets in one scan+shuffle. */
   def computeCuts(events: DataFrame): Cuts = {
-    val withHour = events.withColumn("ev_hour", hour(col("ts")).cast("double"))
-    Cuts(
-      hour = Quantiles.computeDeciles(withHour, col("ev_hour")),
-      value = Quantiles.computeQuintiles(withHour, col("value")))
+    val cuts = Quantiles.computeCutSets(events, Seq(
+      Quantiles.CutSpec("hour", hour(col("ts")), Quantiles.Deciles),
+      Quantiles.CutSpec("value", col("value"), Quantiles.Quintiles)))
+    Cuts(hour = cuts("hour"), value = cuts("value"))
   }
 
   def featurize(events: DataFrame, cuts: Cuts): DataFrame =

@@ -26,13 +26,16 @@ object FlowPipeline {
     flows.where(col("trhour").between(0, 23) &&
       col("trminute").between(0, 59) && col("trsec").between(0, 59))
 
+  /** All three cut-sets in ONE scan+shuffle (the reference ran a full
+    * distributed pass per cut-set: FlowWordCreation.scala:26-49). */
   def computeCuts(flows: DataFrame): Cuts = {
-    val withTime = flows.withColumn("num_time",
-      TimeFunctions.fractional_hour(col("trhour"), col("trminute"), col("trsec")))
-    Cuts(
-      time = Quantiles.computeDeciles(withTime, col("num_time")),
-      ibyt = Quantiles.computeDeciles(withTime, col("ibyt").cast("double")),
-      ipkt = Quantiles.computeQuintiles(withTime, col("ipkt").cast("double")))
+    val cuts = Quantiles.computeCutSets(flows, Seq(
+      Quantiles.CutSpec("time",
+        TimeFunctions.fractional_hour(col("trhour"), col("trminute"), col("trsec")),
+        Quantiles.Deciles),
+      Quantiles.CutSpec("ibyt", col("ibyt"), Quantiles.Deciles),
+      Quantiles.CutSpec("ipkt", col("ipkt"), Quantiles.Quintiles)))
+    Cuts(time = cuts("time"), ibyt = cuts("ibyt"), ipkt = cuts("ipkt"))
   }
 
   /** Adds num_time, the three bins, and the four word columns — all

@@ -37,10 +37,15 @@ object ProxyPipeline {
       .join(broadcast(agentCounts), Seq("useragent"), "left")
   }
 
-  def computeCuts(withFeats: DataFrame): Cuts = Cuts(
-    time = Quantiles.computeDeciles(withFeats, col("time_of_day")),
-    entropy = Quantiles.computeQuintiles(withFeats, col("uri_entropy")),
-    agent = Quantiles.computeQuintiles(withFeats, col("agent_count").cast("double")))
+  /** All three cut-sets in ONE scan+shuffle (reference:
+    * ProxySuspiciousConnectsModel.scala:106-118 ran one pass each). */
+  def computeCuts(withFeats: DataFrame): Cuts = {
+    val cuts = Quantiles.computeCutSets(withFeats, Seq(
+      Quantiles.CutSpec("time", col("time_of_day"), Quantiles.Deciles),
+      Quantiles.CutSpec("entropy", col("uri_entropy"), Quantiles.Quintiles),
+      Quantiles.CutSpec("agent", col("agent_count"), Quantiles.Quintiles)))
+    Cuts(time = cuts("time"), entropy = cuts("entropy"), agent = cuts("agent"))
+  }
 
   /** 7-component word (reference: ProxyWordCreation.scala:30-51). */
   def featurize(withFeats: DataFrame, cuts: Cuts, popularDomains: Set[String]): DataFrame =

@@ -62,6 +62,18 @@ class QuantilesSpec extends SparkSpec {
       Array(1.0, 1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0, 2.0)
   }
 
+  "computeCutSets" should "fuse several cut-sets into one pass, matching per-column results" in {
+    val df = (1 to 10).map(i => (i.toDouble, (i * 3).toDouble, -i.toDouble))
+      .toDF("a", "b", "c")
+    val cuts = Quantiles.computeCutSets(df, Seq(
+      Quantiles.CutSpec("a", col("a"), Quantiles.Deciles),
+      Quantiles.CutSpec("b", col("b"), Quantiles.Quintiles),
+      Quantiles.CutSpec("pos_c", col("c"), Quantiles.Quintiles, Some(col("c") > 0))))
+    cuts("a") shouldBe Quantiles.computeDeciles(df, col("a"))
+    cuts("b") shouldBe Quantiles.computeQuintiles(df, col("b"))
+    cuts("pos_c") shouldBe Array.fill(5)(Double.PositiveInfinity) // filter excludes all
+  }
+
   "approxQuantiles" should "agree with exact on 1..10" in {
     val df = (1 to 10).map(_.toDouble).toDF("v")
     Quantiles.approxQuantiles(df, "v", Quantiles.Deciles, relativeError = 0.0) shouldBe
