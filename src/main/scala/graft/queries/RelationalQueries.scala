@@ -28,6 +28,15 @@ object RelationalQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_discount"))),
 
+    // P3: null-guard predicate (nulls fabricated — the harness tables have
+    // none — so the filter is non-vacuous).
+    "p3_null_guard" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("maybe", when(col("event_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("event_type")))
+        .where(col("maybe").isNotNull && col("props").isNotNull)
+        .groupBy(col("maybe").as("event_type")).agg(count(lit(1)).as("cnt"))),
+
     // P4: numeric threshold + projection with alias.
     "p4_threshold" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -174,6 +183,14 @@ object RelationalQueries {
     "p2_range_predicate" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
         |WHERE l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05""".stripMargin,
+
+    "p3_null_guard" ->
+      """SELECT maybe AS event_type, count(*) AS cnt FROM (
+        |  SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS maybe,
+        |         props
+        |  FROM events)
+        |WHERE maybe IS NOT NULL AND props IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "p4_threshold" ->
       """SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer

@@ -14,6 +14,7 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .withExtensions(new GraftExtensions) // SQL functions under test too
     .getOrCreate()
 }
 
