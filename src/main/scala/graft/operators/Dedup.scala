@@ -35,11 +35,12 @@ object Dedup {
   def shingleHashes(toks: Column, n: Int): Column =
     array_distinct(transform(shingles(toks, n), s => polyHash(s)))
 
-  /** (doc_id, sh: array<long>) — distinct shingle hashes per doc, staged so
-    * tokenization runs once per doc and hashing once per shingle. */
+  /** (doc_id, sh: array<long>) — distinct shingle hashes per doc, via the
+    * single-pass native expression (the composed HOF chain is kept in
+    * [[shingleHashes]] for composability; it is ~50× slower interpreted). */
   def shingledDocs(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
-    df.select(id.cast("long").as("doc_id"), tokens(text).as("toks"))
-      .select(col("doc_id"), shingleHashes(col("toks"), n).as("sh"))
+    df.select(id.cast("long").as("doc_id"),
+        graft.functions.ShingleHash.shingle_hashes(text, n).as("sh"))
       .where(size(col("sh")) > 0)
 
   /** Exact n-gram Jaccard near-duplicates via inverted index:
@@ -50,9 +51,14 @@ object Dedup {
     * docs (standard df-cut; near-dup pairs share rare shingles too). */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
                         threshold: Double, maxShingleFreq: Long = 1000): DataFrame = {
-    val docs = shingledDocs(df, id, text, n).cache()
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle")).cache()
+    // Cache ONLY the narrow exploded (doc_id, shingle) rows: the wide
+    // shingle-array frame is never materialized twice (array caching costs
+    // more than it saves), and every downstream consumer — sizes, hot-set,
+    // both join sides — derives from this one cached pass.
+    val inv = shingledDocs(df, id, text, n)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .cache()
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // df-cut as a broadcast anti-join against the (tiny) hot-shingle set:
     // map-side-combined groupBy beats a window's full sort-shuffle, and the
     // anti join is broadcast — no extra wide shuffle of the inverted index.

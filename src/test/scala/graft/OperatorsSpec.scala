@@ -101,6 +101,22 @@ class OperatorsSpec extends SparkSpec {
     ham(got(1L), got(3L)) should be < ham(got(1L), got(4L))
   }
 
+  "ShingleHash native expression" should "agree with the composed HOF chain as a set" in {
+    import graft.functions.{ShingleHash, TextFunctions}
+    import org.apache.spark.sql.functions.{transform => arrTransform}
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "  leading and   multiple   spaces here ok ", "a b", "", "one two three")
+    val df = texts.toDF("text")
+    val composed = df
+      .select(TextFunctions.tokens(col("text")).as("toks"))
+      .select(arrTransform(TextFunctions.shingles(col("toks"), 3),
+        s => TextFunctions.polyHash(s)).as("sh"))
+      .as[Seq[Long]].collect().map(_.toSet)
+    val native = df.select(ShingleHash.shingle_hashes(col("text"), 3).as("sh"))
+      .as[Seq[Long]].collect().map(_.toSet)
+    native shouldBe composed
+  }
+
   // --- similarity -------------------------------------------------------
 
   private val vecs = Seq(
