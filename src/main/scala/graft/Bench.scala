@@ -51,10 +51,16 @@ object Bench {
         time(name) { run(fn(spark, sfDir)) }
       }
     }
-    // Full suspicious-connects pipeline (featurize → LDA → score → top-k).
+    // Full suspicious-connects pipeline (featurize → LDA → score → top-k),
+    // with exact reference-semantics cuts and with the sketch-based cuts
+    // (the high-cardinality scale path).
     time("pipeline_events") {
       run(EventsPipeline.run(Tables.load(spark, sfDir, "events"),
         threshold = 1.0, topK = 100, topicCount = 10))
+    }
+    time("pipeline_events_approx") {
+      run(EventsPipeline.run(Tables.load(spark, sfDir, "events"),
+        threshold = 1.0, topK = 100, topicCount = 10, exactCuts = false))
     }
 
     val qs = timed.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

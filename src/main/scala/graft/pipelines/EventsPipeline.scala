@@ -17,12 +17,23 @@ object EventsPipeline {
   final case class Cuts(hour: Array[Double], value: Array[Double])
   final case class Model(cuts: Cuts, topics: TopicModel.Model, topicCount: Int)
 
-  /** Both cut-sets in one scan+shuffle. */
+  /** Both cut-sets in one scan+shuffle (exact ECDF semantics). */
   def computeCuts(events: DataFrame): Cuts = {
     val cuts = Quantiles.computeCutSets(events, Seq(
       Quantiles.CutSpec("hour", hour(col("ts")), Quantiles.Deciles),
       Quantiles.CutSpec("value", col("value"), Quantiles.Quintiles)))
     Cuts(hour = cuts("hour"), value = cuts("value"))
+  }
+
+  /** Sketch-based cuts — the high-cardinality/100 TB path: `value` is
+    * continuous, so the exact ECDF windows over every distinct value;
+    * the mergeable sketch takes one pass with bounded memory. */
+  def computeCutsApprox(events: DataFrame): Cuts = {
+    val withCols = events.select(hour(col("ts")).cast("double").as("h"),
+      col("value").cast("double").as("v"))
+    Cuts(
+      hour = Quantiles.approxQuantiles(withCols, "h", Quantiles.Deciles),
+      value = Quantiles.approxQuantiles(withCols, "v", Quantiles.Quintiles))
   }
 
   def featurize(events: DataFrame, cuts: Cuts): DataFrame =
@@ -34,8 +45,9 @@ object EventsPipeline {
         Binning.binCol(col("value"), cuts.value.toSeq)))
 
   def train(events: DataFrame, topicCount: Int = 10, alpha: Double = 2.5,
-            seed: Long = 42L, maxIter: Int = 10): Model = {
-    val cuts = computeCuts(events)
+            seed: Long = 42L, maxIter: Int = 10,
+            exactCuts: Boolean = true): Model = {
+    val cuts = if (exactCuts) computeCuts(events) else computeCutsApprox(events)
     val feats = featurize(events, cuts)
     val wc = Corpus.wordCounts(feats, col("user_id"), col("word"))
     Model(cuts, TopicModel.train(wc, topicCount, alpha, seed, maxIter), topicCount)
@@ -46,8 +58,10 @@ object EventsPipeline {
 
   /** Train + score + ascending top-k with deterministic tiebreak. */
   def run(events: DataFrame, threshold: Double = 1.0, topK: Int = 100,
-          topicCount: Int = 10, seed: Long = 42L): DataFrame = {
-    val model = train(events, topicCount = topicCount, seed = seed)
+          topicCount: Int = 10, seed: Long = 42L,
+          exactCuts: Boolean = true): DataFrame = {
+    val model = train(events, topicCount = topicCount, seed = seed,
+      exactCuts = exactCuts)
     Scoring.suspicious(
       score(events, model).select("event_id", "user_id", "event_type", "word", "score"),
       threshold, topK, tiebreak = Seq(col("event_id")))
