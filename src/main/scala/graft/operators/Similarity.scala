@@ -62,6 +62,53 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"), col("cos").as("centroid_cos"))
   }
 
+  /** Multi-probe cell assignment: the nProbe nearest centroids per vector
+    * (nProbe = 1 is the build-side assignment; queries probe more cells to
+    * trade compute for recall). */
+  def ivfAssignN(vectors: DataFrame, centroids: DataFrame, nProbe: Int,
+                 vId: String = "vec_id", vVec: String = "embedding",
+                 kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(vId).cast("long").as("vec_id"),
+      asDouble(col(vVec)).as("v"))
+    val cents = centroids.select(col(kId).cast("long").as("centroid_id"),
+      asDouble(col(kVec)).as("cent"))
+    val scored = v.join(broadcast(cents))
+      .withColumn("cos", round(cosine(col("v"), col("cent")), 6))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= nProbe)
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
+  /** IVF top-k search — the ANN scale path: corpus vectors are assigned to
+    * their nearest centroid once; each query probes its nProbe nearest
+    * cells and ranks only the vectors in those cells. The n×m cross
+    * product becomes per-cell joins; at 100 TB, co-partition the corpus by
+    * centroid_id so cells are data-local. */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                k: Int, nProbe: Int = 1,
+                qId: String = "vec_id", qVec: String = "embedding",
+                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val cAssign = ivfAssignN(corpus, centroids, 1, cId, cVec)
+      .withColumnRenamed("vec_id", "cand_id")
+    val qAssign = ivfAssignN(queries, centroids, nProbe, qId, qVec)
+      .withColumnRenamed("vec_id", "query_id")
+    val qv = queries.select(col(qId).cast("long").as("query_id"),
+      asDouble(col(qVec)).as("qv"))
+    val cv = corpus.select(col(cId).cast("long").as("cand_id"),
+      asDouble(col(cVec)).as("cv"))
+    val scored = qAssign.join(cAssign, "centroid_id")
+      .where(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id").distinct() // a cand in 2 probed cells counts once
+      .join(broadcast(qv), "query_id")
+      .join(cv, "cand_id")
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold.
     * Exact; for 100 TB corpora route through [[ivfAssign]] cells first and
     * run this within each cell. */

@@ -27,10 +27,13 @@ object TextQueries {
   private val langOrder = Seq("de", "en", "es", "fr", "zh")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // X1: token + char counting.
+    // X1: token counting — whitespace tokens plus a BPE-ish subword regex
+    // (letter runs / digit runs / single punctuation), and char count.
     "x1_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         size(tokens(col("text"))).as("n_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_subtokens"),
         length(col("text")).as("n_chars"))),
 
     // X2: quality scoring (length, token shape, stopword density).
@@ -116,8 +119,11 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "x1_tokens" ->
-      s"""WITH $toksSql
-         |SELECT doc_id, len(tk) AS n_tokens, length(text) AS n_chars
+      raw"""WITH $toksSql
+         |SELECT doc_id, len(tk) AS n_tokens,
+         |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+         |         AS n_subtokens,
+         |       length(text) AS n_chars
          |FROM toks JOIN documents USING (doc_id)""".stripMargin,
 
     "x2_quality" ->

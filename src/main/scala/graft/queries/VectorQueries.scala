@@ -36,7 +36,14 @@ object VectorQueries {
     // V4: embedding near-duplicate pairs (cosine >= 0.35 — the synthetic
     // embeddings' pairwise max is ~0.51, so this yields a real result set).
     "v4_near_dup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35))
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)),
+
+    // V5: full IVF ANN search — corpus assigned to cells once, queries
+    // probe their 2 nearest cells, rank only within probed cells.
+    "v5_ivf_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfSearch(emb.where(col("vec_id") < 10), emb,
+        emb.where(col("vec_id") < 8), k = 3, nProbe = 2)})
   )
 
   /** DuckDB sequential-fold dot product of two DOUBLE[] exprs. */
@@ -83,6 +90,35 @@ object VectorQueries {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |       round(${cosSql("a.e", "b.e")}, 6) AS cos
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
-         |WHERE round(${cosSql("a.e", "b.e")}, 6) >= 0.35""".stripMargin
+         |WHERE round(${cosSql("a.e", "b.e")}, 6) >= 0.35""".stripMargin,
+
+    "v5_ivf_search" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+         |cassign AS (
+         |  SELECT vec_id AS cand_id, centroid_id FROM (
+         |    SELECT c.vec_id, k.centroid_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY round(${cosSql("c.e", "k.ce")}, 6) DESC, k.centroid_id) AS rn
+         |    FROM v c CROSS JOIN cents k) WHERE rn = 1),
+         |qassign AS (
+         |  SELECT query_id, centroid_id FROM (
+         |    SELECT q.vec_id AS query_id, k.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${cosSql("q.e", "k.ce")}, 6) DESC, k.centroid_id) AS rn
+         |    FROM v q CROSS JOIN cents k WHERE q.vec_id < 10) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT query_id, cand_id
+         |  FROM qassign JOIN cassign USING (centroid_id)
+         |  WHERE cand_id != query_id),
+         |scored AS (
+         |  SELECT query_id, cand_id, round(${cosSql("q.e", "c.e")}, 6) AS cos
+         |  FROM cand
+         |  JOIN v q ON q.vec_id = query_id
+         |  JOIN v c ON c.vec_id = cand_id)
+         |SELECT query_id, cand_id, cos, rank::INT AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, cand_id) AS rank FROM scored)
+         |WHERE rank <= 3""".stripMargin
   )
 }

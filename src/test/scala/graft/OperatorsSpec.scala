@@ -140,6 +140,26 @@ class OperatorsSpec extends SparkSpec {
     got shouldBe Array(3L, 2L, 1L) // colinear (1.0) first, 45° (0.707), then orthogonal
   }
 
+  "Similarity.ivfSearch" should "find in-cell neighbors via probed centroids" in {
+    val cents = vecs.where(col("vec_id") <= 1)
+    val got = Similarity.ivfSearch(vecs.where(col("vec_id") === 0), vecs, cents,
+      k = 5, nProbe = 1)
+      .orderBy("rank").select("cand_id").as[Long].collect()
+    // cell 0 (centroid [1,0,0]) holds vecs 0, 2, 3 → neighbors of 0: 3 then 2
+    got shouldBe Array(3L, 2L)
+  }
+
+  "Skew.saltedJoin" should "be row-identical to a plain inner join" in {
+    import graft.operators.Skew
+    val large = (1 to 100).map(i => (i % 3, s"v$i")).toDF("k", "payload")
+    val small = Seq((0, "zero"), (1, "one"), (2, "two"), (9, "none")).toDF("k", "name")
+    val plain = large.join(small, Seq("k"), "inner")
+      .select("k", "payload", "name").as[(Int, String, String)].collect().sorted
+    val salted = Skew.saltedJoin(large, small, "k", salt = 8)
+      .select("k", "payload", "name").as[(Int, String, String)].collect().sorted
+    salted shouldBe plain
+  }
+
   "Similarity.ivfAssign" should "assign vectors to their nearest centroid" in {
     val cents = vecs.where(col("vec_id") <= 1)
     val got = Similarity.ivfAssign(vecs, cents)
