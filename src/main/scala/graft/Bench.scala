@@ -36,6 +36,15 @@ object Bench {
     def run(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Untimed warmup: touch every table once and run one tiny shuffle so
+    // JIT/classloading/scan setup don't land on the first timed query.
+    Seq("lineitem", "orders", "customer", "part", "supplier", "nation",
+      "region", "events", "documents", "embeddings").foreach { t =>
+      try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => }
+    }
+    spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7)
+      .as("k")).count().write.format("noop").mode("overwrite").save()
+
     val timed = collection.mutable.LinkedHashMap[String, Double]()
     def time(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()

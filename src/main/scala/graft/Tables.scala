@@ -16,6 +16,12 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Multi-path scan: all paths in one read (the reference silently
+    * dropped every path after the first — DNSPreLDA.scala:91
+    * `inputPath.split(",")(0)`; reading the full list is the fix). */
+  def loadPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
