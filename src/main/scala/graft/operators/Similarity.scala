@@ -109,6 +109,47 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
+  /** Deterministic pseudo-random hyperplane component for bit j, dim d:
+    * an LCG-mixed integer mapped to [-1, 1] in thousandths. Integer-exact,
+    * so any engine reproduces the planes bit-for-bit. */
+  def planeComponent(j: Int, d: Int, dim: Int): Double =
+    (((1103515245L * (j.toLong * dim + d) + 12345L) % 2147483648L) % 2001L - 1000L) / 1000.0
+
+  /** Random-hyperplane LSH near-dup pairs — the LSH-bucketed scale path
+    * (vs [[ivfAssign]] cells): per band, an 8-bit signature of
+    * sign(v·plane) bits; vectors sharing any band signature become
+    * candidates; candidates are verified with exact cosine >= threshold.
+    * One shuffle on (band, signature) — never a cross product. */
+  def lshNearDupPairs(df: DataFrame, threshold: Double, dim: Int,
+                      bands: Int = 2, bitsPerBand: Int = 8,
+                      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val v = df.select(col(id).cast("long").as("vid"), asDouble(col(vec)).as("v"))
+    val bandSigs = (0 until bands).map { b =>
+      val sig = (0 until bitsPerBand).map { r =>
+        val j = b * bitsPerBand + r
+        val plane = array((0 until dim).map(d => lit(planeComponent(j, d, dim))): _*)
+        when(dot(col("v"), plane) > 0, lit(1L << r)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    // Narrow band shuffle: (vid, band, sig) only; vectors re-attach to the
+    // (much smaller) distinct candidate-pair set for the exact verify.
+    val banded = v.select(col("vid"), explode(array(bandSigs: _*)).as("bs"))
+      .select(col("vid"), col("bs.band"), col("bs.sig"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+      .distinct()
+    cand
+      .join(v.select(col("vid").as("id_a"), col("v").as("va")), "id_a")
+      .join(v.select(col("vid").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold.
     * Exact; for 100 TB corpora route through [[ivfAssign]] cells first and
     * run this within each cell. */

@@ -43,7 +43,13 @@ object VectorQueries {
     "v5_ivf_search" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfSearch(emb.where(col("vec_id") < 10), emb,
-        emb.where(col("vec_id") < 8), k = 3, nProbe = 2)})
+        emb.where(col("vec_id") < 8), k = 3, nProbe = 2)}),
+
+    // V6: random-hyperplane LSH near-dup (4 bands x 4 bits, cosine-verified)
+    // — the LSH-bucketed alternative to the IVF cells.
+    "v6_lsh_near_dup" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"),
+        threshold = 0.35, dim = 64, bands = 4, bitsPerBand = 4))
   )
 
   /** DuckDB sequential-fold dot product of two DOUBLE[] exprs. */
@@ -119,6 +125,34 @@ object VectorQueries {
          |SELECT query_id, cand_id, cos, rank::INT AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, cand_id) AS rank FROM scored)
-         |WHERE rank <= 3""".stripMargin
+         |WHERE rank <= 3""".stripMargin,
+
+    "v6_lsh_near_dup" -> {
+      // Emit the SAME integer-derived plane constants the Spark side uses,
+      // as exact fractions, so both engines compute identical signatures.
+      def planeSql(j: Int): String =
+        (0 until 64).map { d =>
+          val k = ((1103515245L * (j.toLong * 64 + d) + 12345L) % 2147483648L) % 2001L - 1000L
+          s"($k/1000.0)"
+        }.mkString("[", ", ", "]")
+      def bandSigSql(b: Int): String =
+        (0 until 4).map { r =>
+          val j = b * 4 + r
+          s"CASE WHEN (${dotSql("e", planeSql(j))}) > 0 THEN ${1L << r} ELSE 0 END"
+        }.mkString("(", " + ", ")::BIGINT")
+      val sigsUnion = (0 until 4).map { b =>
+        s"SELECT vec_id, $b AS band, ${bandSigSql(b)} AS sig FROM v"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |sigs AS (
+         |  $sigsUnion),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(${cosSql("x.e", "y.e")}, 6) AS cos
+         |FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b
+         |WHERE round(${cosSql("x.e", "y.e")}, 6) >= 0.35""".stripMargin
+    }
   )
 }
