@@ -106,6 +106,40 @@ object RelationalQueries {
     "a8_count" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
 
+    // A11: distinct aggregates (incl. two distinct counts in one pass).
+    "a11_count_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))),
+
+    // U3: intersect / except set operators.
+    "u3_intersect_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.where(col("o_totalprice") > 200000).select("o_custkey")
+      val recent = o.where(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+      val both = hi.intersect(recent).withColumn("tag", lit("both"))
+      val hiOnly = hi.except(recent).withColumn("tag", lit("hi_only"))
+      both.union(hiOnly)}),
+
+    // X5: pivot (event-type counts as columns per user).
+    "x5_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
+    // D5: calendar-bucketed aggregation (date_trunc month).
+    "d5_date_trunc" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+          .as("month"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(floor(col("o_totalprice") * 100)) / 100.0, 2).as("total"))),
+
     // T1: global top-k via orderBy+limit (TakeOrderedAndProject), with a
     // unique tiebreak so the k-th row is deterministic.
     "t1_topk" -> ((s, dir) =>
@@ -236,6 +270,34 @@ object RelationalQueries {
     "a5_distinct" -> "SELECT DISTINCT event_type FROM events",
 
     "a8_count" -> "SELECT count(*) AS n FROM lineitem",
+
+    "a11_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "u3_intersect_except" ->
+      """WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+        |recent AS (SELECT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM hi INTERSECT SELECT * FROM recent)
+        |UNION ALL
+        |SELECT o_custkey, 'hi_only' AS tag FROM (SELECT * FROM hi EXCEPT SELECT * FROM recent)""".stripMargin,
+
+    "x5_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "d5_date_trunc" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |       count(*) AS n,
+        |       round(sum(floor(o_totalprice * 100)) / 100.0, 2) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "t1_topk" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
