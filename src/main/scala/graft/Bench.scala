@@ -48,11 +48,13 @@ object Bench {
     val timed = collection.mutable.LinkedHashMap[String, Double]()
     def time(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
-      try body
-      catch { case e: Throwable =>
+      try {
+        body
+        timed(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        timed(name) = -1.0 // explicit failure marker, not a fast success
       }
-      timed(name) = (System.nanoTime() - t0) / 1e9
     }
 
     headline.foreach { name =>

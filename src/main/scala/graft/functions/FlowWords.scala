@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   *
   * Port classes (evaluated in this order):
   *   2: exactly one port <= 1024 and neither is 0 → wordPort = min port,
-  *      the high-port side's word is prefixed "-1_" (it's the client).
+  *      the LOW-port side's word is prefixed "-1_" (it's the well-known
+  *      service side).
   *   3: both ports > 1024 → wordPort = 333333.
-  *   4: exactly one port is 0 → wordPort = the nonzero port, the zero-port
-  *      side's word is prefixed "-1_".
+  *   4: exactly one port is 0 → wordPort = the nonzero port, the
+  *      NONZERO-port side's word is prefixed "-1_".
   *   1: otherwise (both <= 1024) → wordPort = 111111, or max port when the
   *      min is 0 (i.e. both 0 → 0).
   *

@@ -16,9 +16,7 @@ object TextFunctions {
   /** Large prime for polynomial rolling hashes; small enough that
     * h*31 + 127 never overflows a signed 64-bit integer. */
   val HashPrime: Long = 1000000007L
-  /** Second multiplier for the independent hash used by SimHash's high bits. */
   val HashMult1 = 31L
-  val HashMult2 = 37L
 
   /** Whitespace tokens (split on runs of whitespace, drop empties). */
   def tokens(text: Column): Column =

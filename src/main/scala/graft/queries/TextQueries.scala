@@ -77,9 +77,13 @@ object TextQueries {
     // small-vocabulary corpus 3-grams are shared by ~half of all doc pairs
     // (no discriminative power, quadratic join blowup); 5-grams are ~95%
     // unique, so the inverted index only pairs genuinely similar docs.
+    // maxShingleFreq = MaxValue: the oracle computes exact Jaccard with no
+    // df-cut, so the gate query must not cut either (the cut is a scale
+    // knob for production corpora, exercised in OperatorsSpec).
     "d2_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-        col("doc_id"), col("text"), n = 5, threshold = 0.2)),
+        col("doc_id"), col("text"), n = 5, threshold = 0.2,
+        maxShingleFreq = Long.MaxValue)),
 
     // D3: MinHash + LSH banding candidate pairs (8 hashes, 4 bands x 2).
     "d3_minhash_lsh" -> ((s, dir) =>

@@ -22,13 +22,21 @@ object Feedback {
     * the file is absent — mirroring ProxyFeedback.scala:70. */
   def load(spark: SparkSession, path: String, schema: StructType,
            sevCol: String, sev: Int = 3, duplicationFactor: Int = 1000): DataFrame = {
-    val exists = new java.io.File(path).exists()
+    // Attempt the distributed read and fall back to empty on a missing
+    // path — a driver-local File.exists() check would wrongly report
+    // false for hdfs:///s3:// paths and silently drop all feedback.
     val base =
-      if (!exists) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read
-        .option("sep", "\t").option("header", "true")
-        .schema(schema)
-        .csv(path)
+      try {
+        val df = spark.read
+          .option("sep", "\t").option("header", "true")
+          .schema(schema)
+          .csv(path)
+        df.queryExecution.assertAnalyzed()
+        df
+      } catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
     base.where(col(sevCol) === sev)
       .withColumn("weight", lit(duplicationFactor.toLong))
   }
