@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.{Binning, Domains, Entropy, FlowWords, PolyHash}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants (SURVEY.md §5 test plan: binning
+  * monotonicity, entropy bounds, hash ranges, word shapes). Pure
+  * ScalaCheck — runs under sbt's test framework alongside ScalaTest. */
+object PropertiesSpec extends Properties("graft") {
+
+  private val asciiText = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.const(' '), Gen.oneOf(".,:!?-_/".toSeq)))
+    .map(_.mkString)
+
+  property("entropy within [0, log2(len)]") = forAll(asciiText) { s =>
+    val h = Entropy.stringEntropy(s)
+    h >= 0.0 && (s.isEmpty ||
+      h <= math.log(s.length.toDouble) / math.log(2) + 1e-9)
+  }
+
+  property("entropy of uniform strings is 0") =
+    forAll(Gen.alphaChar, Gen.choose(1, 50)) { (c, n) =>
+      Entropy.stringEntropy(c.toString * n) == 0.0
+    }
+
+  private val cutsGen = Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0))
+    .map(_.distinct.sorted.toArray)
+
+  property("bin monotone until overflow; above-max is -1") =
+    forAll(cutsGen, Gen.choose(-150.0, 150.0), Gen.choose(0.0, 10.0)) {
+      (cuts, v, delta) =>
+        val a = Binning.bin(v, cuts)
+        val b = Binning.bin(v + delta, cuts)
+        val mono = a == -1 || b == -1 || b >= a
+        mono && Binning.bin(cuts.last + 1e-6, cuts) == -1
+    }
+
+  property("polyHash lands in [0, P)") = forAll(asciiText) { s =>
+    val h = PolyHash.hash(s, 31L)
+    h >= 0L && h < PolyHash.Prime
+  }
+
+  private val ipGen = Gen.listOfN(4, Gen.choose(0, 255)).map(_.mkString("."))
+  private val portGen = Gen.oneOf(Gen.const(0), Gen.choose(1, 1024),
+    Gen.choose(1025, 65535))
+
+  property("adjustPort: sorted ip pair, 4-part words, <=1 service marker") =
+    forAll(ipGen, ipGen, portGen, portGen) { (sip, dip, dport, sport) =>
+      val w = FlowWords.adjustPort(sip, dip, dport, sport, 1.0, 2.0, 3.0)
+      val parts = w.ipPair.split(" ")
+      Prop.all(
+        Prop(parts.length == 2 && parts(0) <= parts(1)) :| "sorted pair",
+        Prop(w.srcWord.stripPrefix("-1_").split("_").length == 4) :| "src 4 parts",
+        Prop(w.dstWord.stripPrefix("-1_").split("_").length == 4) :| "dst 4 parts",
+        Prop(Seq(w.srcWord, w.dstWord).count(_.startsWith("-1_")) <= 1) :| "<=1 marker")
+    }
+
+  property("extractDomain returns None or a label of the input") = {
+    val host = Gen.listOf(Gen.oneOf(Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.const("com"), Gen.const("uk"))).map(_.mkString("."))
+    forAll(host) { h =>
+      val d = Domains.extractDomain(h)
+      d == Domains.NoDomain || h.split('.').contains(d)
+    }
+  }
+}
