@@ -47,4 +47,44 @@ object StreamingScore {
       .groupBy(session_window(col("__ts"), gap).as("session"), doc.as("doc"))
       .agg(count(lit(1)).as("n_events"),
         min(col("__ts")).as("first_event"), max(col("__ts")).as("last_event"))
+
+  // ---- custom state: consecutive-suspicious-run tracking ----------------
+
+  final case class ScoredEvent(doc: String, score: Double,
+                               ts: java.sql.Timestamp)
+  final case class RunState(len: Long, minScore: Double)
+  /** closed=false rows report the still-open run after a batch. */
+  final case class RunUpdate(doc: String, run_length: Long,
+                             min_score: Double, closed: Boolean)
+
+  /** Custom arbitrary state (flatMapGroupsWithState): per doc, track the
+    * CURRENT run of consecutive suspicious events (score <= threshold)
+    * across micro-batches; emit each run when a non-suspicious event
+    * closes it, plus the open-run status every batch. This is the shape
+    * session_window can't express (state is a reduction, not a window). */
+  def suspiciousRuns(scored: org.apache.spark.sql.Dataset[ScoredEvent],
+                     threshold: Double)
+      : org.apache.spark.sql.Dataset[RunUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.groupByKey(_.doc)
+      .flatMapGroupsWithState[RunState, RunUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (doc: String, events: Iterator[ScoredEvent], state: GroupState[RunState]) =>
+          var cur = state.getOption.getOrElse(RunState(0L, Double.MaxValue))
+          val out = collection.mutable.ArrayBuffer[RunUpdate]()
+          events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            if (e.score <= threshold) {
+              cur = RunState(cur.len + 1, math.min(cur.minScore, e.score))
+            } else if (cur.len > 0) {
+              out += RunUpdate(doc, cur.len, cur.minScore, closed = true)
+              cur = RunState(0L, Double.MaxValue)
+            }
+          }
+          state.update(cur)
+          if (cur.len > 0) out += RunUpdate(doc, cur.len, cur.minScore, closed = false)
+          out.iterator
+      }
+  }
 }

@@ -74,6 +74,22 @@ class QuantilesSpec extends SparkSpec {
     cuts("pos_c") shouldBe Array.fill(5)(Double.PositiveInfinity) // filter excludes all
   }
 
+  "QuantileAgg.exactQuantiles" should "match the windowed exact path" in {
+    import graft.operators.QuantileAgg
+    val df = (1 to 10).map(_.toDouble).toDF("v")
+    QuantileAgg.exactQuantiles(df, col("v"), Quantiles.Deciles) shouldBe
+      (1 to 10).map(_.toDouble).toArray
+    QuantileAgg.exactQuantiles(df, col("v"), Quantiles.Quintiles) shouldBe
+      Array(2.0, 4.0, 6.0, 8.0, 10.0)
+    // empty input → +Infinity
+    QuantileAgg.exactQuantiles(Seq.empty[Double].toDF("v"), col("v"),
+      Quantiles.Quintiles) shouldBe Array.fill(5)(Double.PositiveInfinity)
+    // agreement on a messy distribution with ties
+    val messy = (Seq.fill(7)(3.5) ++ Seq(-2.0, 0.0, 9.9, 9.9, 42.0)).toDF("v")
+    QuantileAgg.exactQuantiles(messy, col("v"), Quantiles.Deciles) shouldBe
+      Quantiles.computeDeciles(messy, col("v"))
+  }
+
   "approxQuantiles" should "agree with exact on 1..10" in {
     val df = (1 to 10).map(_.toDouble).toDF("v")
     Quantiles.approxQuantiles(df, "v", Quantiles.Deciles, relativeError = 0.0) shouldBe

@@ -55,6 +55,27 @@ class StreamingSpec extends SparkSpec {
     got shouldBe Set(("u1", 2L, 1L), ("u2", 1L, 1L))
   }
 
+  "suspiciousRuns" should "carry run state across micro-batches" in {
+    import StreamingScore.{ScoredEvent, RunUpdate}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ScoredEvent]
+    val runs = StreamingScore.suspiciousRuns(input.toDS(), threshold = 0.5)
+    val q = runs.writeStream.format("memory").queryName("runs_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two suspicious events → open run of 2
+      input.addData(ScoredEvent("u1", 0.1, ts(0)), ScoredEvent("u1", 0.3, ts(1)))
+      q.processAllAvailable()
+      // batch 2: a third suspicious, then a benign event closes the run at 3
+      input.addData(ScoredEvent("u1", 0.2, ts(2)), ScoredEvent("u1", 0.9, ts(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("runs_out").as[RunUpdate].collect()
+    got.filter(r => r.closed) should contain only
+      RunUpdate("u1", 3L, 0.1, closed = true)
+    got.filter(r => !r.closed).map(_.run_length) should contain (2L)
+  }
+
   "sessionize" should "split events into gap-based sessions" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
