@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.functions.PolyHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling and splits for training-data pipelines.
+  *
+  * All based on hash-mod bucketing of a stable key — not RNG — so samples
+  * are deterministic across runs, engines, partitionings, and cluster
+  * sizes; membership is decidable per row with no global state. This is
+  * the standard technique for stable train/val/test splits at scale.
+  */
+object Sampling {
+
+  /** Bucket 0..buckets-1 for a key (polynomial hash mod buckets). */
+  def bucket(key: Column, buckets: Int): Column =
+    PolyHash.poly_hash(key.cast("string")) % buckets
+
+  /** Deterministic p-out-of-buckets sample: keeps rows whose bucket is
+    * below `keep`. keep=10, buckets=100 ≈ a stable 10% sample. */
+  def hashSample(df: DataFrame, key: Column, keep: Int, buckets: Int = 100): DataFrame =
+    df.where(bucket(key, buckets) < keep)
+
+  /** Named splits by cumulative bucket shares, e.g.
+    * splits(df, key, Seq("train" -> 80, "val" -> 10, "test" -> 10)):
+    * adds a `split` column; shares must sum to the bucket count. */
+  def splits(df: DataFrame, key: Column,
+             shares: Seq[(String, Int)], buckets: Int = 100): DataFrame = {
+    require(shares.map(_._2).sum == buckets,
+      s"split shares must sum to $buckets")
+    val b = bucket(key, buckets)
+    val cum = shares.scanLeft(0)(_ + _._2).tail
+    val expr = shares.zip(cum).foldRight(lit(null).cast("string")) {
+      case (((name, _), hi), els) => when(b < hi, lit(name)).otherwise(els)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Deterministic reshuffle: a stable pseudo-random row order (sort by
+    * key hash) — reproducible training-data interleaving without RNG. */
+  def deterministicShuffle(df: DataFrame, key: Column): DataFrame =
+    df.orderBy(PolyHash.poly_hash(key.cast("string")), key)
+}

@@ -93,7 +93,15 @@ object TextQueries {
     // D4: 16-bit SimHash fingerprints.
     "d4_simhash" -> ((s, dir) =>
       Dedup.simHashDocs(t(s, dir, "documents"),
-        col("doc_id"), col("text"), bits = 16))
+        col("doc_id"), col("text"), bits = 16)),
+
+    // X6: deterministic hash-mod sampling + train/val/test split — the
+    // reproducible-split primitive (stable across engines and runs).
+    "x6_hash_split" -> ((s, dir) =>
+      graft.operators.Sampling.splits(t(s, dir, "documents"),
+        col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_id")))
   )
 
   // --- shared oracle SQL fragments ---------------------------------------
@@ -212,6 +220,15 @@ object TextQueries {
          |  round((${(0 until 8).map(j => s"(a$j = b$j)::INT").mkString(" + ")})::DOUBLE / 8, 6)
          |    AS est_jaccard
          |FROM cand""".stripMargin,
+
+    "x6_hash_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, ${hashSql("doc_id::VARCHAR")} % 100 AS bkt
+         |  FROM documents)
+         |SELECT CASE WHEN bkt < 80 THEN 'train'
+         |            WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+         |       count(*) AS n, min(doc_id) AS min_id
+         |FROM b GROUP BY 1""".stripMargin,
 
     "d4_simhash" ->
       s"""WITH $toksSql,

@@ -149,6 +149,22 @@ class OperatorsSpec extends SparkSpec {
     got shouldBe Array(3L, 2L)
   }
 
+  "Sampling" should "produce deterministic, complete, disjoint splits" in {
+    import graft.operators.Sampling
+    val df = (1 to 500).map(_.toLong).toDF("id")
+    val s1 = Sampling.splits(df, col("id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val s2 = Sampling.splits(df, col("id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val m1 = s1.as[(Long, String)].collect().toMap
+    m1 shouldBe s2.as[(Long, String)].collect().toMap // deterministic
+    m1.size shouldBe 500                              // complete
+    m1.values.toSet shouldBe Set("train", "val", "test")
+    val counts = m1.values.groupBy(identity).view.mapValues(_.size).toMap
+    counts("train").toDouble should be > 300.0        // roughly proportional
+    // hashSample is a subset of the same bucketing
+    val sample = Sampling.hashSample(df, col("id"), keep = 10).as[Long].collect().toSet
+    sample.foreach { id => m1(id) shouldBe "train" }  // buckets 0-9 ⊂ 0-79
+  }
+
   "Skew.saltedJoin" should "be row-identical to a plain inner join" in {
     import graft.operators.Skew
     val large = (1 to 100).map(i => (i % 3, s"v$i")).toDF("k", "payload")
