@@ -57,6 +57,21 @@ class TopicModelSpec extends SparkSpec {
     }
   }
 
+  "SuspiciousConnectsEstimator" should "compose as a spark.ml pipeline stage" in {
+    import graft.ml.SuspiciousConnectsEstimator
+    import org.apache.spark.ml.Pipeline
+    val events = (0 until 200).map(i => (s"u${i % 8}", s"w${(i * 7) % 5}"))
+      .toDF("doc", "word")
+    val pipeline = new Pipeline().setStages(Array(
+      new SuspiciousConnectsEstimator().setTopicCount(3).setMaxIter(5)))
+    val model = pipeline.fit(events)
+    val scored = model.transform(events)
+    scored.columns should contain ("score")
+    val scores = scored.select("score").as[Double].collect()
+    scores.length shouldBe 200
+    scores.foreach { s => s should (be >= 0.0 and be <= 1.0) }
+  }
+
   "EventsPipeline" should "run train+score end-to-end with valid scores" in {
     val events = (0 until 300).map { i =>
       (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:00:00"),
