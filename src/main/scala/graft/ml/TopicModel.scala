@@ -25,9 +25,12 @@ object TopicModel {
       wordTopicProb: DataFrame, // (word: string, topic_prob: array<double>)
       topicCount: Int)
 
-  /** Train from a (doc, word, count) corpus. */
+  /** Train from a (doc, word, count) corpus. `optimizer`: "online"
+    * (variational minibatch, default) or "em" (expectation-maximization,
+    * closer to the reference's variational EM C binary). */
   def train(wordCounts: DataFrame, topicCount: Int = 20, alpha: Double = 2.5,
-            seed: Long = 42L, maxIter: Int = 20): Model = {
+            seed: Long = 42L, maxIter: Int = 20,
+            optimizer: String = "online"): Model = {
     val spark = wordCounts.sparkSession
     import spark.implicits._
 
@@ -58,12 +61,13 @@ object TopicModel {
       }.toDF("doc", "features")
       .cache()
 
+    // EM's docConcentration must be > 1; online accepts any positive.
     val lda = new LDA()
       .setK(topicCount)
       .setDocConcentration(alpha)
       .setSeed(seed)
       .setMaxIter(maxIter)
-      .setOptimizer("online")
+      .setOptimizer(optimizer)
       .setFeaturesCol("features")
     val ldaModel = lda.fit(docVectors)
 
