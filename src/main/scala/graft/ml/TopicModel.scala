@@ -71,8 +71,14 @@ object TopicModel {
       .setFeaturesCol("features")
     val ldaModel = lda.fit(docVectors)
 
+    // Materialize the (bounded) model frames, then release the training
+    // intermediates — scoring only ever touches docMix/wordProb, so the
+    // corpus/dictionary/vector caches would otherwise pin storage for the
+    // session lifetime.
     val docMix = ldaModel.transform(docVectors)
       .select(col("doc"), vector_to_array(col("topicDistribution")).cast("array<double>").as("topic_mix"))
+      .cache()
+    docMix.count()
 
     // topicsMatrix is vocabSize x k; for the online optimizer it is the
     // unnormalized variational topic-term matrix, so normalize each topic
@@ -90,7 +96,12 @@ object TopicModel {
     val wordProb = spark.createDataFrame(rows).toDF("word_id", "topic_prob")
       .join(dict, "word_id")
       .select("word", "topic_prob")
+      .cache()
+    wordProb.count()
 
+    docVectors.unpersist()
+    dict.unpersist()
+    corpus.unpersist()
     Model(docMix, wordProb, topicCount)
   }
 }

@@ -105,7 +105,51 @@ object PipelineQueries {
     // Full suspicious-connects pipeline (LDA — no SQL twin, rows-only).
     "pipe_events_suspicious" -> ((s, dir) =>
       EventsPipeline.run(t(s, dir, "events"),
-        threshold = 1.0, topK = 100, topicCount = 10))
+        threshold = 1.0, topK = 100, topicCount = 10)),
+
+    // The three reference pipelines end-to-end over network-shaped
+    // fabrications of the harness tables (LDA — rows-only checks).
+    "pipe_flow_full" -> ((s, dir) => {
+      val flows = t(s, dir, "events")
+        .withColumn("trhour", hour(col("ts")))
+        .withColumn("trminute", minute(col("ts")))
+        .withColumn("trsec", second(col("ts")))
+        .withColumn("sip", concat(lit("10.0."), (col("user_id") % 200).cast("string"), lit(".1")))
+        .withColumn("dip", concat(lit("10.0."), (col("event_id") % 200).cast("string"), lit(".2")))
+        .withColumn("sport", ((col("event_id") * 7919) % 2000).cast("int"))
+        .withColumn("dport", (((col("event_id") + 3) * 104729) % 2000).cast("int"))
+        .withColumn("ipkt", (col("value") * 10).cast("long") + 1)
+        .withColumn("ibyt", (col("value") * 1000).cast("long") + 40)
+      graft.pipelines.FlowPipeline.run(flows, threshold = 1.0, topK = 100,
+        topicCount = 5, seed = 42L)
+        .select("event_id", "sip", "dip", "src_word", "dst_word", "score")}),
+
+    "pipe_dns_full" -> ((s, dir) => {
+      val dns = dnsEvents(s, dir)
+        .withColumn("frame_time", concat(lit("t"), col("doc_id")))
+        .withColumn("ip_dst", concat(lit("10.1."), (col("doc_id") % 50).cast("string"), lit(".9")))
+        .withColumnRenamed("qname", "dns_qry_name")
+        .withColumnRenamed("qry_type", "dns_qry_type")
+        .withColumnRenamed("rcode", "dns_qry_rcode")
+      graft.pipelines.DnsPipeline.run(dns, threshold = 1.0, topK = 100,
+        popularDomains = Set("src1", "src3", "src5"), topicCount = 5, seed = 42L)
+        .select("doc_id", "ip_dst", "word", "score")}),
+
+    "pipe_proxy_full" -> ((s, dir) => {
+      val proxy = t(s, dir, "events")
+        .withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .withColumn("p_time", date_format(col("ts"), "HH:mm:ss"))
+        .withColumn("clientip", concat(lit("10.2."), (col("user_id") % 50).cast("string"), lit(".7")))
+        .withColumn("host", concat(col("event_type"), lit(".example.com")))
+        .withColumn("reqmethod", when(col("event_id") % 2 === 0, "GET").otherwise("POST"))
+        .withColumn("useragent", col("event_type"))
+        .withColumn("resconttype",
+          when(col("event_id") % 2 === 0, lit("text/plain")).otherwise(lit("image/png")))
+        .withColumn("fulluri", concat(lit("http://h/"), col("event_type"), lit("?"), col("props")))
+        .withColumn("respcode", (lit(200) + col("event_id") % 3 * 100).cast("string"))
+      graft.pipelines.ProxyPipeline.run(proxy, threshold = 1.0, topK = 100,
+        topicCount = 5, seed = 42L)
+        .select("event_id", "clientip", "word", "score")})
   )
 
   private def binSql(e: String, cuts: Seq[Double]): String = Binning.binSql(e, cuts)
