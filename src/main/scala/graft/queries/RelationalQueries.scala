@@ -195,6 +195,20 @@ object RelationalQueries {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("cnt"))),
 
+    // J7: true as-of join — each event matched to the latest "marker"
+    // event (same user, marker ts <= event ts). Oracle: DuckDB's native
+    // ASOF JOIN.
+    "j7_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val markers = ev.where(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts"), col("event_id").as("marker_id"))
+      graft.operators.Joins.asOfJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        markers, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        leftId = "event_id")
+        .select(col("l.event_id").as("event_id"), col("l.user_id").as("user_id"),
+          col("marker_id"))}),
+
     // J6: as-of style join expressed with window over a union (latest order
     // per customer at a cutoff date) — composition of built-ins.
     "j6_latest_per_key" -> ((s, dir) => {
@@ -333,6 +347,13 @@ object RelationalQueries {
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       count(*) AS cnt
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "j7_asof_join" ->
+      """SELECT a.event_id, a.user_id, m.marker_id
+        |FROM events a
+        |ASOF JOIN (SELECT user_id, ts, event_id AS marker_id
+        |           FROM events WHERE event_id % 10 = 0) m
+        |  ON a.user_id = m.user_id AND a.ts >= m.ts""".stripMargin,
 
     "j6_latest_per_key" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate

@@ -149,6 +149,21 @@ class OperatorsSpec extends SparkSpec {
     got shouldBe Array(3L, 2L)
   }
 
+  "Joins.asOfJoin" should "match each left row to the latest right row at or before it" in {
+    import graft.operators.Joins
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val quotes = Seq(("A", t(0), 100.0), ("A", t(10), 105.0), ("B", t(5), 50.0))
+      .toDF("sym", "qts", "px")
+    val trades = Seq((1L, "A", t(4)), (2L, "A", t(10)), (3L, "A", t(30)),
+      (4L, "B", t(2)), (5L, "B", t(6))).toDF("tid", "sym", "tts")
+    val got = Joins.asOfJoin(trades, quotes, Seq("sym"), "tts", "qts", "tid")
+      .select(col("tid"), col("px")).as[(Long, Double)].collect().toMap
+    got shouldBe Map(1L -> 100.0, 2L -> 105.0, 3L -> 105.0, 5L -> 50.0)
+    // trade 4 (B @ 10:02) precedes every B quote → dropped (inner asof)
+    got.keySet should not contain 4L
+  }
+
   "Sampling" should "produce deterministic, complete, disjoint splits" in {
     import graft.operators.Sampling
     val df = (1 to 500).map(_.toLong).toDF("id")
