@@ -209,6 +209,22 @@ object RelationalQueries {
         .select(col("l.event_id").as("event_id"), col("l.user_id").as("user_id"),
           col("marker_id"))}),
 
+    // J8: range join (interval containment) — order dates against year
+    // periods; the tiny interval side broadcasts, so the inequality join
+    // is a BroadcastNestedLoop scan, not a cross shuffle.
+    "j8_range_join" -> ((s, dir) => {
+      val periods = s.createDataFrame(
+        (1995 to 2000).map(y => (s"y$y", s"$y-01-01", s"${y + 1}-01-01")))
+        .toDF("period", "start", "end")
+        .select(col("period"), col("start").cast("timestamp").as("start"),
+          col("end").cast("timestamp").as("end"))
+      t(s, dir, "orders")
+        .join(broadcast(periods),
+          col("o_orderdate") >= col("start") && col("o_orderdate") < col("end"))
+        .groupBy(col("period"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(floor(col("o_totalprice") * 100)) / 100.0, 2).as("total"))}),
+
     // J6: as-of style join expressed with window over a union (latest order
     // per customer at a cutoff date) — composition of built-ins.
     "j6_latest_per_key" -> ((s, dir) => {
@@ -354,6 +370,18 @@ object RelationalQueries {
         |ASOF JOIN (SELECT user_id, ts, event_id AS marker_id
         |           FROM events WHERE event_id % 10 = 0) m
         |  ON a.user_id = m.user_id AND a.ts >= m.ts""".stripMargin,
+
+    "j8_range_join" ->
+      """WITH periods AS (
+        |  SELECT 'y' || y::VARCHAR AS period,
+        |         make_timestamp(y, 1, 1, 0, 0, 0) AS ps,
+        |         make_timestamp(y + 1, 1, 1, 0, 0, 0) AS pe
+        |  FROM (SELECT unnest(generate_series(1995, 2000)) AS y))
+        |SELECT period, count(*) AS n_orders,
+        |       round(sum(floor(o_totalprice * 100)) / 100.0, 2) AS total
+        |FROM orders JOIN periods
+        |  ON o_orderdate >= ps AND o_orderdate < pe
+        |GROUP BY 1""".stripMargin,
 
     "j6_latest_per_key" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
