@@ -29,16 +29,22 @@ object Similarity {
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Exact top-k: for each query vector, the k nearest corpus vectors by
-    * cosine. Query side is broadcast (bounded); corpus side streams. */
+    * cosine. Query side is broadcast (bounded); corpus side streams.
+    * Norms are computed ONCE per vector before the pair join — per-pair
+    * `cosine()` would redo both sqrt folds for every candidate pair (the
+    * result is bit-identical: same IEEE ops on the same inputs). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "vec_id", qVec: String = "embedding",
                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val q = queries.select(col(qId).cast("long").as("query_id"),
       asDouble(col(qVec)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(cId).cast("long").as("cand_id"),
       asDouble(col(cVec)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -52,10 +58,13 @@ object Similarity {
                 kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {
     val c = corpus.select(col(cId).cast("long").as("vec_id"),
       asDouble(col(cVec)).as("v"))
+      .withColumn("vn", norm(col("v")))
     val cents = centroids.select(col(kId).cast("long").as("centroid_id"),
       asDouble(col(kVec)).as("cent"))
+      .withColumn("kn", norm(col("cent")))
     val scored = c.join(broadcast(cents))
-      .withColumn("cos", round(cosine(col("v"), col("cent")), 6))
+      .withColumn("cos",
+        round(dot(col("v"), col("cent")) / (col("vn") * col("kn")), 6))
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("centroid_id"))
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
@@ -70,10 +79,13 @@ object Similarity {
                  kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {
     val v = vectors.select(col(vId).cast("long").as("vec_id"),
       asDouble(col(vVec)).as("v"))
+      .withColumn("vn", norm(col("v")))
     val cents = centroids.select(col(kId).cast("long").as("centroid_id"),
       asDouble(col(kVec)).as("cent"))
+      .withColumn("kn", norm(col("cent")))
     val scored = v.join(broadcast(cents))
-      .withColumn("cos", round(cosine(col("v"), col("cent")), 6))
+      .withColumn("cos",
+        round(dot(col("v"), col("cent")) / (col("vn") * col("kn")), 6))
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("centroid_id"))
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= nProbe)
@@ -95,14 +107,17 @@ object Similarity {
       .withColumnRenamed("vec_id", "query_id")
     val qv = queries.select(col(qId).cast("long").as("query_id"),
       asDouble(col(qVec)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val cv = corpus.select(col(cId).cast("long").as("cand_id"),
       asDouble(col(cVec)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = qAssign.join(cAssign, "centroid_id")
       .where(col("cand_id") =!= col("query_id"))
       .select("query_id", "cand_id").distinct() // a cand in 2 probed cells counts once
       .join(broadcast(qv), "query_id")
       .join(cv, "cand_id")
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -142,10 +157,12 @@ object Similarity {
           col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
       .distinct()
+    val vn = v.withColumn("n", norm(col("v")))
     cand
-      .join(v.select(col("vid").as("id_a"), col("v").as("va")), "id_a")
-      .join(v.select(col("vid").as("id_b"), col("v").as("vb")), "id_b")
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .join(vn.select(col("vid").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+      .join(vn.select(col("vid").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -156,8 +173,10 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
                          id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val v = df.select(col(id).cast("long").as("vid"), asDouble(col(vec)).as("v"))
+      .withColumn("n", norm(col("v")))
     v.as("a").join(v.as("b"), col("a.vid") < col("b.vid"))
-      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 6))
+      .withColumn("cos",
+        round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6))
       .where(col("cos") >= threshold)
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"), col("cos"))
   }
