@@ -46,7 +46,7 @@ object Quantiles {
     val aggs = thresholds.zipWithIndex.map { case (t, i) =>
       min(when(col("ecdf") >= t, col("value"))).as(s"q$i")
     }
-    val row = e.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = e.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
     thresholds.indices.map { i =>
       if (row.isNullAt(i)) Double.PositiveInfinity else row.getDouble(i)
     }.toArray
