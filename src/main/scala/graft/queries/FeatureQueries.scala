@@ -64,11 +64,7 @@ object FeatureQueries {
     // F8: the full adjustPort word semantics on fabricated ports covering
     // every port class (0, <=1024, >1024) and both ip orderings.
     "f8_flow_words" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("sip", concat(lit("10.0."), (col("user_id") % 200).cast("string"), lit(".1")))
-        .withColumn("dip", concat(lit("10.0."), (col("event_id") % 200).cast("string"), lit(".2")))
-        .withColumn("sport", ((col("event_id") * 7919) % 2000).cast("int"))
-        .withColumn("dport", (((col("event_id") + 3) * 104729) % 2000).cast("int"))
+      val ev = Fabrications.flowPorts(t(s, dir, "events"))
       val (portWord, ipPair, srcWord, dstWord) = FlowWords.flowWordCols(
         col("sip"), col("dip"), col("dport"), col("sport"),
         lit(3), lit(5), lit(7))
@@ -88,14 +84,10 @@ object FeatureQueries {
         .select(col("doc_id"), col("hostname"),
           Domains.extract_domain(col("hostname")).as("domain"))),
 
-    // F5: DNS subdomain extraction struct on the same fabricated names.
+    // F5: DNS subdomain extraction struct on the shared fabricated names.
     "f5_subdomains" -> ((s, dir) =>
       t(s, dir, "documents")
-        .withColumn("qname",
-          when(col("doc_id") % 4 === 0, concat(lit("api.cdn."), col("source"), lit(".com")))
-            .when(col("doc_id") % 4 === 1, concat(col("source"), lit(".com.mx")))
-            .when(col("doc_id") % 4 === 2, lit("9.8.7.6.in-addr.arpa"))
-            .otherwise(concat(col("source"), lit(".net"))))
+        .withColumn("qname", Fabrications.dnsQname(col("doc_id"), col("source")))
         .withColumn("sd", Domains.extract_subdomain(col("qname")))
         .select(col("doc_id"), col("qname"),
           col("sd.domain").as("domain"),

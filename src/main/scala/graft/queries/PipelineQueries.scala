@@ -25,14 +25,10 @@ object PipelineQueries {
   private val PerCuts = Seq(2.0, 3.0, 4.0)
   private val Popular = Set("src1", "src3", "src5")
 
-  /** The f5 fabrication: 4 qname shapes from documents. */
+  /** The f5 fabrication (shared — see [[Fabrications.dnsQname]]). */
   private def dnsEvents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("qname",
-        when(col("doc_id") % 4 === 0, concat(lit("api.cdn."), col("source"), lit(".com")))
-          .when(col("doc_id") % 4 === 1, concat(col("source"), lit(".com.mx")))
-          .when(col("doc_id") % 4 === 2, lit("9.8.7.6.in-addr.arpa"))
-          .otherwise(concat(col("source"), lit(".net"))))
+      .withColumn("qname", Fabrications.dnsQname(col("doc_id"), col("source")))
       .withColumn("frame_len", col("n_chars"))
       .withColumn("unix_tstamp", col("doc_id") % 500)
       .withColumn("qry_type", (col("doc_id") % 4).cast("int"))
@@ -110,14 +106,10 @@ object PipelineQueries {
     // The three reference pipelines end-to-end over network-shaped
     // fabrications of the harness tables (LDA — rows-only checks).
     "pipe_flow_full" -> ((s, dir) => {
-      val flows = t(s, dir, "events")
+      val flows = Fabrications.flowPorts(t(s, dir, "events"))
         .withColumn("trhour", hour(col("ts")))
         .withColumn("trminute", minute(col("ts")))
         .withColumn("trsec", second(col("ts")))
-        .withColumn("sip", concat(lit("10.0."), (col("user_id") % 200).cast("string"), lit(".1")))
-        .withColumn("dip", concat(lit("10.0."), (col("event_id") % 200).cast("string"), lit(".2")))
-        .withColumn("sport", ((col("event_id") * 7919) % 2000).cast("int"))
-        .withColumn("dport", (((col("event_id") + 3) * 104729) % 2000).cast("int"))
         .withColumn("ipkt", (col("value") * 10).cast("long") + 1)
         .withColumn("ibyt", (col("value") * 1000).cast("long") + 40)
       graft.pipelines.FlowPipeline.run(flows, threshold = 1.0, topK = 100,

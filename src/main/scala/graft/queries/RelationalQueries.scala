@@ -200,12 +200,16 @@ object RelationalQueries {
     // ASOF JOIN.
     "j7_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
+      // collapse any (user, ts) marker ties deterministically (max id):
+      // DuckDB's native ASOF picks an arbitrary tie winner, so the gate
+      // compares tie-free inputs; the operator's own tiebreak is separate.
       val markers = ev.where(col("event_id") % 10 === 0)
-        .select(col("user_id"), col("ts"), col("event_id").as("marker_id"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("marker_id"))
       graft.operators.Joins.asOfJoin(
         ev.select(col("event_id"), col("user_id"), col("ts")),
         markers, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-        leftId = "event_id")
+        leftId = "event_id", rightTiebreak = Some("marker_id"))
         .select(col("l.event_id").as("event_id"), col("l.user_id").as("user_id"),
           col("marker_id"))}),
 
@@ -367,8 +371,8 @@ object RelationalQueries {
     "j7_asof_join" ->
       """SELECT a.event_id, a.user_id, m.marker_id
         |FROM events a
-        |ASOF JOIN (SELECT user_id, ts, event_id AS marker_id
-        |           FROM events WHERE event_id % 10 = 0) m
+        |ASOF JOIN (SELECT user_id, ts, max(event_id) AS marker_id
+        |           FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2) m
         |  ON a.user_id = m.user_id AND a.ts >= m.ts""".stripMargin,
 
     "j8_range_join" ->

@@ -26,6 +26,14 @@ object TextQueries {
 
   private val langOrder = Seq("de", "en", "es", "fr", "zh")
 
+  /** Marker phrases repeated enough to dominate the base text's English
+    * marker counts; shared verbatim by the Spark query and the oracle. */
+  private val LangBoosts: Map[String, String] = Map(
+    "fr" -> (" le la les de et un une" * 10),
+    "es" -> (" el los las y un una" * 10),
+    "de" -> (" der die das und ist ein eine" * 10),
+    "zh" -> (" 的 是 了 在 和 有 我" * 10))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X1: token counting — whitespace tokens plus a BPE-ish subword regex
     // (letter runs / digit runs / single punctuation), and char count.
@@ -52,9 +60,18 @@ object TextQueries {
         round(score, 6).as("quality"))}),
 
     // X3: language-ID heuristic — argmax marker-token count, deterministic
-    // tie-break by language code order.
+    // tie-break by language code order. Marker phrases are injected for
+    // some doc_id buckets so every language branch actually fires on the
+    // gate corpus (the raw synthetic text only ever yields en/de).
     "x3_langid" -> ((s, dir) => {
-      val toks = tokens(col("text"))
+      val boosted = t(s, dir, "documents")
+        .withColumn("txt", concat(col("text"),
+          when(col("doc_id") % 7 === 1, lit(LangBoosts("fr")))
+            .when(col("doc_id") % 7 === 2, lit(LangBoosts("es")))
+            .when(col("doc_id") % 7 === 3, lit(LangBoosts("de")))
+            .when(col("doc_id") % 7 === 4, lit(LangBoosts("zh")))
+            .otherwise(lit(""))))
+      val toks = tokens(col("txt"))
       val counts = langOrder.map(l => l -> markerCount(toks, LangMarkers(l)))
       // first lang (in order) whose count >= every later lang's count
       val pred = langOrder.indices.init.foldRight(lit(langOrder.last)) { (i, els) =>
@@ -62,7 +79,7 @@ object TextQueries {
         val laters = counts.drop(i + 1).map(_._2)
         when(laters.map(c >= _).reduce(_ && _), lit(l)).otherwise(els)
       }
-      t(s, dir, "documents").select(col("doc_id"), pred.as("lang_pred"))}),
+      boosted.select(col("doc_id"), pred.as("lang_pred"))}),
 
     // X4: document fingerprint (rolling content hash).
     "x4_fingerprint" -> ((s, dir) =>
@@ -138,23 +155,36 @@ object TextQueries {
          |       length(text) AS n_chars
          |FROM toks JOIN documents USING (doc_id)""".stripMargin,
 
-    "x2_quality" ->
+    "x2_quality" -> {
+      // bind the shared fragments once so both uses cannot drift
+      val stopSql = EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      val avgLenSql = "list_reduce(list_prepend(0.0::DOUBLE, " +
+        "[len(x)::DOUBLE for x in tk]), (a, b) -> a + b) / len(tk)"
+      val stopRatioSql = s"len(list_filter(tk, x -> list_contains($stopSql, x)))::DOUBLE / len(tk)"
       s"""WITH $toksSql
          |SELECT doc_id,
          |  len(tk)::BIGINT AS n_tokens,
-         |  round(list_reduce(list_prepend(0.0::DOUBLE,
-         |          [len(x)::DOUBLE for x in tk]), (a, b) -> a + b) / len(tk), 6)
-         |    AS avg_token_len,
-         |  round(len(list_filter(tk, x -> list_contains(${EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x)))::DOUBLE
-         |          / len(tk), 6) AS stopword_ratio,
+         |  round($avgLenSql, 6) AS avg_token_len,
+         |  round($stopRatioSql, 6) AS stopword_ratio,
          |  round(least(len(tk)::DOUBLE / 100.0, 1.0) * 0.4
-         |        + len(list_filter(tk, x -> list_contains(${EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x)))::DOUBLE / len(tk) * 0.3
-         |        + least(list_reduce(list_prepend(0.0::DOUBLE, [len(x)::DOUBLE for x in tk]), (a, b) -> a + b) / len(tk) / 8.0, 1.0) * 0.3, 6)
-         |    AS quality
-         |FROM toks""".stripMargin,
+         |        + $stopRatioSql * 0.3
+         |        + least($avgLenSql / 8.0, 1.0) * 0.3, 6) AS quality
+         |FROM toks""".stripMargin
+    },
 
     "x3_langid" ->
-      s"""WITH $toksSql,
+      s"""WITH boosted AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 1 THEN '${LangBoosts("fr")}'
+         |         WHEN doc_id % 7 = 2 THEN '${LangBoosts("es")}'
+         |         WHEN doc_id % 7 = 3 THEN '${LangBoosts("de")}'
+         |         WHEN doc_id % 7 = 4 THEN '${LangBoosts("zh")}'
+         |         ELSE '' END AS txt
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(txt, '\\s+'),
+         |                             x -> len(x) > 0) AS tk
+         |  FROM boosted),
          |c AS (
          |  SELECT doc_id,
          |    ${langOrder.map(l =>

@@ -92,11 +92,12 @@ object VectorQueries {
          |FROM ranked WHERE rn = 1""".stripMargin,
 
     "v4_near_dup" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |       round(${cosSql("a.e", "b.e")}, 6) AS cos
-         |FROM v a JOIN v b ON a.vec_id < b.vec_id
-         |WHERE round(${cosSql("a.e", "b.e")}, 6) >= 0.35""".stripMargin,
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         round(${cosSql("a.e", "b.e")}, 6) AS cos
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35""".stripMargin,
 
     "v5_ivf_search" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -149,10 +150,11 @@ object VectorQueries {
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM sigs a JOIN sigs b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
-         |SELECT id_a, id_b, round(${cosSql("x.e", "y.e")}, 6) AS cos
-         |FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b
-         |WHERE round(${cosSql("x.e", "y.e")}, 6) >= 0.35""".stripMargin
+         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b, round(${cosSql("x.e", "y.e")}, 6) AS cos
+         |  FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b)
+         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35""".stripMargin
     }
   )
 }

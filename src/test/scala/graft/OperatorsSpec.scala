@@ -162,6 +162,15 @@ class OperatorsSpec extends SparkSpec {
     got shouldBe Map(1L -> 100.0, 2L -> 105.0, 3L -> 105.0, 5L -> 50.0)
     // trade 4 (B @ 10:02) precedes every B quote → dropped (inner asof)
     got.keySet should not contain 4L
+
+    // exact-timestamp ties resolve deterministically via the tiebreak
+    val tied = Seq(("A", t(0), 1L, 100.0), ("A", t(0), 2L, 200.0))
+      .toDF("sym", "qts", "qid", "px")
+    val one = Seq((9L, "A", t(5))).toDF("tid", "sym", "tts")
+    val res = Joins.asOfJoin(one, tied, Seq("sym"), "tts", "qts", "tid",
+      rightTiebreak = Some("qid"))
+      .select(col("px")).as[Double].collect()
+    res shouldBe Array(200.0) // highest qid wins
   }
 
   "Sampling" should "produce deterministic, complete, disjoint splits" in {
