@@ -66,4 +66,28 @@ object TextFunctions {
   /** Count of tokens that belong to a marker vocabulary. */
   def markerCount(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers: _*)))
+
+  /** Composite quality score in [0,1] from a token-array ATTRIBUTE
+    * (pass a staged column): 0.4·min(1, n/100) + 0.3·stopword-ratio +
+    * 0.3·min(1, avgTokenLen/8). */
+  def qualityScore(toks: Column): Column = {
+    val nTok = size(toks).cast("double")
+    val avgLen = aggregate(transform(toks, t => length(t).cast("double")),
+      lit(0.0), (a, x) => a + x) / nTok
+    val stopRatio = markerCount(toks, EnglishStopwords).cast("double") / nTok
+    least(nTok / 100.0, lit(1.0)) * 0.4 + stopRatio * 0.3 +
+      least(avgLen / 8.0, lit(1.0)) * 0.3
+  }
+
+  /** Language prediction from a token-array ATTRIBUTE: the first language
+    * (in fixed code order) whose marker count >= every later language's. */
+  def langPredict(toks: Column): Column = {
+    val order = LangMarkers.keys.toSeq.sorted
+    val counts = order.map(l => l -> markerCount(toks, LangMarkers(l)))
+    order.indices.init.foldRight(lit(order.last)) { (i, els) =>
+      val (l, c) = counts(i)
+      val laters = counts.drop(i + 1).map(_._2)
+      when(laters.map(c >= _).reduce(_ && _), lit(l)).otherwise(els)
+    }
+  }
 }

@@ -1,0 +1,66 @@
+package graft.pipelines
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Sampling}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the canonical LLM-corpus pipeline
+  * built from this engine's operators, each stage deterministic so the
+  * whole chain is exactly reproducible (and oracle-checkable):
+  *
+  *   quality filter → language filter → exact dedup (keep min id) →
+  *   near-dup removal (n-gram Jaccard, keep lower id of each pair) →
+  *   train/val/test split assignment (hash-mod buckets)
+  *
+  * Scale shape: the filters are scan-stage column work; dedup stages are
+  * the inverted-index operators (narrow shuffles, no cross products); the
+  * split adds no shuffle at all.
+  */
+object CurationPipeline {
+
+  final case class Config(minQuality: Double = 0.5,
+                          langs: Set[String] = Set("en"),
+                          jaccardThreshold: Double = 0.8,
+                          shingleN: Int = 5,
+                          splits: Seq[(String, Int)] =
+                            Seq("train" -> 80, "val" -> 10, "test" -> 10))
+
+  /** Adds quality + lang_pred columns (tokens staged once). */
+  def annotate(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.cast("long").as("doc_id"), text.as("text"),
+        TextFunctions.tokens(text).as("toks"))
+      .select(col("doc_id"), col("text"),
+        round(TextFunctions.qualityScore(col("toks")), 6).as("quality"),
+        TextFunctions.langPredict(col("toks")).as("lang_pred"))
+
+  /** Runs the full chain; returns (doc_id, quality, lang_pred, split) for
+    * surviving docs. */
+  def curate(docs: DataFrame, id: Column, text: Column,
+             config: Config = Config()): DataFrame = {
+    val annotated = annotate(docs, id, text)
+    val kept = annotated
+      .where(col("quality") >= config.minQuality &&
+        col("lang_pred").isin(config.langs.toSeq: _*))
+      .cache()
+
+    // exact dedup: survivors are the min doc_id per content hash
+    val exactKeep = kept
+      .groupBy(graft.functions.PolyHash.poly_hash(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exact = kept.join(exactKeep, "doc_id")
+
+    // near-dup removal: for every Jaccard pair above threshold, the higher
+    // id drops (transitively safe: a surviving doc is one that is not the
+    // higher id of ANY pair — the standard greedy-by-id rule)
+    val dupPairs = Dedup.ngramJaccardPairs(exact, col("doc_id"), col("text"),
+      n = config.shingleN, threshold = config.jaccardThreshold,
+      maxShingleFreq = Long.MaxValue)
+    val losers = dupPairs.select(col("id_b").as("doc_id")).distinct()
+    val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+
+    Sampling.splits(deduped, col("doc_id"), config.splits)
+      .select(col("doc_id"), col("quality"), col("lang_pred"), col("split"))
+  }
+}

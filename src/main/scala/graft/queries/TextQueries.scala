@@ -112,6 +112,14 @@ object TextQueries {
       Dedup.simHashDocs(t(s, dir, "documents"),
         col("doc_id"), col("text"), bits = 16)),
 
+    // C1: the full curation pipeline (quality filter → lang filter →
+    // exact dedup → near-dup removal → split) on the dup-bearing corpus.
+    "c1_curation" -> ((s, dir) =>
+      graft.pipelines.CurationPipeline.curate(
+        withDups(s, dir), col("doc_id"), col("text"),
+        graft.pipelines.CurationPipeline.Config(
+          minQuality = 0.5, langs = Set("en"), jaccardThreshold = 0.8))),
+
     // X6: deterministic hash-mod sampling + train/val/test split — the
     // reproducible-split primitive (stable across engines and runs).
     "x6_hash_split" -> ((s, dir) =>
@@ -250,6 +258,63 @@ object TextQueries {
          |  round((${(0 until 8).map(j => s"(a$j = b$j)::INT").mkString(" + ")})::DOUBLE / 8, 6)
          |    AS est_jaccard
          |FROM cand""".stripMargin,
+
+    "c1_curation" -> {
+      val stopSql = EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      val avgLenSql = "list_reduce(list_prepend(0.0::DOUBLE, " +
+        "[len(x)::DOUBLE for x in tk]), (a, b) -> a + b) / len(tk)"
+      val stopRatioSql = s"len(list_filter(tk, x -> list_contains($stopSql, x)))::DOUBLE / len(tk)"
+      val qualitySql = s"""round(least(len(tk)::DOUBLE / 100.0, 1.0) * 0.4
+        + $stopRatioSql * 0.3 + least($avgLenSql / 8.0, 1.0) * 0.3, 6)"""
+      val langSql = langOrder.map(l =>
+        s"len(list_filter(tk, x -> list_contains(${markerIn(l)}, x)))")
+        .zip(langOrder).map { case (c, l) => s"$c AS c_$l" }.mkString(", ")
+      raw"""WITH dup AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+           |toks AS (
+           |  SELECT doc_id, text,
+           |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+           |  FROM dup),
+           |ann AS (
+           |  SELECT doc_id, text, tk, $qualitySql AS quality, $langSql FROM toks),
+           |kept AS (
+           |  SELECT doc_id, text, tk, quality,
+           |    CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+           |         WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+           |         WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+           |         WHEN c_fr >= c_zh THEN 'fr'
+           |         ELSE 'zh' END AS lang_pred
+           |  FROM ann WHERE quality >= 0.5),
+           |keptl AS (SELECT * FROM kept WHERE lang_pred = 'en'),
+           |exact AS (
+           |  SELECT k.* FROM keptl k JOIN (
+           |    SELECT min(doc_id) AS doc_id FROM keptl
+           |    GROUP BY ${hashSql("text")}) m USING (doc_id)),
+           |shing AS (
+           |  SELECT DISTINCT doc_id,
+           |    ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]")} AS sh
+           |  FROM exact, LATERAL (SELECT unnest(generate_series(1, len(tk) - 4)) AS i)
+           |  WHERE len(tk) >= 5),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |losers AS (
+           |  SELECT DISTINCT id_b AS doc_id FROM pairs
+           |  JOIN sizes sa ON sa.doc_id = id_a
+           |  JOIN sizes sb ON sb.doc_id = id_b
+           |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8),
+           |deduped AS (
+           |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+           |SELECT doc_id, quality, lang_pred,
+           |  CASE WHEN ${hashSql("doc_id::VARCHAR")} % 100 < 80 THEN 'train'
+           |       WHEN ${hashSql("doc_id::VARCHAR")} % 100 < 90 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM deduped""".stripMargin
+    },
 
     "x6_hash_split" ->
       s"""WITH b AS (
