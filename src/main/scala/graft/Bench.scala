@@ -17,7 +17,7 @@ object Bench {
     "w1_window_cumsum", "g1_rollup", "f3_bin", "f4_entropy", "f8_flow_words",
     "x2_quality", "x3_langid", "d1_exact_dedup", "d2_ngram_jaccard",
     "d3_minhash_lsh", "d4_simhash", "v1_norm", "v2_cosine_topk",
-    "v3_ivf_assign")
+    "v3_ivf_assign", "c1_curation", "j7_asof_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -47,6 +47,16 @@ object FeatureQueries {
         .select(round(col("threshold").cast("double"), 2).as("threshold"),
           round(col("cutoff").cast("double"), 2).as("cutoff"))}),
 
+    // A7b: same cutoffs via the custom typed Aggregator (one aggregate
+    // pass, no window) — must agree with the windowed path's oracle.
+    "a7b_quantile_agg" -> ((s, dir) => {
+      val cuts = graft.operators.QuantileAgg.exactQuantiles(
+        t(s, dir, "lineitem"), col("l_extendedprice"), Quantiles.Deciles)
+      val rows = Quantiles.Deciles.zip(cuts).toSeq
+      s.createDataFrame(rows).toDF("threshold", "cutoff")
+        .select(round(col("threshold").cast("double"), 2).as("threshold"),
+          round(col("cutoff").cast("double"), 2).as("cutoff"))}),
+
     // F1: fractional hour from event timestamps.
     "f1_fractional_hour" -> ((s, dir) =>
       t(s, dir, "events")
@@ -98,6 +108,20 @@ object FeatureQueries {
 
   private val binSqlQty = Binning.binSql("l_quantity", QuantityCuts)
 
+  private val quantileOracle =
+    """WITH counts AS (
+      |  SELECT l_extendedprice::DOUBLE AS value, count(*) AS c
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+      |e AS (
+      |  SELECT value,
+      |         sum(c) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+      |           AND CURRENT ROW)::DOUBLE / (SELECT sum(c) FROM counts) AS cdf
+      |  FROM counts),
+      |th(threshold) AS (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9),(1.0))
+      |SELECT round(threshold::DOUBLE, 2) AS threshold,
+      |       round(min(CASE WHEN cdf >= threshold::DOUBLE THEN value END)::DOUBLE, 2) AS cutoff
+      |FROM e CROSS JOIN th GROUP BY threshold""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "f4_entropy" ->
       """WITH freq AS (
@@ -121,19 +145,8 @@ object FeatureQueries {
         |         AND CURRENT ROW)::DOUBLE / (SELECT sum(c) FROM counts), 6) AS ecdf
         |FROM counts""".stripMargin,
 
-    "a7_quantiles" ->
-      """WITH counts AS (
-        |  SELECT l_extendedprice::DOUBLE AS value, count(*) AS c
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
-        |e AS (
-        |  SELECT value,
-        |         sum(c) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
-        |           AND CURRENT ROW)::DOUBLE / (SELECT sum(c) FROM counts) AS cdf
-        |  FROM counts),
-        |th(threshold) AS (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9),(1.0))
-        |SELECT round(threshold::DOUBLE, 2) AS threshold,
-        |       round(min(CASE WHEN cdf >= threshold::DOUBLE THEN value END)::DOUBLE, 2) AS cutoff
-        |FROM e CROSS JOIN th GROUP BY threshold""".stripMargin,
+    "a7_quantiles" -> quantileOracle,
+    "a7b_quantile_agg" -> quantileOracle, // same contract, aggregate path
 
     "f1_fractional_hour" ->
       """SELECT event_id,

@@ -44,20 +44,21 @@ object TextQueries {
           lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_subtokens"),
         length(col("text")).as("n_chars"))),
 
-    // X2: quality scoring (length, token shape, stopword density).
+    // X2: quality scoring (length, token shape, stopword density) — the
+    // same TextFunctions.qualityScore the curation pipeline uses, plus
+    // its components.
     "x2_quality" -> ((s, dir) => {
-      val toks = tokens(col("text"))
-      val nTok = size(toks).cast("double")
-      val avgLen = aggregate(transform(toks, t => length(t).cast("double")),
+      val staged = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val nTok = size(col("toks")).cast("double")
+      val avgLen = aggregate(transform(col("toks"), t => length(t).cast("double")),
         lit(0.0), (a, x) => a + x) / nTok
-      val stopRatio = markerCount(toks, EnglishStopwords).cast("double") / nTok
-      val score = least(nTok / 100.0, lit(1.0)) * 0.4 +
-        stopRatio * 0.3 + least(avgLen / 8.0, lit(1.0)) * 0.3
-      t(s, dir, "documents").select(col("doc_id"),
+      val stopRatio = markerCount(col("toks"), EnglishStopwords).cast("double") / nTok
+      staged.select(col("doc_id"),
         nTok.cast("long").as("n_tokens"),
         round(avgLen, 6).as("avg_token_len"),
         round(stopRatio, 6).as("stopword_ratio"),
-        round(score, 6).as("quality"))}),
+        round(qualityScore(col("toks")), 6).as("quality"))}),
 
     // X3: language-ID heuristic — argmax marker-token count, deterministic
     // tie-break by language code order. Marker phrases are injected for
@@ -71,15 +72,8 @@ object TextQueries {
             .when(col("doc_id") % 7 === 3, lit(LangBoosts("de")))
             .when(col("doc_id") % 7 === 4, lit(LangBoosts("zh")))
             .otherwise(lit(""))))
-      val toks = tokens(col("txt"))
-      val counts = langOrder.map(l => l -> markerCount(toks, LangMarkers(l)))
-      // first lang (in order) whose count >= every later lang's count
-      val pred = langOrder.indices.init.foldRight(lit(langOrder.last)) { (i, els) =>
-        val (l, c) = counts(i)
-        val laters = counts.drop(i + 1).map(_._2)
-        when(laters.map(c >= _).reduce(_ && _), lit(l)).otherwise(els)
-      }
-      boosted.select(col("doc_id"), pred.as("lang_pred"))}),
+      boosted.select(col("doc_id"), tokens(col("txt")).as("toks"))
+        .select(col("doc_id"), langPredict(col("toks")).as("lang_pred"))}),
 
     // X4: document fingerprint (rolling content hash).
     "x4_fingerprint" -> ((s, dir) =>
