@@ -77,7 +77,7 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), (floor((col("jaccard")) * 1000000 + 0.5) / 1000000.0).as("jaccard"))
   }
 
   /** MinHash signature per doc: k affine hashes over the shingle-hash set.
@@ -119,8 +119,8 @@ object Dedup {
       .join(docs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / numHashes, 6))
+        floor((size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes) * 1000000 + 0.5) / 1000000.0)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 

@@ -44,7 +44,7 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .withColumn("cos",
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        floor((dot(col("qv"), col("cv")) / (col("qn") * col("cn"))) * 1000000 + 0.5) / 1000000.0)
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -64,7 +64,7 @@ object Similarity {
       .withColumn("kn", norm(col("cent")))
     val scored = c.join(broadcast(cents))
       .withColumn("cos",
-        round(dot(col("v"), col("cent")) / (col("vn") * col("kn")), 6))
+        floor((dot(col("v"), col("cent")) / (col("vn") * col("kn"))) * 1000000 + 0.5) / 1000000.0)
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("centroid_id"))
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
@@ -85,7 +85,7 @@ object Similarity {
       .withColumn("kn", norm(col("cent")))
     val scored = v.join(broadcast(cents))
       .withColumn("cos",
-        round(dot(col("v"), col("cent")) / (col("vn") * col("kn")), 6))
+        floor((dot(col("v"), col("cent")) / (col("vn") * col("kn"))) * 1000000 + 0.5) / 1000000.0)
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("centroid_id"))
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= nProbe)
@@ -117,7 +117,7 @@ object Similarity {
       .join(broadcast(qv), "query_id")
       .join(cv, "cand_id")
       .withColumn("cos",
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        floor((dot(col("qv"), col("cv")) / (col("qn") * col("cn"))) * 1000000 + 0.5) / 1000000.0)
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -162,7 +162,7 @@ object Similarity {
       .join(vn.select(col("vid").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
       .join(vn.select(col("vid").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
       .withColumn("cos",
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        floor((dot(col("va"), col("vb")) / (col("na") * col("nb"))) * 1000000 + 0.5) / 1000000.0)
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -176,7 +176,7 @@ object Similarity {
       .withColumn("n", norm(col("v")))
     v.as("a").join(v.as("b"), col("a.vid") < col("b.vid"))
       .withColumn("cos",
-        round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6))
+        floor((dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))) * 1000000 + 0.5) / 1000000.0)
       .where(col("cos") >= threshold)
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"), col("cos"))
   }

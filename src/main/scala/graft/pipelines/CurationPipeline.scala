@@ -31,7 +31,8 @@ object CurationPipeline {
     docs.select(id.cast("long").as("doc_id"), text.as("text"),
         TextFunctions.tokens(text).as("toks"))
       .select(col("doc_id"), col("text"),
-        round(TextFunctions.qualityScore(col("toks")), 6).as("quality"),
+        graft.functions.Rounding.r6(TextFunctions.qualityScore(col("toks")))
+          .as("quality"),
         TextFunctions.langPredict(col("toks")).as("lang_pred"))
 
   /** Runs the full chain; returns (doc_id, quality, lang_pred, split) for

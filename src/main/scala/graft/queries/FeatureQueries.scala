@@ -25,7 +25,7 @@ object FeatureQueries {
     "f4_entropy" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          round(Entropy.string_entropy(col("text")), 6).as("entropy"))),
+          (floor((Entropy.string_entropy(col("text"))) * 1000000 + 0.5) / 1000000.0).as("entropy"))),
 
     // F3: quantile-cut binning incl. the -1-above-max quirk.
     "f3_bin" -> ((s, dir) =>
@@ -36,7 +36,7 @@ object FeatureQueries {
     // A6: empirical CDF over distinct values.
     "a6_ecdf" -> ((s, dir) =>
       Quantiles.ecdf(t(s, dir, "lineitem"), col("l_quantity"))
-        .select(col("value"), round(col("ecdf"), 6).as("ecdf"))),
+        .select(col("value"), (floor((col("ecdf")) * 1000000 + 0.5) / 1000000.0).as("ecdf"))),
 
     // A7: exact decile cutoffs, surfaced as a (threshold, cutoff) table.
     "a7_quantiles" -> ((s, dir) => {
@@ -44,8 +44,8 @@ object FeatureQueries {
         col("l_extendedprice"))
       val rows = Quantiles.Deciles.zip(cuts).toSeq
       s.createDataFrame(rows).toDF("threshold", "cutoff")
-        .select(round(col("threshold").cast("double"), 2).as("threshold"),
-          round(col("cutoff").cast("double"), 2).as("cutoff"))}),
+        .select((floor((col("threshold").cast("double")) * 100 + 0.5) / 100.0).as("threshold"),
+          (floor((col("cutoff").cast("double")) * 100 + 0.5) / 100.0).as("cutoff"))}),
 
     // A7b: same cutoffs via the custom typed Aggregator (one aggregate
     // pass, no window) — must agree with the windowed path's oracle.
@@ -54,15 +54,15 @@ object FeatureQueries {
         t(s, dir, "lineitem"), col("l_extendedprice"), Quantiles.Deciles)
       val rows = Quantiles.Deciles.zip(cuts).toSeq
       s.createDataFrame(rows).toDF("threshold", "cutoff")
-        .select(round(col("threshold").cast("double"), 2).as("threshold"),
-          round(col("cutoff").cast("double"), 2).as("cutoff"))}),
+        .select((floor((col("threshold").cast("double")) * 100 + 0.5) / 100.0).as("threshold"),
+          (floor((col("cutoff").cast("double")) * 100 + 0.5) / 100.0).as("cutoff"))}),
 
     // F1: fractional hour from event timestamps.
     "f1_fractional_hour" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_id"),
-          round(TimeFunctions.fractional_hour(
-            hour(col("ts")), minute(col("ts")), second(col("ts"))), 6)
+          (floor((TimeFunctions.fractional_hour(
+            hour(col("ts")), minute(col("ts")), second(col("ts")))) * 1000000 + 0.5) / 1000000.0)
             .as("num_time"))),
 
     // F14: JSON side-data extraction (props column).
@@ -118,8 +118,8 @@ object FeatureQueries {
       |           AND CURRENT ROW)::DOUBLE / (SELECT sum(c) FROM counts) AS cdf
       |  FROM counts),
       |th(threshold) AS (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9),(1.0))
-      |SELECT round(threshold::DOUBLE, 2) AS threshold,
-      |       round(min(CASE WHEN cdf >= threshold::DOUBLE THEN value END)::DOUBLE, 2) AS cutoff
+      |SELECT floor((threshold::DOUBLE) * 100 + 0.5) / 100.0 AS threshold,
+      |       floor((min(CASE WHEN cdf >= threshold::DOUBLE THEN value END)::DOUBLE) * 100 + 0.5) / 100.0 AS cutoff
       |FROM e CROSS JOIN th GROUP BY threshold""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -130,7 +130,7 @@ object FeatureQueries {
         |  GROUP BY doc_id, ch
         |), tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id)
         |SELECT f.doc_id,
-        |       round(sum(-(c/n) * log10(c/n) / log10(2)), 6) AS entropy
+        |       floor((sum(-(c/n) * log10(c/n) / log10(2))) * 1000000 + 0.5) / 1000000.0 AS entropy
         |FROM freq f JOIN tot USING (doc_id) GROUP BY f.doc_id""".stripMargin,
 
     "f3_bin" ->
@@ -141,8 +141,8 @@ object FeatureQueries {
         |  SELECT l_quantity::DOUBLE AS value, count(*) AS c
         |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1)
         |SELECT value,
-        |       round(sum(c) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
-        |         AND CURRENT ROW)::DOUBLE / (SELECT sum(c) FROM counts), 6) AS ecdf
+        |       floor((sum(c) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+        |         AND CURRENT ROW)::DOUBLE / (SELECT sum(c) FROM counts)) * 1000000 + 0.5) / 1000000.0 AS ecdf
         |FROM counts""".stripMargin,
 
     "a7_quantiles" -> quantileOracle,
@@ -150,7 +150,7 @@ object FeatureQueries {
 
     "f1_fractional_hour" ->
       """SELECT event_id,
-        |       round(hour(ts) + minute(ts)/60.0 + second(ts)/3600.0, 6) AS num_time
+        |       floor((hour(ts) + minute(ts)/60.0 + second(ts)/3600.0) * 1000000 + 0.5) / 1000000.0 AS num_time
         |FROM events""".stripMargin,
 
     "f14_json_extract" ->

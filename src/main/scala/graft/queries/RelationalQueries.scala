@@ -41,7 +41,7 @@ object RelationalQueries {
     "p4_threshold" -> ((s, dir) =>
       t(s, dir, "customer")
         .where(col("c_acctbal") <= 1000.0)
-        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))),
+        .select(col("c_custkey"), (floor((col("c_acctbal")) * 100 + 0.5) / 100.0).as("acctbal"))),
 
     // J1: equi inner join chain with a broadcast-able dimension.
     "j1_equi_join" -> ((s, dir) => {
@@ -54,7 +54,7 @@ object RelationalQueries {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("order_cnt"),
-          round(sum(floor(col("o_totalprice") * 100)) / 100.0, 2).as("total_price"))}),
+          (floor((sum(floor(col("o_totalprice") * 100)) / 100.0) * 100 + 0.5) / 100.0).as("total_price"))}),
 
     // J2: left outer join with a default for misses (the word-prob lookup
     // shape — reference FlowPostLDA.scala:99-106).
@@ -64,7 +64,7 @@ object RelationalQueries {
         .select(col("p_partkey"), col("p_retailprice"))
       li.join(broadcast(part), col("l_partkey") === col("p_partkey"), "left")
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(coalesce(col("p_retailprice"), lit(-1.0)), 2).as("price"))}),
+          (floor((coalesce(col("p_retailprice"), lit(-1.0))) * 100 + 0.5) / 100.0).as("price"))}),
 
     // J4: left-semi join (broadcast-set membership shape).
     "j4_semi_join" -> ((s, dir) => {
@@ -91,11 +91,11 @@ object RelationalQueries {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(floor(col("l_extendedprice") * 100)) / 100.0, 2).as("sum_base_price"),
-          round(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)) / 100.0, 2)
+          (floor((sum(col("l_quantity"))) * 100 + 0.5) / 100.0).as("sum_qty"),
+          (floor((sum(floor(col("l_extendedprice") * 100)) / 100.0) * 100 + 0.5) / 100.0).as("sum_base_price"),
+          (floor((sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)) / 100.0) * 100 + 0.5) / 100.0)
             .as("sum_disc_price"),
-          round(sum(floor(col("l_discount") * 1000000)) / 1000000.0 / count(lit(1)), 6).as("avg_disc"),
+          (floor((sum(floor(col("l_discount") * 1000000)) / 1000000.0 / count(lit(1))) * 1000000 + 0.5) / 1000000.0).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
     // A5: distinct.
@@ -138,7 +138,7 @@ object RelationalQueries {
         .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
           .as("month"))
         .agg(count(lit(1)).as("n"),
-          round(sum(floor(col("o_totalprice") * 100)) / 100.0, 2).as("total"))),
+          (floor((sum(floor(col("o_totalprice") * 100)) / 100.0) * 100 + 0.5) / 100.0).as("total"))),
 
     // T1: global top-k via orderBy+limit (TakeOrderedAndProject), with a
     // unique tiebreak so the k-th row is deterministic.
@@ -146,7 +146,7 @@ object RelationalQueries {
       t(s, dir, "orders")
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
         .limit(50)
-        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))),
+        .select(col("o_orderkey"), (floor((col("o_totalprice")) * 100 + 0.5) / 100.0).as("total"))),
 
     // U1: positional union then aggregate.
     "u1_union" -> ((s, dir) => {
@@ -174,7 +174,7 @@ object RelationalQueries {
       t(s, dir, "orders")
         .where(col("o_custkey") <= 100)
         .select(col("o_custkey"), col("o_orderkey"),
-          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))}),
+          (floor((sum(col("o_totalprice")).over(w)) * 100 + 0.5) / 100.0).as("running_total"))}),
 
     // W2: row_number per partition (sessionization precursor).
     "w2_window_rank" -> ((s, dir) => {
@@ -227,7 +227,7 @@ object RelationalQueries {
           col("o_orderdate") >= col("start") && col("o_orderdate") < col("end"))
         .groupBy(col("period"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(floor(col("o_totalprice") * 100)) / 100.0, 2).as("total"))}),
+          (floor((sum(floor(col("o_totalprice") * 100)) / 100.0) * 100 + 0.5) / 100.0).as("total"))}),
 
     // J6: as-of style join expressed with window over a union (latest order
     // per customer at a cutoff date) — composition of built-ins.
@@ -261,19 +261,19 @@ object RelationalQueries {
         |GROUP BY 1""".stripMargin,
 
     "p4_threshold" ->
-      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer
+      """SELECT c_custkey, floor((c_acctbal) * 100 + 0.5) / 100.0 AS acctbal FROM customer
         |WHERE c_acctbal <= 1000.0""".stripMargin,
 
     "j1_equi_join" ->
       """SELECT n_name, count(*) AS order_cnt,
-        |       round(sum(floor(o_totalprice * 100)) / 100.0, 2) AS total_price
+        |       floor((sum(floor(o_totalprice * 100)) / 100.0) * 100 + 0.5) / 100.0 AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
 
     "j2_left_join_default" ->
       """SELECT l_orderkey, l_linenumber,
-        |       round(coalesce(p_retailprice, -1.0), 2) AS price
+        |       floor((coalesce(p_retailprice, -1.0)) * 100 + 0.5) / 100.0 AS price
         |FROM (SELECT * FROM lineitem WHERE l_orderkey % 7 = 0) li
         |LEFT JOIN (SELECT p_partkey, p_retailprice FROM part WHERE p_size <= 25) p
         |ON li.l_partkey = p.p_partkey""".stripMargin,
@@ -294,10 +294,10 @@ object RelationalQueries {
 
     "a3_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(floor(l_extendedprice * 100)) / 100.0, 2) AS sum_base_price,
-        |       round(sum(floor(l_extendedprice * (1 - l_discount) * 100)) / 100.0, 2) AS sum_disc_price,
-        |       round(sum(floor(l_discount * 1000000)) / 1000000.0 / count(*), 6) AS avg_disc,
+        |       floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty,
+        |       floor((sum(floor(l_extendedprice * 100)) / 100.0) * 100 + 0.5) / 100.0 AS sum_base_price,
+        |       floor((sum(floor(l_extendedprice * (1 - l_discount) * 100)) / 100.0) * 100 + 0.5) / 100.0 AS sum_disc_price,
+        |       floor((sum(floor(l_discount * 1000000)) / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
@@ -330,11 +330,11 @@ object RelationalQueries {
     "d5_date_trunc" ->
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
         |       count(*) AS n,
-        |       round(sum(floor(o_totalprice * 100)) / 100.0, 2) AS total
+        |       floor((sum(floor(o_totalprice * 100)) / 100.0) * 100 + 0.5) / 100.0 AS total
         |FROM orders GROUP BY 1""".stripMargin,
 
     "t1_topk" ->
-      """SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
+      """SELECT o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100.0 AS total FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
 
     "u1_union" ->
@@ -350,9 +350,9 @@ object RelationalQueries {
 
     "w1_window_cumsum" ->
       """SELECT o_custkey, o_orderkey,
-        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |       floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
         |         ORDER BY o_orderdate, o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100.0 AS running_total
         |FROM orders WHERE o_custkey <= 100""".stripMargin,
 
     "w2_window_rank" ->
@@ -382,7 +382,7 @@ object RelationalQueries {
         |         make_timestamp(y + 1, 1, 1, 0, 0, 0) AS pe
         |  FROM (SELECT unnest(generate_series(1995, 2000)) AS y))
         |SELECT period, count(*) AS n_orders,
-        |       round(sum(floor(o_totalprice * 100)) / 100.0, 2) AS total
+        |       floor((sum(floor(o_totalprice * 100)) / 100.0) * 100 + 0.5) / 100.0 AS total
         |FROM orders JOIN periods
         |  ON o_orderdate >= ps AND o_orderdate < pe
         |GROUP BY 1""".stripMargin,

@@ -56,9 +56,9 @@ object TextQueries {
       val stopRatio = markerCount(col("toks"), EnglishStopwords).cast("double") / nTok
       staged.select(col("doc_id"),
         nTok.cast("long").as("n_tokens"),
-        round(avgLen, 6).as("avg_token_len"),
-        round(stopRatio, 6).as("stopword_ratio"),
-        round(qualityScore(col("toks")), 6).as("quality"))}),
+        (floor((avgLen) * 1000000 + 0.5) / 1000000.0).as("avg_token_len"),
+        (floor((stopRatio) * 1000000 + 0.5) / 1000000.0).as("stopword_ratio"),
+        (floor((qualityScore(col("toks"))) * 1000000 + 0.5) / 1000000.0).as("quality"))}),
 
     // X3: language-ID heuristic — argmax marker-token count, deterministic
     // tie-break by language code order. Marker phrases are injected for
@@ -166,11 +166,11 @@ object TextQueries {
       s"""WITH $toksSql
          |SELECT doc_id,
          |  len(tk)::BIGINT AS n_tokens,
-         |  round($avgLenSql, 6) AS avg_token_len,
-         |  round($stopRatioSql, 6) AS stopword_ratio,
-         |  round(least(len(tk)::DOUBLE / 100.0, 1.0) * 0.4
+         |  floor(($avgLenSql) * 1000000 + 0.5) / 1000000.0 AS avg_token_len,
+         |  floor(($stopRatioSql) * 1000000 + 0.5) / 1000000.0 AS stopword_ratio,
+         |  floor((least(len(tk)::DOUBLE / 100.0, 1.0) * 0.4
          |        + $stopRatioSql * 0.3
-         |        + least($avgLenSql / 8.0, 1.0) * 0.3, 6) AS quality
+         |        + least($avgLenSql / 8.0, 1.0) * 0.3) * 1000000 + 0.5) / 1000000.0 AS quality
          |FROM toks""".stripMargin
     },
 
@@ -222,7 +222,7 @@ object TextQueries {
          |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b,
-         |       round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+         |       floor((inter::DOUBLE / (sa.n + sb.n - inter)) * 1000000 + 0.5) / 1000000.0 AS jaccard
          |FROM pairs
          |JOIN sizes sa ON sa.doc_id = id_a
          |JOIN sizes sb ON sb.doc_id = id_b
@@ -249,7 +249,7 @@ object TextQueries {
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b,
-         |  round((${(0 until 8).map(j => s"(a$j = b$j)::INT").mkString(" + ")})::DOUBLE / 8, 6)
+         |  floor(((${(0 until 8).map(j => s"(a$j = b$j)::INT").mkString(" + ")})::DOUBLE / 8) * 1000000 + 0.5) / 1000000.0
          |    AS est_jaccard
          |FROM cand""".stripMargin,
 
@@ -258,8 +258,8 @@ object TextQueries {
       val avgLenSql = "list_reduce(list_prepend(0.0::DOUBLE, " +
         "[len(x)::DOUBLE for x in tk]), (a, b) -> a + b) / len(tk)"
       val stopRatioSql = s"len(list_filter(tk, x -> list_contains($stopSql, x)))::DOUBLE / len(tk)"
-      val qualitySql = s"""round(least(len(tk)::DOUBLE / 100.0, 1.0) * 0.4
-        + $stopRatioSql * 0.3 + least($avgLenSql / 8.0, 1.0) * 0.3, 6)"""
+      val qualitySql = s"""floor((least(len(tk)::DOUBLE / 100.0, 1.0) * 0.4
+        + $stopRatioSql * 0.3 + least($avgLenSql / 8.0, 1.0) * 0.3) * 1000000 + 0.5) / 1000000.0"""
       val langSql = langOrder.map(l =>
         s"len(list_filter(tk, x -> list_contains(${markerIn(l)}, x)))")
         .zip(langOrder).map { case (c, l) => s"$c AS c_$l" }.mkString(", ")

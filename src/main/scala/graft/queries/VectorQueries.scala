@@ -19,7 +19,7 @@ object VectorQueries {
     // V1: vector norms (the zip_with/aggregate dot-product primitive, A9).
     "v1_norm" -> ((s, dir) =>
       t(s, dir, "embeddings").select(col("vec_id"),
-        round(Similarity.norm(col("embedding").cast("array<double>")), 6)
+        (floor((Similarity.norm(col("embedding").cast("array<double>"))) * 1000000 + 0.5) / 1000000.0)
           .as("norm"))),
 
     // V2: brute-force exact cosine top-k (first 10 vecs as queries, k=5).
@@ -63,13 +63,13 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "v1_norm" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-         |SELECT vec_id, round(sqrt(${dotSql("e", "e")}), 6) AS norm FROM v""".stripMargin,
+         |SELECT vec_id, floor((sqrt(${dotSql("e", "e")})) * 1000000 + 0.5) / 1000000.0 AS norm FROM v""".stripMargin,
 
     "v2_cosine_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         |         round(${cosSql("q.e", "c.e")}, 6) AS cos
+         |         floor((${cosSql("q.e", "c.e")}) * 1000000 + 0.5) / 1000000.0 AS cos
          |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -82,7 +82,7 @@ object VectorQueries {
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |scored AS (
          |  SELECT c.vec_id AS vec_id, k.vec_id AS centroid_id,
-         |         round(${cosSql("c.e", "k.e")}, 6) AS cos
+         |         floor((${cosSql("c.e", "k.e")}) * 1000000 + 0.5) / 1000000.0 AS cos
          |  FROM v c JOIN v k ON k.vec_id < 8),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -95,7 +95,7 @@ object VectorQueries {
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |scored AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |         round(${cosSql("a.e", "b.e")}, 6) AS cos
+         |         floor((${cosSql("a.e", "b.e")}) * 1000000 + 0.5) / 1000000.0 AS cos
          |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35""".stripMargin,
 
@@ -106,20 +106,20 @@ object VectorQueries {
          |  SELECT vec_id AS cand_id, centroid_id FROM (
          |    SELECT c.vec_id, k.centroid_id,
          |      row_number() OVER (PARTITION BY c.vec_id
-         |        ORDER BY round(${cosSql("c.e", "k.ce")}, 6) DESC, k.centroid_id) AS rn
+         |        ORDER BY floor((${cosSql("c.e", "k.ce")}) * 1000000 + 0.5) / 1000000.0 DESC, k.centroid_id) AS rn
          |    FROM v c CROSS JOIN cents k) WHERE rn = 1),
          |qassign AS (
          |  SELECT query_id, centroid_id FROM (
          |    SELECT q.vec_id AS query_id, k.centroid_id,
          |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY round(${cosSql("q.e", "k.ce")}, 6) DESC, k.centroid_id) AS rn
+         |        ORDER BY floor((${cosSql("q.e", "k.ce")}) * 1000000 + 0.5) / 1000000.0 DESC, k.centroid_id) AS rn
          |    FROM v q CROSS JOIN cents k WHERE q.vec_id < 10) WHERE rn <= 2),
          |cand AS (
          |  SELECT DISTINCT query_id, cand_id
          |  FROM qassign JOIN cassign USING (centroid_id)
          |  WHERE cand_id != query_id),
          |scored AS (
-         |  SELECT query_id, cand_id, round(${cosSql("q.e", "c.e")}, 6) AS cos
+         |  SELECT query_id, cand_id, floor((${cosSql("q.e", "c.e")}) * 1000000 + 0.5) / 1000000.0 AS cos
          |  FROM cand
          |  JOIN v q ON q.vec_id = query_id
          |  JOIN v c ON c.vec_id = cand_id)
@@ -152,7 +152,7 @@ object VectorQueries {
          |  FROM sigs a JOIN sigs b
          |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
          |scored AS (
-         |  SELECT id_a, id_b, round(${cosSql("x.e", "y.e")}, 6) AS cos
+         |  SELECT id_a, id_b, floor((${cosSql("x.e", "y.e")}) * 1000000 + 0.5) / 1000000.0 AS cos
          |  FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b)
          |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35""".stripMargin
     }
