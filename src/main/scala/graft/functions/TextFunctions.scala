@@ -69,14 +69,17 @@ object TextFunctions {
 
   /** Composite quality score in [0,1] from a token-array ATTRIBUTE
     * (pass a staged column): 0.4·min(1, n/100) + 0.3·stopword-ratio +
-    * 0.3·min(1, avgTokenLen/8). */
+    * 0.3·min(1, avgTokenLen/8). A zero-token document scores 0.0 exactly
+    * (the unguarded ratios would be 0/0 = NaN, which engines round/collapse
+    * differently — the oracle SQL carries the same CASE guard). */
   def qualityScore(toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val avgLen = aggregate(transform(toks, t => length(t).cast("double")),
       lit(0.0), (a, x) => a + x) / nTok
     val stopRatio = markerCount(toks, EnglishStopwords).cast("double") / nTok
-    least(nTok / 100.0, lit(1.0)) * 0.4 + stopRatio * 0.3 +
-      least(avgLen / 8.0, lit(1.0)) * 0.3
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      least(nTok / 100.0, lit(1.0)) * 0.4 + stopRatio * 0.3 +
+        least(avgLen / 8.0, lit(1.0)) * 0.3)
   }
 
   /** Language prediction from a token-array ATTRIBUTE: the first language

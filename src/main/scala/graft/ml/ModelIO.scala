@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Legacy topic-model exchange formats, for cross-validating against the
@@ -43,14 +42,28 @@ object ModelIO {
   def corpusLine(pairs: Seq[(Int, Long)]): String =
     s"${pairs.length} " + pairs.map { case (i, c) => s"$i:$c" }.mkString(" ")
 
+  /** Dense sorted word ids (word → 0..V-1 in lexicographic order) as a
+    * DISTRIBUTED assignment: range-partitioned sort + zipWithIndex
+    * (per-partition counts, broadcast offsets) — same ids as a global
+    * `row_number() over (order by word)` window without funneling the
+    * vocabulary through one partition. */
+  def denseWordIds(words: DataFrame): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.select(col("word").cast("string")).distinct().as[String].rdd
+      .sortBy(identity)
+      .zipWithIndex()
+      .map { case (w, i) => (w, i.toInt) }
+      .toDF("word", "word_id")
+  }
+
   /** Distributed export of a (doc, word, count) corpus to model.dat lines
     * plus the word dictionary used — the reference built both on the
-    * driver (OniLDACWrapper.scala:40-68); here the dictionary is a window
-    * over distinct words and the lines are one group-concat aggregation.
+    * driver (OniLDACWrapper.scala:40-68); here the dictionary is the
+    * distributed [[denseWordIds]] and the lines one group-concat pass.
     * Returns (lines: (doc, line), dict: (word, word_id)). */
   def exportCorpus(wordCounts: DataFrame): (DataFrame, DataFrame) = {
-    val dict = wordCounts.select("word").distinct()
-      .withColumn("word_id", row_number().over(Window.orderBy("word")) - 1)
+    val dict = denseWordIds(wordCounts.select("word"))
     val lines = wordCounts.join(dict, "word")
       .groupBy("doc")
       .agg(sort_array(collect_list(struct(col("word_id"), col("count")))).as("pairs"))

@@ -3,7 +3,6 @@ package graft.ml
 import org.apache.spark.ml.clustering.LDA
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
@@ -40,12 +39,10 @@ object TopicModel {
       col("count").cast("double").as("cnt"))
       .cache()
 
-    // Dictionary = dense word ids. The word vocabulary of a discretized
-    // feature space is small (product of bin counts), so a global
-    // row_number window over *distinct words* is cheap; it replaces the
-    // reference's driver-side collect into a Map.
-    val dict = corpus.select("word").distinct()
-      .withColumn("word_id", row_number().over(Window.orderBy("word")) - 1)
+    // Dictionary = dense sorted word ids, assigned distributedly
+    // (range-sort + zipWithIndex — no single-partition window); replaces
+    // the reference's driver-side collect into a Map.
+    val dict = ModelIO.denseWordIds(corpus.select("word"))
       .cache()
     val vocabSize = dict.count().toInt
 

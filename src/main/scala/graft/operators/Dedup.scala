@@ -17,14 +17,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact duplicates: groups identical `text`, keeps the minimum id as the
-    * canonical representative. Returns (keep_id, dup_count) per duplicated
-    * group. At scale the groupBy key is a 64-bit content hash, not the full
-    * text, so shuffle rows stay narrow; collisions are impossible to
-    * observe at these cardinalities but the full-text variant is exact. */
+    * canonical representative. Returns (content_hash, keep_id, dup_count)
+    * per duplicated group. The group key is the 192-bit (xxhash64, md5)
+    * pair — shuffle rows stay narrow (no full-text key) and birthday
+    * collisions are unobservable at any corpus size, unlike a single
+    * 2^30-range polynomial hash (~50% collision odds by ~37k distinct
+    * docs). `content_hash` stays the polynomial hash for oracle parity. */
   def exactDuplicates(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.groupBy(polyHash(text).as("content_hash"))
-      .agg(min(id).as("keep_id"), count(lit(1)).as("dup_count"))
+    df.groupBy(xxhash64(text).as("__h64"), md5(text).as("__h128"))
+      .agg(min(polyHash(text)).as("content_hash"),
+        min(id).as("keep_id"), count(lit(1)).as("dup_count"))
       .where(col("dup_count") > 1)
+      .select("content_hash", "keep_id", "dup_count")
 
   /** Per-doc word n-gram shingle set (distinct shingle hashes).
     * NOTE: inside `shingles` the token array is referenced once per shingle
@@ -51,14 +55,16 @@ object Dedup {
     * docs (standard df-cut; near-dup pairs share rare shingles too). */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
                         threshold: Double, maxShingleFreq: Long = 1000): DataFrame = {
-    // Cache ONLY the narrow exploded (doc_id, shingle) rows: the wide
-    // shingle-array frame is never materialized twice (array caching costs
-    // more than it saves), and every downstream consumer — sizes, hot-set,
-    // both join sides — derives from this one cached pass.
+    // One materialization of the narrow exploded (doc_id, shingle) rows:
+    // the explicit repartition on shingle is a single exchange that every
+    // consumer — hot-set, both join sides, sizes — shares via
+    // ReuseExchange, so the (expensive) shingle hashing runs once and
+    // nothing is cached into executor storage (no leak for long-lived
+    // sessions; shuffle files are query-scoped). Downstream shingle
+    // joins/aggs need no further shuffle: the data is already clustered.
     val inv = shingledDocs(df, id, text, n)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .cache()
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .repartition(col("shingle"))
     // df-cut as a broadcast anti-join against the (tiny) hot-shingle set:
     // map-side-combined groupBy beats a window's full sort-shuffle, and the
     // anti join is broadcast — no extra wide shuffle of the inverted index.
@@ -66,6 +72,10 @@ object Dedup {
       .where(col("df") > maxShingleFreq)
       .select("shingle")
     val filtered = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // Sizes from the FILTERED index: numerator and denominator must see the
+    // same shingle set, or Jaccard is systematically underestimated for
+    // docs containing hot shingles when the cut is active.
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = filtered.as("a")
       .join(filtered.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -101,7 +111,12 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, id: Column, text: Column,
                       n: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val docs = minHashDocs(df, id, text, n, numHashes).cache()
+    // Repartition-on-id instead of cache: one exchange shared by the band
+    // explode and both signature re-attach joins (ReuseExchange), so the
+    // minhashing runs once with no storage-level leak, and the id joins
+    // below need no further shuffle of the signature side.
+    val docs = minHashDocs(df, id, text, n, numHashes)
+      .repartition(col("doc_id"))
     val banded = docs.select(col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),

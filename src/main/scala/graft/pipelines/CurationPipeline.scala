@@ -23,6 +23,7 @@ object CurationPipeline {
                           langs: Set[String] = Set("en"),
                           jaccardThreshold: Double = 0.8,
                           shingleN: Int = 5,
+                          maxShingleFreq: Long = 1000,
                           splits: Seq[(String, Int)] =
                             Seq("train" -> 80, "val" -> 10, "test" -> 10))
 
@@ -43,21 +44,28 @@ object CurationPipeline {
     val kept = annotated
       .where(col("quality") >= config.minQuality &&
         col("lang_pred").isin(config.langs.toSeq: _*))
-      .cache()
 
-    // exact dedup: survivors are the min doc_id per content hash
-    val exactKeep = kept
-      .groupBy(graft.functions.PolyHash.poly_hash(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val exact = kept.join(exactKeep, "doc_id")
+    // exact dedup: keep the min doc_id per identical text — ONE window
+    // keyed on the 192-bit (xxhash64, md5) content pair (narrow shuffle
+    // key, collision-unobservable; no groupBy + self-join round trip).
+    // `exact` is referenced twice below (pair generation and the anti
+    // join); the window's exchange is identical in both subtrees, so
+    // ReuseExchange runs the tokenize/score stage once — no cache needed.
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("text")), md5(col("text")))
+      .orderBy("doc_id")
+    val exact = kept.withColumn("__rn", row_number().over(wDup))
+      .where(col("__rn") === 1).drop("__rn")
 
     // near-dup removal: for every Jaccard pair above threshold, the higher
     // id drops (transitively safe: a surviving doc is one that is not the
-    // higher id of ANY pair — the standard greedy-by-id rule)
+    // higher id of ANY pair — the standard greedy-by-id rule). The df-cut
+    // stays ACTIVE (finite maxShingleFreq): one boilerplate shingle shared
+    // by a million docs must not generate 10^12 candidate pairs; the
+    // DuckDB oracle applies the identical cut.
     val dupPairs = Dedup.ngramJaccardPairs(exact, col("doc_id"), col("text"),
       n = config.shingleN, threshold = config.jaccardThreshold,
-      maxShingleFreq = Long.MaxValue)
+      maxShingleFreq = config.maxShingleFreq)
     val losers = dupPairs.select(col("id_b").as("doc_id")).distinct()
     val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
 

@@ -151,6 +151,10 @@ object PipelineQueries {
        | FROM (SELECT count(*) AS c, sum(count(*)) OVER () AS tot
        |       FROM (SELECT unnest(string_split($e, '')) AS ch) GROUP BY ch))""".stripMargin
 
+  // NOTE: these oracles assume the harness generator's ASCII-only synthetic
+  // text (the char-hash/entropy twins iterate code points identically only
+  // for ASCII) and mirror topDomainClass's full 2/1/0 ladder, including the
+  // reference's hard-coded "intel" safe class.
   val oracles: Map[String, String] = Map(
     "pipe_dns_words" ->
       s"""WITH base AS (
@@ -173,7 +177,9 @@ object PipelineQueries {
          |         THEN ${entropySqlOf("'api.cdn'")} ELSE 0.0 END AS sent
          |  FROM base)
          |SELECT doc_id,
-         |  (CASE WHEN domain IN ('src1', 'src3', 'src5') THEN 1 ELSE 0 END)::VARCHAR
+         |  (CASE WHEN domain = 'intel' THEN 2
+         |        WHEN domain IN ('src1', 'src3', 'src5') THEN 1
+         |        ELSE 0 END)::VARCHAR
          |  || '_' || ${binSql("n_chars::DOUBLE", LenCuts)}::VARCHAR
          |  || '_' || ${binSql("unix_tstamp::DOUBLE", TimeCuts)}::VARCHAR
          |  || '_' || ${binSql("sublen", SubLenCuts)}::VARCHAR

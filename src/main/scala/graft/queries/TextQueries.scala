@@ -54,10 +54,14 @@ object TextQueries {
       val avgLen = aggregate(transform(col("toks"), t => length(t).cast("double")),
         lit(0.0), (a, x) => a + x) / nTok
       val stopRatio = markerCount(col("toks"), EnglishStopwords).cast("double") / nTok
+      // zero-token guard on every ratio: 0/0 = NaN rounds differently per
+      // engine; the oracle carries the same CASE WHEN len(tk)=0 guard.
+      val guard0 = (c: org.apache.spark.sql.Column) =>
+        when(size(col("toks")) === 0, lit(0.0)).otherwise(c)
       staged.select(col("doc_id"),
         nTok.cast("long").as("n_tokens"),
-        (floor((avgLen) * 1000000 + 0.5) / 1000000.0).as("avg_token_len"),
-        (floor((stopRatio) * 1000000 + 0.5) / 1000000.0).as("stopword_ratio"),
+        guard0(floor((avgLen) * 1000000 + 0.5) / 1000000.0).as("avg_token_len"),
+        guard0(floor((stopRatio) * 1000000 + 0.5) / 1000000.0).as("stopword_ratio"),
         (floor((qualityScore(col("toks"))) * 1000000 + 0.5) / 1000000.0).as("quality"))}),
 
     // X3: language-ID heuristic — argmax marker-token count, deterministic
@@ -166,11 +170,14 @@ object TextQueries {
       s"""WITH $toksSql
          |SELECT doc_id,
          |  len(tk)::BIGINT AS n_tokens,
-         |  floor(($avgLenSql) * 1000000 + 0.5) / 1000000.0 AS avg_token_len,
-         |  floor(($stopRatioSql) * 1000000 + 0.5) / 1000000.0 AS stopword_ratio,
-         |  floor((least(len(tk)::DOUBLE / 100.0, 1.0) * 0.4
+         |  CASE WHEN len(tk) = 0 THEN 0.0::DOUBLE
+         |       ELSE floor(($avgLenSql) * 1000000 + 0.5) / 1000000.0 END AS avg_token_len,
+         |  CASE WHEN len(tk) = 0 THEN 0.0::DOUBLE
+         |       ELSE floor(($stopRatioSql) * 1000000 + 0.5) / 1000000.0 END AS stopword_ratio,
+         |  CASE WHEN len(tk) = 0 THEN 0.0::DOUBLE
+         |       ELSE floor((least(len(tk)::DOUBLE / 100.0, 1.0) * 0.4
          |        + $stopRatioSql * 0.3
-         |        + least($avgLenSql / 8.0, 1.0) * 0.3) * 1000000 + 0.5) / 1000000.0 AS quality
+         |        + least($avgLenSql / 8.0, 1.0) * 0.3) * 1000000 + 0.5) / 1000000.0 END AS quality
          |FROM toks""".stripMargin
     },
 
@@ -258,8 +265,9 @@ object TextQueries {
       val avgLenSql = "list_reduce(list_prepend(0.0::DOUBLE, " +
         "[len(x)::DOUBLE for x in tk]), (a, b) -> a + b) / len(tk)"
       val stopRatioSql = s"len(list_filter(tk, x -> list_contains($stopSql, x)))::DOUBLE / len(tk)"
-      val qualitySql = s"""floor((least(len(tk)::DOUBLE / 100.0, 1.0) * 0.4
-        + $stopRatioSql * 0.3 + least($avgLenSql / 8.0, 1.0) * 0.3) * 1000000 + 0.5) / 1000000.0"""
+      val qualitySql = s"""CASE WHEN len(tk) = 0 THEN 0.0::DOUBLE
+        ELSE floor((least(len(tk)::DOUBLE / 100.0, 1.0) * 0.4
+        + $stopRatioSql * 0.3 + least($avgLenSql / 8.0, 1.0) * 0.3) * 1000000 + 0.5) / 1000000.0 END"""
       val langSql = langOrder.map(l =>
         s"len(list_filter(tk, x -> list_contains(${markerIn(l)}, x)))")
         .zip(langOrder).map { case (c, l) => s"$c AS c_$l" }.mkString(", ")
@@ -285,16 +293,18 @@ object TextQueries {
            |exact AS (
            |  SELECT k.* FROM keptl k JOIN (
            |    SELECT min(doc_id) AS doc_id FROM keptl
-           |    GROUP BY ${hashSql("text")}) m USING (doc_id)),
+           |    GROUP BY text) m USING (doc_id)),
            |shing AS (
            |  SELECT DISTINCT doc_id,
            |    ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]")} AS sh
            |  FROM exact, LATERAL (SELECT unnest(generate_series(1, len(tk) - 4)) AS i)
            |  WHERE len(tk) >= 5),
-           |sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+           |hot AS (SELECT sh FROM shing GROUP BY sh HAVING count(*) > 1000),
+           |shingf AS (SELECT * FROM shing WHERE sh NOT IN (SELECT sh FROM hot)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM shingf GROUP BY 1),
            |pairs AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-           |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  FROM shingf a JOIN shingf b ON a.sh = b.sh AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2),
            |losers AS (
            |  SELECT DISTINCT id_b AS doc_id FROM pairs
