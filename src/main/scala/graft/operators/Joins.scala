@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Join operators Spark lacks as primitives, composed from built-ins
   * (preference (a) of the custom-operator ladder — Catalyst plans the
@@ -13,28 +14,63 @@ object Joins {
   /** As-of join: for each left row, the single right row with the GREATEST
     * `rightTs` <= `leftTs` among rows matching the equi-keys (inner
     * semantics — unmatched left rows drop, like DuckDB/kdb ASOF JOIN).
+    * When two right rows can share (keys, rightTs), pass `rightTiebreak`
+    * (greatest wins) — without it the winner among exact-timestamp ties is
+    * partitioning-dependent.
     *
-    * `leftId` must uniquely identify left rows (the dedup window keys on
-    * it). When two right rows can share (keys, rightTs), pass
-    * `rightTiebreak` (picked descending) — without it the winner among
-    * exact-timestamp ties is partitioning-dependent.
+    * Shape — merge, not join: both sides union into one stream tagged by
+    * side, each key partition is sorted once by (ts, side, tiebreak), and
+    * a running `last(right-payload, ignoreNulls)` carries the most recent
+    * right row forward onto every left row. Per-key cost is
+    * O((|L|+|R|) log) with ONE shuffle and no join at all — an equi-join
+    * with the time predicate would materialize every earlier right row per
+    * left row (O(|L|·|R|) on hot keys) before a window pruned to top-1.
     *
-    * Shape: one equi-join shuffle on the keys with the time predicate
-    * pushed into the join, then a per-left-row top-1 window — no cross
-    * product, AQE-skew-splittable.
+    * Output: key columns + all other left columns + the right payload
+    * columns (right minus keys minus `rightTs`), all unqualified; name
+    * collisions between the two sides are the caller's to rename away.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTs: String, rightTs: String, leftId: String,
+               leftTs: String, rightTs: String,
                rightTiebreak: Option[String] = None): DataFrame = {
-    val l = left.as("l")
-    val r = right.as("r")
-    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
-    val joined = l.join(r, keyCond && col(s"r.$rightTs") <= col(s"l.$leftTs"))
-    val ordering = col(s"r.$rightTs").desc +:
-      rightTiebreak.map(t => col(s"r.$t").desc).toSeq
-    val w = Window.partitionBy(col(s"l.$leftId")).orderBy(ordering: _*)
-    joined.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+    val leftPayload = left.columns.filterNot(keys.contains).toSeq
+    val rightPayload = right.columns
+      .filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    val tbType = rightTiebreak.map(t => right.schema(t).dataType).getOrElse(LongType)
+    // Payload struct carries the whole right row; a nominal field keeps the
+    // struct non-empty when the right side is keys+ts only.
+    val rpFields =
+      if (rightPayload.isEmpty) Seq(StructField("__present", LongType))
+      else rightPayload.map(right.schema(_))
+    val rpType = StructType(rpFields.toArray)
+    val rpStruct =
+      if (rightPayload.isEmpty) struct(lit(1L).as("__present"))
+      else struct(rightPayload.map(col): _*)
+
+    val rSide = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        rightTiebreak.map(col).getOrElse(lit(0L)).as("__tb"),
+        rpStruct.as("__rp")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lSide = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"),
+        lit(1).as("__side"),
+        lit(null).cast(tbType).as("__tb"),
+        lit(null).cast(rpType).as("__rp")) ++
+        leftPayload.map(col): _*)
+
+    // side 0 sorts before side 1 at equal ts (<= is inclusive); ascending
+    // tiebreak makes the max-tiebreak right row the one carried forward.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rSide.unionByName(lSide)
+      .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1 && col("__match").isNotNull)
+      .select(keys.map(col) ++ leftPayload.map(col) ++
+        rightPayload.map(c => col(s"__match.$c").as(c)): _*)
   }
 }

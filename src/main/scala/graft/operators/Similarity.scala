@@ -167,9 +167,40 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Cell-routed near-dup — the scale path for [[cosineNearDupPairs]]:
+    * every vector is assigned to its `nProbe` nearest IVF cells
+    * ([[ivfAssignN]], broadcast centroids) and the exact pair check runs
+    * WITHIN cells only — an equi self-join on centroid_id over narrow
+    * (vec_id, centroid_id) rows, never a cross product or nested loop.
+    * Vectors re-attach to the (much smaller) distinct candidate set for
+    * the exact cosine verify, exactly like the LSH path. nProbe > 1
+    * recovers near-boundary pairs at proportional cost. */
+  def cellRoutedNearDupPairs(df: DataFrame, centroids: DataFrame,
+                             threshold: Double, nProbe: Int = 1,
+                             id: String = "vec_id", vec: String = "embedding",
+                             kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {
+    val assign = ivfAssignN(df, centroids, nProbe, id, vec, kId, kVec)
+    val cand = assign.as("a")
+      .join(assign.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val v = df.select(col(id).cast("long").as("vid"), asDouble(col(vec)).as("v"))
+      .withColumn("n", norm(col("v")))
+    cand
+      .join(v.select(col("vid").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+      .join(v.select(col("vid").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+      .withColumn("cos",
+        floor((dot(col("va"), col("vb")) / (col("na") * col("nb"))) * 1000000 + 0.5) / 1000000.0)
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold.
-    * Exact; for 100 TB corpora route through [[ivfAssign]] cells first and
-    * run this within each cell. */
+    * Exact all-pairs BASELINE (O(n²) nested-loop join) — for any corpus
+    * that doesn't fit one node, use [[cellRoutedNearDupPairs]] (IVF cells)
+    * or [[lshNearDupPairs]] (hyperplane buckets) instead. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
                          id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val v = df.select(col(id).cast("long").as("vid"), asDouble(col(vec)).as("v"))

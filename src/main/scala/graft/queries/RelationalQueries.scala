@@ -209,9 +209,8 @@ object RelationalQueries {
       graft.operators.Joins.asOfJoin(
         ev.select(col("event_id"), col("user_id"), col("ts")),
         markers, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-        leftId = "event_id", rightTiebreak = Some("marker_id"))
-        .select(col("l.event_id").as("event_id"), col("l.user_id").as("user_id"),
-          col("marker_id"))}),
+        rightTiebreak = Some("marker_id"))
+        .select(col("event_id"), col("user_id"), col("marker_id"))}),
 
     // J8: range join (interval containment) — order dates against year
     // periods; the tiny interval side broadcasts, so the inequality join

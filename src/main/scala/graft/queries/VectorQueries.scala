@@ -38,6 +38,14 @@ object VectorQueries {
     "v4_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)),
 
+    // V4b: cell-routed near-dup — the 100 TB path for V4: same threshold,
+    // but candidates come from an equi self-join within IVF cells (first 8
+    // vecs as centroids) — no nested-loop join anywhere in the plan.
+    "v4b_cell_near_dup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cellRoutedNearDupPairs(emb, emb.where(col("vec_id") < 8),
+        threshold = 0.35, nProbe = 1)}),
+
     // V5: full IVF ANN search — corpus assigned to cells once, queries
     // probe their 2 nearest cells, rank only within probed cells.
     "v5_ivf_search" -> ((s, dir) => {
@@ -97,6 +105,24 @@ object VectorQueries {
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |         floor((${cosSql("a.e", "b.e")}) * 1000000 + 0.5) / 1000000.0 AS cos
          |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35""".stripMargin,
+
+    "v4b_cell_near_dup" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+         |cassign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT c.vec_id, k.centroid_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY floor((${cosSql("c.e", "k.ce")}) * 1000000 + 0.5) / 1000000.0 DESC, k.centroid_id) AS rn
+         |    FROM v c CROSS JOIN cents k) WHERE rn = 1),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM cassign a JOIN cassign b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b, floor((${cosSql("x.e", "y.e")}) * 1000000 + 0.5) / 1000000.0 AS cos
+         |  FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b)
          |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35""".stripMargin,
 
     "v5_ivf_search" ->

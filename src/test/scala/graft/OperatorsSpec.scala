@@ -149,6 +149,23 @@ class OperatorsSpec extends SparkSpec {
     got shouldBe Array(3L, 2L)
   }
 
+  "Similarity.cellRoutedNearDupPairs" should "find within-cell pairs with no nested-loop join" in {
+    import graft.operators.Similarity
+    val cents = vecs.where(col("vec_id") < 2) // cells: [1,0,0] and [0,1,0]
+    val got = Similarity.cellRoutedNearDupPairs(vecs, cents, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // cell 0 holds vecs 0, 2, 3; cell 1 holds 1 alone (ties break by id).
+    // within cell 0: cos(0,2)=.707, cos(0,3)=1, cos(2,3)=.707 — all >= 0.5
+    got shouldBe Set((0L, 2L), (0L, 3L), (2L, 3L))
+    // plan audit: pair generation must be an EQUI join on centroid_id (the
+    // only nested-loop anywhere is vectors x broadcast(centroids) inside
+    // the assignment — a bounded build side, same shape as ivfAssign).
+    val plan = Similarity.cellRoutedNearDupPairs(vecs, cents, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should include regex "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[centroid_id"
+  }
+
   "Joins.asOfJoin" should "match each left row to the latest right row at or before it" in {
     import graft.operators.Joins
     import java.sql.Timestamp
@@ -157,7 +174,7 @@ class OperatorsSpec extends SparkSpec {
       .toDF("sym", "qts", "px")
     val trades = Seq((1L, "A", t(4)), (2L, "A", t(10)), (3L, "A", t(30)),
       (4L, "B", t(2)), (5L, "B", t(6))).toDF("tid", "sym", "tts")
-    val got = Joins.asOfJoin(trades, quotes, Seq("sym"), "tts", "qts", "tid")
+    val got = Joins.asOfJoin(trades, quotes, Seq("sym"), "tts", "qts")
       .select(col("tid"), col("px")).as[(Long, Double)].collect().toMap
     got shouldBe Map(1L -> 100.0, 2L -> 105.0, 3L -> 105.0, 5L -> 50.0)
     // trade 4 (B @ 10:02) precedes every B quote → dropped (inner asof)
@@ -167,7 +184,7 @@ class OperatorsSpec extends SparkSpec {
     val tied = Seq(("A", t(0), 1L, 100.0), ("A", t(0), 2L, 200.0))
       .toDF("sym", "qts", "qid", "px")
     val one = Seq((9L, "A", t(5))).toDF("tid", "sym", "tts")
-    val res = Joins.asOfJoin(one, tied, Seq("sym"), "tts", "qts", "tid",
+    val res = Joins.asOfJoin(one, tied, Seq("sym"), "tts", "qts",
       rightTiebreak = Some("qid"))
       .select(col("px")).as[Double].collect()
     res shouldBe Array(200.0) // highest qid wins
