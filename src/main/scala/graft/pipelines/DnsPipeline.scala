@@ -68,13 +68,25 @@ object DnsPipeline {
         Binning.binCol(col("num_periods"), cuts.numPeriods.toSeq),
         col("dns_qry_type"), col("dns_qry_rcode")))
 
+  /** Train, optionally folding in analyst feedback (flow columns + a
+    * `weight` column from [[graft.sources.Feedback]]): weights multiply
+    * corpus counts instead of physically duplicating rows
+    * (reference: DNSPreLDA.scala:70-86 flatMap ×N). */
   def train(dns: DataFrame, popularDomains: Set[String] = Set.empty,
             topicCount: Int = 20, alpha: Double = 2.5,
-            seed: Long = 42L, maxIter: Int = 20): Model = {
-    val withSub = withSubdomains(validRows(dns))
+            seed: Long = 42L, maxIter: Int = 20,
+            feedback: Option[DataFrame] = None): Model = {
+    val base = validRows(dns).withColumn("__w", lit(1L))
+    val combined = feedback match {
+      case Some(fb) => base.unionByName(
+        validRows(fb).withColumn("__w", col("weight")).drop("weight"),
+        allowMissingColumns = true)
+      case None => base
+    }
+    val withSub = withSubdomains(combined)
     val cuts = computeCuts(withSub)
     val feats = featurize(withSub, cuts, popularDomains)
-    val wc = Corpus.wordCounts(feats, col("ip_dst"), col("word"))
+    val wc = Corpus.wordCounts(feats, col("ip_dst"), col("word"), col("__w"))
     Model(cuts, popularDomains, TopicModel.train(wc, topicCount, alpha, seed, maxIter), topicCount)
   }
 
@@ -83,10 +95,19 @@ object DnsPipeline {
     Scoring.score(feats, col("ip_dst"), col("word"), model.topics)
   }
 
+  /** Reference-shaped results (DNSPostLDA.scala:48-70): the worded row —
+    * input columns + derived subdomain features + word — plus `score`,
+    * ascending, top-K. */
+  def results(dns: DataFrame, model: Model,
+              threshold: Double, topK: Int): DataFrame =
+    Scoring.suspicious(score(dns, model), threshold, topK)
+
   def run(dns: DataFrame, threshold: Double = 1.0, topK: Int = -1,
           popularDomains: Set[String] = Set.empty,
-          topicCount: Int = 20, seed: Long = 42L): DataFrame = {
-    val model = train(dns, popularDomains, topicCount, seed = seed)
+          topicCount: Int = 20, seed: Long = 42L,
+          feedback: Option[DataFrame] = None): DataFrame = {
+    val model = train(dns, popularDomains, topicCount, seed = seed,
+      feedback = feedback)
     Scoring.suspicious(score(dns, model), threshold, topK)
   }
 }

@@ -64,30 +64,61 @@ object FlowPipeline {
     Corpus.dualPerspective(featurized,
       col("sip"), col("src_word"), col("dip"), col("dst_word"), weight)
 
+  /** Train, optionally folding in analyst feedback (a frame holding the
+    * flow columns plus a `weight` column from [[graft.sources.Feedback]]):
+    * feedback rows enter the corpus with their ×N weight instead of being
+    * physically duplicated (reference: FlowPreLDA.scala:83-98 flatMap ×N —
+    * same corpus counts, none of the shuffle volume). Feedback influences
+    * the quantile cuts once per row, not ×N. */
   def train(flows: DataFrame, topicCount: Int = 20, alpha: Double = 2.5,
-            seed: Long = 42L, maxIter: Int = 20): Model = {
-    val valid = validTimes(flows)
-    val cuts = computeCuts(valid)
-    val feats = featurize(valid, cuts)
-    val topics = TopicModel.train(corpus(feats), topicCount, alpha, seed, maxIter)
+            seed: Long = 42L, maxIter: Int = 20,
+            feedback: Option[DataFrame] = None): Model = {
+    val base = validTimes(flows).withColumn("__w", lit(1L))
+    val combined = feedback match {
+      case Some(fb) => base.unionByName(
+        validTimes(fb).withColumn("__w", col("weight")).drop("weight"),
+        allowMissingColumns = true)
+      case None => base
+    }
+    val cuts = computeCuts(combined)
+    val feats = featurize(combined, cuts)
+    val topics = TopicModel.train(corpus(feats, col("__w")),
+      topicCount, alpha, seed, maxIter)
     Model(cuts, topics, topicCount)
   }
 
-  /** Score = min(P(src_word | sip doc), P(dst_word | dip doc))
-    * (reference: FlowPostLDA.scala:74-75,115-126). */
-  def score(flows: DataFrame, model: Model): DataFrame = {
+  /** Both endpoint scores + their min (reference: FlowPostLDA.scala:74-80
+    * keeps src/dst scores in the output row). */
+  def scoreFull(flows: DataFrame, model: Model): DataFrame = {
     val feats = featurize(validTimes(flows), model.cuts)
     val srcScored = Scoring.score(feats, col("sip"), col("src_word"), model.topics)
       .withColumnRenamed("score", "src_score")
     val bothScored = Scoring.score(srcScored, col("dip"), col("dst_word"), model.topics)
       .withColumnRenamed("score", "dst_score")
     bothScored.withColumn("score", least(col("src_score"), col("dst_score")))
-      .drop("src_score", "dst_score")
+  }
+
+  /** Score = min(P(src_word | sip doc), P(dst_word | dip doc))
+    * (reference: FlowPostLDA.scala:74-75,115-126). */
+  def score(flows: DataFrame, model: Model): DataFrame =
+    scoreFull(flows, model).drop("src_score", "dst_score")
+
+  /** Reference-shaped results (FlowPostLDA.scala:79-80): the ORIGINAL
+    * input columns + src_score + dst_score, filtered to min-score <=
+    * threshold, ascending by min score, top-K, with the min itself dropped
+    * from the written row (`dropRight(1)` in the reference). */
+  def results(flows: DataFrame, model: Model,
+              threshold: Double, topK: Int): DataFrame = {
+    val scored = scoreFull(flows, model)
+    val limited = Scoring.suspicious(scored, threshold, topK)
+    limited.select(flows.columns.map(col) :+ col("src_score") :+ col("dst_score"): _*)
   }
 
   def run(flows: DataFrame, threshold: Double = 1.0, topK: Int = -1,
-          topicCount: Int = 20, seed: Long = 42L): DataFrame = {
-    val model = train(flows, topicCount = topicCount, seed = seed)
+          topicCount: Int = 20, seed: Long = 42L,
+          feedback: Option[DataFrame] = None): DataFrame = {
+    val model = train(flows, topicCount = topicCount, seed = seed,
+      feedback = feedback)
     Scoring.suspicious(score(flows, model), threshold, topK)
   }
 }

@@ -62,13 +62,25 @@ object ProxyPipeline {
         Binning.binCol(col("agent_count").cast("double"), cuts.agent.toSeq),
         substring(col("respcode"), 1, 1)))
 
+  /** Train, optionally folding in analyst feedback (proxy columns + a
+    * `weight` column from [[graft.sources.Feedback]]): weights multiply
+    * corpus counts instead of physically duplicating rows
+    * (reference: ProxyFeedback.scala:53-68 flatMap ×N). */
   def train(proxy: DataFrame, popularDomains: Set[String] = Set.empty,
             topicCount: Int = 20, alpha: Double = 2.5,
-            seed: Long = 42L, maxIter: Int = 20): Model = {
-    val feats0 = withFeatures(validRows(proxy))
+            seed: Long = 42L, maxIter: Int = 20,
+            feedback: Option[DataFrame] = None): Model = {
+    val base = validRows(proxy).withColumn("__w", lit(1L))
+    val combined = feedback match {
+      case Some(fb) => base.unionByName(
+        validRows(fb).withColumn("__w", col("weight")).drop("weight"),
+        allowMissingColumns = true)
+      case None => base
+    }
+    val feats0 = withFeatures(combined)
     val cuts = computeCuts(feats0)
     val feats = featurize(feats0, cuts, popularDomains)
-    val wc = Corpus.wordCounts(feats, col("clientip"), col("word"))
+    val wc = Corpus.wordCounts(feats, col("clientip"), col("word"), col("__w"))
     Model(cuts, popularDomains, TopicModel.train(wc, topicCount, alpha, seed, maxIter), topicCount)
   }
 
@@ -77,10 +89,19 @@ object ProxyPipeline {
     Scoring.score(feats, col("clientip"), col("word"), model.topics)
   }
 
+  /** Reference-shaped results (ProxySuspiciousConnectsAnalysis.scala:45-52):
+    * the ORIGINAL input columns + word + score, ascending, top-K. */
+  def results(proxy: DataFrame, model: Model,
+              threshold: Double, topK: Int): DataFrame =
+    Scoring.suspicious(score(proxy, model), threshold, topK)
+      .select(proxy.columns.map(col) :+ col("word") :+ col("score"): _*)
+
   def run(proxy: DataFrame, threshold: Double = 1.0, topK: Int = -1,
           popularDomains: Set[String] = Set.empty,
-          topicCount: Int = 20, seed: Long = 42L): DataFrame = {
-    val model = train(proxy, popularDomains, topicCount, seed = seed)
+          topicCount: Int = 20, seed: Long = 42L,
+          feedback: Option[DataFrame] = None): DataFrame = {
+    val model = train(proxy, popularDomains, topicCount, seed = seed,
+      feedback = feedback)
     Scoring.suspicious(score(proxy, model), threshold, topK)
   }
 }

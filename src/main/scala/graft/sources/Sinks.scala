@@ -8,9 +8,10 @@ import org.apache.spark.sql.DataFrame
   * requested (top-k results are small by construction). */
 object Sinks {
 
-  def writeTsv(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+  def writeTsv(df: DataFrame, path: String, singleFile: Boolean = true,
+               sep: String = "\t"): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
-    out.write.mode("overwrite").option("sep", "\t").option("header", "false").csv(path)
+    out.write.mode("overwrite").option("sep", sep).option("header", "false").csv(path)
   }
 
   def writeParquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
