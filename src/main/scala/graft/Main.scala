@@ -33,6 +33,7 @@ object Main {
                           maxResults: Int = -1,
                           topicCount: Int = 20,
                           topDomains: Option[String] = None,
+                          model: Option[String] = None,
                           delimiter: String = "\t",
                           seed: Long = 42L)
 
@@ -45,6 +46,7 @@ object Main {
       |  [--maxresults <k>]     top-k most suspicious rows (-1 = all below threshold)
       |  [--topiccount <k>]     LDA topics (default 20)
       |  [--topdomains <csv>]   rank,domain popularity list (reference top-1m.csv)
+      |  [--model <dir>]        model store: load if present, else train + save here
       |  [--delimiter <c>]      output field separator (default tab)
       |  [--seed <n>]           LDA seed (default 42)""".stripMargin
 
@@ -62,6 +64,7 @@ object Main {
       case ("--maxresults" | "-k") :: v :: t => loop(t, c.copy(maxResults = v.toInt))
       case ("--topiccount" | "-u") :: v :: t => loop(t, c.copy(topicCount = v.toInt))
       case "--topdomains" :: v :: t => loop(t, c.copy(topDomains = Some(v)))
+      case ("--model" | "-m") :: v :: t => loop(t, c.copy(model = Some(v)))
       case ("--delimiter" | "-b") :: v :: t => loop(t, c.copy(delimiter = v))
       case "--seed" :: v :: t => loop(t, c.copy(seed = v.toLong))
       case other :: _ => Left(s"unrecognized or valueless argument: $other")
@@ -110,18 +113,32 @@ object Main {
       duplicationFactor = c.dupFactor))
     val popular = c.topDomains
       .map(p => Lookups.topDomains(spark, p)).getOrElse(Set.empty[String])
+    // --model: score with a stored model when one exists at the path,
+    // otherwise train and persist there (train-once-score-later).
+    def stored[M](load: String => M, train: () => M, save: (M, String) => Unit): M =
+      c.model match {
+        case Some(p) =>
+          try load(p)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            val m = train(); save(m, p); m
+          }
+        case None => train()
+      }
     c.analysis match {
       case "flow" =>
-        val model = FlowPipeline.train(input, topicCount = c.topicCount,
-          seed = c.seed, feedback = fb)
+        val model = stored(FlowPipeline.load(spark, _),
+          () => FlowPipeline.train(input, topicCount = c.topicCount,
+            seed = c.seed, feedback = fb), FlowPipeline.save)
         FlowPipeline.results(input, model, c.threshold, c.maxResults)
       case "dns" =>
-        val model = DnsPipeline.train(input, popular, topicCount = c.topicCount,
-          seed = c.seed, feedback = fb)
+        val model = stored(DnsPipeline.load(spark, _),
+          () => DnsPipeline.train(input, popular, topicCount = c.topicCount,
+            seed = c.seed, feedback = fb), DnsPipeline.save)
         DnsPipeline.results(input, model, c.threshold, c.maxResults)
       case "proxy" =>
-        val model = ProxyPipeline.train(input, popular, topicCount = c.topicCount,
-          seed = c.seed, feedback = fb)
+        val model = stored(ProxyPipeline.load(spark, _),
+          () => ProxyPipeline.train(input, popular, topicCount = c.topicCount,
+            seed = c.seed, feedback = fb), ProxyPipeline.save)
         ProxyPipeline.results(input, model, c.threshold, c.maxResults)
     }
   }

@@ -75,6 +75,47 @@ object ModelIO {
     (lines, dict)
   }
 
+  /** The reference's out-of-vocabulary sentinel word: its beta files carry
+    * one extra trailing column mapped to this token
+    * (OniLDACWrapper.scala:175-180 adds it at index vocabSize). */
+  val SentinelWord = "0_0_0_0_0"
+
+  /** log-prob rendered finitely: exp(-745) underflows to ~5e-324 ≈ 0, so a
+    * zero-probability cell round-trips to 0 without emitting "-Infinity"
+    * (which the reference's text parsers never produced). */
+  private def logText(p: Double): String =
+    if (p <= 0.0) "-745.0" else math.log(p).toString
+
+  /** WRITE the reference's `final.beta`: one line per topic, columns =
+    * log P(word|topic) in lexicographic word order, plus the trailing
+    * sentinel column (near-zero probability). Returns (lines, wordIndex);
+    * `importLegacyModel(_, _, lines, wordIndex)` reproduces the model —
+    * the per-line exp-normalize is a fixpoint because each topic's
+    * probabilities already sum to 1. Driver-side by design: the matrix is
+    * k × vocabulary, bounded for discretized vocabularies, and the target
+    * is a local text artifact for the reference's tooling. */
+  def exportBetaLines(model: TopicModel.Model,
+                      includeSentinel: Boolean = true): (Seq[String], Map[String, Int]) = {
+    val rows = model.wordTopicProb.select("word", "topic_prob").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val wordIndex = rows.map(_._1).zipWithIndex.toMap
+    val lines = (0 until model.topicCount).map { t =>
+      val vals = rows.map { case (_, p) => logText(p(t)) }
+      (if (includeSentinel) vals :+ logText(0.0) else vals).mkString(" ")
+    }
+    (lines.toSeq, wordIndex)
+  }
+
+  /** WRITE the reference's `final.gamma` as a distributed (doc, line)
+    * frame: one line per document of space-separated topic weights
+    * (OniLDACWrapper.scala:88-99 — line order defines the doc index, so
+    * callers materialize with an explicit doc ordering). The mixes are
+    * already normalized; `parseGammaLine`'s re-normalize is a fixpoint. */
+  def exportGammaLines(model: TopicModel.Model): DataFrame =
+    model.docTopicMix.select(col("doc"),
+      concat_ws(" ", transform(col("topic_mix"), x => x.cast("string"))).as("line"))
+
   /** Import a reference-format model from parsed lines: gamma lines in
     * `docs` order, beta lines per topic. Returns a [[TopicModel.Model]]
     * backed by DataFrames, ready for [[graft.operators.Scoring]]. */

@@ -3,7 +3,7 @@ package graft.ml
 import graft.operators.{Corpus, Scoring}
 import org.apache.spark.ml.{Estimator, Model => MlModel}
 import org.apache.spark.ml.param.{DoubleParam, IntParam, Param, ParamMap}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
@@ -51,7 +51,7 @@ class SuspiciousConnectsEstimator(override val uid: String)
 
 class SuspiciousConnectsModel(override val uid: String,
                               val topics: TopicModel.Model)
-    extends MlModel[SuspiciousConnectsModel] {
+    extends MlModel[SuspiciousConnectsModel] with MLWritable {
 
   final val docCol = new Param[String](this, "docCol", "document id column")
   final val wordCol = new Param[String](this, "wordCol", "word column")
@@ -65,4 +65,37 @@ class SuspiciousConnectsModel(override val uid: String,
 
   override def transformSchema(schema: StructType): StructType =
     StructType(schema.fields :+ StructField("score", DoubleType))
+
+  /** Train-once-score-later across sessions: params as JSON metadata, the
+    * topic model via [[TopicModel.save]] (parquet — exact doubles, so a
+    * loaded model transforms bit-identically). */
+  override def write: MLWriter = new MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      import spark.implicits._
+      val mode = if (shouldOverwrite) "overwrite" else "errorifexists"
+      Seq((uid, $(docCol), $(wordCol)))
+        .toDF("uid", "doc_col", "word_col")
+        .write.mode(mode).json(s"$path/metadata")
+      TopicModel.save(topics, s"$path/topics")
+    }
+  }
+}
+
+object SuspiciousConnectsModel extends MLReadable[SuspiciousConnectsModel] {
+
+  override def read: MLReader[SuspiciousConnectsModel] =
+    new MLReader[SuspiciousConnectsModel] {
+      override def load(path: String): SuspiciousConnectsModel = {
+        val spark = sparkSession
+        val meta = spark.read.json(s"$path/metadata").head()
+        val m = new SuspiciousConnectsModel(meta.getAs[String]("uid"),
+          TopicModel.load(spark, s"$path/topics"))
+        m.set(m.docCol, meta.getAs[String]("doc_col"))
+        m.set(m.wordCol, meta.getAs[String]("word_col"))
+        m
+      }
+    }
+
+  override def load(path: String): SuspiciousConnectsModel = super.load(path)
 }

@@ -27,9 +27,17 @@ object TopicModel {
   /** Train from a (doc, word, count) corpus. `optimizer`: "online"
     * (variational minibatch, default) or "em" (expectation-maximization,
     * closer to the reference's variational EM C binary). */
+  /** Largest vocabulary the wordProb build may materialize on the driver:
+    * vocabSize × k doubles (2^20 × 20 ≈ 168 MB). Discretized-feature
+    * vocabularies are orders of magnitude below this; an open TEXT
+    * vocabulary is not, and must fail loudly instead of OOMing the
+    * driver mid-train. */
+  val MaxDriverVocab: Int = 1 << 20
+
   def train(wordCounts: DataFrame, topicCount: Int = 20, alpha: Double = 2.5,
             seed: Long = 42L, maxIter: Int = 20,
-            optimizer: String = "online"): Model = {
+            optimizer: String = "online",
+            maxDriverVocab: Int = MaxDriverVocab): Model = {
     val spark = wordCounts.sparkSession
     import spark.implicits._
 
@@ -45,6 +53,12 @@ object TopicModel {
     val dict = ModelIO.denseWordIds(corpus.select("word"))
       .cache()
     val vocabSize = dict.count().toInt
+    require(vocabSize <= maxDriverVocab,
+      s"vocabulary has $vocabSize distinct words, above the $maxDriverVocab " +
+        "driver cap for the topicsMatrix materialization. This model is " +
+        "designed for DISCRETIZED feature vocabularies (bounded by the " +
+        "product of bin counts); for open text vocabularies, hash or " +
+        "frequency-cap the words first, or raise maxDriverVocab knowingly.")
 
     val docVectors = corpus.join(dict, "word")
       .groupBy("doc")
@@ -100,5 +114,27 @@ object TopicModel {
     dict.unpersist()
     corpus.unpersist()
     Model(docMix, wordProb, topicCount)
+  }
+
+  /** Persist a trained model: both frames as parquet + a tiny JSON meta.
+    * The reference persisted implicitly via final.beta/final.gamma text
+    * files (OniLDACWrapper.scala:88-104); parquet keeps the exact doubles
+    * (no decimal text round-trip) and scales with the doc count. */
+  def save(model: Model, path: String): Unit = {
+    val spark = model.docTopicMix.sparkSession
+    import spark.implicits._
+    model.docTopicMix.write.mode("overwrite").parquet(s"$path/doc_topic_mix")
+    model.wordTopicProb.write.mode("overwrite").parquet(s"$path/word_topic_prob")
+    Seq(model.topicCount).toDF("topic_count")
+      .write.mode("overwrite").json(s"$path/meta")
+  }
+
+  /** Load a model persisted by [[save]]; scores are bit-identical to the
+    * pre-save model (parquet preserves doubles exactly). */
+  def load(spark: SparkSession, path: String): Model = {
+    val k = spark.read.json(s"$path/meta")
+      .select("topic_count").head().getLong(0).toInt
+    Model(spark.read.parquet(s"$path/doc_topic_mix"),
+      spark.read.parquet(s"$path/word_topic_prob"), k)
   }
 }

@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.functions.{Binning, Domains, Entropy}
 import graft.ml.TopicModel
 import graft.operators.{Corpus, Quantiles, Scoring}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** DNS suspicious-connects pipeline.
@@ -22,6 +22,31 @@ object DnsPipeline {
                         numPeriods: Array[Double])
   final case class Model(cuts: Cuts, popularDomains: Set[String],
                          topics: TopicModel.Model, topicCount: Int)
+
+  /** Persist a trained model: topics via [[TopicModel.save]], cuts +
+    * popular-domain set as parquet (cuts can hold +Infinity — not JSON-
+    * representable). */
+  def save(model: Model, path: String): Unit = {
+    TopicModel.save(model.topics, s"$path/topics")
+    val spark = model.topics.docTopicMix.sparkSession
+    import spark.implicits._
+    Seq((model.cuts.time.toSeq, model.cuts.frameLen.toSeq,
+      model.cuts.subLen.toSeq, model.cuts.entropy.toSeq,
+      model.cuts.numPeriods.toSeq, model.popularDomains.toSeq.sorted,
+      model.topicCount))
+      .toDF("time_cuts", "frame_len_cuts", "sub_len_cuts", "entropy_cuts",
+        "num_periods_cuts", "popular_domains", "topic_count")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(spark: SparkSession, path: String): Model = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    def arr(n: String) = m.getAs[Seq[Double]](n).toArray
+    Model(Cuts(arr("time_cuts"), arr("frame_len_cuts"), arr("sub_len_cuts"),
+      arr("entropy_cuts"), arr("num_periods_cuts")),
+      m.getAs[Seq[String]]("popular_domains").toSet,
+      TopicModel.load(spark, s"$path/topics"), m.getAs[Int]("topic_count"))
+  }
 
   def validRows(dns: DataFrame): DataFrame =
     dns.where(col("frame_time").isNotNull && col("unix_tstamp").isNotNull)

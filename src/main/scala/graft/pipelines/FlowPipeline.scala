@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.functions.{Binning, FlowWords, TimeFunctions}
 import graft.ml.TopicModel
 import graft.operators.{Corpus, Quantiles, Scoring}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Netflow suspicious-connects pipeline.
@@ -19,6 +19,26 @@ object FlowPipeline {
 
   final case class Cuts(time: Array[Double], ibyt: Array[Double], ipkt: Array[Double])
   final case class Model(cuts: Cuts, topics: TopicModel.Model, topicCount: Int)
+
+  /** Persist a trained model (train-once-score-later): topics via
+    * [[TopicModel.save]], cuts as parquet (cuts can hold +Infinity, which
+    * JSON cannot carry — parquet keeps the exact doubles). */
+  def save(model: Model, path: String): Unit = {
+    TopicModel.save(model.topics, s"$path/topics")
+    val spark = model.topics.docTopicMix.sparkSession
+    import spark.implicits._
+    Seq((model.cuts.time.toSeq, model.cuts.ibyt.toSeq, model.cuts.ipkt.toSeq,
+      model.topicCount))
+      .toDF("time_cuts", "ibyt_cuts", "ipkt_cuts", "topic_count")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(spark: SparkSession, path: String): Model = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    def arr(n: String) = m.getAs[Seq[Double]](n).toArray
+    Model(Cuts(arr("time_cuts"), arr("ibyt_cuts"), arr("ipkt_cuts")),
+      TopicModel.load(spark, s"$path/topics"), m.getAs[Int]("topic_count"))
+  }
 
   /** Sanity filter: hour/minute/second in valid ranges
     * (reference: FlowPreLDA.scala:107-109). */

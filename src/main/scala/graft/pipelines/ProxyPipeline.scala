@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.functions.{Binning, Domains, Entropy, TimeFunctions}
 import graft.ml.TopicModel
 import graft.operators.{Corpus, Quantiles, Scoring}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Proxy suspicious-connects pipeline.
@@ -21,6 +21,29 @@ object ProxyPipeline {
   final case class Cuts(time: Array[Double], entropy: Array[Double], agent: Array[Double])
   final case class Model(cuts: Cuts, popularDomains: Set[String],
                          topics: TopicModel.Model, topicCount: Int)
+
+  /** Persist a trained model: topics via [[TopicModel.save]], cuts +
+    * popular-domain set as parquet (cuts can hold +Infinity — not JSON-
+    * representable). */
+  def save(model: Model, path: String): Unit = {
+    TopicModel.save(model.topics, s"$path/topics")
+    val spark = model.topics.docTopicMix.sparkSession
+    import spark.implicits._
+    Seq((model.cuts.time.toSeq, model.cuts.entropy.toSeq,
+      model.cuts.agent.toSeq, model.popularDomains.toSeq.sorted,
+      model.topicCount))
+      .toDF("time_cuts", "entropy_cuts", "agent_cuts", "popular_domains",
+        "topic_count")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(spark: SparkSession, path: String): Model = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    def arr(n: String) = m.getAs[Seq[Double]](n).toArray
+    Model(Cuts(arr("time_cuts"), arr("entropy_cuts"), arr("agent_cuts")),
+      m.getAs[Seq[String]]("popular_domains").toSet,
+      TopicModel.load(spark, s"$path/topics"), m.getAs[Int]("topic_count"))
+  }
 
   def validRows(proxy: DataFrame): DataFrame =
     proxy.where(col("p_date").isNotNull && col("p_time").isNotNull &&

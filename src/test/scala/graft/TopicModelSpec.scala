@@ -21,7 +21,14 @@ class TopicModelSpec extends SparkSpec {
     rows.toDF("doc", "word", "count")
   }
 
-  "TopicModel.train" should "produce normalized doc mixes for every doc" in {
+  "TopicModel.train" should "fail loudly when the vocabulary exceeds the driver cap" in {
+    val e = intercept[IllegalArgumentException] {
+      TopicModel.train(corpus, topicCount = 3, maxIter = 5, maxDriverVocab = 4)
+    }
+    e.getMessage should include("distinct words")
+  }
+
+  it should "produce normalized doc mixes for every doc" in {
     val m = TopicModel.train(corpus, topicCount = 3, maxIter = 5)
     val mixes = m.docTopicMix.as[(String, Seq[Double])].collect()
     mixes.length shouldBe 12
