@@ -17,7 +17,7 @@ object Bench {
     "w1_window_cumsum", "g1_rollup", "f3_bin", "f4_entropy", "f8_flow_words",
     "x2_quality", "x3_langid", "d1_exact_dedup", "d2_ngram_jaccard",
     "d3_minhash_lsh", "d4_simhash", "v1_norm", "v2_cosine_topk",
-    "v3_ivf_assign", "c1_curation", "j7_asof_join")
+    "v3_ivf_assign", "v4b_cell_near_dup", "c1_curation", "j7_asof_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,15 +36,18 @@ object Bench {
       .as("k")).count().write.format("noop").mode("overwrite").save()
 
     val timed = collection.mutable.LinkedHashMap[String, Double]()
-    def time(name: String)(body: => Unit): Unit = {
+    def timeOnce(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try {
-        body
-        timed(name) = (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        timed(name) = -1.0 // explicit failure marker, not a fast success
+      try { body; (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] failed: ${e.getMessage}")
+        -1.0 // explicit failure marker, not a fast success
       }
+    }
+    def time(name: String, reps: Int = 1)(body: => Unit): Unit = {
+      val ts = Seq.fill(reps)(timeOnce(body))
+      timed(name) =
+        if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(reps / 2)
     }
 
     headline.foreach { name =>
@@ -54,12 +57,14 @@ object Bench {
     }
     // Full suspicious-connects pipeline (featurize → LDA → score → top-k),
     // with exact reference-semantics cuts and with the sketch-based cuts
-    // (the high-cardinality scale path).
-    time("pipeline_events") {
+    // (the high-cardinality scale path). MLlib's online LDA timing is noisy
+    // (±50% observed run-to-run), so the LDA-bearing entries report the
+    // MEDIAN of 3 runs for round-over-round comparability.
+    time("pipeline_events", reps = 3) {
       run(EventsPipeline.run(Tables.load(spark, sfDir, "events"),
         threshold = 1.0, topK = 100, topicCount = 10))
     }
-    time("pipeline_events_approx") {
+    time("pipeline_events_approx", reps = 3) {
       run(EventsPipeline.run(Tables.load(spark, sfDir, "events"),
         threshold = 1.0, topK = 100, topicCount = 10, exactCuts = false))
     }

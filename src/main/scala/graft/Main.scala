@@ -111,7 +111,11 @@ object Main {
     val fb = c.feedback.map(p => Feedback.load(spark, p,
       feedbackSchema(c.analysis), sevCol = "sev", sev = 3,
       duplicationFactor = c.dupFactor))
+    // --topdomains, else the reference's default: a top-1m.csv in the
+    // working directory when one exists (DNSWordCreation.scala:41 reads it
+    // unconditionally; here its absence just means an empty popular set).
     val popular = c.topDomains
+      .orElse(Some("top-1m.csv").filter(p => new java.io.File(p).exists))
       .map(p => Lookups.topDomains(spark, p)).getOrElse(Set.empty[String])
     // --model: score with a stored model when one exists at the path,
     // otherwise train and persist there (train-once-score-later).

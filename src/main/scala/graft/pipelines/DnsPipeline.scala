@@ -79,19 +79,40 @@ object DnsPipeline {
       entropy = cuts("entropy"), numPeriods = cuts("periods"))
   }
 
+  /** The non-domain word components, shared by both classing variants. */
+  private def wordFrom(topDomain: org.apache.spark.sql.Column, cuts: Cuts) =
+    concat_ws("_",
+      topDomain,
+      Binning.binCol(col("frame_len").cast("double"), cuts.frameLen.toSeq),
+      Binning.binCol(col("unix_tstamp").cast("double"), cuts.time.toSeq),
+      Binning.binCol(col("subdomain_length"), cuts.subLen.toSeq),
+      Binning.binCol(col("subdomain_entropy"), cuts.entropy.toSeq),
+      Binning.binCol(col("num_periods"), cuts.numPeriods.toSeq),
+      col("dns_qry_type"), col("dns_qry_rcode"))
+
   /** 8-component word (reference: DNSWordCreation.scala:215-236). */
   def featurize(withSub: DataFrame, cuts: Cuts, popularDomains: Set[String]): DataFrame =
     withSub
       .withColumn("top_domain",
         Domains.top_domain_class(col("domain"), popularDomains).cast("string"))
-      .withColumn("word", concat_ws("_",
-        col("top_domain"),
-        Binning.binCol(col("frame_len").cast("double"), cuts.frameLen.toSeq),
-        Binning.binCol(col("unix_tstamp").cast("double"), cuts.time.toSeq),
-        Binning.binCol(col("subdomain_length"), cuts.subLen.toSeq),
-        Binning.binCol(col("subdomain_entropy"), cuts.entropy.toSeq),
-        Binning.binCol(col("num_periods"), cuts.numPeriods.toSeq),
-        col("dns_qry_type"), col("dns_qry_rcode")))
+      .withColumn("word", wordFrom(col("top_domain"), cuts))
+
+  /** Broadcast-JOIN popularity classing — same words as [[featurize]], but
+    * the popular-domain list stays a distributed frame broadcast to the
+    * join (the reference collects top-1m.csv into every task closure:
+    * TopDomains.scala:9-13 + DNSWordCreation.scala:41-44). Use with
+    * [[graft.sources.Lookups.topDomainsDF]] for very large lists. */
+  def featurizeWithLookup(withSub: DataFrame, cuts: Cuts, popular: DataFrame,
+                          safe: Set[String] = Set("intel")): DataFrame =
+    withSub
+      .join(broadcast(popular.select(col("domain").cast("string").as("__pop")).distinct()),
+        col("domain") === col("__pop"), "left")
+      .withColumn("top_domain",
+        when(col("domain").isin(safe.toSeq: _*), lit(2))
+          .when(col("__pop").isNotNull, lit(1))
+          .otherwise(lit(0)).cast("string"))
+      .drop("__pop")
+      .withColumn("word", wordFrom(col("top_domain"), cuts))
 
   /** Train, optionally folding in analyst feedback (flow columns + a
     * `weight` column from [[graft.sources.Feedback]]): weights multiply

@@ -70,20 +70,40 @@ object ProxyPipeline {
     Cuts(time = cuts("time"), entropy = cuts("entropy"), agent = cuts("agent"))
   }
 
+  /** The non-domain word components, shared by both classing variants. */
+  private def wordFrom(topDomain: org.apache.spark.sql.Column, cuts: Cuts) =
+    concat_ws("_",
+      topDomain,
+      Binning.binCol(col("time_of_day"), cuts.time.toSeq),
+      col("reqmethod"),
+      Binning.binCol(col("uri_entropy"), cuts.entropy.toSeq),
+      split(col("resconttype"), "/").getItem(0),
+      Binning.binCol(col("agent_count").cast("double"), cuts.agent.toSeq),
+      substring(col("respcode"), 1, 1))
+
   /** 7-component word (reference: ProxyWordCreation.scala:30-51). */
   def featurize(withFeats: DataFrame, cuts: Cuts, popularDomains: Set[String]): DataFrame =
     withFeats
       .withColumn("top_domain",
         Domains.top_domain_class(Domains.extract_domain(col("host")), popularDomains)
           .cast("string"))
-      .withColumn("word", concat_ws("_",
-        col("top_domain"),
-        Binning.binCol(col("time_of_day"), cuts.time.toSeq),
-        col("reqmethod"),
-        Binning.binCol(col("uri_entropy"), cuts.entropy.toSeq),
-        split(col("resconttype"), "/").getItem(0),
-        Binning.binCol(col("agent_count").cast("double"), cuts.agent.toSeq),
-        substring(col("respcode"), 1, 1)))
+      .withColumn("word", wordFrom(col("top_domain"), cuts))
+
+  /** Broadcast-JOIN popularity classing — same words as [[featurize]], the
+    * popular list as a broadcast frame instead of a driver-collected Set
+    * (see [[DnsPipeline.featurizeWithLookup]]). */
+  def featurizeWithLookup(withFeats: DataFrame, cuts: Cuts, popular: DataFrame,
+                          safe: Set[String] = Set("intel")): DataFrame =
+    withFeats
+      .withColumn("__dom", Domains.extract_domain(col("host")))
+      .join(broadcast(popular.select(col("domain").cast("string").as("__pop")).distinct()),
+        col("__dom") === col("__pop"), "left")
+      .withColumn("top_domain",
+        when(col("__dom").isin(safe.toSeq: _*), lit(2))
+          .when(col("__pop").isNotNull, lit(1))
+          .otherwise(lit(0)).cast("string"))
+      .drop("__pop", "__dom")
+      .withColumn("word", wordFrom(col("top_domain"), cuts))
 
   /** Train, optionally folding in analyst feedback (proxy columns + a
     * `weight` column from [[graft.sources.Feedback]]): weights multiply

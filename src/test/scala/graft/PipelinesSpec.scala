@@ -69,6 +69,25 @@ class PipelinesSpec extends SparkSpec {
     scores.toSeq shouldBe scores.sorted.toSeq
   }
 
+  "DnsPipeline.featurizeWithLookup" should "class domains identically to the Set variant via broadcast join" in {
+    val hosts = Seq("a.amazon.com", "x.evil.net", "www.intel.com", "plain.com")
+    val dns = hosts.zipWithIndex.map { case (h, i) =>
+      (s"t$i", 100L + i, 40 + i, s"10.0.0.$i", h, i % 4, i % 3)
+    }.toDF("frame_time", "unix_tstamp", "frame_len", "ip_dst",
+      "dns_qry_name", "dns_qry_type", "dns_qry_rcode")
+    val withSub = DnsPipeline.withSubdomains(dns)
+    val cuts = DnsPipeline.computeCuts(withSub)
+    val popularSet = Set("amazon", "evil")
+    val popularDF = popularSet.toSeq.toDF("domain")
+    val a = DnsPipeline.featurize(withSub, cuts, popularSet)
+      .select("ip_dst", "word").as[(String, String)].collect().sorted.toSeq
+    val b = DnsPipeline.featurizeWithLookup(withSub, cuts, popularDF)
+      .select("ip_dst", "word").as[(String, String)].collect().sorted.toSeq
+    b shouldBe a
+    // all three classes fire: intel safe list (2), popular (1), other (0)
+    a.map(_._2.split("_")(0)).toSet shouldBe Set("0", "1", "2")
+  }
+
   "Feedback.load" should "read severity-filtered TSV with weight" in {
     val dir = Files.createTempDirectory("fb").toFile
     val f = new java.io.File(dir, "scores.tsv")
