@@ -55,16 +55,18 @@ object Dedup {
     * docs (standard df-cut; near-dup pairs share rare shingles too). */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
                         threshold: Double, maxShingleFreq: Long = 1000): DataFrame = {
-    // One materialization of the narrow exploded (doc_id, shingle) rows:
-    // the explicit repartition on shingle is a single exchange that every
-    // consumer — hot-set, both join sides, sizes — shares via
-    // ReuseExchange, so the (expensive) shingle hashing runs once and
-    // nothing is cached into executor storage (no leak for long-lived
-    // sessions; shuffle files are query-scoped). Downstream shingle
-    // joins/aggs need no further shuffle: the data is already clustered.
+    // One materialization of the narrow exploded (doc_id, shingle) rows via
+    // LAZY localCheckpoint: every consumer — hot-set, both join sides,
+    // sizes — reads the blocks computed by the first action, so the
+    // (expensive) shingle hashing runs once. Unlike .cache() there is no
+    // CacheManager entry pinning storage for the session lifetime: the
+    // blocks are owned by this frame's RDD and freed by the ContextCleaner
+    // when callers drop the result (measured: AQE never reuses the
+    // exchange across these consumers, so an un-materialized plan would
+    // re-hash the corpus four times).
     val inv = shingledDocs(df, id, text, n)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .repartition(col("shingle"))
+      .localCheckpoint(false)
     // df-cut as a broadcast anti-join against the (tiny) hot-shingle set:
     // map-side-combined groupBy beats a window's full sort-shuffle, and the
     // anti join is broadcast — no extra wide shuffle of the inverted index.
@@ -111,12 +113,12 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, id: Column, text: Column,
                       n: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Repartition-on-id instead of cache: one exchange shared by the band
-    // explode and both signature re-attach joins (ReuseExchange), so the
-    // minhashing runs once with no storage-level leak, and the id joins
-    // below need no further shuffle of the signature side.
+    // Lazy localCheckpoint instead of cache: the minhashing runs once for
+    // the band explode and both signature re-attach joins, and the blocks
+    // are GC-scoped (freed when callers drop the result) instead of pinned
+    // in the session CacheManager.
     val docs = minHashDocs(df, id, text, n, numHashes)
-      .repartition(col("doc_id"))
+      .localCheckpoint(false)
     val banded = docs.select(col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),

@@ -23,8 +23,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   *      (<= buckets rows) bucket-total frame, broadcast back.
   * Every value lands in exactly one bucket and buckets are range-ordered,
   * so local-cumsum + offset-of-lower-buckets is the exact global ECDF.
-  * The distinct-value aggregate appears under several consumers in one
-  * plan; Spark's ReuseExchange collapses them to a single scan+shuffle.
+  * The distinct-value aggregate feeds several consumers; it is
+  * materialized ONCE (lazy localCheckpoint in [[ecdf]], scoped cache in
+  * [[computeCutSets]]) — AQE does not reuse the exchange across them.
   * For 100 TB continuous columns prefer [[approxQuantiles]] (single pass,
   * mergeable sketch) — the exact path is for reference-semantics parity.
   */
@@ -64,11 +65,16 @@ object Quantiles {
         sum(col("__bt")).as("total"))
   }
 
-  /** (value, ecdf) per distinct value, ecdf = fraction of rows <= value. */
+  /** (value, ecdf) per distinct value, ecdf = fraction of rows <= value.
+    * The distinct-value counts are lazily localCheckpoint'ed: the bounds
+    * action, the offsets subtree, and the window stage all read the blocks
+    * of one aggregation pass instead of re-scanning the input (GC-scoped —
+    * no CacheManager pin). */
   def ecdf(df: DataFrame, value: Column, buckets: Int = DefaultBuckets): DataFrame = {
     val counts = df.select(value.cast("double").as("value"))
       .where(col("value").isNotNull)
       .groupBy("value").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     // Bounds pass: balance by DISTINCT values (the window stage sees one
     // row per distinct value, so that is the load to spread).
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray

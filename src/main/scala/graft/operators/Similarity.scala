@@ -147,10 +147,13 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(b).as("band"), sig.as("sig"))
     }
-    // Narrow band shuffle: (vid, band, sig) only; vectors re-attach to the
+    // Narrow band rows: (vid, band, sig) only; vectors re-attach to the
     // (much smaller) distinct candidate-pair set for the exact verify.
+    // Lazy localCheckpoint: the 16 plane dot products per vector run once
+    // for both sides of the self-join.
     val banded = v.select(col("vid"), explode(array(bandSigs: _*)).as("bs"))
       .select(col("vid"), col("bs.band"), col("bs.sig"))
+      .localCheckpoint(false)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -179,7 +182,10 @@ object Similarity {
                              threshold: Double, nProbe: Int = 1,
                              id: String = "vec_id", vec: String = "embedding",
                              kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {
+    // one assignment pass feeds both sides of the candidate self-join
+    // (lazy localCheckpoint: narrow (vec_id, centroid_id) rows, GC-scoped)
     val assign = ivfAssignN(df, centroids, nProbe, id, vec, kId, kVec)
+      .localCheckpoint(false)
     val cand = assign.as("a")
       .join(assign.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&

@@ -48,14 +48,16 @@ object CurationPipeline {
     // exact dedup: keep the min doc_id per identical text — ONE window
     // keyed on the 192-bit (xxhash64, md5) content pair (narrow shuffle
     // key, collision-unobservable; no groupBy + self-join round trip).
-    // `exact` is referenced twice below (pair generation and the anti
-    // join); the window's exchange is identical in both subtrees, so
-    // ReuseExchange runs the tokenize/score stage once — no cache needed.
+    // `exact` feeds both pair generation and the final anti join; the lazy
+    // localCheckpoint materializes the filtered+deduped corpus once with
+    // GC-scoped blocks (no CacheManager pin — ContextCleaner frees them
+    // when the result frame is dropped).
     val wDup = org.apache.spark.sql.expressions.Window
       .partitionBy(xxhash64(col("text")), md5(col("text")))
       .orderBy("doc_id")
     val exact = kept.withColumn("__rn", row_number().over(wDup))
       .where(col("__rn") === 1).drop("__rn")
+      .localCheckpoint(false)
 
     // near-dup removal: for every Jaccard pair above threshold, the higher
     // id drops (transitively safe: a surviving doc is one that is not the
