@@ -15,17 +15,28 @@ import org.apache.spark.sql.functions._
   * Semantics identical to the reference's ECDF quantiles: cutoff(t) = min
   * value with cdf >= t; empty input → +Infinity everywhere.
   */
-class ExactQuantileAggregator(thresholds: Array[Double])
+class ExactQuantileAggregator(thresholds: Array[Double],
+                              maxDistinct: Int = ExactQuantileAggregator.MaxDistinct)
     extends Aggregator[Double, Map[Double, Long], Array[Double]] {
+
+  private def bounded(m: Map[Double, Long]): Map[Double, Long] = {
+    if (m.size > maxDistinct)
+      throw new IllegalStateException(
+        s"ExactQuantileAggregator buffer exceeded $maxDistinct distinct " +
+          "values: this aggregate is for BOUNDED (discretized) domains; " +
+          "use Quantiles.computeCutSets (bucketed windows) or " +
+          "approxQuantiles (sketch) for continuous columns.")
+    m
+  }
 
   override def zero: Map[Double, Long] = Map.empty
 
   override def reduce(buf: Map[Double, Long], v: Double): Map[Double, Long] =
-    buf.updated(v, buf.getOrElse(v, 0L) + 1L)
+    bounded(buf.updated(v, buf.getOrElse(v, 0L) + 1L))
 
   override def merge(a: Map[Double, Long], b: Map[Double, Long]): Map[Double, Long] =
     if (a.size < b.size) merge(b, a)
-    else b.foldLeft(a) { case (m, (v, c)) => m.updated(v, m.getOrElse(v, 0L) + c) }
+    else bounded(b.foldLeft(a) { case (m, (v, c)) => m.updated(v, m.getOrElse(v, 0L) + c) })
 
   override def finish(buf: Map[Double, Long]): Array[Double] = {
     if (buf.isEmpty) return thresholds.map(_ => Double.PositiveInfinity)
@@ -54,12 +65,20 @@ class ExactQuantileAggregator(thresholds: Array[Double])
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
 }
 
+object ExactQuantileAggregator {
+  /** Buffer bound: the value→count histogram lives per grouping key in
+    * executor memory; a continuous column would grow it without limit, so
+    * it fails loudly at 2^20 distinct values instead of OOMing. */
+  val MaxDistinct: Int = 1 << 20
+}
+
 object QuantileAgg {
 
   /** Cutoffs for `value` at `thresholds` in one aggregate pass. */
   def exactQuantiles(df: DataFrame, value: Column,
-                     thresholds: Array[Double]): Array[Double] = {
-    val agg = udaf(new ExactQuantileAggregator(thresholds), Encoders.scalaDouble)
+                     thresholds: Array[Double],
+                     maxDistinct: Int = ExactQuantileAggregator.MaxDistinct): Array[Double] = {
+    val agg = udaf(new ExactQuantileAggregator(thresholds, maxDistinct), Encoders.scalaDouble)
     df.select(value.cast("double").as("v"))
       .where(col("v").isNotNull)
       .agg(agg(col("v")).as("cuts"))

@@ -57,6 +57,60 @@ object StreamingScore {
   final case class RunUpdate(doc: String, run_length: Long,
                              min_score: Double, closed: Boolean)
 
+  // ---- custom state: streaming exact dedup ------------------------------
+
+  final case class StreamDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  /** Content key for streaming dedup state: a 128-bit md5 hex digest, the
+    * streaming twin of the batch (xxhash64, md5) keying — the state store
+    * holds 32-char keys, never document text. */
+  def contentKey(text: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  final case class SeenState(seen: Boolean)
+
+  /** Streaming exact dedup (flatMapGroupsWithState): emit only the FIRST
+    * document per distinct text ACROSS micro-batches — the stateful twin of
+    * [[graft.operators.Dedup.exactDuplicates]]. Within a batch the winner
+    * is min (ts, doc_id), deterministic. State per seen content key is one
+    * tiny record with an EVENT-TIME timeout `horizon` past the last
+    * occurrence (sliding), so the store is bounded by the dedup horizon
+    * rather than the stream lifetime. Event-time timeouts keep replays
+    * reproducible — a processing-time timeout would depend on wall-clock
+    * batch timing (and, observed on Spark 4.1, stalls the no-data
+    * micro-batch loop under MemoryStream tests). */
+  def dedupStream(docs: org.apache.spark.sql.Dataset[StreamDoc],
+                  watermarkDelay: String = "2 hours",
+                  horizonMs: Long = 24L * 3600 * 1000)
+      : org.apache.spark.sql.Dataset[StreamDoc] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.withWatermark("ts", watermarkDelay)
+      .groupByKey(d => contentKey(d.text))
+      .flatMapGroupsWithState[SeenState, StreamDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, events: Iterator[StreamDoc], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = events.toSeq
+            val first =
+              if (state.exists) None
+              else evs.minByOption(d => (d.ts.getTime, d.doc_id))
+            state.update(SeenState(true))
+            // sliding horizon past the latest occurrence; the max() guards
+            // the must-be-after-watermark contract for very late events
+            val maxTs = evs.map(_.ts.getTime).foldLeft(0L)(math.max)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1) + horizonMs)
+            first.iterator
+          }
+      }
+  }
+
   /** Custom arbitrary state (flatMapGroupsWithState): per doc, track the
     * CURRENT run of consecutive suspicious events (score <= threshold)
     * across micro-batches; emit each run when a non-suspicious event

@@ -90,6 +90,18 @@ class QuantilesSpec extends SparkSpec {
       Quantiles.computeDeciles(messy, col("v"))
   }
 
+  "ExactQuantileAggregator" should "fail loudly past the distinct-value bound" in {
+    import graft.operators.QuantileAgg
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val e = intercept[Exception] {
+      QuantileAgg.exactQuantiles(df, col("v"), Quantiles.Deciles, maxDistinct = 10)
+    }
+    // the task failure wraps the IllegalStateException; check the chain
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    chain(e).mkString("\n") should include("BOUNDED")
+  }
+
   "approxQuantiles" should "agree with exact on 1..10" in {
     val df = (1 to 10).map(_.toDouble).toDF("v")
     Quantiles.approxQuantiles(df, "v", Quantiles.Deciles, relativeError = 0.0) shouldBe

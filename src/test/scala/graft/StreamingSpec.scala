@@ -76,6 +76,27 @@ class StreamingSpec extends SparkSpec {
     got.filter(r => !r.closed).map(_.run_length) should contain (2L)
   }
 
+  "dedupStream" should "emit only the first occurrence of each text across batches" in {
+    import StreamingScore.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val deduped = StreamingScore.dedupStream(input.toDS())
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: "a" twice (in-batch dup; min ts wins), "b" once
+      input.addData(StreamDoc(1L, "a", ts(0)), StreamDoc(2L, "a", ts(1)),
+        StreamDoc(3L, "b", ts(2)))
+      q.processAllAvailable()
+      // batch 2: "a" again (cross-batch dup, dropped), "c" new
+      input.addData(StreamDoc(4L, "a", ts(3)), StreamDoc(5L, "c", ts(4)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_out").as[StreamDoc].collect()
+      .map(d => d.doc_id -> d.text).toSet
+    got shouldBe Set(1L -> "a", 3L -> "b", 5L -> "c")
+  }
+
   "sessionize" should "split events into gap-based sessions" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
