@@ -124,6 +124,42 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
+  /** Deterministic distributed Lloyd k-means — the centroid TRAINING step
+    * for the IVF index ([[ivfAssign]]/[[ivfSearch]] consume its output).
+    * Engine-stable by construction, so it has an exact SQL twin:
+    *   - init: the k lowest-id vectors seed the centroids (ids kept);
+    *   - assign: argmax 6-dp-rounded cosine, centroid-id tiebreak (the
+    *     identical rule [[ivfAssignN]] applies);
+    *   - update: coordinate-wise mean on 1e9-scaled integers — the sum is
+    *     exact and order-independent (all terms integral, < 2^53), and
+    *     floor(sx/n + 0.5)/1e9 is one deterministic IEEE division.
+    * Per iteration: one broadcast of the k×dim centroids + one narrow
+    * (centroid_id, pos, x) shuffle — no cross product; clusters that lose
+    * every member drop out (k shrinks), deterministically. The tiny
+    * centroid frame is checkpointed each round so plans stay flat. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val v = corpus.select(col(cId).cast("long").as("vec_id"),
+      asDouble(col(cVec)).as("v"))
+    var cents = v.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cent"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assign = ivfAssignN(v, cents, 1, "vec_id", "v", "centroid_id", "cent")
+      val sums = assign.join(v, "vec_id")
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos")
+        .agg(sum(floor(col("x") * 1000000000L + 0.5)).as("sx"), count(lit(1)).as("n"))
+        .withColumn("m", floor(col("sx") / col("n") + 0.5) / 1000000000.0)
+      cents = sums.groupBy("centroid_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), s => s.getField("m")).as("cent"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** Deterministic pseudo-random hyperplane component for bit j, dim d:
     * an LCG-mixed integer mapped to [-1, 1] in thousandths. Integer-exact,
     * so any engine reproduces the planes bit-for-bit. */

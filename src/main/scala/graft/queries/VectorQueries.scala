@@ -57,7 +57,15 @@ object VectorQueries {
     // — the LSH-bucketed alternative to the IVF cells.
     "v6_lsh_near_dup" -> ((s, dir) =>
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"),
-        threshold = 0.35, dim = 64, bands = 4, bitsPerBand = 4))
+        threshold = 0.35, dim = 64, bands = 4, bitsPerBand = 4)),
+
+    // V7: deterministic Lloyd k-means (k=4, 2 iterations) — the centroid
+    // TRAINING step for the IVF index, exploded to scalar rows for the
+    // hash compare. Init = the 4 lowest vec_ids (0..3 on this table).
+    "v7_kmeans" -> ((s, dir) =>
+      Similarity.kmeansCentroids(t(s, dir, "embeddings"), k = 4, iters = 2)
+        .select(col("centroid_id"),
+          posexplode(col("cent")).as(Seq("pos", "value"))))
   )
 
   /** DuckDB sequential-fold dot product of two DOUBLE[] exprs. */
@@ -153,6 +161,33 @@ object VectorQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, cand_id) AS rank FROM scored)
          |WHERE rank <= 3""".stripMargin,
+
+    "v7_kmeans" -> {
+      // one Lloyd round: argmax rounded cosine (centroid-id tiebreak) then
+      // coordinate means on 1e9-scaled integers — mirrors kmeansCentroids
+      def assignSql(cents: String) =
+        s"""SELECT vec_id, centroid_id FROM (
+           |    SELECT c.vec_id, k.centroid_id,
+           |      row_number() OVER (PARTITION BY c.vec_id
+           |        ORDER BY floor((${cosSql("c.e", "k.cent")}) * 1000000 + 0.5) / 1000000.0 DESC, k.centroid_id) AS rn
+           |    FROM v c CROSS JOIN $cents k) WHERE rn = 1""".stripMargin
+      def updateSql(assign: String) =
+        s"""SELECT centroid_id, list(m ORDER BY pos) AS cent FROM (
+           |    SELECT centroid_id, i - 1 AS pos,
+           |      floor(sum(floor(e[i] * 1000000000 + 0.5)) / count(*) + 0.5) / 1000000000.0 AS m
+           |    FROM $assign a JOIN v USING (vec_id),
+           |         LATERAL (SELECT unnest(generate_series(1, len(e))) AS i)
+           |    GROUP BY 1, 2)
+           |  GROUP BY 1""".stripMargin
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |c0 AS (SELECT vec_id AS centroid_id, e AS cent FROM v WHERE vec_id < 4),
+         |a1 AS (${assignSql("c0")}),
+         |c1 AS (${updateSql("a1")}),
+         |a2 AS (${assignSql("c1")}),
+         |c2 AS (${updateSql("a2")})
+         |SELECT centroid_id, i - 1 AS pos, cent[i] AS value
+         |FROM c2, LATERAL (SELECT unnest(generate_series(1, len(cent))) AS i)""".stripMargin
+    },
 
     "v6_lsh_near_dup" -> {
       // Emit the SAME integer-derived plane constants the Spark side uses,

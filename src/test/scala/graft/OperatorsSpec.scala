@@ -166,6 +166,18 @@ class OperatorsSpec extends SparkSpec {
     plan should include regex "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[centroid_id"
   }
 
+  "Similarity.kmeansCentroids" should "run deterministic Lloyd rounds with integer-scaled means" in {
+    import graft.operators.Similarity
+    // init: ids 0,1 → [1,0,0], [0,1,0]; assign: v2 ties (.7071) → lower
+    // centroid id 0; v3 → 0. update: c0 = mean(v0,v2,v3), c1 = v1.
+    val cents = Similarity.kmeansCentroids(vecs, k = 2, iters = 1)
+      .orderBy("centroid_id")
+      .select("centroid_id", "cent").as[(Long, Seq[Double])].collect()
+    cents.map(_._1).toSeq shouldBe Seq(0L, 1L)
+    cents(0)._2 shouldBe Seq(1.333333333, 0.333333333, 0.0)
+    cents(1)._2 shouldBe Seq(0.0, 1.0, 0.0)
+  }
+
   "Joins.asOfJoin" should "match each left row to the latest right row at or before it" in {
     import graft.operators.Joins
     import java.sql.Timestamp
