@@ -141,6 +141,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Connected components over an undirected near-dup pair graph —
+    * cluster assignment for dedup (each document maps to the MINIMUM id
+    * reachable through pair edges; the component min is the canonical
+    * representative). Min-label propagation: every round each node adopts
+    * the smallest label among itself and its neighbors; converges in
+    * O(component diameter) rounds, each ONE join + ONE map-side-combined
+    * min aggregation over narrow (node, label) rows. The driver only sees
+    * the per-round changed-label count (convergence check); edge and label
+    * frames are checkpointed so plans stay flat across rounds. Semantics
+    * (component min) are iteration-independent, so results are exactly
+    * reproducible and SQL-twinnable via a recursive closure. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val e = pairs.select(col("id_a").cast("long").as("a"),
+      col("id_b").cast("long").as("b"))
+    val undirected = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = undirected.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val prop = undirected.join(labels, undirected("a") === labels("node"))
+        .select(col("b").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = prop.as("p").join(labels.as("l"), col("p.node") === col("l.node"))
+        .where(col("p.label") =!= col("l.label")).count()
+      labels = prop
+      it += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
+
   /** Per-doc SimHash over token hashes (default 16 bits): bit i of the
     * fingerprint is the sign of Σ_tokens (2·bit_i(hash) − 1). Expressed as
     * explode + one hash aggregation (map-side combined). */

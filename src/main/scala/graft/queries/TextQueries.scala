@@ -110,6 +110,14 @@ object TextQueries {
       Dedup.simHashDocs(t(s, dir, "documents"),
         col("doc_id"), col("text"), bits = 16)),
 
+    // D6: near-dup cluster assignment — connected components over the d2
+    // pair graph (cluster = min reachable doc_id).
+    "d6_near_dup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 5, threshold = 0.2,
+          maxShingleFreq = Long.MaxValue))),
+
     // C1: the full curation pipeline (quality filter → lang filter →
     // exact dedup → near-dup removal → split) on the dup-bearing corpus.
     "c1_curation" -> ((s, dir) =>
@@ -259,6 +267,27 @@ object TextQueries {
          |  floor(((${(0 until 8).map(j => s"(a$j = b$j)::INT").mkString(" + ")})::DOUBLE / 8) * 1000000 + 0.5) / 1000000.0
          |    AS est_jaccard
          |FROM cand""".stripMargin,
+
+    "d6_near_dup_clusters" ->
+      s"""WITH RECURSIVE $toksSql,
+         |$shingSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM prs
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.2),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |reach(node, m) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m)
+         |SELECT node AS doc_id, min(m) AS cluster FROM reach GROUP BY node""".stripMargin,
 
     "c1_curation" -> {
       val stopSql = EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -84,6 +84,14 @@ class OperatorsSpec extends SparkSpec {
     got.keySet should not contain ((1L, 4L))
   }
 
+  "Dedup.connectedComponents" should "assign every node the min id of its component" in {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 1L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L)
+  }
+
   "Dedup.minHashLshPairs" should "catch exact duplicates with est_jaccard 1" in {
     val got = Dedup.minHashLshPairs(docs, col("doc_id"), col("text"))
       .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
