@@ -16,8 +16,9 @@ object Bench {
     "a1_group_count", "a3_group_sum", "a6_ecdf", "t1_topk",
     "w1_window_cumsum", "g1_rollup", "f3_bin", "f4_entropy", "f8_flow_words",
     "x2_quality", "x3_langid", "d1_exact_dedup", "d2_ngram_jaccard",
-    "d3_minhash_lsh", "d4_simhash", "v1_norm", "v2_cosine_topk",
-    "v3_ivf_assign", "v4b_cell_near_dup", "c1_curation", "j7_asof_join")
+    "d3_minhash_lsh", "d4_simhash", "d6_near_dup_clusters", "v1_norm",
+    "v2_cosine_topk", "v3_ivf_assign", "v4b_cell_near_dup", "v7_kmeans",
+    "c1_curation", "j7_asof_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

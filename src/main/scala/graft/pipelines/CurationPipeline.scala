@@ -24,6 +24,12 @@ object CurationPipeline {
                           jaccardThreshold: Double = 0.8,
                           shingleN: Int = 5,
                           maxShingleFreq: Long = 1000,
+                          // false = greedy-by-id (drop the higher id of every
+                          // pair; the oracle-locked default). true = keep one
+                          // representative (min id) per CONNECTED COMPONENT of
+                          // the pair graph — principled for chains a-b-c where
+                          // greedy can drop b and c against different keepers.
+                          clusterDedup: Boolean = false,
                           splits: Seq[(String, Int)] =
                             Seq("train" -> 80, "val" -> 10, "test" -> 10))
 
@@ -68,7 +74,12 @@ object CurationPipeline {
     val dupPairs = Dedup.ngramJaccardPairs(exact, col("doc_id"), col("text"),
       n = config.shingleN, threshold = config.jaccardThreshold,
       maxShingleFreq = config.maxShingleFreq)
-    val losers = dupPairs.select(col("id_b").as("doc_id")).distinct()
+    val losers =
+      if (config.clusterDedup)
+        Dedup.connectedComponents(dupPairs)
+          .where(col("doc_id") =!= col("cluster")) // keep each component's min
+          .select("doc_id")
+      else dupPairs.select(col("id_b").as("doc_id")).distinct()
     val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
 
     Sampling.splits(deduped, col("doc_id"), config.splits)

@@ -92,6 +92,23 @@ class OperatorsSpec extends SparkSpec {
     got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L)
   }
 
+  "CurationPipeline cluster dedup" should "keep one representative per component (vs greedy per-pair)" in {
+    import graft.pipelines.CurationPipeline
+    // 1 and 2 are unrelated; 3 overlaps both (J=1/3 each). Greedy drops
+    // only 3 (the higher id of both pairs); cluster mode keeps just the
+    // component min 1.
+    val docs3 = Seq((1L, "a b c d e f g h"), (2L, "q r s t u v w x"),
+      (3L, "a b c d q r s t")).toDF("doc_id", "text")
+    val cfg = CurationPipeline.Config(minQuality = 0.0,
+      langs = Set("de", "en", "es", "fr", "zh"),
+      jaccardThreshold = 0.3, shingleN = 1)
+    CurationPipeline.curate(docs3, col("doc_id"), col("text"), cfg)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L)
+    CurationPipeline.curate(docs3, col("doc_id"), col("text"),
+        cfg.copy(clusterDedup = true))
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(1L)
+  }
+
   "Dedup.minHashLshPairs" should "catch exact duplicates with est_jaccard 1" in {
     val got = Dedup.minHashLshPairs(docs, col("doc_id"), col("text"))
       .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
