@@ -153,7 +153,14 @@ object Main {
       sys.exit(2)
     case Right(c) =>
       val spark = GraftSession.fromEnv()
-      try Sinks.writeTsv(runAnalysis(spark, c), c.scored, sep = c.delimiter)
-      finally spark.stop()
+      // one output file only when the result is top-k bounded; an unbounded
+      // (--maxresults -1) result keeps its partitioning
+      try Sinks.writeTsv(runAnalysis(spark, c), c.scored,
+        singleFile = c.maxResults >= 0, sep = c.delimiter)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          System.err.println(s"error: ${e.getMessage}")
+          sys.exit(1)
+      } finally spark.stop()
   }
 }
