@@ -161,20 +161,49 @@ object Dedup {
     var labels = undirected.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    var changed = 1L
+    // labels are monotonically non-increasing, so convergence == the label
+    // sum stopped falling: ONE tiny aggregate per round, no compare join.
+    // decimal(38) keeps the sum exact at any id magnitude / corpus size.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    var converged = false
+    while (!converged && it < maxIters) {
       val prop = undirected.join(labels, undirected("a") === labels("node"))
         .select(col("b").as("node"), col("label"))
         .union(labels)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
-      changed = prop.as("p").join(labels.as("l"), col("p.node") === col("l.node"))
-        .where(col("p.label") =!= col("l.label")).count()
+      val s = labelSum(prop)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = prop
       it += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** Benchmark decontamination: corpus documents sharing ANY word n-gram
+    * with a benchmark/eval set (the standard 13-gram contamination rule;
+    * n configurable). Benchmark shingles are distinct and BROADCAST —
+    * eval sets are tiny next to a training corpus — so the check is one
+    * broadcast left-semi join on shingle hashes: no shuffle of the corpus
+    * beyond its scan, no pair materialization. Returns the distinct
+    * contaminated doc ids; anti-join the corpus against them to clean. */
+  def contaminatedDocs(corpus: DataFrame, id: Column, text: Column,
+                       benchmark: DataFrame, benchText: Column,
+                       n: Int = 13): DataFrame = {
+    val benchShingles = benchmark
+      .select(graft.functions.ShingleHash.shingle_hashes(benchText, n).as("sh"))
+      .select(explode(col("sh")).as("shingle"))
+      .distinct()
+    shingledDocs(corpus, id, text, n)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .select("doc_id")
+      .distinct()
   }
 
   /** Per-doc SimHash over token hashes (default 16 bits): bit i of the

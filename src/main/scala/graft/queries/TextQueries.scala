@@ -110,6 +110,15 @@ object TextQueries {
       Dedup.simHashDocs(t(s, dir, "documents"),
         col("doc_id"), col("text"), bits = 16)),
 
+    // X7: benchmark decontamination — corpus docs sharing any 5-gram with
+    // the (tiny, broadcast) benchmark subset. 5-grams, not the standard
+    // 13, so the harness corpus actually produces overlaps beyond the
+    // benchmark docs themselves.
+    "x7_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminatedDocs(docs, col("doc_id"), col("text"),
+        docs.where(col("doc_id") % 97 === 0), col("text"), n = 5)}),
+
     // D6: near-dup cluster assignment — connected components over the d2
     // pair graph (cluster = min reachable doc_id).
     "d6_near_dup_clusters" -> ((s, dir) =>
@@ -267,6 +276,13 @@ object TextQueries {
          |  floor(((${(0 until 8).map(j => s"(a$j = b$j)::INT").mkString(" + ")})::DOUBLE / 8) * 1000000 + 0.5) / 1000000.0
          |    AS est_jaccard
          |FROM cand""".stripMargin,
+
+    "x7_decontaminate" ->
+      s"""WITH $toksSql,
+         |$shingSql,
+         |bench AS (SELECT DISTINCT sh FROM shing WHERE doc_id % 97 = 0)
+         |SELECT DISTINCT doc_id FROM shing
+         |WHERE sh IN (SELECT sh FROM bench)""".stripMargin,
 
     "d6_near_dup_clusters" ->
       s"""WITH RECURSIVE $toksSql,

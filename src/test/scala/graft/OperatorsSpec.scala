@@ -84,6 +84,15 @@ class OperatorsSpec extends SparkSpec {
     got.keySet should not contain ((1L, 4L))
   }
 
+  "Dedup.contaminatedDocs" should "flag corpus docs sharing an n-gram with the benchmark" in {
+    val bench = Seq("the quick brown fox jumps over the sleepy dog").toDF("text")
+    val got = Dedup.contaminatedDocs(docs, col("doc_id"), col("text"),
+      bench, col("text"), n = 3)
+      .as[Long].collect().toSet
+    // 1, 2, 5 (and 3 itself) share "the quick brown", "jumps over the", ...
+    got shouldBe Set(1L, 2L, 3L, 5L)
+  }
+
   "Dedup.connectedComponents" should "assign every node the min id of its component" in {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 1L))
       .toDF("id_a", "id_b")
