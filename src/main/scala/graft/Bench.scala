@@ -37,16 +37,16 @@ object Bench {
       .as("k")).count().write.format("noop").mode("overwrite").save()
 
     val timed = collection.mutable.LinkedHashMap[String, Double]()
-    def timeOnce(body: => Unit): Double = {
+    def timeOnce(name: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
       try { body; (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] failed: ${e.getMessage}")
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0 // explicit failure marker, not a fast success
       }
     }
     def time(name: String, reps: Int = 1)(body: => Unit): Unit = {
-      val ts = Seq.fill(reps)(timeOnce(body))
+      val ts = Seq.fill(reps)(timeOnce(name)(body))
       timed(name) =
         if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(reps / 2)
     }

@@ -114,7 +114,9 @@ object Main {
     // --topdomains, else the reference's default: a top-1m.csv in the
     // working directory when one exists (DNSWordCreation.scala:41 reads it
     // unconditionally; here its absence just means an empty popular set).
-    val popular = c.topDomains
+    // lazy: only the dns/proxy branches consume it — flow must not pay the
+    // CSV scan + driver collect.
+    lazy val popular = c.topDomains
       .orElse(Some("top-1m.csv").filter(p => new java.io.File(p).exists))
       .map(p => Lookups.topDomains(spark, p)).getOrElse(Set.empty[String])
     // --model: score with a stored model when one exists at the path,

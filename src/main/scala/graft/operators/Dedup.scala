@@ -163,13 +163,14 @@ object Dedup {
       .localCheckpoint()
     // labels are monotonically non-increasing, so convergence == the label
     // sum stopped falling: ONE tiny aggregate per round, no compare join.
-    // decimal(38) keeps the sum exact at any id magnitude / corpus size.
+    // decimal(38) keeps the sum exact at any id magnitude / corpus size;
+    // an empty graph aggregates to null → 0 (converges immediately).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var it = 0
-    var converged = false
+    var converged = prevSum.signum == 0 // empty graph: nothing to propagate
     while (!converged && it < maxIters) {
       val prop = undirected.join(labels, undirected("a") === labels("node"))
         .select(col("b").as("node"), col("label"))
@@ -182,6 +183,12 @@ object Dedup {
       labels = prop
       it += 1
     }
+    // a silent partial result would diverge from the closure semantics the
+    // doc (and the d6 oracle) promise — fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(a component's diameter exceeds maxIters); raise maxIters")
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
 

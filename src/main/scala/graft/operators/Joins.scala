@@ -47,14 +47,18 @@ object Joins {
       if (rightPayload.isEmpty) struct(lit(1L).as("__present"))
       else struct(rightPayload.map(col): _*)
 
-    val rSide = right.select(
+    // null-timestamp rows never match under inner-asof semantics (the old
+    // join predicate r.ts <= l.ts was null → no match; DuckDB agrees) —
+    // filter them out so NULLS FIRST ordering can't carry a null-ts right
+    // row forward as a bogus "earliest match".
+    val rSide = right.where(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"),
         lit(0).as("__side"),
         rightTiebreak.map(col).getOrElse(lit(0L)).as("__tb"),
         rpStruct.as("__rp")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val lSide = left.select(
+    val lSide = left.where(col(leftTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(leftTs).as("__ts"),
         lit(1).as("__side"),

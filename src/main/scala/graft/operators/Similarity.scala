@@ -139,8 +139,11 @@ object Similarity {
     * centroid frame is checkpointed each round so plans stay flat. */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
                       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    // one materialization of the narrow (vec_id, v) projection — each Lloyd
+    // round reads it twice (assignment + the mean re-attach join)
     val v = corpus.select(col(cId).cast("long").as("vec_id"),
       asDouble(col(cVec)).as("v"))
+      .localCheckpoint(false)
     var cents = v.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("centroid_id"), col("v").as("cent"))
       .localCheckpoint()

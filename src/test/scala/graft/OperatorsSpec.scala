@@ -101,6 +101,29 @@ class OperatorsSpec extends SparkSpec {
     got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L)
   }
 
+  it should "return an empty frame for an empty pair graph" in {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    Dedup.connectedComponents(empty).count() shouldBe 0L
+    // the common curation case: clean corpus, cluster mode, zero pairs
+    import graft.pipelines.CurationPipeline
+    val clean = Seq((1L, "a b c d e"), (2L, "v w x y z")).toDF("doc_id", "text")
+    CurationPipeline.curate(clean, col("doc_id"), col("text"),
+        CurationPipeline.Config(minQuality = 0.0,
+          langs = Set("de", "en", "es", "fr", "zh"),
+          jaccardThreshold = 0.9, shingleN = 1, clusterDedup = true))
+      .count() shouldBe 2L
+  }
+
+  it should "fail loudly when a component's diameter exceeds maxIters" in {
+    val chain = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 3).collect()
+    }.getMessage should include("did not converge")
+    Dedup.connectedComponents(chain, maxIters = 15)
+      .as[(Long, Long)].collect().toMap.values.toSet shouldBe Set(1L)
+  }
+
   "CurationPipeline cluster dedup" should "keep one representative per component (vs greedy per-pair)" in {
     import graft.pipelines.CurationPipeline
     // 1 and 2 are unrelated; 3 overlaps both (J=1/3 each). Greedy drops
@@ -225,6 +248,14 @@ class OperatorsSpec extends SparkSpec {
     got shouldBe Map(1L -> 100.0, 2L -> 105.0, 3L -> 105.0, 5L -> 50.0)
     // trade 4 (B @ 10:02) precedes every B quote → dropped (inner asof)
     got.keySet should not contain 4L
+
+    // null timestamps never match (inner-asof; DuckDB ASOF agrees): a
+    // null-ts quote must not be carried forward as an "earliest" match
+    val nullQuotes = Seq(("A", null: Timestamp, 666.0), ("A", t(10), 105.0))
+      .toDF("sym", "qts", "px")
+    val nullGot = Joins.asOfJoin(trades, nullQuotes, Seq("sym"), "tts", "qts")
+      .select(col("tid"), col("px")).as[(Long, Double)].collect().toMap
+    nullGot shouldBe Map(2L -> 105.0, 3L -> 105.0) // trade 1 precedes all real quotes
 
     // exact-timestamp ties resolve deterministically via the tiebreak
     val tied = Seq(("A", t(0), 1L, 100.0), ("A", t(0), 2L, 200.0))
