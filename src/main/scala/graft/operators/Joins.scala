@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 
 /** Join operators Spark lacks as primitives, composed from built-ins
   * (preference (a) of the custom-operator ladder — Catalyst plans the
@@ -76,5 +76,39 @@ object Joins {
       .where(col("__side") === 1 && col("__match").isNotNull)
       .select(keys.map(col) ++ leftPayload.map(col) ++
         rightPayload.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
+  /** Range (interval-containment) join as a bucketed EQUI join — the scale
+    * path when the interval side is too large to broadcast (a broadcast
+    * inequality join degenerates to a nested-loop scan per row; fine for a
+    * handful of intervals, wrong at millions). Both sides map onto
+    * fixed-width time buckets: facts to the single bucket holding `ts`,
+    * intervals to every bucket they overlap (explode of a bounded
+    * `sequence` — intervals spanning b buckets appear b times). The join
+    * is then a plain shuffled equi join on the bucket plus the residual
+    * containment predicate; each fact matches an interval in EXACTLY the
+    * fact's own bucket, so no dedup is needed. `bucketWidthMicros` trades
+    * interval duplication (long intervals, narrow buckets) against
+    * residual-filter selectivity (short intervals, wide buckets) — set it
+    * near the typical interval length.
+    *
+    * Output: all fact columns + all interval columns. Containment is
+    * `start <= ts < end` (same semantics as the broadcast form). */
+  def rangeJoinBucketed(facts: DataFrame, ts: String,
+                        intervals: DataFrame, start: String, end: String,
+                        bucketWidthMicros: Long): DataFrame = {
+    val w = bucketWidthMicros
+    // ltz cast unifies TIMESTAMP and TIMESTAMP_NTZ inputs; both sides use
+    // the same session zone, so bucket boundaries stay mutually consistent
+    def micros(c: String) = unix_micros(col(c).cast("timestamp_ltz"))
+    val f = facts.withColumn("__bucket", floor(micros(ts) / w))
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(floor(micros(start) / w),
+        // end is exclusive: an interval ending exactly on a bucket
+        // boundary does not reach into that bucket
+        floor((micros(end) - 1) / w))))
+    f.join(iv, Seq("__bucket"))
+      .where(col(start) <= col(ts) && col(ts) < col(end))
+      .drop("__bucket")
   }
 }

@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  /** Shared by j8 (broadcast inequality form) and j8b (bucketed equi
+    * form): both must produce the identical result. */
+  private val RangeJoinOracle =
+    """WITH periods AS (
+      |  SELECT 'y' || y::VARCHAR AS period,
+      |         make_timestamp(y, 1, 1, 0, 0, 0) AS ps,
+      |         make_timestamp(y + 1, 1, 1, 0, 0, 0) AS pe
+      |  FROM (SELECT unnest(generate_series(1995, 2000)) AS y))
+      |SELECT period, count(*) AS n_orders,
+      |       floor((sum(floor(o_totalprice * 100)) / 100.0) * 100 + 0.5) / 100.0 AS total
+      |FROM orders JOIN periods
+      |  ON o_orderdate >= ps AND o_orderdate < pe
+      |GROUP BY 1""".stripMargin
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -228,6 +242,22 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           (floor((sum(floor(col("o_totalprice") * 100)) / 100.0) * 100 + 0.5) / 100.0).as("total"))}),
 
+    // J8b: the same range join through the BUCKETED equi-join path — the
+    // scale form for interval sides too large to broadcast (30-day
+    // buckets; identical results, so it shares j8's oracle).
+    "j8b_range_join_bucketed" -> ((s, dir) => {
+      val periods = s.createDataFrame(
+        (1995 to 2000).map(y => (s"y$y", s"$y-01-01", s"${y + 1}-01-01")))
+        .toDF("period", "start", "end")
+        .select(col("period"), col("start").cast("timestamp").as("start"),
+          col("end").cast("timestamp").as("end"))
+      graft.operators.Joins.rangeJoinBucketed(
+        t(s, dir, "orders"), "o_orderdate", periods, "start", "end",
+        bucketWidthMicros = 30L * 86400 * 1000000)
+        .groupBy(col("period"))
+        .agg(count(lit(1)).as("n_orders"),
+          (floor((sum(floor(col("o_totalprice") * 100)) / 100.0) * 100 + 0.5) / 100.0).as("total"))}),
+
     // J6: as-of style join expressed with window over a union (latest order
     // per customer at a cutoff date) — composition of built-ins.
     "j6_latest_per_key" -> ((s, dir) => {
@@ -374,17 +404,8 @@ object RelationalQueries {
         |           FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2) m
         |  ON a.user_id = m.user_id AND a.ts >= m.ts""".stripMargin,
 
-    "j8_range_join" ->
-      """WITH periods AS (
-        |  SELECT 'y' || y::VARCHAR AS period,
-        |         make_timestamp(y, 1, 1, 0, 0, 0) AS ps,
-        |         make_timestamp(y + 1, 1, 1, 0, 0, 0) AS pe
-        |  FROM (SELECT unnest(generate_series(1995, 2000)) AS y))
-        |SELECT period, count(*) AS n_orders,
-        |       floor((sum(floor(o_totalprice * 100)) / 100.0) * 100 + 0.5) / 100.0 AS total
-        |FROM orders JOIN periods
-        |  ON o_orderdate >= ps AND o_orderdate < pe
-        |GROUP BY 1""".stripMargin,
+    "j8_range_join" -> RangeJoinOracle,
+    "j8b_range_join_bucketed" -> RangeJoinOracle, // identical semantics
 
     "j6_latest_per_key" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate

@@ -84,6 +84,24 @@ class OperatorsSpec extends SparkSpec {
     got.keySet should not contain ((1L, 4L))
   }
 
+  "Joins.rangeJoinBucketed" should "match the containment predicate across bucket boundaries" in {
+    import graft.operators.Joins
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val facts = Seq((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-15 12:00:00")),
+      (3L, ts("2024-02-01 00:00:00")), (4L, ts("2024-03-10 00:00:00")))
+      .toDF("id", "ts")
+    val ivs = Seq(("jan", ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00")),
+      ("janfeb", ts("2024-01-20 00:00:00"), ts("2024-02-15 00:00:00")))
+      .toDF("name", "start", "end")
+    // 1-day buckets: intervals span many buckets; fact 3 sits exactly on
+    // jan's EXCLUSIVE end (no match) and inside janfeb
+    val got = Joins.rangeJoinBucketed(facts, "ts", ivs, "start", "end",
+        bucketWidthMicros = 86400L * 1000000)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    got shouldBe Set((1L, "jan"), (2L, "jan"), (3L, "janfeb"))
+  }
+
   "Dedup.contaminatedDocs" should "flag corpus docs sharing an n-gram with the benchmark" in {
     val bench = Seq("the quick brown fox jumps over the sleepy dog").toDF("text")
     val got = Dedup.contaminatedDocs(docs, col("doc_id"), col("text"),
