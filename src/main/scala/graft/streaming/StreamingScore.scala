@@ -111,6 +111,79 @@ object StreamingScore {
       }
   }
 
+  // ---- custom state: streaming LSH near-dup candidates ------------------
+
+  final case class BandedDoc(band: Int, key: String, doc_id: Long,
+                             ts: java.sql.Timestamp)
+  final case class BucketState(ids: Seq[Long])
+  final case class CandidatePair(id_a: Long, id_b: Long, band: Int, key: String)
+
+  /** Streaming MinHash-LSH near-dup CANDIDATES — the incremental twin of
+    * [[graft.operators.Dedup.minHashLshPairs]]: each arriving document is
+    * banded with the same signature machinery (stateless column work), and
+    * per (band, key) bucket the state holds the ids seen so far; a new doc
+    * emits one candidate pair per stored neighbor. Downstream verifies
+    * exact similarity and dedups pairs found by several bands, exactly as
+    * the batch path does. Buckets cap at `maxBucket` ids (the streaming
+    * df-cut: a boilerplate bucket must not emit quadratic pairs) and
+    * expire `horizonMs` of EVENT time past their last arrival, so state is
+    * bounded by the dedup horizon. In-batch arrival order is normalized to
+    * (ts, doc_id), keeping emissions deterministic under replay. */
+  def lshCandidateStream(docs: org.apache.spark.sql.Dataset[StreamDoc],
+                         n: Int = 5, bands: Int = 4, rowsPerBand: Int = 2,
+                         maxBucket: Int = 64,
+                         watermarkDelay: String = "2 hours",
+                         horizonMs: Long = 24L * 3600 * 1000)
+      : org.apache.spark.sql.Dataset[CandidatePair] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val numHashes = bands * rowsPerBand
+    val banded = docs.toDF()
+      .select(col("doc_id"), col("ts"),
+        graft.functions.TextFunctions.minHashSignature(
+          graft.functions.ShingleHash.shingle_hashes(col("text"), n),
+          numHashes).as("sig"))
+      .where(col("sig").getItem(0).isNotNull) // docs with < n tokens band nowhere
+      .select(col("doc_id"), col("ts"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until rowsPerBand).map(r =>
+              col("sig").getItem(b * rowsPerBand + r).cast("string")): _*).as("key"))
+        }: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("doc_id"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[BandedDoc]
+    banded.groupByKey(d => s"${d.band}:${d.key}")
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, events: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = events.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+            var ids = state.getOption.map(_.ids).getOrElse(Seq.empty)
+            val out = collection.mutable.ArrayBuffer[CandidatePair]()
+            evs.foreach { d =>
+              if (!ids.contains(d.doc_id) && ids.size < maxBucket) {
+                ids.foreach { prev =>
+                  out += CandidatePair(math.min(prev, d.doc_id),
+                    math.max(prev, d.doc_id), d.band, d.key)
+                }
+                ids = ids :+ d.doc_id
+              }
+            }
+            state.update(BucketState(ids))
+            val maxTs = evs.map(_.ts.getTime).foldLeft(0L)(math.max)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1) + horizonMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Custom arbitrary state (flatMapGroupsWithState): per doc, track the
     * CURRENT run of consecutive suspicious events (score <= threshold)
     * across micro-batches; emit each run when a non-suspicious event

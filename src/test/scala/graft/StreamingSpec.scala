@@ -97,6 +97,30 @@ class StreamingSpec extends SparkSpec {
     got shouldBe Set(1L -> "a", 3L -> "b", 5L -> "c")
   }
 
+  "lshCandidateStream" should "pair new docs against bucket history across batches" in {
+    import StreamingScore.{CandidatePair, StreamDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val cands = StreamingScore.lshCandidateStream(input.toDS(),
+      n = 3, bands = 4, rowsPerBand = 2)
+    val q = cands.writeStream.format("memory").queryName("lsh_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamDoc(1L, "the quick brown fox jumps over the lazy dog", ts(0)),
+        StreamDoc(4L, "completely different text about spark engines here", ts(1)))
+      q.processAllAvailable()
+      // identical doc arrives later: must pair with the stored history
+      input.addData(
+        StreamDoc(2L, "the quick brown fox jumps over the lazy dog", ts(2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("lsh_out").as[CandidatePair].collect()
+      .map(p => (p.id_a, p.id_b)).toSet
+    got should contain((1L, 2L))   // cross-batch duplicate found
+    got should not contain ((1L, 4L)) // unrelated docs share no bucket
+  }
+
   "sessionize" should "split events into gap-based sessions" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
