@@ -110,6 +110,11 @@ object TextQueries {
       Dedup.simHashDocs(t(s, dir, "documents"),
         col("doc_id"), col("text"), bits = 16)),
 
+    // X8: TF-IDF — raw-count tf, corpus df, ln(N/df) weighting.
+    "x8_tfidf" -> ((s, dir) =>
+      graft.operators.Corpus.tfidf(t(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+
     // X7: benchmark decontamination — corpus docs sharing any 5-gram with
     // the (tiny, broadcast) benchmark subset. 5-grams, not the standard
     // 13, so the harness corpus actually produces overlaps beyond the
@@ -276,6 +281,16 @@ object TextQueries {
          |  floor(((${(0 until 8).map(j => s"(a$j = b$j)::INT").mkString(" + ")})::DOUBLE / 8) * 1000000 + 0.5) / 1000000.0
          |    AS est_jaccard
          |FROM cand""".stripMargin,
+
+    "x8_tfidf" ->
+      s"""WITH $toksSql,
+         |tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT doc_id, token, tf, df,
+         |  floor((tf * ln(n::DOUBLE / df)) * 1000000 + 0.5) / 1000000.0 AS tfidf
+         |FROM tf JOIN dfreq USING (token), n""".stripMargin,
 
     "x7_decontaminate" ->
       s"""WITH $toksSql,
