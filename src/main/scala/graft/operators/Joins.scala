@@ -102,11 +102,15 @@ object Joins {
     // the same session zone, so bucket boundaries stay mutually consistent
     def micros(c: String) = unix_micros(col(c).cast("timestamp_ltz"))
     val f = facts.withColumn("__bucket", floor(micros(ts) / w))
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(floor(micros(start) / w),
-        // end is exclusive: an interval ending exactly on a bucket
-        // boundary does not reach into that bucket
-        floor((micros(end) - 1) / w))))
+    // empty/inverted intervals (end <= start) can never contain a ts; drop
+    // them BEFORE the explode — sequence() would otherwise run DESCENDING
+    // over an unbounded bucket range for bad data
+    val iv = intervals.where(col(end) > col(start))
+      .withColumn("__bucket",
+        explode(sequence(floor(micros(start) / w),
+          // end is exclusive: an interval ending exactly on a bucket
+          // boundary does not reach into that bucket
+          floor((micros(end) - 1) / w))))
     f.join(iv, Seq("__bucket"))
       .where(col(start) <= col(ts) && col(ts) < col(end))
       .drop("__bucket")
