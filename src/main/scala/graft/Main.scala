@@ -156,13 +156,18 @@ object Main {
     case Right(c) =>
       val spark = GraftSession.fromEnv()
       // one output file only when the result is top-k bounded; an unbounded
-      // (--maxresults -1) result keeps its partitioning
+      // (--maxresults -1) result keeps its partitioning.
+      // sys.exit inside the catch would throw past the finally (the session
+      // would only stop via the JVM shutdown hook) — record the code, let
+      // try/finally complete, exit after.
+      var exitCode = 0
       try Sinks.writeTsv(runAnalysis(spark, c), c.scored,
         singleFile = c.maxResults >= 0, sep = c.delimiter)
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           System.err.println(s"error: ${e.getMessage}")
-          sys.exit(1)
+          exitCode = 1
       } finally spark.stop()
+      if (exitCode != 0) sys.exit(exitCode)
   }
 }

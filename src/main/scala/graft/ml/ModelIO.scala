@@ -50,7 +50,11 @@ object ModelIO {
   def denseWordIds(words: DataFrame): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
-    words.select(col("word").cast("string")).distinct().as[String].rdd
+    // null words are dropped, not sorted: a dictionary entry for null is
+    // meaningless (no corpus line can reference it) and RDD.sortBy would
+    // NPE on one — the one divergence from a NULLS FIRST row_number window.
+    words.select(col("word").cast("string")).where(col("word").isNotNull)
+      .distinct().as[String].rdd
       .sortBy(identity)
       .zipWithIndex()
       .map { case (w, i) => (w, i.toInt) }

@@ -144,14 +144,22 @@ object Dedup {
   /** Connected components over an undirected near-dup pair graph —
     * cluster assignment for dedup (each document maps to the MINIMUM id
     * reachable through pair edges; the component min is the canonical
-    * representative). Min-label propagation: every round each node adopts
-    * the smallest label among itself and its neighbors; converges in
-    * O(component diameter) rounds, each ONE join + ONE map-side-combined
-    * min aggregation over narrow (node, label) rows. The driver only sees
-    * the per-round changed-label count (convergence check); edge and label
-    * frames are checkpointed so plans stay flat across rounds. Semantics
-    * (component min) are iteration-independent, so results are exactly
-    * reproducible and SQL-twinnable via a recursive closure. */
+    * representative). Min-label propagation WITH pointer doubling: every
+    * round each node (1) adopts the smallest label among itself and its
+    * neighbors, then (2) shortcuts to its label's label (l(v) := l(l(v)),
+    * valid because every label value is itself a node id, so the label
+    * frame doubles as the parent function). Plain propagation converges in
+    * O(component diameter) rounds — a 10⁴-long chain means 10⁴ driver
+    * rounds; the shortcut step squares the propagation distance per round,
+    * so convergence is O(log diameter) with each round two joins + one
+    * map-side-combined min aggregation over narrow (node, label) rows.
+    * Labels are monotone non-increasing and bounded below by the component
+    * min, and the fixpoint is constant per component (for any edge the
+    * stable min condition forces equal labels), so the result — each node
+    * → component min — is iteration-independent, exactly reproducible, and
+    * SQL-twinnable via a recursive closure. The driver only sees the
+    * per-round exact label sum (convergence check); edge and label frames
+    * are checkpointed so plans stay flat across rounds. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val e = pairs.select(col("id_a").cast("long").as("a"),
       col("id_b").cast("long").as("b"))
@@ -163,26 +171,46 @@ object Dedup {
       .localCheckpoint()
     // labels are monotonically non-increasing, so convergence == the label
     // sum stopped falling: ONE tiny aggregate per round, no compare join.
-    // decimal(38) keeps the sum exact at any id magnitude / corpus size;
-    // an empty graph aggregates to null → 0 (converges immediately).
+    // decimal(38) keeps the sum exact at any id magnitude / corpus size.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head()
         .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var it = 0
-    var converged = prevSum.signum == 0 // empty graph: nothing to propagate
+    // emptiness is tested STRUCTURALLY — a non-empty graph whose id sum
+    // happens to be 0 (negative/hash-derived ids) must still propagate.
+    var converged = labels.isEmpty
     while (!converged && it < maxIters) {
+      // (1) hash-to-min: each node takes the min label over its closed
+      // neighborhood. Checkpointed so the shortcut join below reads one
+      // materialization instead of recomputing the aggregation twice.
       val prop = undirected.join(labels, undirected("a") === labels("node"))
         .select(col("b").as("node"), col("label"))
         .union(labels)
         .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(false)
+      // (2) pointer doubling: l(v) := l(l(v)). Inner join is total — every
+      // label value is a node id present in `prop` (labels start at self
+      // and only ever take values that are other nodes' labels). The
+      // parent side is checkpointed SEPARATELY so this is not a self-join
+      // at the plan level: self-join attribute dedup over a checkpointed
+      // LogicalRDD leaves its origin constraints referencing pre-dedup
+      // attribute ids, which crashes Union constraint rewriting in the
+      // next round's propagation step.
+      val parents = prop
+        .select(col("node").as("p_node"), col("label").as("p_label"))
+        .localCheckpoint(false)
+      val short = prop.join(parents, col("label") === col("p_node"))
+        .select(col("node"), col("p_label").as("label"))
         .localCheckpoint()
-      val s = labelSum(prop)
+      val s = labelSum(short)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels = prop
+      labels = short
       it += 1
     }
+    if (converged && it > 0)
+      Console.err.println(s"connectedComponents: converged in $it rounds")
     // a silent partial result would diverge from the closure semantics the
     // doc (and the d6 oracle) promise — fail loudly instead
     if (!converged)

@@ -47,18 +47,22 @@ object Joins {
       if (rightPayload.isEmpty) struct(lit(1L).as("__present"))
       else struct(rightPayload.map(col): _*)
 
-    // null-timestamp rows never match under inner-asof semantics (the old
-    // join predicate r.ts <= l.ts was null → no match; DuckDB agrees) —
-    // filter them out so NULLS FIRST ordering can't carry a null-ts right
-    // row forward as a bogus "earliest match".
-    val rSide = right.where(col(rightTs).isNotNull).select(
+    // null-timestamp and null-KEY rows never match under inner-asof
+    // semantics (a join predicate l.k === r.k or r.ts <= l.ts evaluates
+    // null → no match; DuckDB agrees) — filter both out up front. The ts
+    // filter keeps NULLS FIRST ordering from carrying a null-ts right row
+    // forward as a bogus "earliest match"; the key filter matters because
+    // Window.partitionBy GROUPS null keys together, which would otherwise
+    // let null-key left rows silently match null-key right rows.
+    val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val rSide = right.where(col(rightTs).isNotNull && keysNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"),
         lit(0).as("__side"),
         rightTiebreak.map(col).getOrElse(lit(0L)).as("__tb"),
         rpStruct.as("__rp")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val lSide = left.where(col(leftTs).isNotNull).select(
+    val lSide = left.where(col(leftTs).isNotNull && keysNotNull).select(
       keys.map(col) ++ Seq(
         col(leftTs).as("__ts"),
         lit(1).as("__side"),

@@ -10,26 +10,41 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * Reference: SuspiciousConnectsScoreFunction.scala:11-23 +
   * FlowPostLDA.scala:94-126. The reference does one shuffle join for the
-  * doc mix and a driver-collected broadcast Map for word probs; here both
-  * sides are broadcast hash joins (the doc-mix frame is bounded by distinct
-  * doc count, the word frame by the discretized vocabulary) and the dot
-  * product is a codegen'd zip_with/aggregate — no UDF, no driver collect.
+  * doc mix and a driver-collected broadcast Map for word probs; here the
+  * word side is a broadcast hash join (bounded by the discretized
+  * vocabulary) and the doc side is SIZE-GATED: docs = distinct IPs can
+  * reach tens of millions at scale (k=20 doubles × 10⁷ docs ≈ 1.6 GB —
+  * past any sane broadcast), so the hint is applied only when Catalyst's
+  * size estimate fits under a bound, else the plan is left to AQE, which
+  * still picks a broadcast at runtime when the actual size allows (the
+  * reference deliberately shuffle-joined this side, FlowPostLDA.scala:94).
+  * The dot product is a codegen'd zip_with/aggregate — no UDF, no driver
+  * collect.
   */
 object Scoring {
+
+  /** Broadcast-hint bound for the doc-mix side, bytes (Catalyst estimate). */
+  val DefaultMixBroadcastBytes: Long = 64L << 20
 
   /** Elementwise dot product of two array<double> columns. */
   def dotProduct(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Join the model and add a `score` column. */
+  /** Join the model and add a `score` column. `mixBroadcastBytes` gates
+    * the doc-mix broadcast hint (see object doc); an unknown/huge estimate
+    * (Catalyst defaults derived frames to Long.Max) means no hint. */
   def score(events: DataFrame, doc: Column, word: Column,
-            model: TopicModel.Model): DataFrame = {
+            model: TopicModel.Model,
+            mixBroadcastBytes: Long = DefaultMixBroadcastBytes): DataFrame = {
     val k = model.topicCount
     val uniform = array((0 until k).map(_ => lit(1.0 / k)): _*)
     val mixes = model.docTopicMix.withColumnRenamed("doc", "__doc")
     val probs = model.wordTopicProb.withColumnRenamed("word", "__word")
+    val mixEstimate = mixes.queryExecution.optimizedPlan.stats.sizeInBytes
+    val mixSide =
+      if (mixEstimate <= BigInt(mixBroadcastBytes)) broadcast(mixes) else mixes
     events
-      .join(broadcast(mixes), doc.cast("string") === col("__doc"), "left")
+      .join(mixSide, doc.cast("string") === col("__doc"), "left")
       .join(broadcast(probs), word.cast("string") === col("__word"), "left")
       .withColumn("score",
         dotProduct(coalesce(col("topic_mix"), uniform),

@@ -132,6 +132,26 @@ class OperatorsSpec extends SparkSpec {
       .count() shouldBe 2L
   }
 
+  it should "propagate on a non-empty graph whose id sum is zero" in {
+    // sum-of-ids == 0 must not read as "empty": these two edges connect
+    // {-5, 5} and {-3, 3}, so every node must still adopt its component min
+    val zeroSum = Seq((-5L, 5L), (-3L, 3L)).toDF("id_a", "id_b")
+    Dedup.connectedComponents(zeroSum)
+      .as[(Long, Long)].collect().toMap shouldBe
+      Map(-5L -> -5L, 5L -> -5L, -3L -> -3L, 3L -> -3L)
+  }
+
+  it should "converge in O(log diameter) rounds on a long chain" in {
+    // a 600-node path has diameter 599: plain min-label propagation would
+    // need ~600 rounds (far past maxIters); pointer doubling converges in
+    // ~log2 rounds, well inside the default 25
+    val chain = (1L to 600L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    labels.length shouldBe 600
+    labels.map(_._2).toSet shouldBe Set(1L)
+  }
+
   it should "fail loudly when a component's diameter exceeds maxIters" in {
     val chain = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
@@ -283,6 +303,40 @@ class OperatorsSpec extends SparkSpec {
       rightTiebreak = Some("qid"))
       .select(col("px")).as[Double].collect()
     res shouldBe Array(200.0) // highest qid wins
+
+    // null equi-keys never match either (l.k === r.k is null → no match in
+    // the join form; DuckDB agrees): the merge's partitionBy groups null
+    // keys together, so without the explicit filter a null-key trade
+    // would adopt a null-key quote
+    val nullKeyQuotes = Seq((null: String, t(0), 666.0), ("A", t(0), 100.0))
+      .toDF("sym", "qts", "px")
+    val nullKeyTrades = Seq((1L, null: String, t(4)), (2L, "A", t(4)))
+      .toDF("tid", "sym", "tts")
+    Joins.asOfJoin(nullKeyTrades, nullKeyQuotes, Seq("sym"), "tts", "qts")
+      .select(col("tid"), col("px")).as[(Long, Double)].collect()
+      .toMap shouldBe Map(2L -> 100.0)
+  }
+
+  "Scoring.score" should "gate the doc-mix broadcast hint on estimated size" in {
+    import graft.ml.TopicModel
+    import graft.operators.Scoring
+    val probs = Seq(("w", Seq(0.5, 0.5))).toDF("word", "topic_prob")
+    val events = Seq(("d1", "w"), ("d2", "w")).toDF("ip", "word")
+    def mixJoin(mix: org.apache.spark.sql.DataFrame): String =
+      Scoring.score(events, col("ip"), col("word"),
+          TopicModel.Model(mix, probs, topicCount = 2))
+        .queryExecution.executedPlan.toString
+    // small mix (known-small LocalRelation stats) → broadcast hint applied
+    val small = Seq(("d1", Seq(0.9, 0.1))).toDF("doc", "topic_mix")
+    mixJoin(small) should include regex "BroadcastHashJoin.*__doc"
+    // huge mix (20M docs; Catalyst estimate far past the 64 MB bound) →
+    // no hint: the doc side must plan as a shuffle join, not a forced
+    // driver-side broadcast (AQE may still downgrade at runtime)
+    val big = spark.range(20000000L)
+      .select(col("id").cast("string").as("doc"),
+        array(lit(0.5), lit(0.5)).as("topic_mix"))
+    mixJoin(big) should include regex "(SortMergeJoin|ShuffledHashJoin).*__doc"
+    mixJoin(big) should not include regex ("BroadcastHashJoin.*__doc")
   }
 
   "Sampling" should "produce deterministic, complete, disjoint splits" in {
