@@ -24,12 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ FeatureQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
-      MultimodalQueries.queries ++ PipelineQueries.queries
+      MultimodalQueries.queries ++ PipelineQueries.queries ++
+      FixedModelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ FeatureQueries.oracles ++
       TextQueries.oracles ++ VectorQueries.oracles ++
-      MultimodalQueries.oracles ++ PipelineQueries.oracles
+      MultimodalQueries.oracles ++ PipelineQueries.oracles ++
+      FixedModelQueries.oracles
 }

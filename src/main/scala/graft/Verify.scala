@@ -5,10 +5,18 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: substring filter for fast single-gate iteration
+    // (the driver's 2-arg contract runs everything; oracle_sql.json is
+    // always written in full so oracle_check can still run filtered)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o) => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f))
+    }
     val spark = GraftSession.fromEnv()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(name.contains) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
