@@ -113,12 +113,16 @@ object Main {
       duplicationFactor = c.dupFactor))
     // --topdomains, else the reference's default: a top-1m.csv in the
     // working directory when one exists (DNSWordCreation.scala:41 reads it
-    // unconditionally; here its absence just means an empty popular set).
+    // unconditionally; here its absence just means an empty popular list).
+    // The list stays a DISTRIBUTED frame end-to-end — classing is a
+    // broadcast join, never a driver collect of a million strings (the
+    // reference's TopDomains.scala:9-13 Set is the shape avoided here).
     // lazy: only the dns/proxy branches consume it — flow must not pay the
-    // CSV scan + driver collect.
+    // CSV scan.
     lazy val popular = c.topDomains
       .orElse(Some("top-1m.csv").filter(p => new java.io.File(p).exists))
-      .map(p => Lookups.topDomains(spark, p)).getOrElse(Set.empty[String])
+      .map(p => Lookups.topDomainsDF(spark, p))
+      .getOrElse(DnsPipeline.popularFrame(spark, Set.empty))
     // --model: score with a stored model when one exists at the path,
     // otherwise train and persist there (train-once-score-later).
     def stored[M](load: String => M, train: () => M, save: (M, String) => Unit): M =
@@ -138,13 +142,15 @@ object Main {
         FlowPipeline.results(input, model, c.threshold, c.maxResults)
       case "dns" =>
         val model = stored(DnsPipeline.load(spark, _),
-          () => DnsPipeline.train(input, popular, topicCount = c.topicCount,
-            seed = c.seed, feedback = fb), DnsPipeline.save)
+          () => DnsPipeline.trainWithLookup(input, popular,
+            topicCount = c.topicCount, seed = c.seed, feedback = fb),
+          DnsPipeline.save)
         DnsPipeline.results(input, model, c.threshold, c.maxResults)
       case "proxy" =>
         val model = stored(ProxyPipeline.load(spark, _),
-          () => ProxyPipeline.train(input, popular, topicCount = c.topicCount,
-            seed = c.seed, feedback = fb), ProxyPipeline.save)
+          () => ProxyPipeline.trainWithLookup(input, popular,
+            topicCount = c.topicCount, seed = c.seed, feedback = fb),
+          ProxyPipeline.save)
         ProxyPipeline.results(input, model, c.threshold, c.maxResults)
     }
   }

@@ -20,22 +20,38 @@ object DnsPipeline {
   final case class Cuts(time: Array[Double], frameLen: Array[Double],
                         subLen: Array[Double], entropy: Array[Double],
                         numPeriods: Array[Double])
-  final case class Model(cuts: Cuts, popularDomains: Set[String],
-                         topics: TopicModel.Model, topicCount: Int)
 
-  /** Persist a trained model: topics via [[TopicModel.save]], cuts +
-    * popular-domain set as parquet (cuts can hold +Infinity — not JSON-
-    * representable). */
+  /** The popularity list is carried as a DISTRIBUTED (domain) frame — a
+    * top-1m list never funnels through the driver (train, score, and
+    * persistence all stay distributed; classing is a broadcast join).
+    * [[Model.popularDomains]] collects it for bounded lists/tests only. */
+  final case class Model(cuts: Cuts, popular: DataFrame,
+                         topics: TopicModel.Model, topicCount: Int) {
+    def popularDomains: Set[String] =
+      popular.collect().map(_.getString(0)).toSet
+  }
+
+  /** A driver Set as a popularity frame (the small-list convenience). */
+  def popularFrame(spark: SparkSession, domains: Set[String]): DataFrame = {
+    import spark.implicits._
+    domains.toSeq.sorted.toDF("domain")
+  }
+
+  /** Persist a trained model: topics via [[TopicModel.save]], cuts as
+    * parquet (cuts can hold +Infinity — not JSON-representable), and the
+    * popularity list as its own parquet — a distributed write, so a
+    * million-domain list never collects. */
   def save(model: Model, path: String): Unit = {
     TopicModel.save(model.topics, s"$path/topics")
     val spark = model.topics.docTopicMix.sparkSession
     import spark.implicits._
+    model.popular.select(col("domain").cast("string").as("domain"))
+      .write.mode("overwrite").parquet(s"$path/popular")
     Seq((model.cuts.time.toSeq, model.cuts.frameLen.toSeq,
       model.cuts.subLen.toSeq, model.cuts.entropy.toSeq,
-      model.cuts.numPeriods.toSeq, model.popularDomains.toSeq.sorted,
-      model.topicCount))
+      model.cuts.numPeriods.toSeq, model.topicCount))
       .toDF("time_cuts", "frame_len_cuts", "sub_len_cuts", "entropy_cuts",
-        "num_periods_cuts", "popular_domains", "topic_count")
+        "num_periods_cuts", "topic_count")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -44,7 +60,7 @@ object DnsPipeline {
     def arr(n: String) = m.getAs[Seq[Double]](n).toArray
     Model(Cuts(arr("time_cuts"), arr("frame_len_cuts"), arr("sub_len_cuts"),
       arr("entropy_cuts"), arr("num_periods_cuts")),
-      m.getAs[Seq[String]]("popular_domains").toSet,
+      spark.read.parquet(s"$path/popular"),
       TopicModel.load(spark, s"$path/topics"), m.getAs[Int]("topic_count"))
   }
 
@@ -121,7 +137,16 @@ object DnsPipeline {
   def train(dns: DataFrame, popularDomains: Set[String] = Set.empty,
             topicCount: Int = 20, alpha: Double = 2.5,
             seed: Long = 42L, maxIter: Int = 20,
-            feedback: Option[DataFrame] = None): Model = {
+            feedback: Option[DataFrame] = None): Model =
+    trainWithLookup(dns, popularFrame(dns.sparkSession, popularDomains),
+      topicCount, alpha, seed, maxIter, feedback)
+
+  /** Train with a DISTRIBUTED popularity frame (the 100 TB-clean form —
+    * the CLI default; [[train]] is the small-Set convenience). */
+  def trainWithLookup(dns: DataFrame, popular: DataFrame,
+                      topicCount: Int = 20, alpha: Double = 2.5,
+                      seed: Long = 42L, maxIter: Int = 20,
+                      feedback: Option[DataFrame] = None): Model = {
     val base = validRows(dns).withColumn("__w", lit(1L))
     val combined = feedback match {
       case Some(fb) => base.unionByName(
@@ -131,13 +156,14 @@ object DnsPipeline {
     }
     val withSub = withSubdomains(combined)
     val cuts = computeCuts(withSub)
-    val feats = featurize(withSub, cuts, popularDomains)
+    val feats = featurizeWithLookup(withSub, cuts, popular)
     val wc = Corpus.wordCounts(feats, col("ip_dst"), col("word"), col("__w"))
-    Model(cuts, popularDomains, TopicModel.train(wc, topicCount, alpha, seed, maxIter), topicCount)
+    Model(cuts, popular, TopicModel.train(wc, topicCount, alpha, seed, maxIter), topicCount)
   }
 
   def score(dns: DataFrame, model: Model): DataFrame = {
-    val feats = featurize(withSubdomains(validRows(dns)), model.cuts, model.popularDomains)
+    val feats = featurizeWithLookup(withSubdomains(validRows(dns)),
+      model.cuts, model.popular)
     Scoring.score(feats, col("ip_dst"), col("word"), model.topics)
   }
 

@@ -19,21 +19,32 @@ import org.apache.spark.sql.functions._
 object ProxyPipeline {
 
   final case class Cuts(time: Array[Double], entropy: Array[Double], agent: Array[Double])
-  final case class Model(cuts: Cuts, popularDomains: Set[String],
-                         topics: TopicModel.Model, topicCount: Int)
 
-  /** Persist a trained model: topics via [[TopicModel.save]], cuts +
-    * popular-domain set as parquet (cuts can hold +Infinity — not JSON-
-    * representable). */
+  /** The popularity list is carried as a DISTRIBUTED (domain) frame (see
+    * [[DnsPipeline.Model]] — same rationale: no driver funnel at any list
+    * size). [[Model.popularDomains]] collects for bounded lists/tests. */
+  final case class Model(cuts: Cuts, popular: DataFrame,
+                         topics: TopicModel.Model, topicCount: Int) {
+    def popularDomains: Set[String] =
+      popular.collect().map(_.getString(0)).toSet
+  }
+
+  /** A driver Set as a popularity frame (the small-list convenience). */
+  def popularFrame(spark: SparkSession, domains: Set[String]): DataFrame =
+    DnsPipeline.popularFrame(spark, domains)
+
+  /** Persist a trained model: topics via [[TopicModel.save]], cuts as
+    * parquet (cuts can hold +Infinity — not JSON-representable), the
+    * popularity list as its own distributed parquet. */
   def save(model: Model, path: String): Unit = {
     TopicModel.save(model.topics, s"$path/topics")
     val spark = model.topics.docTopicMix.sparkSession
     import spark.implicits._
+    model.popular.select(col("domain").cast("string").as("domain"))
+      .write.mode("overwrite").parquet(s"$path/popular")
     Seq((model.cuts.time.toSeq, model.cuts.entropy.toSeq,
-      model.cuts.agent.toSeq, model.popularDomains.toSeq.sorted,
-      model.topicCount))
-      .toDF("time_cuts", "entropy_cuts", "agent_cuts", "popular_domains",
-        "topic_count")
+      model.cuts.agent.toSeq, model.topicCount))
+      .toDF("time_cuts", "entropy_cuts", "agent_cuts", "topic_count")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -41,7 +52,7 @@ object ProxyPipeline {
     val m = spark.read.parquet(s"$path/meta").head()
     def arr(n: String) = m.getAs[Seq[Double]](n).toArray
     Model(Cuts(arr("time_cuts"), arr("entropy_cuts"), arr("agent_cuts")),
-      m.getAs[Seq[String]]("popular_domains").toSet,
+      spark.read.parquet(s"$path/popular"),
       TopicModel.load(spark, s"$path/topics"), m.getAs[Int]("topic_count"))
   }
 
@@ -112,7 +123,16 @@ object ProxyPipeline {
   def train(proxy: DataFrame, popularDomains: Set[String] = Set.empty,
             topicCount: Int = 20, alpha: Double = 2.5,
             seed: Long = 42L, maxIter: Int = 20,
-            feedback: Option[DataFrame] = None): Model = {
+            feedback: Option[DataFrame] = None): Model =
+    trainWithLookup(proxy, popularFrame(proxy.sparkSession, popularDomains),
+      topicCount, alpha, seed, maxIter, feedback)
+
+  /** Train with a DISTRIBUTED popularity frame (the 100 TB-clean form —
+    * the CLI default; [[train]] is the small-Set convenience). */
+  def trainWithLookup(proxy: DataFrame, popular: DataFrame,
+                      topicCount: Int = 20, alpha: Double = 2.5,
+                      seed: Long = 42L, maxIter: Int = 20,
+                      feedback: Option[DataFrame] = None): Model = {
     val base = validRows(proxy).withColumn("__w", lit(1L))
     val combined = feedback match {
       case Some(fb) => base.unionByName(
@@ -122,13 +142,14 @@ object ProxyPipeline {
     }
     val feats0 = withFeatures(combined)
     val cuts = computeCuts(feats0)
-    val feats = featurize(feats0, cuts, popularDomains)
+    val feats = featurizeWithLookup(feats0, cuts, popular)
     val wc = Corpus.wordCounts(feats, col("clientip"), col("word"), col("__w"))
-    Model(cuts, popularDomains, TopicModel.train(wc, topicCount, alpha, seed, maxIter), topicCount)
+    Model(cuts, popular, TopicModel.train(wc, topicCount, alpha, seed, maxIter), topicCount)
   }
 
   def score(proxy: DataFrame, model: Model): DataFrame = {
-    val feats = featurize(withFeatures(validRows(proxy)), model.cuts, model.popularDomains)
+    val feats = featurizeWithLookup(withFeatures(validRows(proxy)),
+      model.cuts, model.popular)
     Scoring.score(feats, col("clientip"), col("word"), model.topics)
   }
 

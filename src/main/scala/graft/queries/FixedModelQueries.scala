@@ -114,7 +114,7 @@ object FixedModelQueries {
       val m = DnsPipeline.Model(
         DnsPipeline.Cuts(DnsTimeCuts.toArray, DnsLenCuts.toArray,
           DnsSubLenCuts.toArray, DnsEntCuts.toArray, DnsPerCuts.toArray),
-        DnsPopular, fixtureModel(s), topicCount)
+        DnsPipeline.popularFrame(s, DnsPopular), fixtureModel(s), topicCount)
       DnsPipeline.results(dns, m, threshold = 1.0, topK = -1)
         .select(col("doc_id"), col("ip_dst"), col("word"),
           score9(col("score")).as("score"))}),
@@ -139,7 +139,7 @@ object FixedModelQueries {
       val m = ProxyPipeline.Model(
         ProxyPipeline.Cuts(ProxyTimeCuts.toArray, ProxyEntCuts.toArray,
           ProxyAgentCuts.toArray),
-        Set.empty, fixtureModel(s), topicCount)
+        ProxyPipeline.popularFrame(s, Set.empty), fixtureModel(s), topicCount)
       ProxyPipeline.results(proxy, m, threshold = 1.0, topK = -1)
         .select(col("event_id"), col("clientip"), col("word"),
           score9(col("score")).as("score"))}),

@@ -226,6 +226,22 @@ object RelationalQueries {
         rightTiebreak = Some("marker_id"))
         .select(col("event_id"), col("user_id"), col("marker_id"))}),
 
+    // J7b: as-of tiebreak under REAL (key, ts) duplicates — every marker
+    // row is doubled with a larger id, so the max-tiebreak rule decides
+    // every match. Oracle: explicit rank twin (DuckDB's native ASOF picks
+    // an arbitrary tie winner, so it can't oracle this path).
+    "j7b_asof_tiebreak" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.where(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts"), col("event_id").as("marker_id"))
+      val markers = base.union(
+        base.select(col("user_id"), col("ts"), (col("marker_id") + 5).as("marker_id")))
+      graft.operators.Joins.asOfJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        markers, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightTiebreak = Some("marker_id"))
+        .select(col("event_id"), col("user_id"), col("marker_id"))}),
+
     // J8: range join (interval containment) — order dates against year
     // periods; the tiny interval side broadcasts, so the inequality join
     // is a BroadcastNestedLoop scan, not a cross shuffle.
@@ -403,6 +419,18 @@ object RelationalQueries {
         |ASOF JOIN (SELECT user_id, ts, max(event_id) AS marker_id
         |           FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2) m
         |  ON a.user_id = m.user_id AND a.ts >= m.ts""".stripMargin,
+
+    "j7b_asof_tiebreak" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id AS marker_id FROM events WHERE event_id % 10 = 0
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id + 5 FROM events WHERE event_id % 10 = 0),
+        |j AS (
+        |  SELECT a.event_id, a.user_id, m.marker_id,
+        |         row_number() OVER (PARTITION BY a.event_id
+        |           ORDER BY m.ts DESC, m.marker_id DESC) AS rn
+        |  FROM events a JOIN m ON a.user_id = m.user_id AND m.ts <= a.ts)
+        |SELECT event_id, user_id, marker_id FROM j WHERE rn = 1""".stripMargin,
 
     "j8_range_join" -> RangeJoinOracle,
     "j8b_range_join_bucketed" -> RangeJoinOracle, // identical semantics

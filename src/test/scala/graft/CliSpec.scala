@@ -129,5 +129,11 @@ class CliSpec extends SparkSpec {
     // amazon is popular (class 1) via the loaded list: some word starts 1_
     res.where(col("word").startsWith("1_")).count() should be > 0L
     res.select("score").as[Double].collect().length shouldBe 20
+    // the CLI's default classing path is the broadcast JOIN against the
+    // distributed list (not a closure-captured driver Set): the scoring
+    // plan carries the __pop lookup side through a broadcast join
+    val plan = res.queryExecution.executedPlan.toString
+    plan should include("__pop")
+    plan should include("Broadcast")
   }
 }

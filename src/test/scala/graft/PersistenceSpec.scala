@@ -70,7 +70,7 @@ class PersistenceSpec extends SparkSpec {
     val infModel = DnsPipeline.Model(
       DnsPipeline.Cuts(Array(1.0), Array.fill(3)(Double.PositiveInfinity),
         Array(0.5), Array(2.0), Array(3.0)),
-      Set("amazon"), m.topics, 3)
+      DnsPipeline.popularFrame(spark, Set("amazon")), m.topics, 3)
     DnsPipeline.save(infModel, s"$dir/dns")
     val dnsLoaded = DnsPipeline.load(spark, s"$dir/dns")
     dnsLoaded.cuts.frameLen.toSeq shouldBe Seq.fill(3)(Double.PositiveInfinity)
