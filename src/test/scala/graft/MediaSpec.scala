@@ -20,7 +20,8 @@ class MediaSpec extends SparkSpec {
     col("doc_id"), lit("text/plain"), encode(col("text"), "UTF-8"))
 
   "extractFeatures" should "produce hash-consistent features per record" in {
-    val got = Media.extractFeatures(media).collect().map(f => f.id -> f).toMap
+    val got = Media.extractFeatures(media, Media.StubDecoder)
+      .collect().map(f => f.id -> f).toMap
     got(1L).byte_len shouldBe 11L
     got(1L).content_hash shouldBe PolyHash.hash("hello world", 31L)
     got(2L).content_hash shouldBe PolyHash.hash("spark native engine", 31L)
@@ -31,8 +32,37 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  "HeaderDecoder" should "round-trip real PNG and WAV headers" in {
+    val recs = Seq(
+      Media.MediaRecord(1L, "image/png", Media.pngBytes(640, 480)),
+      Media.MediaRecord(2L, "audio/wav", Media.wavBytes(44100, 2, 100)),
+      Media.MediaRecord(3L, "mislabeled", Media.pngBytes(7, 9)), // magic wins
+      Media.MediaRecord(4L, "text/plain", "not a media file".getBytes("UTF-8")))
+    val got = Media.HeaderDecoder.decode(recs.iterator).toSeq.map(f => f.id -> f).toMap
+    got(1L).width shouldBe 640
+    got(1L).height shouldBe 480
+    got(1L).frames shouldBe 1
+    got(1L).byte_len shouldBe 45L
+    got(2L).width shouldBe 44100  // sample rate
+    got(2L).height shouldBe 2     // channels
+    got(2L).frames shouldBe 100   // sample frames = data / blockAlign
+    got(2L).byte_len shouldBe (44L + 100 * 2 * 2)
+    got(3L).width shouldBe 7      // detected by magic bytes, not mime
+    got(4L).width shouldBe -1     // unknown format: honest -1, not a fake
+    got(4L).frames shouldBe -1
+    // content hash is the same byte fold regardless of decoder
+    got(4L).content_hash shouldBe PolyHash.hash("not a media file", 31L)
+  }
+
+  it should "survive a truncated WAV without a data chunk" in {
+    val bytes = Media.wavBytes(8000, 1, 4).take(20) // RIFF+WAVE+partial fmt
+    val f = Media.HeaderDecoder.decode(
+      Iterator(Media.MediaRecord(9L, "audio/wav", bytes))).next()
+    f.frames shouldBe -1
+  }
+
   "sampleFrames" should "emit stride-sampled frame indexes" in {
-    val feats = Media.extractFeatures(media)
+    val feats = Media.extractFeatures(media, Media.StubDecoder)
     val got = Media.sampleFrames(feats, every = 4)
       .groupBy("id").agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
       .as[(Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
