@@ -121,6 +121,79 @@ class StreamingSpec extends SparkSpec {
     got should not contain ((1L, 4L)) // unrelated docs share no bucket
   }
 
+  // The recovery pair below restarts each stateful stream from its
+  // checkpoint (the memory sink refuses recovery, so the sink is
+  // foreachBatch into a driver buffer — the production recovery shape).
+
+  "dedupStream" should "recover its seen-set from a checkpoint across a restart" in {
+    import StreamingScore.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup_ckpt").toString
+    val input = MemoryStream[StreamDoc]
+    def start(buf: collection.mutable.ArrayBuffer[StreamDoc]) =
+      StreamingScore.dedupStream(input.toDS())
+        .writeStream
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[StreamDoc], _: Long) =>
+          buf.synchronized { buf ++= ds.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    val before = collection.mutable.ArrayBuffer[StreamDoc]()
+    val q1 = start(before)
+    try {
+      input.addData(StreamDoc(1L, "x", ts(0)), StreamDoc(2L, "y", ts(1)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    before.map(_.doc_id).toSet shouldBe Set(1L, 2L)
+
+    // restart from the checkpoint: batch-1 offsets are committed (nothing
+    // re-emitted into the fresh buffer) and the seen-set state is intact
+    // (the cross-restart duplicate of "x" must stay suppressed)
+    val after = collection.mutable.ArrayBuffer[StreamDoc]()
+    val q2 = start(after)
+    try {
+      input.addData(StreamDoc(3L, "x", ts(3)), StreamDoc(4L, "z", ts(4)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    after.map(_.doc_id).toSet shouldBe Set(4L)
+  }
+
+  "lshCandidateStream" should "recover bucket history from a checkpoint across a restart" in {
+    import StreamingScore.{CandidatePair, StreamDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("lsh_ckpt").toString
+    val text = "the quick brown fox jumps over the lazy dog"
+    val input = MemoryStream[StreamDoc]
+    def start(buf: collection.mutable.ArrayBuffer[CandidatePair]) =
+      StreamingScore.lshCandidateStream(input.toDS(), n = 3, bands = 4,
+          rowsPerBand = 2)
+        .writeStream
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[CandidatePair], _: Long) =>
+          buf.synchronized { buf ++= ds.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    val before = collection.mutable.ArrayBuffer[CandidatePair]()
+    val q1 = start(before)
+    try {
+      input.addData(StreamDoc(1L, text, ts(0)), StreamDoc(2L, text, ts(1)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    before.map(p => (p.id_a, p.id_b)).toSet shouldBe Set((1L, 2L))
+
+    // restart: the recovered buckets still hold ids 1 and 2 — a third
+    // duplicate pairs against BOTH, and the old (1,2) pair is not re-emitted
+    val after = collection.mutable.ArrayBuffer[CandidatePair]()
+    val q2 = start(after)
+    try {
+      input.addData(StreamDoc(3L, text, ts(3)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    after.map(p => (p.id_a, p.id_b)).toSet shouldBe Set((1L, 3L), (2L, 3L))
+  }
+
   "sessionize" should "split events into gap-based sessions" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
