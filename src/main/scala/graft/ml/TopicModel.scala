@@ -34,10 +34,36 @@ object TopicModel {
     * driver mid-train. */
   val MaxDriverVocab: Int = 1 << 20
 
+  /** The top-`cap` words of a (word, cnt) corpus by TOTAL corpus count
+    * (ties broken lexicographically), as a dense dictionary in the same
+    * lexicographic id order [[ModelIO.denseWordIds]] assigns. Fully
+    * distributed: the frequency cut is a map-side-combined aggregate plus
+    * a TakeOrdered top-k — an OPEN text vocabulary of any size reduces to
+    * a bounded dictionary without the driver ever seeing the long tail. */
+  def cappedWordIds(corpus: DataFrame, cap: Int): DataFrame = {
+    val kept = corpus
+      .groupBy(col("word")).agg(sum(col("cnt")).as("__total"))
+      .orderBy(desc("__total"), asc("word"))
+      .limit(cap)
+      .select("word")
+    ModelIO.denseWordIds(kept)
+  }
+
+  /** Train from a (doc, word, count) corpus.
+    *
+    * `vocabCap`: when set, the vocabulary is frequency-capped to the top-N
+    * words first (see [[cappedWordIds]]) and out-of-vocabulary words DROP
+    * from the corpus — the standard open-vocabulary LDA preprocessing, and
+    * the path that lets raw text corpora (unbounded distinct words) train
+    * with bounded driver memory. Scoring then sees unseen words through
+    * the uniform-default path, exactly like unseen docs. When unset, the
+    * vocabulary must already be bounded (discretized feature words) and
+    * the `maxDriverVocab` guard fails loudly otherwise. */
   def train(wordCounts: DataFrame, topicCount: Int = 20, alpha: Double = 2.5,
             seed: Long = 42L, maxIter: Int = 20,
             optimizer: String = "online",
-            maxDriverVocab: Int = MaxDriverVocab): Model = {
+            maxDriverVocab: Int = MaxDriverVocab,
+            vocabCap: Option[Int] = None): Model = {
     val spark = wordCounts.sparkSession
     import spark.implicits._
 
@@ -49,17 +75,21 @@ object TopicModel {
 
     // Dictionary = dense sorted word ids, assigned distributedly
     // (range-sort + zipWithIndex — no single-partition window); replaces
-    // the reference's driver-side collect into a Map.
-    val dict = ModelIO.denseWordIds(corpus.select("word"))
+    // the reference's driver-side collect into a Map. With vocabCap the
+    // dictionary is the frequency-capped top-N instead of the full vocab.
+    val dict = vocabCap.fold(ModelIO.denseWordIds(corpus.select("word")))(
+        cap => cappedWordIds(corpus, cap))
       .cache()
     val vocabSize = dict.count().toInt
     require(vocabSize <= maxDriverVocab,
       s"vocabulary has $vocabSize distinct words, above the $maxDriverVocab " +
         "driver cap for the topicsMatrix materialization. This model is " +
         "designed for DISCRETIZED feature vocabularies (bounded by the " +
-        "product of bin counts); for open text vocabularies, hash or " +
-        "frequency-cap the words first, or raise maxDriverVocab knowingly.")
+        "product of bin counts); for open text vocabularies pass " +
+        "vocabCap (frequency-capped top-N dictionary), or raise " +
+        "maxDriverVocab knowingly.")
 
+    // inner join: out-of-vocabulary words (capped mode only) drop here
     val docVectors = corpus.join(dict, "word")
       .groupBy("doc")
       .agg(collect_list(struct(col("word_id"), col("cnt"))).as("pairs"))
