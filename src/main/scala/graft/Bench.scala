@@ -18,7 +18,7 @@ object Bench {
     "x2_quality", "x3_langid", "d1_exact_dedup", "d2_ngram_jaccard",
     "d3_minhash_lsh", "d4_simhash", "d6_near_dup_clusters", "v1_norm",
     "v2_cosine_topk", "v3_ivf_assign", "v4b_cell_near_dup", "v7_kmeans",
-    "c1_curation", "j7_asof_join")
+    "c1_curation", "j7_asof_join", "pipe_events_fixedmodel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,7 +36,12 @@ object Bench {
     spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7)
       .as("k")).count().write.format("noop").mode("overwrite").save()
 
+    // EVERY query is timed 3× and reports its MEDIAN — single-run numbers
+    // proved unusable round-over-round (shared-JVM/GC noise produced
+    // 1.4-4.9× phantom swings on 1-6 s queries); the min/max spread is
+    // emitted alongside so a regression can be told from noise.
     val timed = collection.mutable.LinkedHashMap[String, Double]()
+    val spread = collection.mutable.LinkedHashMap[String, (Double, Double)]()
     def timeOnce(name: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
       try { body; (System.nanoTime() - t0) / 1e9 }
@@ -45,10 +50,16 @@ object Bench {
         -1.0 // explicit failure marker, not a fast success
       }
     }
-    def time(name: String, reps: Int = 1)(body: => Unit): Unit = {
+    def time(name: String, reps: Int = 3)(body: => Unit): Unit = {
       val ts = Seq.fill(reps)(timeOnce(name)(body))
-      timed(name) =
-        if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(reps / 2)
+      if (ts.contains(-1.0)) {
+        timed(name) = -1.0
+        spread(name) = (-1.0, -1.0)
+      } else {
+        val sorted = ts.sorted
+        timed(name) = sorted(reps / 2)
+        spread(name) = (sorted.head, sorted.last)
+      }
     }
 
     headline.foreach { name =>
@@ -58,22 +69,22 @@ object Bench {
     }
     // Full suspicious-connects pipeline (featurize → LDA → score → top-k),
     // with exact reference-semantics cuts and with the sketch-based cuts
-    // (the high-cardinality scale path). MLlib's online LDA timing is noisy
-    // (±50% observed run-to-run), so the LDA-bearing entries report the
-    // MEDIAN of 3 runs for round-over-round comparability.
-    time("pipeline_events", reps = 3) {
+    // (the high-cardinality scale path).
+    time("pipeline_events") {
       run(EventsPipeline.run(Tables.load(spark, sfDir, "events"),
         threshold = 1.0, topK = 100, topicCount = 10))
     }
-    time("pipeline_events_approx", reps = 3) {
+    time("pipeline_events_approx") {
       run(EventsPipeline.run(Tables.load(spark, sfDir, "events"),
         threshold = 1.0, topK = 100, topicCount = 10, exactCuts = false))
     }
 
     val qs = timed.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val sp = spread.map { case (k, (lo, hi)) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }
+      .mkString("{", ",", "}")
     val total = timed.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_reps":3,"queries":$qs,"spread":$sp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
