@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Build a 10x replication of an SF directory for SCALING benchmarks only
+(never correctness: the driver's real generator owns those inputs).
+
+Each copy i offsets every key column past the source's max so key
+cardinality scales with the data (10x rows => 10x distinct orders,
+customers, docs, users...). Document texts get a per-copy suffix so the
+dedup operators see a realistic near-duplicate corpus (10-member clusters)
+instead of a degenerate exact-duplicate one; embeddings stay identical
+across copies (10-member cosine-duplicate cells for the ANN operators).
+
+Usage: python3 tools/make_scaled_data.py [src_sf_dir] [out_dir] [factor]
+"""
+import os
+import sys
+
+import duckdb
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1r"
+factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+os.makedirs(out, exist_ok=True)
+con = duckdb.connect()
+con.execute(f"SET threads TO {os.cpu_count()}")
+
+# table -> select list with key offsets as functions of copy index i
+SCALED = {
+    # ts as int64 NANOS: the engine's loader expects the harness's
+    # nanosecond representation (Tables.events does `ts div 1000`)
+    "events": "event_id + i*100000 AS event_id, epoch_ns(ts) AS ts,"
+              " user_id + i*1500 AS user_id, event_type, value, props",
+    "lineitem": "l_orderkey + i*150000 AS l_orderkey, l_partkey + i*20000 AS l_partkey,"
+                " l_suppkey + i*1000 AS l_suppkey, l_linenumber, l_quantity,"
+                " l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,"
+                " l_shipdate",
+    "orders": "o_orderkey + i*150000 AS o_orderkey, o_custkey + i*15000 AS o_custkey,"
+              " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority",
+    "customer": "c_custkey + i*15000 AS c_custkey, c_name, c_nationkey,"
+                " c_acctbal, c_mktsegment",
+    "part": "p_partkey + i*20000 AS p_partkey, p_name, p_brand, p_type,"
+            " p_size, p_retailprice",
+    "supplier": "s_suppkey + i*1000 AS s_suppkey, s_name, s_nationkey, s_acctbal",
+    "documents": "doc_id + i*5000 AS doc_id,"
+                 " text || CASE WHEN i = 0 THEN '' ELSE ' copy' || i END AS text,"
+                 " lang, source, n_chars",
+    "embeddings": "vec_id + i*2000 AS vec_id, embedding, label",
+}
+COPIED = ["region", "nation"]  # fixed-size dims
+
+for t, sel in SCALED.items():
+    con.execute(
+        f"COPY (SELECT {sel}"
+        f"      FROM read_parquet('{src}/{t}.parquet'), range({factor}) r(i))"
+        f" TO '{out}/{t}.parquet' (FORMAT parquet)")
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
+    print(f"{t}: {n} rows")
+for t in COPIED:
+    con.execute(f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet'))"
+                f" TO '{out}/{t}.parquet' (FORMAT parquet)")
+print(f"wrote {factor}x of {src} to {out}")
