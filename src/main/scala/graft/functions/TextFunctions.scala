@@ -93,4 +93,33 @@ object TextFunctions {
       when(laters.map(c >= _).reduce(_ && _), lit(l)).otherwise(els)
     }
   }
+
+  /** PII patterns, applied in order (emails first — once replaced, their
+    * digit/dot runs can't be re-matched by the later patterns). Kept to
+    * the regex subset Java and RE2 interpret identically (char classes,
+    * bounded repetition, \b; no backrefs or lookaround), so the DuckDB
+    * oracles share the patterns verbatim. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("EMAIL", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("IPV4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"),
+    ("LONGNUM", "\\b[0-9]{9,}\\b"))
+
+  /** Redact PII in place: each pattern class becomes its `<NAME>` tag.
+    * Pure regexp_replace chain — codegen'd, no UDF. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (name, p)) =>
+      regexp_replace(c, p, s"<$name>")
+    }
+
+  /** Total PII matches across the pattern classes, counted in the same
+    * order redaction applies them (on the progressively redacted text, so
+    * an email's host digits are not double-counted as a number). */
+  def piiCount(text: Column): Column = {
+    val (total, _) = PiiPatterns.foldLeft((lit(0).cast("int"), text)) {
+      case ((cnt, cur), (name, p)) =>
+        (cnt + size(regexp_extract_all(cur, lit(p), lit(0))),
+          regexp_replace(cur, p, s"<$name>"))
+    }
+    total
+  }
 }

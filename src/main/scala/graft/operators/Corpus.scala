@@ -39,6 +39,48 @@ object Corpus {
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Within-document repetition statistics — the standard repetition-based
+    * quality signal for training corpora (heavily repeated tokens mark
+    * boilerplate/spam): per doc, total and distinct token counts, the top
+    * token's count, and the top-token / distinct-token ratios. Two
+    * map-side-combined hash aggregations over narrow rows; documents with
+    * zero tokens produce no row (nothing to measure). */
+  def repetitionStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.cast("long").as("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(text)).as("token"))
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000.0
+    toks.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_count"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("top_count"),
+        r6(col("top_count").cast("double") / col("n_tokens").cast("double"))
+          .as("top_ratio"),
+        r6(col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("distinct_ratio"))
+  }
+
+  /** Streaming sequence packing — the training-data layout step that
+    * concatenates documents into budget-sized context windows: within each
+    * `part` stream, documents are laid out in ascending id order and each
+    * is assigned the pack its FIRST token lands in (`start_offset div
+    * budget`). Deterministic, one shuffle (the per-part window); parts
+    * bound the window partitions, so scale-out is by the partition column
+    * (source, shard, date...), never a global sort. */
+  def packSequences(docs: DataFrame, id: Column, part: Column,
+                    nTokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "pack budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(id.cast("long").as("doc_id"), part.cast("string").as("part"),
+        nTokens.cast("long").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"start_offset div ${budget}L"))
+  }
+
   /** Union of two perspectives of the same events (e.g. a flow contributes
     * a document for both endpoint IPs — reference FlowPreLDA.scala:139).
     * Union BEFORE the aggregation so a single shuffle builds both. */

@@ -41,4 +41,21 @@ object Sampling {
     * key hash) — reproducible training-data interleaving without RNG. */
   def deterministicShuffle(df: DataFrame, key: Column): DataFrame =
     df.orderBy(PolyHash.poly_hash(key.cast("string")), key)
+
+  /** Deterministic per-class downsampling to at most `target` rows — the
+    * class-balancing step for skewed training labels. Rows rank within
+    * their class by (key hash, key): a stable pseudo-random order, so the
+    * kept subset is reproducible across runs/engines/partitionings. One
+    * shuffle (the per-class window); a very hot class funnels through one
+    * partition's sort — for targets small relative to the class, that sort
+    * is the k-limited TakeOrdered shape per class and stays cheap. */
+  def balanceClasses(df: DataFrame, key: Column, cls: Column,
+                     target: Int): DataFrame = {
+    require(target > 0, "target must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(cls).orderBy(PolyHash.poly_hash(key.cast("string")), key)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= target)
+      .drop("__rn")
+  }
 }

@@ -146,7 +146,40 @@ object TextQueries {
       graft.operators.Sampling.splits(t(s, dir, "documents"),
         col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
         .groupBy("split").agg(count(lit(1)).as("n"),
-          min("doc_id").as("min_id")))
+          min("doc_id").as("min_id"))),
+
+    // X9: PII redaction — emails / IPv4s / long digit runs injected per
+    // doc bucket (the synthetic corpus has none), redacted to typed tags
+    // with a per-doc match count.
+    "x9_pii_redact" -> ((s, dir) => {
+      val pii = t(s, dir, "documents").withColumn("txt", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit(" contact alice.smith+x@mail-host.example.com now"))
+          .when(col("doc_id") % 5 === 1, lit(" src 10.42.7.193 logged"))
+          .when(col("doc_id") % 5 === 2, lit(" acct 4111111111111111 ref"))
+          .otherwise(lit(""))))
+      pii.select(col("doc_id"), redactPii(col("txt")).as("clean"),
+        piiCount(col("txt")).as("n_pii"))}),
+
+    // X10: within-doc repetition stats — the repetition-based quality
+    // signal (top-token ratio flags boilerplate/spam).
+    "x10_repetition" -> ((s, dir) =>
+      graft.operators.Corpus.repetitionStats(t(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+
+    // X11: sequence packing — docs laid into 2000-token context windows
+    // per source stream, each assigned the pack its first token lands in.
+    "x11_seq_pack" -> ((s, dir) =>
+      graft.operators.Corpus.packSequences(t(s, dir, "documents"),
+        col("doc_id"), col("source"), size(tokens(col("text"))),
+        budget = 2000L)),
+
+    // X12: class balancing — deterministic per-language downsample to 40
+    // docs (rank by key hash inside each class).
+    "x12_class_balance" -> ((s, dir) =>
+      graft.operators.Sampling.balanceClasses(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"), target = 40))
   )
 
   // --- shared oracle SQL fragments ---------------------------------------
@@ -174,7 +207,70 @@ object TextQueries {
     graft.functions.TextFunctions.LangMarkers(l)
       .map(m => s"'$m'").mkString("[", ", ", "]")
 
+  /** The shared PII patterns as DuckDB string literals (no quotes inside;
+    * DuckDB '' literals keep backslashes verbatim, matching Java's view of
+    * the same pattern text). */
+  private val Seq(piiEmail, piiIp, piiNum) =
+    graft.functions.TextFunctions.PiiPatterns.map { case (_, p) => s"'$p'" }
+
+  private val piiInjectSql =
+    """SELECT doc_id, text || CASE
+      |    WHEN doc_id % 5 = 0 THEN ' contact alice.smith+x@mail-host.example.com now'
+      |    WHEN doc_id % 5 = 1 THEN ' src 10.42.7.193 logged'
+      |    WHEN doc_id % 5 = 2 THEN ' acct 4111111111111111 ref'
+      |    ELSE '' END AS txt
+      |FROM documents""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x9_pii_redact" ->
+      s"""WITH p AS ($piiInjectSql),
+         |s1 AS (SELECT doc_id, txt,
+         |         regexp_replace(txt, $piiEmail, '<EMAIL>', 'g') AS t1 FROM p),
+         |s2 AS (SELECT *,
+         |         regexp_replace(t1, $piiIp, '<IPV4>', 'g') AS t2 FROM s1)
+         |SELECT doc_id,
+         |  regexp_replace(t2, $piiNum, '<LONGNUM>', 'g') AS clean,
+         |  (len(regexp_extract_all(txt, $piiEmail))
+         |   + len(regexp_extract_all(t1, $piiIp))
+         |   + len(regexp_extract_all(t2, $piiNum)))::INT AS n_pii
+         |FROM s2""".stripMargin,
+
+    "x10_repetition" ->
+      raw"""WITH $toksSql,
+         |tc AS (
+         |  SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY 1, 2)
+         |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+         |  count(*)::BIGINT AS n_distinct, max(c)::BIGINT AS top_count,
+         |  floor((max(c)::DOUBLE / sum(c)::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS top_ratio,
+         |  floor((count(*)::DOUBLE / sum(c)::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS distinct_ratio
+         |FROM tc GROUP BY doc_id""".stripMargin,
+
+    "x11_seq_pack" ->
+      raw"""WITH d AS (
+         |  SELECT doc_id, source AS part,
+         |    len(list_filter(string_split_regex(text, '\s+'),
+         |                    x -> len(x) > 0))::BIGINT AS n_tokens
+         |  FROM documents),
+         |w AS (
+         |  SELECT *, coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY part ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |    AS start_offset
+         |  FROM d)
+         |SELECT doc_id, part, n_tokens, start_offset,
+         |       (start_offset // 2000)::BIGINT AS pack_id
+         |FROM w""".stripMargin,
+
+    "x12_class_balance" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, ${hashSql("doc_id::VARCHAR")} AS hh
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY hh, doc_id) AS rn FROM h)
+         |SELECT doc_id, lang FROM r WHERE rn <= 40""".stripMargin,
+
     "x1_tokens" ->
       raw"""WITH $toksSql
          |SELECT doc_id, len(tk) AS n_tokens,
