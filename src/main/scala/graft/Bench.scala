@@ -17,7 +17,8 @@ object Bench {
     "w1_window_cumsum", "g1_rollup", "f3_bin", "f4_entropy", "f8_flow_words",
     "x2_quality", "x3_langid", "d1_exact_dedup", "d2_ngram_jaccard",
     "d3_minhash_lsh", "d4_simhash", "d6_near_dup_clusters", "v1_norm",
-    "v2_cosine_topk", "v3_ivf_assign", "v4b_cell_near_dup", "v7_kmeans",
+    "v2_cosine_topk", "v3_ivf_assign", "v4b_cell_near_dup",
+    "v4c_scaled_cells", "v7_kmeans",
     "c1_curation", "j7_asof_join", "pipe_events_fixedmodel")
 
   def main(args: Array[String]): Unit = {

@@ -242,6 +242,22 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** [[cellRoutedNearDupPairs]] with TRAINED, N-SCALED cells — the
+    * production parameterization: k = ceil(√n) Lloyd-trained centroids
+    * keep expected cell membership ≈ √n, so total within-cell verify work
+    * grows ~n·√n instead of n²/k with a fixed cell count (the measured
+    * failure mode of a static-k index at 10× data — see BENCH_SCALING.md).
+    * One count, one bounded k-means, then the usual cell-routed join. */
+  def scaledCellNearDupPairs(df: DataFrame, threshold: Double,
+                             nProbe: Int = 1, kmeansIters: Int = 2,
+                             id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val n = df.count()
+    val k = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cents = kmeansCentroids(df, k, kmeansIters, id, vec)
+    cellRoutedNearDupPairs(df, cents, threshold, nProbe, id, vec,
+      "centroid_id", "cent")
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold.
     * Exact all-pairs BASELINE (O(n²) nested-loop join) — for any corpus
     * that doesn't fit one node, use [[cellRoutedNearDupPairs]] (IVF cells)

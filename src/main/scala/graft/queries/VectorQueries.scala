@@ -46,6 +46,14 @@ object VectorQueries {
       Similarity.cellRoutedNearDupPairs(emb, emb.where(col("vec_id") < 8),
         threshold = 0.35, nProbe = 1)}),
 
+    // V4c: cell-routed near-dup with TRAINED, N-scaled cells (k = ceil(√n)
+    // Lloyd centroids) — the parameterization that holds the ~n^1.5 work
+    // bound as the corpus grows (v4b's fixed 8 cells are the oracle-simple
+    // form; this is what production runs).
+    "v4c_scaled_cells" -> ((s, dir) =>
+      Similarity.scaledCellNearDupPairs(t(s, dir, "embeddings"),
+        threshold = 0.35, nProbe = 1, kmeansIters = 2)),
+
     // V5: full IVF ANN search — corpus assigned to cells once, queries
     // probe their 2 nearest cells, rank only within probed cells.
     "v5_ivf_search" -> ((s, dir) => {
@@ -132,6 +140,44 @@ object VectorQueries {
          |  SELECT id_a, id_b, floor((${cosSql("x.e", "y.e")}) * 1000000 + 0.5) / 1000000.0 AS cos
          |  FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b)
          |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35""".stripMargin,
+
+    "v4c_scaled_cells" -> {
+      // mirrors the v7 twin's Lloyd rounds, but seeded with the ceil(√n)
+      // lowest ids and finished with the v4b-style within-cell pair check
+      def assignSql(cents: String) =
+        s"""SELECT vec_id, centroid_id FROM (
+           |    SELECT c.vec_id, k.centroid_id,
+           |      row_number() OVER (PARTITION BY c.vec_id
+           |        ORDER BY floor((${cosSql("c.e", "k.cent")}) * 1000000 + 0.5) / 1000000.0 DESC, k.centroid_id) AS rn
+           |    FROM v c CROSS JOIN $cents k) WHERE rn = 1""".stripMargin
+      def updateSql(assign: String) =
+        s"""SELECT centroid_id, list(m ORDER BY pos) AS cent FROM (
+           |    SELECT centroid_id, i - 1 AS pos,
+           |      floor(sum(floor(e[i] * 1000000000 + 0.5)) / count(*) + 0.5) / 1000000000.0 AS m
+           |    FROM $assign a JOIN v USING (vec_id),
+           |         LATERAL (SELECT unnest(generate_series(1, len(e))) AS i)
+           |    GROUP BY 1, 2)
+           |  GROUP BY 1""".stripMargin
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS centroid_id, e AS cent FROM (
+         |    SELECT *, row_number() OVER (ORDER BY vec_id) AS rn,
+         |           count(*) OVER () AS cnt FROM v)
+         |  WHERE rn <= ceil(sqrt(cnt))),
+         |a1 AS (${assignSql("c0")}),
+         |c1 AS (${updateSql("a1")}),
+         |a2 AS (${assignSql("c1")}),
+         |c2 AS (${updateSql("a2")}),
+         |cassign AS (${assignSql("c2")}),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM cassign a JOIN cassign b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b, floor((${cosSql("x.e", "y.e")}) * 1000000 + 0.5) / 1000000.0 AS cos
+         |  FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b)
+         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35""".stripMargin
+    },
 
     "v5_ivf_search" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -44,7 +44,12 @@ SCALED = {
     "documents": "doc_id + i*5000 AS doc_id,"
                  " text || CASE WHEN i = 0 THEN '' ELSE ' copy' || i END AS text,"
                  " lang, source, n_chars",
-    "embeddings": "vec_id + i*2000 AS vec_id, embedding, label",
+    # rotate dims by copy index: norms and intra-copy cosines are exactly
+    # preserved (it's a permutation), while cross-copy vectors decorrelate —
+    # verbatim copies would give every vector 9 exact cosine-duplicates and
+    # make every near-dup benchmark output-quadratic (see BENCH_SCALING.md)
+    "embeddings": "vec_id + i*2000 AS vec_id,"
+                  " embedding[i+1:] || embedding[:i] AS embedding, label",
 }
 COPIED = ["region", "nation"]  # fixed-size dims
 
