@@ -26,9 +26,11 @@ object Scoring {
   /** Broadcast-hint bound for the doc-mix side, bytes (Catalyst estimate). */
   val DefaultMixBroadcastBytes: Long = 64L << 20
 
-  /** Elementwise dot product of two array<double> columns. */
+  /** Elementwise dot product of two array<double> columns — the codegen'd
+    * native fold ([[graft.functions.VectorOps]]); bit-identical to the
+    * interpreted aggregate/zip_with composition it replaces. */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dot_product(a, b)
 
   /** Join the model and add a `score` column. `mixBroadcastBytes` gates
     * the doc-mix broadcast hint (see object doc); an unknown/huge estimate

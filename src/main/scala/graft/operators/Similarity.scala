@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Codegen'd sequential-fold dot product (see
+    * [[graft.functions.VectorOps]] — the HOF composition it replaces is
+    * interpreted and allocates per row; results are bit-identical). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -51,8 +54,12 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
-  /** IVF cell assignment: nearest centroid per vector (argmax cosine).
-    * Centroids are broadcast; this is the build side of the scale path. */
+  /** IVF cell assignment: nearest centroid per vector (argmax 6-dp-rounded
+    * cosine, centroid-id tiebreak). Centroids are broadcast; the argmax is
+    * ONE map-side-combined `max(struct(cos, -id))` aggregation — no sort,
+    * no window: a row_number window would shuffle AND sort all n·k scored
+    * rows, the dominant cost of k-means/assignment at n·k in the millions.
+    * This is the build side of the scale path. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
                 cId: String = "vec_id", cVec: String = "embedding",
                 kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {
@@ -62,21 +69,30 @@ object Similarity {
     val cents = centroids.select(col(kId).cast("long").as("centroid_id"),
       asDouble(col(kVec)).as("cent"))
       .withColumn("kn", norm(col("cent")))
-    val scored = c.join(broadcast(cents))
+    // struct orders lexicographically: highest cos first, then lowest
+    // centroid_id (via the negated field); ties are impossible beyond that
+    // (centroid ids are distinct), so the argmax is fully deterministic.
+    c.join(broadcast(cents))
       .withColumn("cos",
         floor((dot(col("v"), col("cent")) / (col("vn") * col("kn"))) * 1000000 + 0.5) / 1000000.0)
-    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("centroid_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("cos").as("centroid_cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("centroid_id")).as("neg"),
+        col("centroid_id").as("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("centroid_id"),
+        col("m.cos").as("centroid_cos"))
   }
 
   /** Multi-probe cell assignment: the nProbe nearest centroids per vector
     * (nProbe = 1 is the build-side assignment; queries probe more cells to
-    * trade compute for recall). */
+    * trade compute for recall). nProbe = 1 routes through the windowless
+    * [[ivfAssign]] aggregation; larger probes genuinely need a per-vector
+    * top-k and use the rank window. */
   def ivfAssignN(vectors: DataFrame, centroids: DataFrame, nProbe: Int,
                  vId: String = "vec_id", vVec: String = "embedding",
                  kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {
+    if (nProbe == 1)
+      return ivfAssign(vectors, centroids, vId, vVec, kId, kVec)
+        .select("vec_id", "centroid_id")
     val v = vectors.select(col(vId).cast("long").as("vec_id"),
       asDouble(col(vVec)).as("v"))
       .withColumn("vn", norm(col("v")))
