@@ -63,9 +63,13 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine"),
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
 
-  /** Count of tokens that belong to a marker vocabulary. */
+  /** Count of tokens that belong to a marker vocabulary — the native
+    * codegen'd loop ([[TokenExprs.marker_count]]); identical results to
+    * the size(filter(isin)) HOF form it replaces, which is interpreted
+    * and allocates a filtered array per evaluation (language-ID pays that
+    * once per language per row). */
   def markerCount(toks: Column, markers: Seq[String]): Column =
-    size(filter(toks, t => t.isin(markers: _*)))
+    TokenExprs.marker_count(toks, markers)
 
   /** Composite quality score in [0,1] from a token-array ATTRIBUTE
     * (pass a staged column): 0.4·min(1, n/100) + 0.3·stopword-ratio +
@@ -74,8 +78,7 @@ object TextFunctions {
     * differently — the oracle SQL carries the same CASE guard). */
   def qualityScore(toks: Column): Column = {
     val nTok = size(toks).cast("double")
-    val avgLen = aggregate(transform(toks, t => length(t).cast("double")),
-      lit(0.0), (a, x) => a + x) / nTok
+    val avgLen = TokenExprs.token_length_sum(toks) / nTok
     val stopRatio = markerCount(toks, EnglishStopwords).cast("double") / nTok
     when(size(toks) === 0, lit(0.0)).otherwise(
       least(nTok / 100.0, lit(1.0)) * 0.4 + stopRatio * 0.3 +
