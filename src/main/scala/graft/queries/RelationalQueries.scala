@@ -226,6 +226,13 @@ object RelationalQueries {
         rightTiebreak = Some("marker_id"))
         .select(col("event_id"), col("user_id"), col("marker_id"))}),
 
+    // W3: batch sessionization (gaps-and-islands) — per-user sessions with
+    // a 6-hour gap rule, summarized per session. The batch twin of the
+    // streaming session_window path.
+    "w3_sessionize" -> ((s, dir) =>
+      graft.operators.Sessions.sessions(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_id"), gapSeconds = 21600L)),
+
     // J7b: as-of tiebreak under REAL (key, ts) duplicates — every marker
     // row is doubled with a larger id, so the max-tiebreak rule decides
     // every match. Oracle: explicit rank twin (DuckDB's native ASOF picks
@@ -419,6 +426,24 @@ object RelationalQueries {
         |ASOF JOIN (SELECT user_id, ts, max(event_id) AS marker_id
         |           FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2) m
         |  ON a.user_id = m.user_id AND a.ts >= m.ts""".stripMargin,
+
+    "w3_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id AS key, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (
+        |  SELECT *, lag(us) OVER (PARTITION BY key ORDER BY us, event_id) AS pus
+        |  FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN pus IS NULL OR us - pus > 21600000000 THEN 1
+        |                 ELSE 0 END AS nw
+        |  FROM l),
+        |s AS (
+        |  SELECT *, sum(nw) OVER (PARTITION BY key ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM f)
+        |SELECT key, session_seq::BIGINT AS session_seq,
+        |       count(*) AS n_events, min(us) AS first_us, max(us) AS last_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "j7b_asof_tiebreak" ->
       """WITH m AS (

@@ -339,6 +339,24 @@ class OperatorsSpec extends SparkSpec {
     mixJoin(big) should not include regex ("BroadcastHashJoin.*__doc")
   }
 
+  "Sessions.assign" should "split on gaps with the same boundaries as session_window" in {
+    import graft.operators.Sessions
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // u1: 10:00, 10:10 (one session), 10:55 (gap > 30m → new session) —
+    // the same fixture StreamingSpec's session_window test uses
+    val ev = Seq((1L, "u1", t(0)), (2L, "u1", t(10)), (3L, "u1", t(55)))
+      .toDF("event_id", "user", "ts")
+    val got = Sessions.assign(ev, col("user"), col("ts"), col("event_id"),
+      gapSeconds = 1800L)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 2L)
+    // per-session summary shape
+    Sessions.sessions(ev, col("user"), col("ts"), col("event_id"), 1800L)
+      .select("session_seq", "n_events").as[(Long, Long)].collect()
+      .toSet shouldBe Set((1L, 2L), (2L, 1L))
+  }
+
   "Sampling" should "produce deterministic, complete, disjoint splits" in {
     import graft.operators.Sampling
     val df = (1 to 500).map(_.toLong).toDF("id")
