@@ -15,7 +15,8 @@ object Bench {
     "s1_scan_project", "p2_range_predicate", "j1_equi_join", "j4_semi_join",
     "a1_group_count", "a3_group_sum", "a6_ecdf", "t1_topk",
     "w1_window_cumsum", "g1_rollup", "f3_bin", "f4_entropy", "f8_flow_words",
-    "x2_quality", "x3_langid", "d1_exact_dedup", "d2_ngram_jaccard",
+    "x2_quality", "x3_langid", "x11b_pack_concat", "x12_class_balance",
+    "w3_sessionize", "d1_exact_dedup", "d2_ngram_jaccard",
     "d3_minhash_lsh", "d4_simhash", "d6_near_dup_clusters", "v1_norm",
     "v2_cosine_topk", "v3_ivf_assign", "v4b_cell_near_dup",
     "v4c_scaled_cells", "v7_kmeans",

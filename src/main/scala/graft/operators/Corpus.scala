@@ -81,6 +81,24 @@ object Corpus {
       .withColumn("pack_id", expr(s"start_offset div ${budget}L"))
   }
 
+  /** Materialize [[packSequences]]' assignments into the packed training
+    * rows: one row per (part, pack) with the member documents' text joined
+    * in id order by `sep`. The per-pack concat is an ordered group-concat
+    * (sort_array over (doc_id, text) structs — deterministic, one
+    * aggregation); pack text length is bounded by budget + one straddling
+    * document, so rows stay bounded regardless of corpus size. */
+  def packedTexts(docs: DataFrame, id: Column, part: Column, text: Column,
+                  nTokens: Column, budget: Long, sep: String = "\n"): DataFrame = {
+    val assigned = packSequences(docs, id, part, nTokens, budget)
+      .join(docs.select(id.cast("long").as("doc_id"), text.as("__text")), "doc_id")
+    assigned.groupBy(col("part"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("doc_id"), col("__text")))),
+          s => s.getField("__text")), sep).as("pack_text"))
+  }
+
   /** Union of two perspectives of the same events (e.g. a flow contributes
     * a document for both endpoint IPs — reference FlowPreLDA.scala:139).
     * Union BEFORE the aggregation so a single shuffle builds both. */

@@ -174,6 +174,16 @@ object TextQueries {
         col("doc_id"), col("source"), size(tokens(col("text"))),
         budget = 2000L)),
 
+    // X11b: the packed training rows themselves — per (source, pack),
+    // member texts joined in id order; hashed for the compare (pack_text
+    // is big, and the hash twin proves byte equality anyway).
+    "x11b_pack_concat" -> ((s, dir) =>
+      graft.operators.Corpus.packedTexts(t(s, dir, "documents"),
+        col("doc_id"), col("source"), col("text"), size(tokens(col("text"))),
+        budget = 2000L)
+        .select(col("part"), col("pack_id"), col("n_docs"),
+          col("total_tokens"), polyHash(col("pack_text")).as("pack_hash"))),
+
     // X12: class balancing — deterministic per-language downsample to 40
     // docs (rank by key hash inside each class).
     "x12_class_balance" -> ((s, dir) =>
@@ -261,6 +271,28 @@ object TextQueries {
          |SELECT doc_id, part, n_tokens, start_offset,
          |       (start_offset // 2000)::BIGINT AS pack_id
          |FROM w""".stripMargin,
+
+    "x11b_pack_concat" ->
+      raw"""WITH d AS (
+         |  SELECT doc_id, source AS part, text,
+         |    len(list_filter(string_split_regex(text, '\s+'),
+         |                    x -> len(x) > 0))::BIGINT AS n_tokens
+         |  FROM documents),
+         |w AS (
+         |  SELECT *, coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY part ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |    AS start_offset
+         |  FROM d),
+         |p AS (SELECT *, (start_offset // 2000)::BIGINT AS pack_id FROM w),
+         |g AS (
+         |  SELECT part, pack_id, count(*) AS n_docs,
+         |         sum(n_tokens)::BIGINT AS total_tokens,
+         |         string_agg(text, chr(10) ORDER BY doc_id) AS pack_text
+         |  FROM p GROUP BY 1, 2)
+         |SELECT part, pack_id, n_docs, total_tokens,
+         |       ${hashSql("pack_text")} AS pack_hash
+         |FROM g""".stripMargin,
 
     "x12_class_balance" ->
       s"""WITH h AS (
