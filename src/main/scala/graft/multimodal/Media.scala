@@ -102,17 +102,26 @@ object Media {
     /** (sampleRate, channels, sampleFrames) from the fmt/data chunks, or
       * None when either chunk is missing/truncated. */
     private def wavInfo(b: Array[Byte]): Option[(Int, Int, Int)] = {
-      var o = 12
+      // long offsets + a negative-size bail-out: the chunk size is an
+      // UNTRUSTED signed 32-bit field — a negative or huge value must
+      // degrade to "not parseable", never spin the walk loop or wrap the
+      // offset into an out-of-bounds read
+      var o = 12L
       var fmt: Option[(Int, Int, Int)] = None // rate, channels, blockAlign
       var dataLen: Option[Int] = None
-      while (o + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
-        val id = tag(b, o)
-        val size = le32(b, o + 4)
-        if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length)
-          fmt = Some((le32(b, o + 12), le16(b, o + 10), le16(b, o + 20)))
-        else if (id == "data") dataLen = Some(size)
-        // chunks are word-aligned: odd sizes carry a pad byte
-        o += 8 + size + (size & 1)
+      var bad = false
+      while (!bad && o + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
+        val oi = o.toInt
+        val id = tag(b, oi)
+        val size = le32(b, oi + 4)
+        if (size < 0) bad = true
+        else {
+          if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length)
+            fmt = Some((le32(b, oi + 12), le16(b, oi + 10), le16(b, oi + 20)))
+          else if (id == "data") dataLen = Some(size)
+          // chunks are word-aligned: odd sizes carry a pad byte
+          o += 8L + size.toLong + (size & 1)
+        }
       }
       for ((rate, ch, block) <- fmt if ch > 0 && block > 0; d <- dataLen)
         yield (rate, ch, d / block)
@@ -185,9 +194,12 @@ object Media {
   /** Frame sampling plumbing: one row per sampled frame index (stride
     * sampling over the decoded frame count). The real frame extraction
     * happens inside a codec-backed decoder; this operator owns the row
-    * multiplication and keying shape. */
+    * multiplication and keying shape. Rows with no positive frame count —
+    * [[HeaderDecoder]]'s -1 for unrecognized payloads — contribute no
+    * frames (an unguarded sequence(0, -2) would throw at runtime). */
   def sampleFrames(features: Dataset[MediaFeatures], every: Int): DataFrame =
     features.toDF()
+      .where(col("frames") > 0)
       .select(col("id"), col("frames"),
         explode(sequence(lit(0), col("frames") - 1, lit(every))).as("frame_idx"))
 

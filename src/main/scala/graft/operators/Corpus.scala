@@ -89,8 +89,12 @@ object Corpus {
     * document, so rows stay bounded regardless of corpus size. */
   def packedTexts(docs: DataFrame, id: Column, part: Column, text: Column,
                   nTokens: Column, budget: Long, sep: String = "\n"): DataFrame = {
+    // join on (doc_id, part): ids only need to be unique WITHIN a part
+    // (per-shard id sequences are the normal case) — a doc_id-only join
+    // would splice rows across parts when ids repeat
     val assigned = packSequences(docs, id, part, nTokens, budget)
-      .join(docs.select(id.cast("long").as("doc_id"), text.as("__text")), "doc_id")
+      .join(docs.select(id.cast("long").as("doc_id"),
+        part.cast("string").as("part"), text.as("__text")), Seq("doc_id", "part"))
     assigned.groupBy(col("part"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),

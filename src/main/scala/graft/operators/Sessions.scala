@@ -19,10 +19,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Sessions {
 
-  /** Adds `session_seq` (1-based per key) to the input rows. */
+  /** Adds `session_seq` (1-based per key) to the input rows. The gap rule
+    * is `>=`: an event exactly `gapSeconds` after the previous one starts
+    * a NEW session — session_window's half-open [start, start+gap) merge
+    * behaves identically at the boundary, keeping the batch/streaming
+    * twins aligned. */
   def assign(events: DataFrame, key: Column, ts: Column, tiebreak: Column,
              gapSeconds: Long): DataFrame = {
-    val order = Seq(unix_micros(ts).as("__us"), tiebreak.as("__tb"))
     val w = Window.partitionBy(key).orderBy(col("__us"), col("__tb"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
@@ -31,7 +34,7 @@ object Sessions {
       .withColumn("__prev", lag(col("__us"), 1).over(w))
       .withColumn("__new",
         when(col("__prev").isNull ||
-          col("__us") - col("__prev") > gapSeconds * 1000000L, 1L).otherwise(0L))
+          col("__us") - col("__prev") >= gapSeconds * 1000000L, 1L).otherwise(0L))
       .withColumn("session_seq", sum(col("__new")).over(cum))
       .drop("__us", "__tb", "__prev", "__new")
   }

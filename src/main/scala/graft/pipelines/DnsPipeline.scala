@@ -56,11 +56,19 @@ object DnsPipeline {
   }
 
   def load(spark: SparkSession, path: String): Model = {
-    val m = spark.read.parquet(s"$path/meta").head()
+    val meta = spark.read.parquet(s"$path/meta")
+    val m = meta.head()
     def arr(n: String) = m.getAs[Seq[Double]](n).toArray
+    // models saved before the popularity list moved to its own parquet
+    // carried it as a meta column — migrate on read instead of crashing
+    // the train-once-score-later path on a stored model
+    val popular =
+      if (meta.columns.contains("popular_domains"))
+        popularFrame(spark, m.getAs[Seq[String]]("popular_domains").toSet)
+      else spark.read.parquet(s"$path/popular")
     Model(Cuts(arr("time_cuts"), arr("frame_len_cuts"), arr("sub_len_cuts"),
       arr("entropy_cuts"), arr("num_periods_cuts")),
-      spark.read.parquet(s"$path/popular"),
+      popular,
       TopicModel.load(spark, s"$path/topics"), m.getAs[Int]("topic_count"))
   }
 

@@ -49,10 +49,16 @@ object ProxyPipeline {
   }
 
   def load(spark: SparkSession, path: String): Model = {
-    val m = spark.read.parquet(s"$path/meta").head()
+    val meta = spark.read.parquet(s"$path/meta")
+    val m = meta.head()
     def arr(n: String) = m.getAs[Seq[Double]](n).toArray
+    // pre-move models carried the list as a meta column — migrate on read
+    val popular =
+      if (meta.columns.contains("popular_domains"))
+        popularFrame(spark, m.getAs[Seq[String]]("popular_domains").toSet)
+      else spark.read.parquet(s"$path/popular")
     Model(Cuts(arr("time_cuts"), arr("entropy_cuts"), arr("agent_cuts")),
-      spark.read.parquet(s"$path/popular"),
+      popular,
       TopicModel.load(spark, s"$path/topics"), m.getAs[Int]("topic_count"))
   }
 

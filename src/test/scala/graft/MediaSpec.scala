@@ -61,6 +61,35 @@ class MediaSpec extends SparkSpec {
     f.frames shouldBe -1
   }
 
+  it should "degrade on corrupt WAV chunk sizes instead of hanging or throwing" in {
+    // chunk size is untrusted: a negative size once made the walk loop
+    // spin (advance <= 0) and a huge one wrapped the offset negative
+    def wavWithChunkSize(size: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(20)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(12)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("junk".getBytes("US-ASCII")).putInt(size)
+      b.array()
+    }
+    for (size <- Seq(-8, -1, Int.MaxValue)) {
+      val f = Media.HeaderDecoder.decode(Iterator(
+        Media.MediaRecord(7L, "audio/wav", wavWithChunkSize(size)))).next()
+      (f.width, f.height, f.frames) shouldBe ((-1, -1, -1))
+    }
+  }
+
+  it should "skip unrecognized payloads (frames = -1) in sampleFrames" in {
+    val mixed = Media.asMedia(
+      Seq((1L, "image/png", Media.pngBytes(4, 4)),
+        (2L, "text/plain", "no media here".getBytes("UTF-8")))
+        .toDF("doc_id", "mime", "bytes"),
+      col("doc_id"), col("mime"), col("bytes"))
+    val got = Media.sampleFrames(Media.extractFeatures(mixed), every = 1)
+      .select("id").as[Long].collect()
+    got shouldBe Array(1L) // the PNG's single frame; the text row drops
+  }
+
   "sampleFrames" should "emit stride-sampled frame indexes" in {
     val feats = Media.extractFeatures(media, Media.StubDecoder)
     val got = Media.sampleFrames(feats, every = 4)

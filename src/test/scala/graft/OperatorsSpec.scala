@@ -355,6 +355,27 @@ class OperatorsSpec extends SparkSpec {
     Sessions.sessions(ev, col("user"), col("ts"), col("event_id"), 1800L)
       .select("session_seq", "n_events").as[(Long, Long)].collect()
       .toSet shouldBe Set((1L, 2L), (2L, 1L))
+    // boundary: an event EXACTLY gap after the previous one starts a new
+    // session (session_window's half-open [start, start+gap) agrees)
+    val exact = Seq((1L, "u1", t(0)), (2L, "u1", t(30)))
+      .toDF("event_id", "user", "ts")
+    Sessions.assign(exact, col("user"), col("ts"), col("event_id"), 1800L)
+      .select("event_id", "session_seq").as[(Long, Long)].collect()
+      .toMap shouldBe Map(1L -> 1L, 2L -> 2L)
+  }
+
+  "Corpus.packedTexts" should "keep parts separate when doc ids repeat across parts" in {
+    import graft.operators.Corpus
+    // id 5 exists in BOTH shards: a doc_id-only join would splice texts
+    val docs = Seq((5L, "shardA", "foo"), (5L, "shardB", "bar"),
+      (6L, "shardA", "baz")).toDF("doc_id", "part", "text")
+    val got = Corpus.packedTexts(docs, col("doc_id"), col("part"),
+        col("text"), lit(1L), budget = 100L)
+      .select("part", "n_docs", "pack_text")
+      .as[(String, Long, String)].collect()
+      .map { case (p, n, txt) => p -> ((n, txt)) }.toMap
+    got("shardA") shouldBe ((2L, "foo\nbaz"))
+    got("shardB") shouldBe ((1L, "bar"))
   }
 
   "Sampling" should "produce deterministic, complete, disjoint splits" in {
