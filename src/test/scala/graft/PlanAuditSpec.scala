@@ -1,0 +1,43 @@
+package graft
+
+/** Structural audit over EVERY gate query's physical plan: no cartesian
+  * products or nested-loop joins may appear outside the allowlisted
+  * vector-family queries, where a broadcast cross against a tiny
+  * centroid/query side is the deliberate design. Guards against an
+  * accidental cross join (dropped join key, non-equi condition) slipping
+  * into any of the 70+ relational/text/pipeline gates — the kind of plan
+  * regression that stays invisible at test scale and detonates at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Deliberate bounded cross shapes: brute-force/centroid scoring where
+    * one side is a broadcast handful of vectors; the broadcast inequality
+    * range join (j8 — j8b is its bucketed equi twin); and the exact-ECDF
+    * family, whose in-plan prefix-offset subtree crosses the per-bucket
+    * totals frame with itself — bounded by Quantiles.DefaultBuckets (32)
+    * rows on the build side, chosen over a global window (which would
+    * funnel through one partition) and a driver collect. */
+  private val allowCross = Set(
+    "v2_cosine_topk", "v3_ivf_assign", "v4_near_dup", "v4b_cell_near_dup",
+    "v4c_scaled_cells", "v5_ivf_search", "v7_kmeans", "j8_range_join",
+    "a6_ecdf", "a7_quantiles", "a7b_quantile_agg")
+
+  /** Full-LDA pipelines train during query construction — minutes of work
+    * for no plan information beyond what the fixedmodel gates already
+    * audit (same scoring dataflow, frozen model). */
+  private val skip = Set("pipe_flow_full", "pipe_dns_full",
+    "pipe_proxy_full", "pipe_events_suspicious")
+
+  "every gate plan" should "avoid cross/nested-loop joins outside the vector family" in {
+    val sfDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!skip(name) && !allowCross(name)) {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        withClue(s"$name plan:\n") {
+          plan should not include "CartesianProduct"
+          plan should not include "BroadcastNestedLoopJoin"
+        }
+      }
+    }
+  }
+}
