@@ -51,8 +51,8 @@ object TextQueries {
       val staged = t(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("toks"))
       val nTok = size(col("toks")).cast("double")
-      val avgLen = aggregate(transform(col("toks"), t => length(t).cast("double")),
-        lit(0.0), (a, x) => a + x) / nTok
+      val avgLen =
+        graft.functions.TokenExprs.token_length_sum(col("toks")) / nTok
       val stopRatio = markerCount(col("toks"), EnglishStopwords).cast("double") / nTok
       // zero-token guard on every ratio: 0/0 = NaN rounds differently per
       // engine; the oracle carries the same CASE WHEN len(tk)=0 guard.
