@@ -40,15 +40,11 @@ object TextFunctions {
 
   /** MinHash signature (as array<long>) over a shingle-hash array using the
     * affine family h_j(x) = (a_j*x + b_j) mod HashPrime with
-    * a_j = 2j+1, b_j = j²+7919. */
-  def minHashSignature(shingleHashes: Column, numHashes: Int): Column = {
-    val sigs = (0 until numHashes).map { j =>
-      val a = 2L * j + 1
-      val b = j.toLong * j + 7919L
-      array_min(transform(shingleHashes, x => (x * a + b) % HashPrime))
-    }
-    array(sigs: _*)
-  }
+    * a_j = 2j+1, b_j = j²+7919 — the native one-pass expression
+    * ([[MinHashSig]]; the composed array_min/transform form evaluates k
+    * interpreted HOFs and allocates k arrays per doc; results identical). */
+  def minHashSignature(shingleHashes: Column, numHashes: Int): Column =
+    MinHashSig.min_hash_signature(shingleHashes, numHashes)
 
   /** English stopwords used by the quality score (public, standard list). */
   val EnglishStopwords: Seq[String] = Seq(
