@@ -14,6 +14,9 @@ object Joins {
   /** As-of join: for each left row, the single right row with the GREATEST
     * `rightTs` <= `leftTs` among rows matching the equi-keys (inner
     * semantics — unmatched left rows drop, like DuckDB/kdb ASOF JOIN).
+    * `forward = true` flips the direction: the SMALLEST `rightTs` >=
+    * `leftTs` (the "next event at or after" shape — both bounds stay
+    * inclusive, and the tiebreak rule is unchanged).
     * When two right rows can share (keys, rightTs), pass `rightTiebreak`
     * (greatest wins) — without it the winner among exact-timestamp ties is
     * partitioning-dependent.
@@ -32,7 +35,8 @@ object Joins {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               rightTiebreak: Option[String] = None): DataFrame = {
+               rightTiebreak: Option[String] = None,
+               forward: Boolean = false): DataFrame = {
     val leftPayload = left.columns.filterNot(keys.contains).toSeq
     val rightPayload = right.columns
       .filterNot(c => keys.contains(c) || c == rightTs).toSeq
@@ -70,10 +74,13 @@ object Joins {
         lit(null).cast(rpType).as("__rp")) ++
         leftPayload.map(col): _*)
 
-    // side 0 sorts before side 1 at equal ts (<= is inclusive); ascending
-    // tiebreak makes the max-tiebreak right row the one carried forward.
+    // side 0 sorts before side 1 at equal ts (both bounds inclusive);
+    // ascending tiebreak makes the max-tiebreak right row the one carried.
+    // forward mode just reverses the time order: descending ts means the
+    // carried "last right row" is the SMALLEST rightTs at-or-after leftTs.
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc_nulls_first)
+      .orderBy(tsOrder, col("__side").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rSide.unionByName(lSide)
       .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))

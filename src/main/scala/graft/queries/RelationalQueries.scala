@@ -249,6 +249,19 @@ object RelationalQueries {
         rightTiebreak = Some("marker_id"))
         .select(col("event_id"), col("user_id"), col("marker_id"))}),
 
+    // J7c: FORWARD as-of — each event matched to the EARLIEST marker at or
+    // after it (the "next event" direction), same dedup'd marker set as j7.
+    "j7c_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val markers = ev.where(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("marker_id"))
+      graft.operators.Joins.asOfJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        markers, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightTiebreak = Some("marker_id"), forward = true)
+        .select(col("event_id"), col("user_id"), col("marker_id"))}),
+
     // J8: range join (interval containment) — order dates against year
     // periods; the tiny interval side broadcasts, so the inequality join
     // is a BroadcastNestedLoop scan, not a cross shuffle.
@@ -444,6 +457,17 @@ object RelationalQueries {
         |SELECT key, session_seq::BIGINT AS session_seq,
         |       count(*) AS n_events, min(us) AS first_us, max(us) AS last_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "j7c_asof_forward" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, max(event_id) AS marker_id
+        |  FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_id, a.user_id, m.marker_id,
+        |         row_number() OVER (PARTITION BY a.event_id
+        |           ORDER BY m.ts ASC, m.marker_id DESC) AS rn
+        |  FROM events a JOIN m ON a.user_id = m.user_id AND m.ts >= a.ts)
+        |SELECT event_id, user_id, marker_id FROM j WHERE rn = 1""".stripMargin,
 
     "j7b_asof_tiebreak" ->
       """WITH m AS (

@@ -315,6 +315,14 @@ class OperatorsSpec extends SparkSpec {
     Joins.asOfJoin(nullKeyTrades, nullKeyQuotes, Seq("sym"), "tts", "qts")
       .select(col("tid"), col("px")).as[(Long, Double)].collect()
       .toMap shouldBe Map(2L -> 100.0)
+
+    // forward direction: the EARLIEST quote at-or-after each trade;
+    // trades 3 (A@10:30) and 5 (B@10:06) follow every quote of their
+    // symbol → dropped (inner semantics)
+    val fwd = Joins.asOfJoin(trades, quotes, Seq("sym"), "tts", "qts",
+      forward = true)
+      .select(col("tid"), col("px")).as[(Long, Double)].collect().toMap
+    fwd shouldBe Map(1L -> 105.0, 2L -> 105.0, 4L -> 50.0)
   }
 
   "Scoring.score" should "gate the doc-mix broadcast hint on estimated size" in {
