@@ -61,9 +61,14 @@ object TextFunctions {
 
   /** Count of tokens that belong to a marker vocabulary — the native
     * codegen'd loop ([[TokenExprs.marker_count]]); identical results to
-    * the size(filter(isin)) HOF form it replaces, which is interpreted
-    * and allocates a filtered array per evaluation (language-ID pays that
-    * once per language per row). */
+    * the size(filter(isin)) HOF form it replaces on NON-NULL arrays,
+    * which is interpreted and allocates a filtered array per evaluation
+    * (language-ID pays that once per language per row). NULL-array
+    * divergence: this returns NULL, while the old form returned whatever
+    * `size(NULL)` is under `spark.sql.legacy.sizeOfNull` (-1 when the
+    * legacy flag is on). No graft path feeds a null array (tokens() of
+    * corpus text is never null), but direct callers on nullable arrays
+    * should guard with coalesce if they relied on the -1 convention. */
   def markerCount(toks: Column, markers: Seq[String]): Column =
     TokenExprs.marker_count(toks, markers)
 

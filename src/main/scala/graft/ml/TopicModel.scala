@@ -153,8 +153,10 @@ object TopicModel {
   def save(model: Model, path: String): Unit = {
     val spark = model.docTopicMix.sparkSession
     import spark.implicits._
-    model.docTopicMix.write.mode("overwrite").parquet(s"$path/doc_topic_mix")
-    model.wordTopicProb.write.mode("overwrite").parquet(s"$path/word_topic_prob")
+    // both frames may be lazily reading from this same path (a loaded
+    // model re-saved in place) — swap via temp dir
+    graft.sources.Sinks.overwriteParquetSafely(model.docTopicMix, s"$path/doc_topic_mix")
+    graft.sources.Sinks.overwriteParquetSafely(model.wordTopicProb, s"$path/word_topic_prob")
     Seq(model.topicCount).toDF("topic_count")
       .write.mode("overwrite").json(s"$path/meta")
   }

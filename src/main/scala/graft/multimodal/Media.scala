@@ -118,7 +118,11 @@ object Media {
         else {
           if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length)
             fmt = Some((le32(b, oi + 12), le16(b, oi + 10), le16(b, oi + 20)))
-          else if (id == "data") dataLen = Some(size)
+          else if (id == "data")
+            // clamp to the bytes actually present: a truncated file with an
+            // intact header must not report phantom frames (sampleFrames
+            // would multiply them into phantom rows)
+            dataLen = Some(math.min(size.toLong, math.max(0L, b.length - (o + 8))).toInt)
           // chunks are word-aligned: odd sizes carry a pad byte
           o += 8L + size.toLong + (size & 1)
         }

@@ -26,6 +26,20 @@ object Scoring {
   /** Broadcast-hint bound for the doc-mix side, bytes (Catalyst estimate). */
   val DefaultMixBroadcastBytes: Long = 64L << 20
 
+  /** Broadcast hint applied only when Catalyst's size estimate fits under
+    * `maxBytes`; otherwise the frame is returned unhinted and the join
+    * plans as a shuffle (AQE can still pick a broadcast at runtime from
+    * the ACTUAL size). Use for join sides whose cardinality is
+    * input-dependent — doc mixes (distinct IPs), user-agent counts
+    * (distinct UA strings) — where an unconditional hint would force a
+    * multi-GB broadcast at 100 TB. Unknown estimates default to Long.Max
+    * in Catalyst, so "don't know" safely means "don't hint". */
+  def sizeGatedBroadcast(df: DataFrame,
+                         maxBytes: Long = DefaultMixBroadcastBytes): DataFrame = {
+    val estimate = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estimate <= BigInt(maxBytes)) broadcast(df) else df
+  }
+
   /** Elementwise dot product of two array<double> columns — the codegen'd
     * native fold ([[graft.functions.VectorOps]]); bit-identical to the
     * interpreted aggregate/zip_with composition it replaces. */
@@ -42,9 +56,7 @@ object Scoring {
     val uniform = array((0 until k).map(_ => lit(1.0 / k)): _*)
     val mixes = model.docTopicMix.withColumnRenamed("doc", "__doc")
     val probs = model.wordTopicProb.withColumnRenamed("word", "__word")
-    val mixEstimate = mixes.queryExecution.optimizedPlan.stats.sizeInBytes
-    val mixSide =
-      if (mixEstimate <= BigInt(mixBroadcastBytes)) broadcast(mixes) else mixes
+    val mixSide = sizeGatedBroadcast(mixes, mixBroadcastBytes)
     events
       .join(mixSide, doc.cast("string") === col("__doc"), "left")
       .join(broadcast(probs), word.cast("string") === col("__word"), "left")

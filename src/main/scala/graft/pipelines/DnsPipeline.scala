@@ -45,8 +45,12 @@ object DnsPipeline {
     TopicModel.save(model.topics, s"$path/topics")
     val spark = model.topics.docTopicMix.sparkSession
     import spark.implicits._
-    model.popular.select(col("domain").cast("string").as("domain"))
-      .write.mode("overwrite").parquet(s"$path/popular")
+    // popular may be the lazily-read frame loaded from this very path
+    // (load-then-save-to-same-path) — swap via temp dir, never overwrite
+    // a directory mid-read
+    graft.sources.Sinks.overwriteParquetSafely(
+      model.popular.select(col("domain").cast("string").as("domain")),
+      s"$path/popular")
     Seq((model.cuts.time.toSeq, model.cuts.frameLen.toSeq,
       model.cuts.subLen.toSeq, model.cuts.entropy.toSeq,
       model.cuts.numPeriods.toSeq, model.topicCount))

@@ -40,8 +40,10 @@ object ProxyPipeline {
     TopicModel.save(model.topics, s"$path/topics")
     val spark = model.topics.docTopicMix.sparkSession
     import spark.implicits._
-    model.popular.select(col("domain").cast("string").as("domain"))
-      .write.mode("overwrite").parquet(s"$path/popular")
+    // same load-then-save guard as DnsPipeline.save
+    graft.sources.Sinks.overwriteParquetSafely(
+      model.popular.select(col("domain").cast("string").as("domain")),
+      s"$path/popular")
     Seq((model.cuts.time.toSeq, model.cuts.entropy.toSeq,
       model.cuts.agent.toSeq, model.topicCount))
       .toDF("time_cuts", "entropy_cuts", "agent_cuts", "topic_count")
@@ -66,15 +68,20 @@ object ProxyPipeline {
     proxy.where(col("p_date").isNotNull && col("p_time").isNotNull &&
       col("clientip").isNotNull)
 
-  /** Adds seconds-of-day, URI entropy, and the per-agent event count
-    * (broadcast join against the agent-frequency aggregate). */
+  /** Adds seconds-of-day, URI entropy, and the per-agent event count.
+    * The agent-frequency side is bounded by DISTINCT USER-AGENT STRINGS,
+    * which is unbounded in real proxy logs (version churn puts tens of
+    * millions of distincts in 100 TB), so the broadcast hint is
+    * SIZE-GATED on the Catalyst estimate ([[Scoring.sizeGatedBroadcast]])
+    * exactly like the doc-mix side of scoring — small inputs broadcast,
+    * big inputs shuffle (or AQE-broadcast from the runtime size). */
   def withFeatures(proxy: DataFrame): DataFrame = {
     val agentCounts = proxy.groupBy(col("useragent"))
       .agg(count(lit(1)).as("agent_count"))
     proxy
       .withColumn("time_of_day", TimeFunctions.seconds_of_day(col("p_time")))
       .withColumn("uri_entropy", Entropy.string_entropy(col("fulluri")))
-      .join(broadcast(agentCounts), Seq("useragent"), "left")
+      .join(Scoring.sizeGatedBroadcast(agentCounts), Seq("useragent"), "left")
   }
 
   /** All three cut-sets in ONE scan+shuffle (reference:

@@ -347,6 +347,25 @@ class OperatorsSpec extends SparkSpec {
     mixJoin(big) should not include regex ("BroadcastHashJoin.*__doc")
   }
 
+  "ProxyPipeline.withFeatures" should "gate the agent-count broadcast on estimated size" in {
+    import graft.pipelines.ProxyPipeline
+    def agentJoinPlan(proxy: org.apache.spark.sql.DataFrame): String =
+      ProxyPipeline.withFeatures(proxy).queryExecution.executedPlan.toString
+    // small proxy frame (LocalRelation, known-small stats) → hint applied
+    val small = Seq(("Mozilla/5.0", "10:30:00", "http://a/b"))
+      .toDF("useragent", "p_time", "fulluri")
+    agentJoinPlan(small) should include regex "BroadcastHashJoin.*useragent"
+    // high-cardinality UA frame (20M distinct agents — realistic at 100 TB:
+    // UA strings carry version churn) → the estimate blows past the gate,
+    // the join must plan as a shuffle, not a forced driver broadcast
+    val big = spark.range(20000000L).select(
+      concat(lit("UA/"), col("id")).as("useragent"),
+      lit("10:30:00").as("p_time"),
+      lit("http://host/path").as("fulluri"))
+    agentJoinPlan(big) should include regex "(SortMergeJoin|ShuffledHashJoin).*useragent"
+    agentJoinPlan(big) should not include regex ("BroadcastHashJoin.*useragent")
+  }
+
   "Sessions.assign" should "split on gaps with the same boundaries as session_window" in {
     import graft.operators.Sessions
     import java.sql.Timestamp

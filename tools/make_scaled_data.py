@@ -24,6 +24,20 @@ os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 con.execute(f"SET threads TO {os.cpu_count()}")
 
+# The embedding decorrelation below is a dim-rotation by copy index; for
+# i >= dims the raw slice degenerates to the identity and cross-copy exact
+# cosine duplicates reappear (the output-quadratic benchmark failure mode
+# the rotation exists to avoid). Rotate by i % dims and flip the sign of
+# the whole vector on each wrap (both are orthogonal transforms: norms and
+# intra-copy cosines are exactly preserved), which keeps copies pairwise
+# decorrelated up to factor = 2*dims. Beyond that, fail loudly.
+dims = con.execute(
+    f"SELECT len(embedding) FROM read_parquet('{src}/embeddings.parquet') LIMIT 1"
+).fetchone()[0]
+if factor > 2 * dims:
+    sys.exit(f"factor {factor} > 2*dims ({2 * dims}): copies would alias "
+             "and reintroduce exact cross-copy cosine duplicates")
+
 # table -> select list with key offsets as functions of copy index i
 SCALED = {
     # ts as int64 NANOS: the engine's loader expects the harness's
@@ -49,8 +63,11 @@ SCALED = {
     # verbatim copies would give every vector 9 exact cosine-duplicates and
     # make every near-dup benchmark output-quadratic (see BENCH_SCALING.md)
     "embeddings": "vec_id + i*2000 AS vec_id,"
-                  " embedding[i+1:] || embedding[:i] AS embedding, label",
+                  " list_transform(embedding[(i % {d}) + 1:] || embedding[:(i % {d})],"
+                  "   x -> x * (CASE WHEN (i // {d}) % 2 = 1 THEN -1 ELSE 1 END))"
+                  " AS embedding, label",
 }
+SCALED["embeddings"] = SCALED["embeddings"].format(d=dims)
 COPIED = ["region", "nation"]  # fixed-size dims
 
 for t, sel in SCALED.items():
