@@ -20,10 +20,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Sessions {
 
   /** Adds `session_seq` (1-based per key) to the input rows. The gap rule
-    * is `>=`: an event exactly `gapSeconds` after the previous one starts
-    * a NEW session — session_window's half-open [start, start+gap) merge
-    * behaves identically at the boundary, keeping the batch/streaming
-    * twins aligned. */
+    * is `>`: a new session starts only when the gap from the previous
+    * event STRICTLY exceeds `gapSeconds`. This is session_window's
+    * empirical boundary behavior — an event exactly `gapSeconds` after
+    * the previous one lands on the window's end and Spark MERGES the
+    * adjacent windows (StreamingSpec's parity test pins this with an
+    * exactly-gap-apart fixture through both implementations; an earlier
+    * `>=` reading of the half-open [start, start+gap) window was wrong
+    * and diverged from streaming at the boundary). */
   def assign(events: DataFrame, key: Column, ts: Column, tiebreak: Column,
              gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col("__us"), col("__tb"))
@@ -34,7 +38,7 @@ object Sessions {
       .withColumn("__prev", lag(col("__us"), 1).over(w))
       .withColumn("__new",
         when(col("__prev").isNull ||
-          col("__us") - col("__prev") >= gapSeconds * 1000000L, 1L).otherwise(0L))
+          col("__us") - col("__prev") > gapSeconds * 1000000L, 1L).otherwise(0L))
       .withColumn("session_seq", sum(col("__new")).over(cum))
       .drop("__us", "__tb", "__prev", "__new")
   }

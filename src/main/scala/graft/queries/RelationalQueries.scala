@@ -447,7 +447,7 @@ object RelationalQueries {
         |  SELECT *, lag(us) OVER (PARTITION BY key ORDER BY us, event_id) AS pus
         |  FROM e),
         |f AS (
-        |  SELECT *, CASE WHEN pus IS NULL OR us - pus >= 21600000000 THEN 1
+        |  SELECT *, CASE WHEN pus IS NULL OR us - pus > 21600000000 THEN 1
         |                 ELSE 0 END AS nw
         |  FROM l),
         |s AS (

@@ -382,13 +382,15 @@ class OperatorsSpec extends SparkSpec {
     Sessions.sessions(ev, col("user"), col("ts"), col("event_id"), 1800L)
       .select("session_seq", "n_events").as[(Long, Long)].collect()
       .toSet shouldBe Set((1L, 2L), (2L, 1L))
-    // boundary: an event EXACTLY gap after the previous one starts a new
-    // session (session_window's half-open [start, start+gap) agrees)
+    // boundary: an event EXACTLY gap after the previous one MERGES —
+    // session_window joins adjacent windows at the boundary (pinned by
+    // StreamingSpec's batch↔streaming parity test); only a strictly
+    // larger gap splits
     val exact = Seq((1L, "u1", t(0)), (2L, "u1", t(30)))
       .toDF("event_id", "user", "ts")
     Sessions.assign(exact, col("user"), col("ts"), col("event_id"), 1800L)
       .select("event_id", "session_seq").as[(Long, Long)].collect()
-      .toMap shouldBe Map(1L -> 1L, 2L -> 2L)
+      .toMap shouldBe Map(1L -> 1L, 2L -> 1L)
   }
 
   "Corpus.packedTexts" should "keep parts separate when doc ids repeat across parts" in {
