@@ -146,6 +146,39 @@ object TopicModel {
     Model(docMix, wordProb, topicCount)
   }
 
+  /** Corpus perplexity under the model's scoring distribution
+    * P(word|doc) = Σ_t P(t|doc)·P(word|t):
+    * exp( -Σ cnt·ln P / Σ cnt ), lower is better; a uniform model scores
+    * exactly the vocabulary size. Unseen docs/words take the same uniform
+    * 1/k default the scoring path uses ([[graft.operators.Scoring]]), and
+    * probabilities are floored at 1e-300 so a zero-gamma doc (the
+    * reference's empty-doc case) degrades to a huge-but-finite penalty
+    * instead of -Inf. Fully relational — two joins and one aggregate — so
+    * it runs at corpus scale; this is the regression metric TopicModelSpec
+    * pins (LDA training has no exact oracle, but its QUALITY is
+    * measurable). */
+  def perplexity(model: Model, wordCounts: DataFrame): Double = {
+    val k = model.topicCount
+    val uniform = array((0 until k).map(_ => lit(1.0 / k)): _*)
+    val corpus = wordCounts.select(
+      col("doc").cast("string").as("__d"),
+      col("word").cast("string").as("__w"),
+      col("count").cast("double").as("__cnt"))
+    val mixes = model.docTopicMix.withColumnRenamed("doc", "__doc")
+    val probs = model.wordTopicProb.withColumnRenamed("word", "__word")
+    val p = graft.functions.VectorOps.dot_product(
+      coalesce(col("topic_mix"), uniform),
+      coalesce(col("topic_prob"), uniform))
+    val r = corpus
+      .join(mixes, col("__d") === col("__doc"), "left")
+      .join(probs, col("__w") === col("__word"), "left")
+      .agg(
+        sum(col("__cnt") * log(greatest(p, lit(1e-300)))).as("ll"),
+        sum(col("__cnt")).as("n"))
+      .head()
+    math.exp(-r.getDouble(0) / r.getDouble(1))
+  }
+
   /** Persist a trained model: both frames as parquet + a tiny JSON meta.
     * The reference persisted implicitly via final.beta/final.gamma text
     * files (OniLDACWrapper.scala:88-104); parquet keeps the exact doubles
