@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.functions.{Binning, FlowWords, TimeFunctions}
 import graft.ml.TopicModel
 import graft.operators.{Corpus, Quantiles, Scoring}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Netflow suspicious-connects pipeline.
@@ -126,11 +126,14 @@ object FlowPipeline {
   /** Reference-shaped results (FlowPostLDA.scala:79-80): the ORIGINAL
     * input columns + src_score + dst_score, filtered to min-score <=
     * threshold, ascending by min score, top-K, with the min itself dropped
-    * from the written row (`dropRight(1)` in the reference). */
+    * from the written row (`dropRight(1)` in the reference). `tiebreak`
+    * columns order equal scores (the reference's takeOrdered left ties
+    * arbitrary; a deterministic gate needs a total order). */
   def results(flows: DataFrame, model: Model,
-              threshold: Double, topK: Int): DataFrame = {
+              threshold: Double, topK: Int,
+              tiebreak: Seq[Column] = Nil): DataFrame = {
     val scored = scoreFull(flows, model)
-    val limited = Scoring.suspicious(scored, threshold, topK)
+    val limited = Scoring.suspicious(scored, threshold, topK, tiebreak)
     limited.select(flows.columns.map(col) :+ col("src_score") :+ col("dst_score"): _*)
   }
 

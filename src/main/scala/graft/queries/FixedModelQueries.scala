@@ -79,24 +79,42 @@ object FixedModelQueries {
 
   // ---- gates --------------------------------------------------------------
 
+  private def flowInput(s: SparkSession, dir: String): DataFrame =
+    Fabrications.flowPorts(t(s, dir, "events"))
+      .withColumn("trhour", hour(col("ts")))
+      .withColumn("trminute", minute(col("ts")))
+      .withColumn("trsec", second(col("ts")))
+      .withColumn("ipkt", (col("value") * 10).cast("long") + 1)
+      .withColumn("ibyt", (col("value") * 1000).cast("long") + 40)
+      .select("event_id", "sip", "dip", "sport", "dport",
+        "trhour", "trminute", "trsec", "ipkt", "ibyt")
+
+  private def flowModel(s: SparkSession): FlowPipeline.Model =
+    FlowPipeline.Model(
+      FlowPipeline.Cuts(FlowTimeCuts.toArray, FlowIbytCuts.toArray,
+        FlowIpktCuts.toArray),
+      fixtureModel(s), topicCount)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipe_flow_fixedmodel" -> ((s, dir) => {
-      val flows = Fabrications.flowPorts(t(s, dir, "events"))
-        .withColumn("trhour", hour(col("ts")))
-        .withColumn("trminute", minute(col("ts")))
-        .withColumn("trsec", second(col("ts")))
-        .withColumn("ipkt", (col("value") * 10).cast("long") + 1)
-        .withColumn("ibyt", (col("value") * 1000).cast("long") + 40)
-        .select("event_id", "sip", "dip", "sport", "dport",
-          "trhour", "trminute", "trsec", "ipkt", "ibyt")
-      val m = FlowPipeline.Model(
-        FlowPipeline.Cuts(FlowTimeCuts.toArray, FlowIbytCuts.toArray,
-          FlowIpktCuts.toArray),
-        fixtureModel(s), topicCount)
-      FlowPipeline.results(flows, m, threshold = 1.0, topK = -1)
+    "pipe_flow_fixedmodel" -> ((s, dir) =>
+      FlowPipeline.results(flowInput(s, dir), flowModel(s),
+          threshold = 1.0, topK = -1)
         .select(col("event_id"), col("sip"), col("dip"),
           score9(col("src_score")).as("src_score"),
-          score9(col("dst_score")).as("dst_score"))}),
+          score9(col("dst_score")).as("dst_score"))),
+
+    // the SELECTIVE tail: threshold < 1 makes the min-score filter bite,
+    // topK > 0 makes the ordered limit binding (811 of 10000 rows pass at
+    // sf0.01, 200 survive the limit), and the event_id tiebreak totals the
+    // order across the abundant score ties — so F12's least() and the
+    // top-k tail are INSIDE the hash, not spec-only
+    "pipe_flow_fixedmodel_topk" -> ((s, dir) =>
+      FlowPipeline.results(flowInput(s, dir), flowModel(s),
+          threshold = 0.04, topK = 200, tiebreak = Seq(col("event_id")))
+        .select(col("event_id"), col("sip"), col("dip"),
+          score9(col("src_score")).as("src_score"),
+          score9(col("dst_score")).as("dst_score"),
+          score9(least(col("src_score"), col("dst_score"))).as("min_score"))),
 
     "pipe_dns_fixedmodel" -> ((s, dir) => {
       val dns = t(s, dir, "documents")
@@ -179,12 +197,21 @@ object FixedModelQueries {
     }.mkString(", ")
   }
 
-  /** Fold-ordered dot product with per-side uniform defaults. */
+  /** Fold-ordered dot product with per-side uniform defaults — RAW
+    * doubles, bit-identical to Spark's sequential-fold native expression;
+    * the filter/order tail of the topk gate runs on this unrounded
+    * value, exactly like the Spark side. */
+  private def scoreRawSql(mixAlias: String, probAlias: String): String =
+    s"""(0.0 + coalesce($mixAlias.m0, $U) * coalesce($probAlias.p0, $U)
+       |     + coalesce($mixAlias.m1, $U) * coalesce($probAlias.p1, $U)
+       |     + coalesce($mixAlias.m2, $U) * coalesce($probAlias.p2, $U))""".stripMargin
+
   private def scoreSql(mixAlias: String, probAlias: String): String =
-    s"""floor((0.0 + coalesce($mixAlias.m0, $U) * coalesce($probAlias.p0, $U)
-       |           + coalesce($mixAlias.m1, $U) * coalesce($probAlias.p1, $U)
-       |           + coalesce($mixAlias.m2, $U) * coalesce($probAlias.p2, $U))
+    s"""floor(${scoreRawSql(mixAlias, probAlias)}
        |      * 1000000000.0 + 0.5) / 1000000000.0""".stripMargin
+
+  private def round9Sql(e: String): String =
+    s"floor($e * 1000000000.0 + 0.5) / 1000000000.0"
 
   private def modelCtes: String =
     s"""mix(doc, m0, m1, m2) AS (VALUES $mixValuesSql),
@@ -195,9 +222,10 @@ object FixedModelQueries {
        | FROM (SELECT count(*) AS c, sum(count(*)) OVER () AS tot
        |       FROM (SELECT unnest(string_split($e, '')) AS ch) GROUP BY ch))""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "pipe_flow_fixedmodel" ->
-      s"""WITH base AS (
+  /** The flow fabrication + featurize + word CTE chain, shared by the
+    * full and topk flow oracles. */
+  private lazy val flowSidedCtes: String =
+    s"""base AS (
          |  SELECT event_id,
          |    '10.0.' || (user_id % 200)::VARCHAR || '.1' AS sip,
          |    '10.0.' || (event_id % 200)::VARCHAR || '.2' AS dip,
@@ -232,14 +260,18 @@ object FixedModelQueries {
          |  FROM classed),
          |words AS (
          |  SELECT *,
-         |    word_port::VARCHAR || '_' || (time_bin::DOUBLE)::VARCHAR || '_'
-         |      || (ibyt_bin::DOUBLE)::VARCHAR || '_' || (ipkt_bin::DOUBLE)::VARCHAR AS word
+         |    word_port::VARCHAR || '_' || (time_bin::DOUBLE)::VARCHAR || '_' ||
+         |      (ibyt_bin::DOUBLE)::VARCHAR || '_' || (ipkt_bin::DOUBLE)::VARCHAR AS word
          |  FROM wp),
          |sided AS (
          |  SELECT event_id, sip, dip,
          |    CASE WHEN (case2 AND sport < dport) OR case4a THEN '-1_' || word ELSE word END AS src_word,
          |    CASE WHEN (case2 AND dport < sport) OR case4b THEN '-1_' || word ELSE word END AS dst_word
-         |  FROM words),
+         |  FROM words)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "pipe_flow_fixedmodel" ->
+      s"""WITH $flowSidedCtes,
          |$modelCtes
          |SELECT s.event_id, s.sip, s.dip,
          |  ${scoreSql("ms", "ws")} AS src_score,
@@ -249,6 +281,31 @@ object FixedModelQueries {
          |LEFT JOIN wpb ws ON s.src_word = ws.word
          |LEFT JOIN mix md ON s.dip = md.doc
          |LEFT JOIN wpb wd ON s.dst_word = wd.word""".stripMargin,
+
+    // raw (unrounded) scores drive the filter and the (score, event_id)
+    // order — the same doubles Spark's fold computes — and only the
+    // OUTPUT columns round to 9dp; ties at the boundary are totaled by
+    // event_id so the LIMIT is deterministic on both engines
+    "pipe_flow_fixedmodel_topk" ->
+      s"""WITH $flowSidedCtes,
+         |$modelCtes,
+         |scored AS (
+         |  SELECT s.event_id, s.sip, s.dip,
+         |    ${scoreRawSql("ms", "ws")} AS src_raw,
+         |    ${scoreRawSql("md", "wd")} AS dst_raw
+         |  FROM sided s
+         |  LEFT JOIN mix ms ON s.sip = ms.doc
+         |  LEFT JOIN wpb ws ON s.src_word = ws.word
+         |  LEFT JOIN mix md ON s.dip = md.doc
+         |  LEFT JOIN wpb wd ON s.dst_word = wd.word)
+         |SELECT event_id, sip, dip,
+         |  ${round9Sql("src_raw")} AS src_score,
+         |  ${round9Sql("dst_raw")} AS dst_score,
+         |  ${round9Sql("least(src_raw, dst_raw)")} AS min_score
+         |FROM scored
+         |WHERE least(src_raw, dst_raw) <= 0.04
+         |ORDER BY least(src_raw, dst_raw), event_id
+         |LIMIT 200""".stripMargin,
 
     "pipe_dns_fixedmodel" ->
       s"""WITH base AS (
