@@ -92,3 +92,73 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Count of positions where two minhash signatures agree — the natively
+  * codegen'd twin of `size(filter(zip_with(a, b, _ === _), identity))`,
+  * which is interpreted and allocates two intermediate arrays per
+  * candidate pair (the LSH verify path evaluates it once per candidate —
+  * the hottest loop in d3 at scale). Result is identical on the dedup
+  * path: positions where both elements are non-null and equal, counted
+  * over the zipped length (zip_with pads a shorter array with nulls,
+  * which `===` turns into dropped nulls, so padding never counts).
+  * NULL-array divergence, documented like marker_count's: this returns
+  * NULL for a null array while the HOF form returned size(NULL); no graft
+  * path feeds null signatures.
+  */
+object SignatureOps {
+
+  def signature_agree(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      SignatureAgreeExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Matching-position count; null if either array is null. */
+  def agree(a: ArrayData, b: ArrayData): java.lang.Integer = {
+    if (a == null || b == null) return null
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(c)
+  }
+}
+
+case class SignatureAgreeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"signature_agree requires two array<long> inputs, got " +
+          s"${left.dataType} and ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SignatureOps.agree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""java.lang.Integer ${ev.value}_r = graft.functions.SignatureOps.agree($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.intValue();
+         |}""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

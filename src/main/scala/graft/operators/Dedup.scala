@@ -135,9 +135,13 @@ object Dedup {
     cand
       .join(docs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      // native agreement count (SignatureAgreeExpr) — the interpreted
+      // zip_with/filter form allocated two arrays per candidate pair and
+      // was the d3 hot path at 10×; same integer → same double, results
+      // bit-identical
       .withColumn("est_jaccard",
-        floor((size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / numHashes) * 1000000 + 0.5) / 1000000.0)
+        floor((graft.functions.SignatureOps.signature_agree(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes) * 1000000 + 0.5) / 1000000.0)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 

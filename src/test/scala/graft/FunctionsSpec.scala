@@ -100,4 +100,26 @@ class FunctionsSpec extends SparkSpec {
   "secondsOfDay" should "parse HH:MM:SS" in {
     TimeFunctions.secondsOfDay("01:02:03") shouldBe 3723.0
   }
+
+  // --- signature agreement (native vs interpreted HOF parity) ---
+
+  "signature_agree" should "match the zip_with/filter HOF form position by position" in {
+    import spark.implicits._
+    // equal, disjoint, partial, null-element, and length-mismatch shapes
+    val rows: Seq[(Seq[java.lang.Long], Seq[java.lang.Long])] = Seq(
+      (Seq[java.lang.Long](1L, 2L, 3L, 4L), Seq[java.lang.Long](1L, 2L, 3L, 4L)),
+      (Seq[java.lang.Long](1L, 2L, 3L, 4L), Seq[java.lang.Long](5L, 6L, 7L, 8L)),
+      (Seq[java.lang.Long](1L, 2L, 3L, 4L), Seq[java.lang.Long](1L, 9L, 3L, 9L)),
+      (Seq[java.lang.Long](1L, null, 3L, 4L), Seq[java.lang.Long](1L, null, 3L, 9L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L, 3L)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      SignatureOps.signature_agree(col("a"), col("b")).as("native"),
+      org.apache.spark.sql.functions.size( // scalatest Matchers shadows size
+        filter(zip_with(col("a"), col("b"), (x, y) => x === y),
+          (p: org.apache.spark.sql.Column) => p)).as("hof"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (native, hof) => native shouldBe hof }
+    got.map(_._1).toSeq shouldBe Seq(4, 0, 2, 2, 2)
+  }
 }
