@@ -184,6 +184,14 @@ object TextQueries {
         .select(col("part"), col("pack_id"), col("n_docs"),
           col("total_tokens"), polyHash(col("pack_text")).as("pack_hash"))),
 
+    // X11c: first-fit-decreasing packing — the token-efficiency variant
+    // (no straddling docs, largest-first placement); oracle is a DuckDB
+    // recursive CTE running the SAME deterministic FFD, doc by doc.
+    "x11c_ffd_pack" -> ((s, dir) =>
+      graft.operators.Corpus.packSequencesFfd(t(s, dir, "documents"),
+        col("doc_id"), col("source"), size(tokens(col("text"))),
+        budget = 2000L)),
+
     // X12: class balancing — deterministic per-language downsample to 40
     // docs (rank by key hash inside each class).
     "x12_class_balance" -> ((s, dir) =>
@@ -271,6 +279,38 @@ object TextQueries {
          |SELECT doc_id, part, n_tokens, start_offset,
          |       (start_offset // 2000)::BIGINT AS pack_id
          |FROM w""".stripMargin,
+
+    // the recursive CTE replays FFD doc by doc: `o` orders each part by
+    // (n_tokens DESC, doc_id), `rem` carries the open packs' remaining
+    // budgets as a list, pos1 is the 1-based first pack that fits
+    // (DuckDB's list_position returns 0 — not NULL — when absent, hence
+    // the nullif), and len(rem)+1 means "open a new pack"
+    "x11c_ffd_pack" ->
+      raw"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, source AS part,
+         |    len(list_filter(string_split_regex(text, '\s+'),
+         |                    x -> len(x) > 0))::BIGINT AS n_tokens
+         |  FROM documents),
+         |o AS (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY part ORDER BY n_tokens DESC, doc_id) AS rn
+         |  FROM d),
+         |ffd AS (
+         |  SELECT part, rn, doc_id, n_tokens, 0::BIGINT AS pack_id,
+         |         [2000 - n_tokens] AS rem
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.part, o.rn, o.doc_id, o.n_tokens,
+         |    (l.pos1 - 1)::BIGINT AS pack_id,
+         |    CASE WHEN l.pos1 = len(f.rem) + 1 THEN f.rem || [2000 - o.n_tokens]
+         |         ELSE f.rem[:l.pos1-1] || [f.rem[l.pos1] - o.n_tokens] || f.rem[l.pos1+1:]
+         |         END AS rem
+         |  FROM ffd f
+         |  JOIN o ON o.part = f.part AND o.rn = f.rn + 1
+         |  CROSS JOIN LATERAL (SELECT coalesce(nullif(
+         |      list_position(list_transform(f.rem, r -> r >= o.n_tokens), true), 0),
+         |      len(f.rem) + 1) AS pos1) l)
+         |SELECT doc_id, part, n_tokens, pack_id FROM ffd""".stripMargin,
 
     "x11b_pack_concat" ->
       raw"""WITH d AS (

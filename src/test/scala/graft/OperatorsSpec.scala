@@ -393,6 +393,30 @@ class OperatorsSpec extends SparkSpec {
       .toMap shouldBe Map(1L -> 1L, 2L -> 1L)
   }
 
+  "Corpus.packSequencesFfd" should "first-fit largest-first with no straddling and own-pack oversize docs" in {
+    import graft.operators.Corpus
+    // budget 10: sizes 12,6,5,4,3,2 in part a → FFD packs {12} {6,4} {5,3,2};
+    // part b: two 7s can't share
+    val docs = Seq((1L, "a", 6L), (2L, "a", 5L), (3L, "a", 4L), (4L, "a", 3L),
+      (5L, "a", 2L), (6L, "a", 12L), (7L, "b", 7L), (8L, "b", 7L))
+      .toDF("doc_id", "part", "n_tokens")
+    val got = Corpus.packSequencesFfd(docs, col("doc_id"), col("part"),
+        col("n_tokens"), budget = 10L)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    got shouldBe Map(6L -> 0L, 1L -> 1L, 3L -> 1L, 2L -> 2L, 4L -> 2L,
+      5L -> 2L, 7L -> 0L, 8L -> 1L)
+    // packing invariant: no pack over budget unless it holds exactly one
+    // (oversize) document
+    val packs = Corpus.packSequencesFfd(docs, col("doc_id"), col("part"),
+        col("n_tokens"), budget = 10L)
+      .groupBy("part", "pack_id")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+    packs.foreach { case (_, _, tot, n) =>
+      assert(tot <= 10L || n == 1L)
+    }
+  }
+
   "Corpus.packedTexts" should "keep parts separate when doc ids repeat across parts" in {
     import graft.operators.Corpus
     // id 5 exists in BOTH shards: a doc_id-only join would splice texts
