@@ -64,6 +64,27 @@ object Bench {
       }
     }
 
+    // pipeline_events diagnostics (r3 showed a 12.3 s vs 5.8 s same-round
+    // swing on this one entry): the pipeline runs at the suite's FIRST
+    // position (pipeline_events_first, in `stages`) and at its usual LAST
+    // position (pipeline_events, in `queries`, keys unchanged vs r3), so a
+    // suite-position/JVM-state effect is measured instead of guessed; the
+    // stage map then splits the time into cuts / featurize+corpus /
+    // lda.fit / score+topk.
+    def pipelineEvents(): Unit =
+      run(EventsPipeline.run(Tables.load(spark, sfDir, "events"),
+        threshold = 1.0, topK = 100, topicCount = 10))
+
+    val stages = collection.mutable.LinkedHashMap[String, Double]()
+    def timeStage(name: String, reps: Int = 3)(body: => Unit): Unit = {
+      val ts = Seq.fill(reps)(timeOnce(name)(body))
+      stages(name) = if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(reps / 2)
+      spread(name) = if (ts.contains(-1.0)) (-1.0, -1.0)
+        else (ts.min, ts.max)
+    }
+
+    timeStage("pipeline_events_first") { pipelineEvents() }
+
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         time(name) { run(fn(spark, sfDir)) }
@@ -72,21 +93,47 @@ object Bench {
     // Full suspicious-connects pipeline (featurize → LDA → score → top-k),
     // with exact reference-semantics cuts and with the sketch-based cuts
     // (the high-cardinality scale path).
-    time("pipeline_events") {
-      run(EventsPipeline.run(Tables.load(spark, sfDir, "events"),
-        threshold = 1.0, topK = 100, topicCount = 10))
-    }
+    time("pipeline_events") { pipelineEvents() }
     time("pipeline_events_approx") {
       run(EventsPipeline.run(Tables.load(spark, sfDir, "events"),
         threshold = 1.0, topK = 100, topicCount = 10, exactCuts = false))
     }
 
+    // Stage split, median-of-3 each, on the same inputs the pipeline uses.
+    val events = Tables.load(spark, sfDir, "events")
+    timeStage("pe_stage_cuts") { EventsPipeline.computeCuts(events) }
+    val cuts = EventsPipeline.computeCuts(events)
+    timeStage("pe_stage_featurize") {
+      run(graft.operators.Corpus.wordCounts(
+        EventsPipeline.featurize(events, cuts),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("word")))
+    }
+    val wc = graft.operators.Corpus.wordCounts(
+      EventsPipeline.featurize(events, cuts),
+      org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("word"))
+    var model: graft.ml.TopicModel.Model = null
+    timeStage("pe_stage_lda_fit") {
+      model = graft.ml.TopicModel.train(wc, topicCount = 10, maxIter = 10)
+    }
+    val emodel = EventsPipeline.Model(cuts, model, 10)
+    timeStage("pe_stage_score") {
+      run(graft.operators.Scoring.suspicious(
+        EventsPipeline.score(events, emodel)
+          .select("event_id", "user_id", "event_type", "word", "score"),
+        threshold = 1.0, topK = 100,
+        tiebreak = Seq(org.apache.spark.sql.functions.col("event_id"))))
+    }
+
     val qs = timed.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val st = stages.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val sp = spread.map { case (k, (lo, hi)) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }
       .mkString("{", ",", "}")
     val total = timed.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_reps":3,"queries":$qs,"spread":$sp,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_reps":3,"queries":$qs,"stages":$st,"spread":$sp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
