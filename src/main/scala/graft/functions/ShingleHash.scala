@@ -24,10 +24,22 @@ object ShingleHash {
     ColumnBridge.column(ShingleHashExpr(ColumnBridge.expression(text), n, mult))
   }
 
+  /** Positional (non-distinct) variant: one hash per shingle POSITION, in
+    * document order — for span-level operators (duplicated-substring
+    * profiling) where the i-th element is the span starting at token i. */
+  def shingle_hashes_all(text: Column, n: Int, mult: Long = 31L): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      ShingleHashExpr(ColumnBridge.expression(text), n, mult, distinct = false))
+  }
+
   /** Single pass: token boundaries found inline; each shingle's hash is
     * recomputed over its n tokens (bounded rescan, no big-int tricks —
     * exact parity with the char-fold the oracle replicates). */
-  def hashes(s: UTF8String, n: Int, mult: Long): ArrayData = {
+  def hashes(s: UTF8String, n: Int, mult: Long): ArrayData =
+    hashes(s, n, mult, distinct = true)
+
+  def hashes(s: UTF8String, n: Int, mult: Long, distinct: Boolean): ArrayData = {
     if (s == null) return new GenericArrayData(Array.empty[Long])
     val str = s.toString
     // token spans (start, end) over runs of non-whitespace
@@ -45,7 +57,9 @@ object ShingleHash {
     }
     val nTok = starts.size()
     if (nTok < n) return new GenericArrayData(Array.empty[Long])
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val seen: java.util.Collection[java.lang.Long] =
+      if (distinct) new java.util.LinkedHashSet[java.lang.Long]()
+      else new java.util.ArrayList[java.lang.Long](nTok - n + 1)
     val prime = PolyHash.Prime
     var t = 0
     while (t <= nTok - n) {
@@ -72,7 +86,8 @@ object ShingleHash {
   }
 }
 
-case class ShingleHashExpr(child: Expression, n: Int, mult: Long)
+case class ShingleHashExpr(child: Expression, n: Int, mult: Long,
+                           distinct: Boolean = true)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -85,11 +100,11 @@ case class ShingleHashExpr(child: Expression, n: Int, mult: Long)
         s"shingle_hashes requires a string input, got ${child.dataType}")
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleHash.hashes(input.asInstanceOf[UTF8String], n, mult)
+    ShingleHash.hashes(input.asInstanceOf[UTF8String], n, mult, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.ShingleHash.hashes($c, $n, ${mult}L)")
+      c => s"graft.functions.ShingleHash.hashes($c, $n, ${mult}L, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

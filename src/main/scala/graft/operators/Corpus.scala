@@ -62,6 +62,83 @@ object Corpus {
           .as("distinct_ratio"))
   }
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021, §A1.1) —
+    * the standard pre-training heuristic battery, computed per document in
+    * one pass: token-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio ('#' and '...'), alphabetic-word ratio, distinct-stopword
+    * minimum, and the line-shape rules (bullet-start / ellipsis-end
+    * fractions). Emits every measured stat plus the composite `pass` so
+    * downstream filters can cut on individual rules.
+    *
+    * All ratios are rounded engine-stably to 6 dp and `pass` is evaluated
+    * on the ROUNDED values (the DuckDB twin does the same, so the boolean
+    * can't flap on the 17th bit). Char-count rules ('#', '...') run on
+    * codegen'd string built-ins; the two token-shape rules use array
+    * lambdas (interpreted) — acceptable here because the battery is
+    * scan-bound, but at 100 TB the alpha test belongs in the same native
+    * pass as marker_count if profiling shows it hot. Zero-token documents
+    * fail the floor rule and score 0 on every ratio (0/0 guarded). */
+  def gopherStats(docs: DataFrame, id: Column, text: Column,
+                  minTokens: Long = 50, maxTokens: Long = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+                  minStopwords: Int = 2, maxBulletRatio: Double = 0.9,
+                  maxEllipsisRatio: Double = 0.3): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, EnglishStopwords}
+    import graft.functions.TokenExprs
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000.0
+    val staged = docs.select(id.cast("long").as("doc_id"), text.as("__t"),
+      tokens(text).as("toks"), split(text, "\n").as("lines"))
+    val nTok = size(col("toks")).cast("long")
+    val nLines = size(col("lines")).cast("double")
+    val guard0 = (c: Column) => when(nTok === 0, lit(0.0)).otherwise(c)
+    val hashCount = length(col("__t")) - length(translate(col("__t"), "#", ""))
+    val ellipsisCount =
+      (length(col("__t")) - length(regexp_replace(col("__t"), "\\.\\.\\.", ""))) / 3
+    val stats = staged.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      guard0(r6(TokenExprs.token_length_sum(col("toks")) / nTok.cast("double")))
+        .as("mean_word_len"),
+      guard0(r6((hashCount + ellipsisCount).cast("double") / nTok.cast("double")))
+        .as("symbol_ratio"),
+      guard0(r6(size(filter(col("toks"), t => t.rlike("[a-zA-Z]")))
+        .cast("double") / nTok.cast("double"))).as("alpha_ratio"),
+      size(array_intersect(col("toks"),
+        array(EnglishStopwords.map(lit): _*))).cast("long").as("n_stop"),
+      r6(size(filter(col("lines"), l => trim(l).rlike("^[-*]")))
+        .cast("double") / nLines).as("bullet_ratio"),
+      r6(size(filter(col("lines"), l => l.endsWith("...")))
+        .cast("double") / nLines).as("ellipsis_ratio"))
+    stats.withColumn("pass",
+      col("n_tokens").between(minTokens, maxTokens) &&
+        col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+        col("symbol_ratio") < maxSymbolRatio &&
+        col("alpha_ratio") > minAlphaRatio &&
+        col("n_stop") >= minStopwords &&
+        col("bullet_ratio") < maxBulletRatio &&
+        col("ellipsis_ratio") < maxEllipsisRatio)
+  }
+
+  /** Corpus-level top-k most frequent word n-grams — the boilerplate
+    * detector (headers, license blocks, navigation chrome surface as
+    * high-frequency n-grams; the winners feed a removal/cut list).
+    * One explode + map-side-combined hash aggregation, then a global
+    * ordered LIMIT (TakeOrderedAndProject — per-partition top-k on the
+    * map side, k rows to the driver stage, never a global sort). Ties
+    * break deterministically by the n-gram string. At 100 TB the count
+    * aggregation can run on the native shingle HASHES with the winners'
+    * strings re-derived from a broadcast semi-join of the top hash set —
+    * the string groupBy here keeps the operator single-stage and its
+    * output directly readable. */
+  def topNgrams(docs: DataFrame, text: Column, n: Int, k: Int): DataFrame =
+    docs.select(graft.functions.TextFunctions.tokens(text).as("toks"))
+      .select(explode(
+        graft.functions.TextFunctions.shingles(col("toks"), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("occ"))
+      .orderBy(col("occ").desc, col("ngram").asc)
+      .limit(k)
+
   /** Streaming sequence packing — the training-data layout step that
     * concatenates documents into budget-sized context windows: within each
     * `part` stream, documents are laid out in ascending id order and each

@@ -245,6 +245,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-document duplicated-span profile — the exact-substring dedup
+    * signal (span-level duplication à la "Deduplicating Training Data
+    * Makes Language Models Better": a span is duplicated when the same
+    * word n-gram occurs anywhere else in the corpus — another document or
+    * another position of the same document). Returns per doc the total
+    * span count (token positions admitting an n-gram), the duplicated-span
+    * count, and their ratio — the per-doc fraction of content that is
+    * verbatim-repeated, the standard cut signal for substring-level dedup.
+    *
+    * Scale shape: spans are narrow (doc_id, hash) longs from the one-pass
+    * positional native expression ([[graft.functions.ShingleHash
+    * .shingle_hashes_all]]); occurrence counts are one map-side-combined
+    * hash aggregation, and the count re-attach is a shuffle join on the
+    * hash key both sides already produced — no pair materialization, no
+    * text carried past the scan. The span frame is lazily checkpointed
+    * once for its two consumers (counts + join-back). */
+  def duplicatedSpans(df: DataFrame, id: Column, text: Column,
+                      n: Int = 13): DataFrame = {
+    val spans = df.select(id.cast("long").as("doc_id"),
+        explode(graft.functions.ShingleHash.shingle_hashes_all(text, n)).as("h"))
+      .localCheckpoint(false)
+    val occ = spans.groupBy("h").agg(count(lit(1)).as("occ"))
+    spans.join(occ, "h")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (floor((col("n_dup_spans").cast("double") / col("n_spans")) * 1000000
+          + 0.5) / 1000000.0).as("dup_ratio"))
+  }
+
   /** Per-doc SimHash over token hashes (default 16 bits): bit i of the
     * fingerprint is the sign of Σ_tokens (2·bit_i(hash) − 1). Expressed as
     * explode + one hash aggregation (map-side combined). */

@@ -197,8 +197,45 @@ object TextQueries {
     "x12_class_balance" -> ((s, dir) =>
       graft.operators.Sampling.balanceClasses(
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
-        col("doc_id"), col("lang"), target = 40))
+        col("doc_id"), col("lang"), target = 40)),
+
+    // C2: Gopher-style rule battery. The synthetic corpus is uniformly
+    // clean, so per-bucket injections make every rule fire somewhere:
+    // %13=3 gets '#' runs (symbol ratio), %13=5 digit-only tokens (alpha
+    // ratio), %13=7 nine bullet lines (bullet fraction), %13=9 two
+    // ellipsis-terminated lines (ellipsis fraction); the token-count floor
+    // discriminates naturally (docs are 10-99 tokens vs the 50 floor).
+    "c2_gopher_rules" -> ((s, dir) =>
+      graft.operators.Corpus.gopherStats(
+        t(s, dir, "documents").withColumn("txt",
+          concat(col("text"),
+            when(col("doc_id") % 13 === 3, lit(GopherInjections("symbols")))
+              .when(col("doc_id") % 13 === 5, lit(GopherInjections("digits")))
+              .when(col("doc_id") % 13 === 7, lit(GopherInjections("bullets")))
+              .when(col("doc_id") % 13 === 9, lit(GopherInjections("ellipsis")))
+              .otherwise(lit("")))),
+        col("doc_id"), col("txt"))),
+
+    // D7: duplicated-span profile (exact-substring dedup signal) on the
+    // dup-bearing corpus: per doc, how many of its 5-gram spans occur
+    // anywhere else in the corpus. The injected exact duplicates give the
+    // copies dup_ratio 1.0; cross-doc shared phrases surface partially.
+    "d7_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(withDups(s, dir), col("doc_id"), col("text"),
+        n = 5)),
+
+    // X13: corpus top-20 3-grams — the boilerplate-detection cut list.
+    "x13_top_ngrams" -> ((s, dir) =>
+      graft.operators.Corpus.topNgrams(t(s, dir, "documents"),
+        col("text"), n = 3, k = 20))
   )
+
+  /** Injected tails for the Gopher gate, shared verbatim with the oracle. */
+  private val GopherInjections: Map[String, String] = Map(
+    "symbols" -> (" ### ## #" * 8),
+    "digits" -> (" 123456 789012 345678" * 5),
+    "bullets" -> (1 to 9).map(i => s"\n- bullet item $i").mkString,
+    "ellipsis" -> "\nmore text here ...\nanother trailing line ...")
 
   // --- shared oracle SQL fragments ---------------------------------------
 
@@ -556,6 +593,78 @@ object TextQueries {
          |            WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
          |       count(*) AS n, min(doc_id) AS min_id
          |FROM b GROUP BY 1""".stripMargin,
+
+    "c2_gopher_rules" -> {
+      val stopSql = EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      val sumLenSql = "list_reduce(list_prepend(0.0::DOUBLE, " +
+        "[len(x)::DOUBLE for x in tk]), (a, b) -> a + b)"
+      def r6(e: String) = s"floor(($e) * 1000000 + 0.5) / 1000000.0"
+      def g0(e: String) = s"CASE WHEN len(tk) = 0 THEN 0.0::DOUBLE ELSE $e END"
+      raw"""WITH inj AS (
+           |  SELECT doc_id, text || CASE
+           |    WHEN doc_id % 13 = 3 THEN '${GopherInjections("symbols")}'
+           |    WHEN doc_id % 13 = 5 THEN '${GopherInjections("digits")}'
+           |    WHEN doc_id % 13 = 7 THEN '${GopherInjections("bullets")}'
+           |    WHEN doc_id % 13 = 9 THEN '${GopherInjections("ellipsis")}'
+           |    ELSE '' END AS txt
+           |  FROM documents),
+           |toks AS (
+           |  SELECT doc_id, txt,
+           |    list_filter(string_split_regex(txt, '\s+'), x -> len(x) > 0) AS tk,
+           |    string_split(txt, chr(10)) AS ln
+           |  FROM inj),
+           |stats AS (
+           |  SELECT doc_id,
+           |    len(tk)::BIGINT AS n_tokens,
+           |    ${g0(r6(s"$sumLenSql / len(tk)"))} AS mean_word_len,
+           |    ${g0(r6("((len(txt) - len(replace(txt, '#', ''))) " +
+                  "+ (len(txt) - len(replace(txt, '...', ''))) / 3)::DOUBLE / len(tk)"))}
+           |      AS symbol_ratio,
+           |    ${g0(r6("len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(tk)"))}
+           |      AS alpha_ratio,
+           |    len(list_distinct(list_intersect(tk, $stopSql)))::BIGINT AS n_stop,
+           |    ${r6("len(list_filter(ln, l -> regexp_matches(trim(l), '^[-*]')))::DOUBLE / len(ln)")}
+           |      AS bullet_ratio,
+           |    ${r6("len(list_filter(ln, l -> ends_with(l, '...')))::DOUBLE / len(ln)")}
+           |      AS ellipsis_ratio
+           |  FROM toks)
+           |SELECT *, (n_tokens BETWEEN 50 AND 100000
+           |  AND mean_word_len BETWEEN 3.0 AND 10.0
+           |  AND symbol_ratio < 0.1 AND alpha_ratio > 0.8 AND n_stop >= 2
+           |  AND bullet_ratio < 0.9 AND ellipsis_ratio < 0.3) AS pass
+           |FROM stats""".stripMargin
+    },
+
+    "d7_dup_spans" ->
+      s"""WITH dup AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+         |                             x -> len(x) > 0) AS tk
+         |  FROM dup),
+         |sp AS (
+         |  SELECT doc_id,
+         |    ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]")} AS h
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 4)) AS i)
+         |  WHERE len(tk) >= 5),
+         |occ AS (SELECT h, count(*) AS occ FROM sp GROUP BY 1)
+         |SELECT doc_id, count(*)::BIGINT AS n_spans,
+         |  sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+         |  floor((sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*))
+         |    * 1000000 + 0.5) / 1000000.0 AS dup_ratio
+         |FROM sp JOIN occ USING (h)
+         |GROUP BY doc_id""".stripMargin,
+
+    "x13_top_ngrams" ->
+      raw"""WITH $toksSql,
+         |ng AS (
+         |  SELECT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS ngram
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i)
+         |  WHERE len(tk) >= 3)
+         |SELECT ngram, count(*) AS occ FROM ng GROUP BY 1
+         |ORDER BY occ DESC, ngram LIMIT 20""".stripMargin,
 
     "d4_simhash" ->
       s"""WITH $toksSql,

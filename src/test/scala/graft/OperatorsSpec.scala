@@ -431,6 +431,65 @@ class OperatorsSpec extends SparkSpec {
     got("shardB") shouldBe ((1L, "bar"))
   }
 
+  "Corpus.gopherStats" should "fire each rule on its crafted document" in {
+    import graft.operators.Corpus
+    val clean = ((1 to 58).map(i => s"word$i") ++ Seq("the", "of")).mkString(" ")
+    val docs = Seq(
+      (1L, clean),                                   // passes every rule
+      (2L, clean + " ### ## # ## ### #"),            // symbol ratio > 0.1
+      (3L, clean + (" 1234 5678 91011" * 6)),        // alpha ratio <= 0.8
+      (4L, "too short but the of"),                  // under the 50-token floor
+      (5L, clean + (1 to 9).map(i => s"\n- b $i").mkString), // bullets >= 0.9
+      (6L, clean + "\nx ...\ny ...\nz ..."))          // ellipsis lines >= 0.3
+      .toDF("doc_id", "text")
+    val got = Corpus.gopherStats(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("pass"), col("symbol_ratio"),
+        col("alpha_ratio"), col("bullet_ratio"), col("ellipsis_ratio"),
+        col("n_tokens"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    got(1L).getBoolean(1) shouldBe true
+    got(2L).getBoolean(1) shouldBe false
+    got(2L).getDouble(2) should be > 0.1              // symbol_ratio
+    got(3L).getBoolean(1) shouldBe false
+    got(3L).getDouble(3) should be <= 0.8             // alpha_ratio
+    got(4L).getBoolean(1) shouldBe false
+    got(4L).getLong(6) should be < 50L                // n_tokens
+    got(5L).getBoolean(1) shouldBe false
+    got(5L).getDouble(4) should be >= 0.9             // bullet_ratio
+    got(6L).getBoolean(1) shouldBe false
+    got(6L).getDouble(5) should be >= 0.3             // ellipsis_ratio
+  }
+
+  "Dedup.duplicatedSpans" should "count spans repeated across or within docs" in {
+    // B duplicates A (all spans dup); C is unique; D repeats its own 5-gram
+    val docs = Seq(
+      (1L, "a b c d e f"),        // spans: [a b c d e], [b c d e f]
+      (2L, "a b c d e f"),        // exact copy of 1
+      (3L, "p q r s t u v"),      // 3 spans, all unique
+      (4L, "x x x x x x"))        // 2 spans, both "x x x x x" → self-dup
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.duplicatedSpans(docs, col("doc_id"),
+        col("text"), n = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, d, r) => id -> ((n, d, r)) }.toMap
+    got(1L) shouldBe ((2L, 2L, 1.0))
+    got(2L) shouldBe ((2L, 2L, 1.0))
+    got(3L) shouldBe ((3L, 0L, 0.0))
+    got(4L) shouldBe ((2L, 2L, 1.0))
+  }
+
+  "Corpus.topNgrams" should "rank by count with deterministic ngram tiebreak" in {
+    import graft.operators.Corpus
+    val docs = Seq(
+      (1L, "x y z x y z"),    // "x y z"×2, "y z x", "z x y"
+      (2L, "x y z"),          // "x y z"×1 → 3 total
+      (3L, "a b c"))          // "a b c"×1 — ties with "y z x"/"z x y"
+      .toDF("doc_id", "text")
+    val got = Corpus.topNgrams(docs, col("text"), n = 3, k = 3)
+      .as[(String, Long)].collect()
+    got shouldBe Array(("x y z", 3L), ("a b c", 1L), ("y z x", 1L))
+  }
+
   "Sampling" should "produce deterministic, complete, disjoint splits" in {
     import graft.operators.Sampling
     val df = (1 to 500).map(_.toLong).toDF("id")
