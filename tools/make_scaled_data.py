@@ -55,8 +55,22 @@ SCALED = {
     "part": "p_partkey + i*20000 AS p_partkey, p_name, p_brand, p_type,"
             " p_size, p_retailprice",
     "supplier": "s_suppkey + i*1000 AS s_suppkey, s_name, s_nationkey, s_acctbal",
+    # Near-dup CLUSTER SIZE must stay constant (10) as the factor grows, or
+    # pair-emitting dedup benchmarks go output-quadratic in the factor: the
+    # old "base text + ' copy<i>'" form left every copy >0.2-Jaccard-similar
+    # to EVERY other copy (one cluster of size=factor, C(factor,2) pairs per
+    # base doc — 435 at 30x vs a real corpus's bounded clusters). Fix: tag
+    # every 4th token with a copy-DECADE marker, so every 5-gram shingle
+    # contains a marker and shingle sets are disjoint across decades (zero
+    # cross-decade Jaccard), while the 10 copies inside a decade differ only
+    # by the ' copy<i>' suffix (still genuine near-dups). Cluster size = 10
+    # at ANY factor; cluster COUNT scales with the data, like a real corpus.
     "documents": "doc_id + i*5000 AS doc_id,"
-                 " text || CASE WHEN i = 0 THEN '' ELSE ' copy' || i END AS text,"
+                 " array_to_string(list_transform("
+                 "   list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0),"
+                 "   (x, j) -> CASE WHEN j % 4 = 1"
+                 "             THEN 'g' || (i // 10)::VARCHAR || 'q' || x ELSE x END),"
+                 "   ' ') || CASE WHEN i = 0 THEN '' ELSE ' copy' || i END AS text,"
                  " lang, source, n_chars",
     # rotate dims by copy index: norms and intra-copy cosines are exactly
     # preserved (it's a permutation), while cross-copy vectors decorrelate —
