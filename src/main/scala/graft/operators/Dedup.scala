@@ -276,6 +276,79 @@ object Dedup {
           + 0.5) / 1000000.0).as("dup_ratio"))
   }
 
+  /** Dedup RETENTION: the decision step that turns near-dup clusters into
+    * a kept/dropped corpus. Resolves clusters over the n-gram Jaccard pair
+    * graph ([[ngramJaccardPairs]] → [[connectedComponents]]), scores every
+    * document with [[graft.functions.TextFunctions.qualityScore]], and
+    * keeps exactly ONE document per cluster — the highest 6-dp-rounded
+    * quality, lowest doc_id on ties. Unclustered documents form singleton
+    * clusters (cluster = own id) and are always kept, so the output is a
+    * complete per-document decision frame: (doc_id, cluster, quality,
+    * kept). Anti-join the corpus on kept = false to materialize the clean
+    * split.
+    *
+    * Scale shape: quality is map-side arithmetic on the scan; the cluster
+    * attach is one shuffle join on doc_id; the per-cluster winner is a
+    * map-side-combined `max(struct(quality, -doc_id))` — no window, no
+    * sort — re-attached by one join on the (few) cluster keys. */
+  def retainBest(df: DataFrame, id: Column, text: Column, n: Int,
+                 threshold: Double, maxShingleFreq: Long = 1000): DataFrame = {
+    val clusters = connectedComponents(
+      ngramJaccardPairs(df, id, text, n, threshold, maxShingleFreq))
+    val scored = df
+      .select(id.cast("long").as("doc_id"), tokens(text).as("toks"))
+      .select(col("doc_id"),
+        (floor(qualityScore(col("toks")) * 1000000 + 0.5) / 1000000.0)
+          .as("quality"))
+    val labeled = scored.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val winners = labeled.groupBy("cluster")
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg"),
+        col("doc_id").as("kid"))).as("m"))
+      .select(col("cluster"), col("m.kid").as("keep_id"))
+    labeled.join(winners, "cluster")
+      .select(col("doc_id"), col("cluster"), col("quality"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+  }
+
+  /** SimHash near-duplicate pairs via band blocking — the pairing step for
+    * [[simHashDocs]] fingerprints. The `bits`-bit fingerprint splits into
+    * `bands` contiguous blocks; by pigeonhole, any pair within Hamming
+    * distance `maxHamming` < `bands` shares at least one UNCHANGED block,
+    * so blocking on (band, block bits) has exact recall for that radius.
+    * Candidates (docs sharing any band key) are verified with the exact
+    * popcount of the fingerprint XOR. One shuffle on narrow (doc_id, band,
+    * key) rows — fingerprints re-attach to the (much smaller) candidate
+    * set; never an all-pairs comparison. */
+  def simHashNearDupPairs(df: DataFrame, id: Column, text: Column,
+                          bits: Int = 16, bands: Int = 4,
+                          maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    require(maxHamming < bands,
+      s"pigeonhole recall needs maxHamming ($maxHamming) < bands ($bands)")
+    val bandBits = bits / bands
+    val fp = simHashDocs(df, id, text, bits).localCheckpoint(false)
+    val banded = fp.select(col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            (shiftright(col("simhash"), b * bandBits) % (1L << bandBits))
+              .as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(fp.select(col("doc_id").as("id_a"), col("simhash").as("fp_a")), "id_a")
+      .join(fp.select(col("doc_id").as("id_b"), col("simhash").as("fp_b")), "id_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
   /** Per-doc SimHash over token hashes (default 16 bits): bit i of the
     * fingerprint is the sign of Σ_tokens (2·bit_i(hash) − 1). Expressed as
     * explode + one hash aggregation (map-side combined). */

@@ -227,7 +227,23 @@ object TextQueries {
     // X13: corpus top-20 3-grams — the boilerplate-detection cut list.
     "x13_top_ngrams" -> ((s, dir) =>
       graft.operators.Corpus.topNgrams(t(s, dir, "documents"),
-        col("text"), n = 3, k = 20))
+        col("text"), n = 3, k = 20)),
+
+    // D8: dedup retention — the decision step after clustering: keep the
+    // highest-quality doc per near-dup cluster (lowest id on ties);
+    // unclustered docs are singleton keeps. Complete per-doc decision.
+    "d8_retain_best" -> ((s, dir) =>
+      Dedup.retainBest(t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 5, threshold = 0.2, maxShingleFreq = Long.MaxValue)),
+
+    // D9: SimHash near-dup pairs via 4-band blocking over the 16-bit
+    // fingerprints, exact-popcount verified (Hamming <= 3). The oracle
+    // computes ALL pairs within the radius directly, so the gate also
+    // proves the pigeonhole claim: banding with maxHamming < bands loses
+    // no pairs. Runs on the dup-bearing corpus so Hamming-0 pairs exist.
+    "d9_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashNearDupPairs(withDups(s, dir), col("doc_id"), col("text"),
+        bits = 16, bands = 4, maxHamming = 3))
   )
 
   /** Injected tails for the Gopher gate, shared verbatim with the oracle. */
@@ -677,6 +693,76 @@ object TextQueries {
          |  GROUP BY doc_id, i)
          |SELECT doc_id,
          |       sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS simhash
-         |FROM bits GROUP BY doc_id""".stripMargin
+         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "d8_retain_best" -> {
+      // d6's cluster closure + x2's quality fragments + a per-cluster
+      // argmax: the same bound-once fragments, so the twins cannot drift
+      val stopSql = EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      val avgLenSql = "list_reduce(list_prepend(0.0::DOUBLE, " +
+        "[len(x)::DOUBLE for x in tk]), (a, b) -> a + b) / len(tk)"
+      val stopRatioSql = s"len(list_filter(tk, x -> list_contains($stopSql, x)))::DOUBLE / len(tk)"
+      s"""WITH RECURSIVE $toksSql,
+         |$shingSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM prs
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.2),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |reach(node, m) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m),
+         |clus AS (SELECT node AS doc_id, min(m) AS cluster FROM reach GROUP BY node),
+         |q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) = 0 THEN 0.0::DOUBLE
+         |         ELSE floor((least(len(tk)::DOUBLE / 100.0, 1.0) * 0.4
+         |          + $stopRatioSql * 0.3
+         |          + least($avgLenSql / 8.0, 1.0) * 0.3) * 1000000 + 0.5) / 1000000.0 END
+         |      AS quality
+         |  FROM toks),
+         |lab AS (
+         |  SELECT q.doc_id, coalesce(c.cluster, q.doc_id) AS cluster, q.quality
+         |  FROM q LEFT JOIN clus c ON c.doc_id = q.doc_id),
+         |win AS (
+         |  SELECT cluster, doc_id AS keep_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cluster
+         |      ORDER BY quality DESC, doc_id) AS rn FROM lab) WHERE rn = 1)
+         |SELECT l.doc_id, l.cluster, l.quality, (l.doc_id = w.keep_id) AS kept
+         |FROM lab l JOIN win w ON w.cluster = l.cluster""".stripMargin
+    },
+
+    "d9_simhash_pairs" ->
+      s"""WITH dupd AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+         |toksd AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+         |                             x -> len(x) > 0) AS tk
+         |  FROM dupd),
+         |th AS (
+         |  SELECT doc_id, ${hashSql("t.tok")} AS h
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toksd) t),
+         |bits AS (
+         |  SELECT doc_id, i, sum(((h >> i) % 2) * 2 - 1) AS s
+         |  FROM th, LATERAL (SELECT unnest(generate_series(0, 15)) AS i)
+         |  GROUP BY doc_id, i),
+         |fp AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Quantization, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -73,7 +73,35 @@ object VectorQueries {
     "v7_kmeans" -> ((s, dir) =>
       Similarity.kmeansCentroids(t(s, dir, "embeddings"), k = 4, iters = 2)
         .select(col("centroid_id"),
-          posexplode(col("cent")).as(Seq("pos", "value"))))
+          posexplode(col("cent")).as(Seq("pos", "value")))),
+
+    // V8: product-quantization encode against fixed seed codebooks (the
+    // sub-slices of vec_ids < 8): per (vector, subspace), the argmin-L2
+    // codeword — 512 B of vector becomes 4 codes. 4 subspaces x 16 dims.
+    "v8_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Quantization.seedCodebooks(emb, numSub = 4, subDim = 16, k = 8)
+      Quantization.pqEncode(emb, cb, numSub = 4, subDim = 16)}),
+
+    // V8b: trained PQ codebooks — per-subspace deterministic Lloyd (k=4,
+    // 2 iterations; all 4 subspaces share each round's shuffles), exploded
+    // to scalar rows for the hash compare.
+    "v8b_pq_train" -> ((s, dir) =>
+      Quantization.pqTrainCodebooks(t(s, dir, "embeddings"),
+        numSub = 4, subDim = 16, k = 4, iters = 2)
+        .select(col("sub"), col("code"),
+          posexplode(col("cw")).as(Seq("pos", "value")))),
+
+    // V9: ADC top-k search over the PQ-encoded corpus with TRAINED
+    // codebooks — the full production path (train → encode → search):
+    // queries precompute integer-micro-unit distance tables to every
+    // codeword; candidate distance is one integer-sum over code rows.
+    "v9_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Quantization.pqTrainCodebooks(emb,
+        numSub = 4, subDim = 16, k = 4, iters = 2)
+      Quantization.pqAdcTopK(emb.where(col("vec_id") < 10), emb, cb,
+        numSub = 4, subDim = 16, k = 5)})
   )
 
   /** DuckDB sequential-fold dot product of two DOUBLE[] exprs. */
@@ -83,6 +111,44 @@ object VectorQueries {
 
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Squared L2 distance in the Spark side's exact IEEE op order:
+    * `(a·a - (2*(a·b))) + b·b`, each dot a sequential fold. */
+  private def l2Sql(a: String, b: String): String =
+    s"((${dotSql(a, a)}) - (2 * (${dotSql(a, b)}))) + (${dotSql(b, b)})"
+
+  /** v → (vec_id, sub, sv): 4 contiguous 16-dim sub-vectors per vector
+    * (DuckDB list slices are 1-based inclusive, matching Spark `slice`). */
+  private val svSql =
+    "sv AS (SELECT vec_id, r.i::INT AS sub, e[r.i*16+1:r.i*16+16] AS sv" +
+      " FROM v, range(4) r(i))"
+
+  /** One PQ Lloyd assignment: per (vector, subspace) the argmin
+    * 6-dp-rounded squared L2 codeword, code tiebreak. */
+  private def pqAssignSql(cents: String): String =
+    s"""SELECT vec_id, sub, code FROM (
+       |    SELECT s.vec_id, s.sub, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |        ORDER BY floor((${l2Sql("s.sv", "c.cw")}) * 1000000 + 0.5) / 1000000.0, c.code) AS rn
+       |    FROM sv s JOIN $cents c ON c.sub = s.sub) WHERE rn = 1""".stripMargin
+
+  /** One PQ Lloyd update: coordinate means on 1e9-scaled integers. */
+  private def pqUpdateSql(assign: String): String =
+    s"""SELECT sub, code, list(m ORDER BY pos) AS cw FROM (
+       |    SELECT a.sub, a.code, i - 1 AS pos,
+       |      floor(sum(floor(s.sv[i] * 1000000000 + 0.5)) / count(*) + 0.5) / 1000000000.0 AS m
+       |    FROM $assign a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub,
+       |         LATERAL (SELECT unnest(generate_series(1, len(s.sv))) AS i)
+       |    GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2""".stripMargin
+
+  /** The 2-iteration trained-codebook CTE chain (seeds = vec_ids < 4). */
+  private val pqTrainCte =
+    s"""cb0 AS (SELECT sub, vec_id AS code, sv AS cw FROM sv WHERE vec_id < 4),
+       |pa1 AS (${pqAssignSql("cb0")}),
+       |cb1 AS (${pqUpdateSql("pa1")}),
+       |pa2 AS (${pqAssignSql("cb1")}),
+       |cb2 AS (${pqUpdateSql("pa2")})""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "v1_norm" ->
@@ -262,6 +328,45 @@ object VectorQueries {
          |  SELECT id_a, id_b, floor((${cosSql("x.e", "y.e")}) * 1000000 + 0.5) / 1000000.0 AS cos
          |  FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b)
          |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35""".stripMargin
-    }
+    },
+
+    "v8_pq_encode" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |$svSql,
+         |cb AS (SELECT sub, vec_id AS code, sv AS cw FROM sv WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT s.vec_id, s.sub, c.code,
+         |    floor((${l2Sql("s.sv", "c.cw")}) * 1000000 + 0.5) / 1000000.0 AS dist
+         |  FROM sv s JOIN cb c ON c.sub = s.sub)
+         |SELECT vec_id, sub, code, dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY dist, code) AS rn FROM scored) WHERE rn = 1""".stripMargin,
+
+    "v8b_pq_train" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |$svSql,
+         |$pqTrainCte
+         |SELECT sub, code, i - 1 AS pos, cw[i] AS value
+         |FROM cb2, LATERAL (SELECT unnest(generate_series(1, len(cw))) AS i)""".stripMargin,
+
+    "v9_pq_adc" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |$svSql,
+         |$pqTrainCte,
+         |enc AS (SELECT vec_id AS cand_id, sub, code FROM (${pqAssignSql("cb2")}) pe),
+         |dtab AS (
+         |  SELECT s.vec_id AS query_id, s.sub, c.code,
+         |    floor((floor((${l2Sql("s.sv", "c.cw")}) * 1000000 + 0.5) / 1000000.0)
+         |          * 1000000 + 0.5)::BIGINT AS d_int
+         |  FROM sv s JOIN cb2 c ON c.sub = s.sub WHERE s.vec_id < 10),
+         |adc AS (
+         |  SELECT query_id, cand_id, sum(d_int)::BIGINT AS s_int
+         |  FROM enc e JOIN dtab d ON d.sub = e.sub AND d.code = e.code
+         |  WHERE e.cand_id != d.query_id GROUP BY 1, 2)
+         |SELECT query_id, cand_id, (s_int::DOUBLE / 1000000.0) AS adist,
+         |       rank::INT AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY s_int, cand_id) AS rank FROM adc)
+         |WHERE rank <= 5""".stripMargin
   )
 }

@@ -196,6 +196,60 @@ class OperatorsSpec extends SparkSpec {
     ham(got(1L), got(3L)) should be < ham(got(1L), got(4L))
   }
 
+  "Dedup.simHashNearDupPairs" should "find exactly the pairs within the Hamming radius" in {
+    // band blocking must lose nothing (pigeonhole: maxHamming < bands) —
+    // compare against the brute-force all-pairs answer on the fingerprints
+    val fps = Dedup.simHashDocs(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Long = java.lang.Long.bitCount(a ^ b).toLong
+    val want = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = ham(fps(a), fps(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    val got = Dedup.simHashNearDupPairs(docs, col("doc_id"), col("text"),
+      bits = 16, bands = 4, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    got shouldBe want
+    // the exact-dup pairs are in there at Hamming 0
+    got should contain ((1L, 2L, 0L))
+    got should contain ((1L, 5L, 0L))
+  }
+
+  it should "reject a radius the band count cannot guarantee" in {
+    intercept[IllegalArgumentException] {
+      Dedup.simHashNearDupPairs(docs, col("doc_id"), col("text"),
+        bits = 16, bands = 4, maxHamming = 4)
+    }
+  }
+
+  "Dedup.retainBest" should "keep the best-quality doc per cluster and all singletons" in {
+    // 1, 2, 3 form one near-dup cluster; 3 has the longer text (higher
+    // quality: more tokens). 4 is a singleton. Quality tiebreak: lowest id.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "totally unrelated content words")).toDF("doc_id", "text")
+    val got = Dedup.retainBest(corpus, col("doc_id"), col("text"),
+      n = 2, threshold = 0.3, maxShingleFreq = Long.MaxValue)
+      .select("doc_id", "cluster", "kept").as[(Long, Long, Boolean)]
+      .collect().map { case (d, c, k) => d -> ((c, k)) }.toMap
+    got(1L) shouldBe ((1L, false))
+    got(2L) shouldBe ((1L, false))
+    got(3L) shouldBe ((1L, true))  // highest quality in cluster 1
+    got(4L) shouldBe ((4L, true))  // singleton keeps itself
+  }
+
+  it should "break equal quality on the lowest doc id" in {
+    val corpus = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta"),
+      (9L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val got = Dedup.retainBest(corpus, col("doc_id"), col("text"),
+      n = 2, threshold = 0.5, maxShingleFreq = Long.MaxValue)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    got shouldBe Map(7L -> true, 9L -> false)
+  }
+
   "ShingleHash native expression" should "agree with the composed HOF chain as a set" in {
     import graft.functions.{ShingleHash, TextFunctions}
     import org.apache.spark.sql.functions.{transform => arrTransform}

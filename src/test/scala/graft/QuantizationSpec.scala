@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.Quantization
+import org.apache.spark.sql.functions._
+
+class QuantizationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Double])*) =
+    rows.toDF("vec_id", "embedding")
+
+  "Quantization.subVectors" should "split vectors into contiguous subspaces" in {
+    val df = vecs(7L -> Seq(1.0, 2.0, 3.0, 4.0))
+    val got = Quantization.subVectors(df, numSub = 2, subDim = 2)
+      .as[(Long, Int, Seq[Double])].collect().toSet
+    got shouldBe Set((7L, 0, Seq(1.0, 2.0)), (7L, 1, Seq(3.0, 4.0)))
+  }
+
+  "Quantization.pqEncode" should "pick the nearest codeword per subspace" in {
+    // codewords per sub: code 0 at origin-ish, code 1 at (10,10)
+    val cb = Seq((0, 0L, Seq(0.0, 0.0)), (0, 1L, Seq(10.0, 10.0)),
+      (1, 0L, Seq(0.0, 0.0)), (1, 1L, Seq(10.0, 10.0)))
+      .toDF("sub", "code", "cw")
+    val df = vecs(1L -> Seq(1.0, 1.0, 9.0, 9.0))
+    val got = Quantization.pqEncode(df, cb, numSub = 2, subDim = 2)
+      .select("vec_id", "sub", "code").as[(Long, Int, Long)].collect().toSet
+    got shouldBe Set((1L, 0, 0L), (1L, 1, 1L))
+  }
+
+  it should "break distance ties on the lowest code id" in {
+    val cb = Seq((0, 5L, Seq(1.0, 0.0)), (0, 3L, Seq(-1.0, 0.0)))
+      .toDF("sub", "code", "cw")
+    // equidistant from both codewords
+    val df = vecs(1L -> Seq(0.0, 0.0))
+    val got = Quantization.pqEncode(df, cb, numSub = 1, subDim = 2)
+      .select("code").as[Long].head()
+    got shouldBe 3L
+  }
+
+  "Quantization.pqTrainCodebooks" should "move codewords to cluster means" in {
+    // two tight clusters per subspace; seeds are one member of each
+    val df = vecs(
+      0L -> Seq(0.0, 0.0, 10.0, 10.0),
+      1L -> Seq(8.0, 8.0, 1.0, 1.0),
+      2L -> Seq(0.2, 0.2, 10.2, 10.2),
+      3L -> Seq(8.2, 8.2, 1.2, 1.2))
+    val cb = Quantization.pqTrainCodebooks(df, numSub = 2, subDim = 2,
+      k = 2, iters = 2)
+      .as[(Int, Long, Seq[Double])].collect()
+      .map { case (sub, code, cw) => (sub, code) -> cw }.toMap
+    cb((0, 0L)) shouldBe Seq(0.1, 0.1)   // mean of vecs 0,2 sub 0
+    cb((0, 1L)) shouldBe Seq(8.1, 8.1)   // mean of vecs 1,3 sub 0
+    cb((1, 0L)) shouldBe Seq(10.1, 10.1) // mean of vecs 0,2 sub 1
+    cb((1, 1L)) shouldBe Seq(1.1, 1.1)   // mean of vecs 1,3 sub 1
+  }
+
+  "Quantization.pqAdcTopK" should
+    "equal exact L2 ranking when every vector is its own codeword" in {
+    // k-codebook = the corpus itself (iters = 0 keeps the seeds): encoding
+    // is lossless, so ADC distance == rounded true distance and the PQ
+    // ranking must match brute-force L2 exactly.
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 20L).map(i => i -> Seq.fill(8)(rnd.nextDouble()))
+    val df = vecs(rows: _*)
+    val cb = Quantization.pqTrainCodebooks(df, numSub = 2, subDim = 4,
+      k = 20, iters = 0)
+    val got = Quantization.pqAdcTopK(df.where(col("vec_id") < 3), df, cb,
+      numSub = 2, subDim = 4, k = 4)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // ADC sums PER-SUBSPACE micro-rounded distances — mirror that exactly
+    def adcMicro(q: Seq[Double], c: Seq[Double]): Long =
+      (0 until 2).map { m =>
+        val d = l2(q.slice(m * 4, m * 4 + 4), c.slice(m * 4, m * 4 + 4))
+        val r6 = math.floor(d * 1e6 + 0.5) / 1e6
+        math.floor(r6 * 1e6 + 0.5).toLong
+      }.sum
+    val byId = rows.toMap
+    val want = (0L until 3L).flatMap { q =>
+      rows.filter(_._1 != q)
+        .map { case (c, v) => (c, adcMicro(byId(q), v)) }
+        .sortBy { case (c, d) => (d, c) }.take(4).zipWithIndex
+        .map { case ((c, _), r) => (q, c, r + 1) }
+    }.toSet
+    got shouldBe want
+  }
+
+  it should "never read corpus vectors past encoding (narrow code rows)" in {
+    val rows = (0L until 6L).map(i => i -> Seq.fill(4)(i.toDouble))
+    val df = vecs(rows: _*)
+    val cb = Quantization.seedCodebooks(df, numSub = 2, subDim = 2, k = 2)
+    val plan = Quantization.pqAdcTopK(df.where(col("vec_id") < 2), df, cb,
+      numSub = 2, subDim = 2, k = 2)
+      .queryExecution.executedPlan.toString
+    // the candidate aggregation joins on (sub, code) via broadcast —
+    // no cross/nested-loop shape anywhere in the ADC plan
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+}
