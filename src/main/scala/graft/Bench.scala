@@ -19,7 +19,8 @@ object Bench {
     "x13_top_ngrams", "c2_gopher_rules", "d7_dup_spans",
     "w3_sessionize", "d1_exact_dedup", "d2_ngram_jaccard",
     "d3_minhash_lsh", "d4_simhash", "d6_near_dup_clusters",
-    "d8_retain_best", "d9_simhash_pairs", "v1_norm",
+    "d8_retain_best", "d9_simhash_pairs", "d10_incremental_lsh",
+    "x14_mixture", "v1_norm",
     "v2_cosine_topk", "v3_ivf_assign", "v4b_cell_near_dup",
     "v4c_scaled_cells", "v7_kmeans", "v8_pq_encode", "v9_pq_adc",
     "c1_curation", "j7_asof_join", "pipe_events_fixedmodel")

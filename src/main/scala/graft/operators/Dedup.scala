@@ -110,6 +110,17 @@ object Dedup {
     * afterwards, so the band shuffle never carries arrays and the
     * distinct() dedups 3-column rows, not 2×signature payloads. AQE picks
     * broadcast for the sig side when it fits. */
+  /** Narrow (doc_id, band, key) rows from a (doc_id, sig) frame: per band,
+    * the key is the '_'-joined signature positions of that band. */
+  private def bandedKeys(docs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until rowsPerBand).map(r =>
+              col("sig").getItem(b * rowsPerBand + r).cast("string")): _*).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+
   def minHashLshPairs(df: DataFrame, id: Column, text: Column,
                       n: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val numHashes = bands * rowsPerBand
@@ -119,13 +130,7 @@ object Dedup {
     // in the session CacheManager.
     val docs = minHashDocs(df, id, text, n, numHashes)
       .localCheckpoint(false)
-    val banded = docs.select(col("doc_id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws("_", (0 until rowsPerBand).map(r =>
-              col("sig").getItem(b * rowsPerBand + r).cast("string")): _*).as("key"))
-        }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val banded = bandedKeys(docs, bands, rowsPerBand)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -143,6 +148,67 @@ object Dedup {
         floor((graft.functions.SignatureOps.signature_agree(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes) * 1000000 + 0.5) / 1000000.0)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Incremental near-dup check — the daily-ingest shape: MinHash-LSH
+    * candidate pairs between a NEW batch and the existing corpus (plus
+    * within the new batch), never old-old. At 100 TB the corpus side
+    * contributes only its narrow (doc_id, band, key) rows and signatures
+    * — both computable once and persistable as the index — while the
+    * band self-join is replaced by new-side × all-banded: candidate
+    * volume scales with the BATCH, not the corpus. Returns (id_a, id_b,
+    * est_jaccard) with at least one side in the new batch (ids
+    * normalized id_a < id_b). */
+  def incrementalLshPairs(newDocs: DataFrame, corpus: DataFrame,
+                          id: Column, text: Column, n: Int = 5,
+                          bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val tagged = newDocs
+      .select(id.cast("long").as("doc_id"), text.cast("string").as("text"),
+        lit(true).as("is_new"))
+      .union(corpus.select(id.cast("long").as("doc_id"),
+        text.cast("string").as("text"), lit(false).as("is_new")))
+    // one signature pass over old ∪ new (in production the old side's
+    // signatures come from the persisted index instead)
+    val docs = minHashDocs(tagged, col("doc_id"), col("text"), n, numHashes)
+      .localCheckpoint(false)
+    val banded = bandedKeys(docs, bands, rowsPerBand)
+      .localCheckpoint(false)
+    val newIds = tagged.where(col("is_new")).select("doc_id")
+    val bandedNew = banded.join(newIds, Seq("doc_id"), "left_semi")
+    val cand = bandedNew.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        floor((graft.functions.SignatureOps.signature_agree(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes) * 1000000 + 0.5) / 1000000.0)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Leakage-safe train/val/test splits: all members of a near-dup
+    * cluster land in the SAME split (splitting on the document id would
+    * leak near-copies of training documents into the eval split — the
+    * standard contamination failure). Clusters come from the n-gram
+    * Jaccard pair graph; unclustered docs are their own cluster; the
+    * split is [[Sampling.splits]]' deterministic hash-mod bucketing of
+    * the CLUSTER id. Returns (doc_id, cluster, split). */
+  def leakageSafeSplits(df: DataFrame, id: Column, text: Column, n: Int,
+                        threshold: Double, shares: Seq[(String, Int)],
+                        maxShingleFreq: Long = 1000): DataFrame = {
+    val clusters = connectedComponents(
+      ngramJaccardPairs(df, id, text, n, threshold, maxShingleFreq))
+    val labeled = df.select(id.cast("long").as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    Sampling.splits(labeled, col("cluster"), shares)
+      .select("doc_id", "cluster", "split")
   }
 
   /** Connected components over an undirected near-dup pair graph —

@@ -42,6 +42,27 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, key: Column): DataFrame =
     df.orderBy(PolyHash.poly_hash(key.cast("string")), key)
 
+  /** Deterministic data-mixture construction: per-class target COUNTS
+    * (the mixing-weights step of a training-data pipeline — "60k docs of
+    * web, 30k of code, ..."). Rows rank within their class by (key hash,
+    * key) — the same stable pseudo-random order as [[balanceClasses]] —
+    * and each class keeps its first `targets(class)` rows; classes
+    * absent from `targets` are dropped. A class smaller than its target
+    * keeps everything (and the shortfall is visible in the output
+    * counts, never silently rebalanced). */
+  def mixture(df: DataFrame, key: Column, cls: Column,
+              targets: Map[String, Long]): DataFrame = {
+    require(targets.values.forall(_ >= 0), "targets must be non-negative")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(cls).orderBy(PolyHash.poly_hash(key.cast("string")), key)
+    val limit = targets.toSeq.sortBy(_._1).foldRight(lit(0L)) {
+      case ((c, t), els) => when(cls === c, lit(t)).otherwise(els)
+    }
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= limit)
+      .drop("__rn")
+  }
+
   /** Deterministic per-class downsampling to at most `target` rows — the
     * class-balancing step for skewed training labels. Rows rank within
     * their class by (key hash, key): a stable pseudo-random order, so the

@@ -241,7 +241,18 @@ object Similarity {
     // (lazy localCheckpoint: narrow (vec_id, centroid_id) rows, GC-scoped)
     val assign = ivfAssignN(df, centroids, nProbe, id, vec, kId, kVec)
       .localCheckpoint(false)
-    val cand = assign.as("a")
+    // Pair-generation parallelism must not be capped by the cell count or
+    // by upstream partition collapse: when the narrow build side
+    // broadcasts, the PROBE side's partitioning IS the stage parallelism —
+    // the argmax aggregation upstream AQE-coalesces to one partition at
+    // bench scale, which funneled every within-cell pair of a 30× run
+    // through a single 26-minute hash-dedup task. Round-robin repartition
+    // the probe side to the session default; if the planner picks a
+    // shuffled join instead, the exchange is re-planned and this is a
+    // cheap extra shuffle of narrow rows.
+    val probe = assign.repartition(
+      assign.sparkSession.sessionState.conf.numShufflePartitions)
+    val cand = probe.as("a")
       .join(assign.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
           col("a.vec_id") < col("b.vec_id"))

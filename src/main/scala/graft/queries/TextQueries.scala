@@ -243,7 +243,32 @@ object TextQueries {
     // no pairs. Runs on the dup-bearing corpus so Hamming-0 pairs exist.
     "d9_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashNearDupPairs(withDups(s, dir), col("doc_id"), col("text"),
-        bits = 16, bands = 4, maxHamming = 3))
+        bits = 16, bands = 4, maxHamming = 3)),
+
+    // D10: incremental near-dup — the daily-ingest shape: a new batch
+    // (doc_id % 11 == 0) LSH-checked against the existing corpus + itself,
+    // never corpus×corpus.
+    "d10_incremental_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalLshPairs(docs.where(col("doc_id") % 11 === 0),
+        docs.where(col("doc_id") % 11 =!= 0), col("doc_id"), col("text"))}),
+
+    // X14: data-mixture construction — per-language target counts in a
+    // stable hash-rank order (the mixing-weights step; zh's target
+    // exceeds nothing: every class here holds >= its target).
+    "x14_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.mixture(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"),
+        Map("en" -> 60L, "de" -> 30L, "es" -> 20L, "fr" -> 10L, "zh" -> 5L))),
+
+    // X15: leakage-safe splits — near-dup clusters land whole in one
+    // split (hash-mod of the CLUSTER id, 80/10/10).
+    "x15_cluster_split" -> ((s, dir) =>
+      Dedup.leakageSafeSplits(t(s, dir, "documents"), col("doc_id"),
+        col("text"), n = 5, threshold = 0.2,
+        shares = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+        maxShingleFreq = Long.MaxValue))
   )
 
   /** Injected tails for the Gopher gate, shared verbatim with the oracle. */
@@ -763,6 +788,79 @@ object TextQueries {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    // d3's twin restricted to pairs touching the new batch (% 11 == 0):
+    // the banding, signatures, and agreement math are identical — only
+    // the candidate predicate adds the at-least-one-new condition
+    "d10_incremental_lsh" ->
+      s"""WITH $toksSql,
+         |$shingSql,
+         |hs AS (SELECT doc_id, list(sh) AS hl FROM shing GROUP BY doc_id),
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${(0 until 8).map { j =>
+               val a = 2 * j + 1; val b = j * j + 7919
+               s"list_min([(h * $a + $b) % 1000000007 for h in hl]) AS s$j"
+             }.mkString(",\n    ")}
+         |  FROM hs),
+         |banded AS (
+         |  ${(0 until 4).map { b =>
+              s"SELECT doc_id, $b AS band, s${2 * b}::VARCHAR || '_' || s${2 * b + 1}::VARCHAR AS key, s0, s1, s2, s3, s4, s5, s6, s7 FROM sig"
+            }.mkString("\n  UNION ALL\n  ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${(0 until 8).map(j => s"a.s$j AS a$j, b.s$j AS b$j").mkString(", ")}
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 11 = 0 OR b.doc_id % 11 = 0)
+         |SELECT id_a, id_b,
+         |  floor(((${(0 until 8).map(j => s"(a$j = b$j)::INT").mkString(" + ")})::DOUBLE / 8) * 1000000 + 0.5) / 1000000.0
+         |    AS est_jaccard
+         |FROM cand""".stripMargin,
+
+    "x14_mixture" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, ${hashSql("doc_id::VARCHAR")} AS hh
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY hh, doc_id) AS rn FROM h)
+         |SELECT doc_id, lang FROM r
+         |WHERE rn <= CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30
+         |                      WHEN 'es' THEN 20 WHEN 'fr' THEN 10
+         |                      WHEN 'zh' THEN 5 ELSE 0 END""".stripMargin,
+
+    "x15_cluster_split" ->
+      s"""WITH RECURSIVE $toksSql,
+         |$shingSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM prs
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.2),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |reach(node, m) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m),
+         |clus AS (SELECT node AS doc_id, min(m) AS cluster FROM reach GROUP BY node),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id),
+         |bk AS (
+         |  SELECT doc_id, cluster,
+         |         ${hashSql("cluster::VARCHAR")} % 100 AS b
+         |  FROM lab)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM bk""".stripMargin
   )
 }

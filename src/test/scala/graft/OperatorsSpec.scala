@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, Dedup, Scoring, Similarity}
+import graft.operators.{Corpus, Dedup, Sampling, Scoring, Similarity}
 import graft.ml.TopicModel
 import org.apache.spark.sql.functions._
 
@@ -248,6 +248,51 @@ class OperatorsSpec extends SparkSpec {
       n = 2, threshold = 0.5, maxShingleFreq = Long.MaxValue)
       .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
     got shouldBe Map(7L -> true, 9L -> false)
+  }
+
+  "Dedup.incrementalLshPairs" should "pair the new batch against corpus and itself, never old-old" in {
+    val newDocs = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog"),
+      (7L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val got = Dedup.incrementalLshPairs(newDocs, docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    got((1L, 6L)) shouldBe 1.0   // new vs old exact dup
+    got((6L, 7L)) shouldBe 1.0   // new vs new
+    // corpus-internal dups (1,2), (1,5) must NOT appear
+    got.keySet.filter { case (a, b) => a <= 5 && b <= 5 } shouldBe empty
+  }
+
+  "Sampling.mixture" should "keep per-class targets, cap at class size, drop unlisted classes" in {
+    val df = (1L to 50L).map(i =>
+      (i, if (i % 2 == 0) "a" else if (i % 5 == 1) "c" else "b")).toDF("id", "cls")
+    val got = Sampling.mixture(df, col("id"), col("cls"),
+      Map("a" -> 5L, "b" -> 100L))
+    got.groupBy("cls").count().as[(String, Long)].collect().toMap shouldBe
+      Map("a" -> 5L, "b" -> 20L) // b holds 20 (< 100): all kept; c dropped
+    // deterministic: a second run selects the identical rows
+    val again = Sampling.mixture(df, col("id"), col("cls"),
+      Map("a" -> 5L, "b" -> 100L))
+    again.as[(Long, String)].collect().toSet shouldBe
+      got.as[(Long, String)].collect().toSet
+  }
+
+  "Dedup.leakageSafeSplits" should "assign whole near-dup clusters to one split" in {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "other unrelated words entirely")).toDF("doc_id", "text")
+    val got = Dedup.leakageSafeSplits(corpus, col("doc_id"), col("text"),
+      n = 2, threshold = 0.3,
+      shares = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      maxShingleFreq = Long.MaxValue)
+      .as[(Long, Long, String)].collect()
+      .map { case (d, c, s) => d -> ((c, s)) }.toMap
+    got(1L)._1 shouldBe 1L
+    got(2L) shouldBe got(1L)   // same cluster, same split
+    got(3L) shouldBe got(1L)
+    got(4L)._1 shouldBe 4L     // singleton
   }
 
   "ShingleHash native expression" should "agree with the composed HOF chain as a set" in {

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [skip1,skip2,...]
 
 For each query result `<outDir>/<name>/` (parquet written by graft.Verify),
 runs the matching SQL from `<outDir>/oracle_sql.json` in DuckDB against the
@@ -41,7 +41,7 @@ def table_hash(cols, rows):
     return h.hexdigest()[:16]
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -50,6 +50,9 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if name in skip:
+            print(f"SKIP {name}")
+            continue
         d = f"{out_dir}/{name}"
         files = glob.glob(f"{d}/*.parquet")
         if not files:
@@ -83,4 +86,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else ()))
