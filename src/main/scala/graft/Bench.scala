@@ -20,10 +20,11 @@ object Bench {
     "w3_sessionize", "d1_exact_dedup", "d2_ngram_jaccard",
     "d3_minhash_lsh", "d4_simhash", "d6_near_dup_clusters",
     "d8_retain_best", "d9_simhash_pairs", "d10_incremental_lsh",
-    "x14_mixture", "v1_norm",
+    "x14_mixture", "x7b_fuzzy_decontaminate", "x16_lm_score", "v1_norm",
     "v2_cosine_topk", "v3_ivf_assign", "v4b_cell_near_dup",
     "v4c_scaled_cells", "v7_kmeans", "v8_pq_encode", "v9_pq_adc",
-    "c1_curation", "j7_asof_join", "pipe_events_fixedmodel")
+    "v10_semantic_dedup", "c1_curation", "j7_asof_join",
+    "pipe_events_fixedmodel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

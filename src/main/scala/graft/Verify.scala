@@ -23,7 +23,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(name.contains) && !skip(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): both give the single output file
+      // the oracle compare wants, but coalesce collapses the query's final
+      // stage into one task — at large replica factors that funnels whole
+      // join+agg pipelines through a single thread; the repartition
+      // exchange keeps upstream compute parallel and serializes only the
+      // write.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

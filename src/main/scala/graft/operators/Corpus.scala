@@ -39,6 +39,46 @@ object Corpus {
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Per-document language-model quality score — the perplexity-style
+    * quality filter of large-corpus curation (score against an n-gram LM,
+    * cut the worst tail; cf. the CCNet / GPT-3 data-pipeline recipe): an
+    * add-one-smoothed bigram model TRAINED ON THE CORPUS ITSELF scores
+    * each document's average negative log-likelihood (natural log;
+    * boilerplate scores low, anomalous/garbled text scores high). Returns
+    * (doc_id, n_bigrams, avg_nll) for every doc with >= 2 tokens.
+    *
+    * Scale shape: bigrams come from one lead() window per doc (one keyed
+    * shuffle — documents are bounded, never a global sort); model counts
+    * are two map-side-combined hash aggregations; scoring is one equi join
+    * back on (w1, w2). Each bigram's NLL is snapped to 1e-6 FIXED POINT
+    * before the per-doc aggregation, so the sum is an exact integer —
+    * order-independent across partitionings and bit-identical in the
+    * DuckDB twin (a raw double sum would vary with reduction order). */
+  def bigramLmScores(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.cast("long").as("doc_id"),
+      posexplode(graft.functions.TextFunctions.tokens(text))
+        .as(Seq("pos", "token")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val bg = toks.withColumn("nxt", lead("token", 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), col("token").as("w1"), col("nxt").as("w2"))
+      .localCheckpoint(false) // three consumers: c12, c1, the score join
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toks.select("token").distinct().count()
+    val probs = c12.join(c1, "w1")
+      .withColumn("nll6",
+        floor(-log((col("c12") + 1).cast("double")
+          / (col("c1") + vocab).cast("double")) * 1000000 + 0.5).cast("long"))
+    bg.join(probs, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll6").as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("s").cast("double") / col("n_bigrams") + 0.5) / 1000000.0)
+          .as("avg_nll"))
+  }
+
   /** Within-document repetition statistics — the standard repetition-based
     * quality signal for training corpora (heavily repeated tokens mark
     * boilerplate/spam): per doc, total and distinct token counts, the top

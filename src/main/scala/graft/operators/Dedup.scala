@@ -311,6 +311,49 @@ object Dedup {
       .distinct()
   }
 
+  /** FUZZY benchmark decontamination: corpus documents whose MinHash
+    * signature agrees with some benchmark/eval document's on at least
+    * `minEstJaccard` of positions — the paraphrase-tolerant complement to
+    * [[contaminatedDocs]]' exact n-gram rule (an eval item lightly
+    * rephrased in the training set shares few verbatim 13-grams but keeps
+    * high shingle-set Jaccard). Same MinHash+banding machinery as
+    * [[minHashLshPairs]]; the benchmark side (tiny by definition) is
+    * BROADCAST in both the band join and the signature verify, so the
+    * corpus contributes one signature pass and narrow (doc_id, band, key)
+    * rows — candidate volume scales with the BENCHMARK, never
+    * corpus×corpus. A benchmark doc present verbatim in the corpus agrees
+    * on every position (est 1.0). Returns one row per contaminated corpus
+    * doc: (doc_id, est_jaccard = max agreement over benchmark matches). */
+  def fuzzyContaminatedDocs(corpus: DataFrame, id: Column, text: Column,
+                            benchmark: DataFrame, benchId: Column,
+                            benchText: Column, n: Int = 5, bands: Int = 4,
+                            rowsPerBand: Int = 2,
+                            minEstJaccard: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val docs = minHashDocs(corpus, id, text, n, numHashes)
+      .localCheckpoint(false)
+    val bench = minHashDocs(benchmark, benchId, benchText, n, numHashes)
+      .select(col("doc_id").as("bench_id"), col("sig").as("bench_sig"))
+      .localCheckpoint(false)
+    val benchBanded = bandedKeys(
+      bench.select(col("bench_id").as("doc_id"), col("bench_sig").as("sig")),
+      bands, rowsPerBand)
+      .select(col("doc_id").as("bench_id"), col("band"), col("key"))
+    val cand = bandedKeys(docs, bands, rowsPerBand)
+      .join(broadcast(benchBanded), Seq("band", "key"))
+      .select(col("doc_id"), col("bench_id"))
+      .distinct()
+    cand
+      .join(docs, "doc_id")
+      .join(broadcast(bench), "bench_id")
+      .withColumn("est",
+        floor((graft.functions.SignatureOps.signature_agree(col("sig"), col("bench_sig"))
+          .cast("double") / numHashes) * 1000000 + 0.5) / 1000000.0)
+      .where(col("est") >= minEstJaccard)
+      .groupBy("doc_id")
+      .agg(max(col("est")).as("est_jaccard"))
+  }
+
   /** Per-document duplicated-span profile — the exact-substring dedup
     * signal (span-level duplication à la "Deduplicating Training Data
     * Makes Language Models Better": a span is duplicated when the same

@@ -299,4 +299,63 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"), col("cos"))
   }
+
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with k = ceil(√n) Lloyd-trained
+    * centroids, form near-dup pairs WITHIN cells only (cosine >=
+    * threshold), take connected components of the pair graph, and per
+    * component KEEP the member farthest from its cell centroid (lowest
+    * centroid cosine — the paper's "keep the most atypical example" rule;
+    * doc-id tiebreak), dropping the rest. Unpaired vectors are singleton
+    * keeps, so the output is a complete per-vector decision:
+    * (vec_id, cluster, centroid_cos, kept).
+    *
+    * Scale shape: one k-means (bounded iterations), ONE assignment pass
+    * feeding both the keep rule and pair generation, within-cell equi
+    * self-join on narrow rows (never all-pairs — each edge lives inside
+    * one cell, so components never span cells and the ~n^1.5 work bound of
+    * the √n-cell routing holds; see BENCH_SCALING.md), then the O(log d)
+    * pointer-doubling components and a map-side min(struct) winner per
+    * component — no windows anywhere. */
+  def semanticDedup(df: DataFrame, threshold: Double, kmeansIters: Int = 2,
+                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val n = df.count()
+    val k = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cents = kmeansCentroids(df, k, kmeansIters, id, vec)
+    // one assignment pass (argmax aggregation, centroids broadcast) reused
+    // by the pair join's BOTH sides and the keep rule's centroid_cos
+    val assign = ivfAssign(df, cents, id, vec, "centroid_id", "cent")
+      .localCheckpoint(false)
+    // pair-generation parallelism: same probe-side repartition rationale
+    // as cellRoutedNearDupPairs — the argmax upstream AQE-coalesces small,
+    // and with the narrow build side broadcast the probe partitioning IS
+    // the stage parallelism
+    val probe = assign.repartition(
+      assign.sparkSession.sessionState.conf.numShufflePartitions)
+    val cand = probe.as("a")
+      .join(assign.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val v = df.select(col(id).cast("long").as("vid"), asDouble(col(vec)).as("v"))
+      .withColumn("n", norm(col("v")))
+    val pairs = cand
+      .join(v.select(col("vid").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+      .join(v.select(col("vid").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+      .withColumn("cos",
+        floor((dot(col("va"), col("vb")) / (col("na") * col("nb"))) * 1000000 + 0.5) / 1000000.0)
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+    val labeled = assign.join(comp, Seq("vec_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("vec_id")))
+    // winner = min (centroid_cos, vec_id) — farthest-from-centroid, id tie
+    val winners = labeled.groupBy("cluster")
+      .agg(min(struct(col("centroid_cos"), col("vec_id").as("kid"))).as("m"))
+      .select(col("cluster"), col("m.kid").as("keep_id"))
+    labeled.join(winners, "cluster")
+      .select(col("vec_id"), col("cluster"), col("centroid_cos"),
+        (col("vec_id") === col("keep_id")).as("kept"))
+  }
 }

@@ -268,7 +268,22 @@ object TextQueries {
       Dedup.leakageSafeSplits(t(s, dir, "documents"), col("doc_id"),
         col("text"), n = 5, threshold = 0.2,
         shares = Seq("train" -> 80, "val" -> 10, "test" -> 10),
-        maxShingleFreq = Long.MaxValue))
+        maxShingleFreq = Long.MaxValue)),
+
+    // X7b: FUZZY decontamination — MinHash agreement >= 0.5 against the
+    // same benchmark subset x7 uses exactly; catches paraphrase-level
+    // contamination the verbatim n-gram rule misses.
+    "x7b_fuzzy_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.fuzzyContaminatedDocs(docs, col("doc_id"), col("text"),
+        docs.where(col("doc_id") % 97 === 0), col("doc_id"), col("text"),
+        n = 5, bands = 4, rowsPerBand = 2, minEstJaccard = 0.5)}),
+
+    // X16: bigram-LM quality score — corpus-trained add-one-smoothed
+    // bigram NLL per doc (the perplexity-filter signal).
+    "x16_lm_score" -> ((s, dir) =>
+      graft.operators.Corpus.bigramLmScores(t(s, dir, "documents"),
+        col("doc_id"), col("text")))
   )
 
   /** Injected tails for the Gopher gate, shared verbatim with the oracle. */
@@ -818,6 +833,64 @@ object TextQueries {
          |  floor(((${(0 until 8).map(j => s"(a$j = b$j)::INT").mkString(" + ")})::DOUBLE / 8) * 1000000 + 0.5) / 1000000.0
          |    AS est_jaccard
          |FROM cand""".stripMargin,
+
+    // d10's signature/banding fragments with the benchmark (% 97 == 0) as
+    // the probe side: candidates keep self-matches (a benchmark doc IS
+    // contamination of itself), est = signature agreement / 8, corpus doc
+    // keeps its max over benchmark matches
+    "x7b_fuzzy_decontaminate" ->
+      s"""WITH $toksSql,
+         |$shingSql,
+         |hs AS (SELECT doc_id, list(sh) AS hl FROM shing GROUP BY doc_id),
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${(0 until 8).map { j =>
+               val a = 2 * j + 1; val b = j * j + 7919
+               s"list_min([(h * $a + $b) % 1000000007 for h in hl]) AS s$j"
+             }.mkString(",\n    ")}
+         |  FROM hs),
+         |banded AS (
+         |  ${(0 until 4).map { b =>
+              s"SELECT doc_id, $b AS band, s${2 * b}::VARCHAR || '_' || s${2 * b + 1}::VARCHAR AS key, s0, s1, s2, s3, s4, s5, s6, s7 FROM sig"
+            }.mkString("\n  UNION ALL\n  ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id,
+         |    ${(0 until 8).map(j => s"a.s$j AS a$j, b.s$j AS b$j").mkString(", ")}
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key
+         |  WHERE b.doc_id % 97 = 0),
+         |est AS (
+         |  SELECT doc_id, bench_id,
+         |    floor(((${(0 until 8).map(j => s"(a$j = b$j)::INT").mkString(" + ")})::DOUBLE / 8) * 1000000 + 0.5) / 1000000.0
+         |      AS est
+         |  FROM cand)
+         |SELECT doc_id, max(est) AS est_jaccard FROM est
+         |WHERE est >= 0.5 GROUP BY doc_id""".stripMargin,
+
+    // bigrams by adjacent positions, add-one-smoothed NLL snapped to 1e-6
+    // fixed point per bigram (integer sums — order-independent), one
+    // double division per doc at the end
+    "x16_lm_score" ->
+      s"""WITH $toksSql,
+         |bg AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)
+         |  WHERE len(tk) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |vocab AS (
+         |  SELECT count(DISTINCT x) AS v
+         |  FROM (SELECT unnest(tk) AS x FROM toks)),
+         |probs AS (
+         |  SELECT w1, w2,
+         |    floor(-ln((c12 + 1)::DOUBLE / (c1 + v)::DOUBLE) * 1000000 + 0.5)::BIGINT AS nll6
+         |  FROM c12 JOIN c1 USING (w1), vocab),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams, sum(nll6) AS s
+         |  FROM bg JOIN probs USING (w1, w2) GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |       floor(s::DOUBLE / n_bigrams + 0.5) / 1000000.0 AS avg_nll
+         |FROM agg""".stripMargin,
 
     "x14_mixture" ->
       s"""WITH h AS (

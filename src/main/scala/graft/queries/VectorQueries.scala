@@ -101,7 +101,15 @@ object VectorQueries {
       val cb = Quantization.pqTrainCodebooks(emb,
         numSub = 4, subDim = 16, k = 4, iters = 2)
       Quantization.pqAdcTopK(emb.where(col("vec_id") < 10), emb, cb,
-        numSub = 4, subDim = 16, k = 5)})
+        numSub = 4, subDim = 16, k = 5)}),
+
+    // V10: semantic dedup (SemDeDup) — √n trained cells, within-cell
+    // near-dup components, keep the member FARTHEST from its centroid.
+    // Complete per-vector decision; v4c's cells + d6's components + d8's
+    // retention shape, composed.
+    "v10_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"),
+        threshold = 0.35, kmeansIters = 2))
   )
 
   /** DuckDB sequential-fold dot product of two DOUBLE[] exprs. */
@@ -348,6 +356,70 @@ object VectorQueries {
          |$pqTrainCte
          |SELECT sub, code, i - 1 AS pos, cw[i] AS value
          |FROM cb2, LATERAL (SELECT unnest(generate_series(1, len(cw))) AS i)""".stripMargin,
+
+    "v10_semantic_dedup" -> {
+      // v4c's trained-cell CTE chain, but the final assignment keeps the
+      // rounded centroid cosine for the keep rule; components via the d6
+      // recursive closure; winner = (centroid_cos ASC, vec_id ASC) per
+      // cluster — the same bound-once fragments, so the twins cannot drift
+      def assignSql(cents: String) =
+        s"""SELECT vec_id, centroid_id FROM (
+           |    SELECT c.vec_id, k.centroid_id,
+           |      row_number() OVER (PARTITION BY c.vec_id
+           |        ORDER BY floor((${cosSql("c.e", "k.cent")}) * 1000000 + 0.5) / 1000000.0 DESC, k.centroid_id) AS rn
+           |    FROM v c CROSS JOIN $cents k) WHERE rn = 1""".stripMargin
+      def updateSql(assign: String) =
+        s"""SELECT centroid_id, list(m ORDER BY pos) AS cent FROM (
+           |    SELECT centroid_id, i - 1 AS pos,
+           |      floor(sum(floor(e[i] * 1000000000 + 0.5)) / count(*) + 0.5) / 1000000000.0 AS m
+           |    FROM $assign a JOIN v USING (vec_id),
+           |         LATERAL (SELECT unnest(generate_series(1, len(e))) AS i)
+           |    GROUP BY 1, 2)
+           |  GROUP BY 1""".stripMargin
+      s"""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS centroid_id, e AS cent FROM (
+         |    SELECT *, row_number() OVER (ORDER BY vec_id) AS rn,
+         |           count(*) OVER () AS cnt FROM v)
+         |  WHERE rn <= ceil(sqrt(cnt))),
+         |a1 AS (${assignSql("c0")}),
+         |c1 AS (${updateSql("a1")}),
+         |a2 AS (${assignSql("c1")}),
+         |c2 AS (${updateSql("a2")}),
+         |cassign AS (
+         |  SELECT vec_id, centroid_id, centroid_cos FROM (
+         |    SELECT c.vec_id, k.centroid_id,
+         |      floor((${cosSql("c.e", "k.cent")}) * 1000000 + 0.5) / 1000000.0 AS centroid_cos,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY floor((${cosSql("c.e", "k.cent")}) * 1000000 + 0.5) / 1000000.0 DESC, k.centroid_id) AS rn
+         |    FROM v c CROSS JOIN c2 k) WHERE rn = 1),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM cassign a JOIN cassign b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+         |jp AS (
+         |  SELECT id_a, id_b
+         |  FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b
+         |  WHERE floor((${cosSql("x.e", "y.e")}) * 1000000 + 0.5) / 1000000.0 >= 0.35),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |reach(node, m) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m),
+         |clus AS (SELECT node, min(m) AS cluster FROM reach GROUP BY node),
+         |lab AS (
+         |  SELECT ca.vec_id, coalesce(cl.cluster, ca.vec_id) AS cluster,
+         |         ca.centroid_cos
+         |  FROM cassign ca LEFT JOIN clus cl ON cl.node = ca.vec_id),
+         |win AS (
+         |  SELECT cluster, vec_id AS keep_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cluster
+         |      ORDER BY centroid_cos ASC, vec_id ASC) AS rn FROM lab) WHERE rn = 1)
+         |SELECT l.vec_id, l.cluster, l.centroid_cos,
+         |       (l.vec_id = w.keep_id) AS kept
+         |FROM lab l JOIN win w ON w.cluster = l.cluster""".stripMargin
+    },
 
     "v9_pq_adc" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

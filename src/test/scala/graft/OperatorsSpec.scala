@@ -295,6 +295,31 @@ class OperatorsSpec extends SparkSpec {
     got(4L)._1 shouldBe 4L     // singleton
   }
 
+  "Dedup.fuzzyContaminatedDocs" should "flag exact and fuzzy benchmark overlap, never unrelated docs" in {
+    // benchmark = doc 2; docs 1, 2, 5 are exact copies of it → identical
+    // shingle sets → identical signatures → est 1.0; doc 4 shares nothing
+    val got = Dedup.fuzzyContaminatedDocs(docs, col("doc_id"), col("text"),
+      docs.where(col("doc_id") === 2), col("doc_id"), col("text"),
+      n = 2, bands = 4, rowsPerBand = 2, minEstJaccard = 0.5)
+      .as[(Long, Double)].collect().toMap
+    got(1L) shouldBe 1.0
+    got(2L) shouldBe 1.0   // the benchmark doc itself is contaminated
+    got(5L) shouldBe 1.0
+    got.keySet should not contain 4L
+  }
+
+  "Corpus.bigramLmScores" should "average fixed-point add-one bigram NLLs per doc" in {
+    // bigrams: d1 = ab,ba,ab; d2 = ab,bc → c12(ab)=3, c12(ba)=c12(bc)=1;
+    // c1(a)=3, c1(b)=2; V=3. nll6(ab)=floor(-ln(4/6)*1e6+.5)=405465,
+    // nll6(ba)=nll6(bc)=floor(-ln(2/5)*1e6+.5)=916291.
+    val lm = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Corpus.bigramLmScores(lm, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (d, n, s) => d -> ((n, s)) }.toMap
+    got(1L) shouldBe ((3L, 0.57574))   // floor(1727221/3 + .5)/1e6
+    got(2L) shouldBe ((2L, 0.660878))  // floor(1321756/2 + .5)/1e6
+  }
+
   "ShingleHash native expression" should "agree with the composed HOF chain as a set" in {
     import graft.functions.{ShingleHash, TextFunctions}
     import org.apache.spark.sql.functions.{transform => arrTransform}
@@ -370,6 +395,23 @@ class OperatorsSpec extends SparkSpec {
     cents.map(_._1).toSeq shouldBe Seq(0L, 1L)
     cents(0)._2 shouldBe Seq(1.333333333, 0.333333333, 0.0)
     cents(1)._2 shouldBe Seq(0.0, 1.0, 0.0)
+  }
+
+  "Similarity.semanticDedup" should "keep the farthest-from-centroid member per component" in {
+    import graft.operators.Similarity
+    // n=4 → k=2, init ids 0,1; Lloyd settles on cells {0,2,3} / {1}.
+    // Within-cell pairs at 0.5: (0,2), (0,3), (2,3) → one component,
+    // cluster 0. v2 has the lowest centroid cosine (≈0.8576 vs ≈0.9701
+    // for v0/v3 which lie along the centroid direction) → v2 kept,
+    // v0/v3 dropped; v1 is a singleton keep.
+    val got = Similarity.semanticDedup(vecs, threshold = 0.5, kmeansIters = 2)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map { case (v, c, _, k) => v -> ((c, k)) }.toMap
+    got.keySet shouldBe Set(0L, 1L, 2L, 3L)
+    got(0L) shouldBe ((0L, false))
+    got(2L) shouldBe ((0L, true))
+    got(3L) shouldBe ((0L, false))
+    got(1L) shouldBe ((1L, true))
   }
 
   "Joins.asOfJoin" should "match each left row to the latest right row at or before it" in {

@@ -19,8 +19,8 @@ class PlanAuditSpec extends SparkSpec {
     * funnel through one partition) and a driver collect. */
   private val allowCross = Set(
     "v2_cosine_topk", "v3_ivf_assign", "v4_near_dup", "v4b_cell_near_dup",
-    "v4c_scaled_cells", "v5_ivf_search", "v7_kmeans", "j8_range_join",
-    "a6_ecdf", "a7_quantiles", "a7b_quantile_agg")
+    "v4c_scaled_cells", "v5_ivf_search", "v7_kmeans", "v10_semantic_dedup",
+    "j8_range_join", "a6_ecdf", "a7_quantiles", "a7b_quantile_agg")
 
   /** Full-LDA pipelines train during query construction — minutes of work
     * for no plan information beyond what the fixedmodel gates already
