@@ -15,13 +15,20 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** documents ∪ copies of every 10th doc (id+100000) — a deterministic
-    * corpus WITH duplicates, since the synthetic one has none. */
+  /** documents ∪ copies of every 10th doc — a deterministic corpus WITH
+    * duplicates, since the synthetic one has none. Copy ids offset by
+    * max(doc_id)+1, NOT a constant: a fixed +100000 collided with real
+    * ids once a replica corpus passed 100k docs, silently merging two
+    * different texts under one id and breaking every id-keyed winner
+    * rule downstream (caught by the 30× correctness run — c1's row count
+    * diverged from its twin). One bounded scalar agg on the driver; the
+    * oracle derives the same offset with a subquery. */
   private def withDups(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
+    val off = d.agg(max(col("doc_id").cast("long"))).head().getLong(0) + 1
     d.select(col("doc_id"), col("text"))
       .union(d.where(col("doc_id") % 10 === 0)
-        .select(col("doc_id") + 100000, col("text")))
+        .select(col("doc_id") + off, col("text")))
   }
 
   private val langOrder = Seq("de", "en", "es", "fr", "zh")
@@ -498,7 +505,7 @@ object TextQueries {
       s"""WITH dup AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text FROM documents WHERE doc_id % 10 = 0)
          |SELECT ${hashSql("text")} AS content_hash,
          |       min(doc_id) AS keep_id, count(*) AS dup_count
          |FROM dup GROUP BY text HAVING count(*) > 1""".stripMargin,
@@ -595,7 +602,7 @@ object TextQueries {
       raw"""WITH dup AS (
            |  SELECT doc_id, text FROM documents
            |  UNION ALL
-           |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+           |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text FROM documents WHERE doc_id % 10 = 0),
            |toks AS (
            |  SELECT doc_id, text,
            |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
@@ -695,7 +702,7 @@ object TextQueries {
       s"""WITH dup AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text FROM documents WHERE doc_id % 10 = 0),
          |toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
          |                             x -> len(x) > 0) AS tk
@@ -784,7 +791,7 @@ object TextQueries {
       s"""WITH dupd AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text FROM documents WHERE doc_id % 10 = 0),
          |toksd AS (
          |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
          |                             x -> len(x) > 0) AS tk

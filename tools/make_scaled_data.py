@@ -40,9 +40,13 @@ if factor > 2 * dims:
 
 # table -> select list with key offsets as functions of copy index i
 SCALED = {
-    # ts as int64 NANOS: the engine's loader expects the harness's
-    # nanosecond representation (Tables.events does `ts div 1000`)
-    "events": "event_id + i*100000 AS event_id, epoch_ns(ts) AS ts,"
+    # ts passes through as TIMESTAMP_NS: DuckDB writes it back as the
+    # parquet TIMESTAMP(NANOS) logical type the harness uses, so the
+    # engine's loader still sees epoch-nano longs (nanosAsLong) AND the
+    # DuckDB oracles still bind hour()/date_trunc() on replicas. (The old
+    # epoch_ns() form wrote plain BIGINT — same values for Spark, but the
+    # 30x oracle run failed to bind time functions on it.)
+    "events": "event_id + i*100000 AS event_id, ts,"
               " user_id + i*1500 AS user_id, event_type, value, props",
     "lineitem": "l_orderkey + i*150000 AS l_orderkey, l_partkey + i*20000 AS l_partkey,"
                 " l_suppkey + i*1000 AS l_suppkey, l_linenumber, l_quantity,"
