@@ -27,7 +27,15 @@ object Tables {
     // Integral `div`, NOT `/`: Divide on longs casts to double, and epoch
     // nanos (~1.7e18) exceed double's 2^53 integer range — the quotient
     // can land 1us low after truncation (observed on ~1.5% of rows).
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      // the harness's nanosecond representation, read as raw nanos
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // already a standard microsecond TimestampType (e.g. a replica
+      // written by an engine whose parquet writer emits MICROS) — same
+      // values the nanos path surfaces, nothing to convert
+      case _ => raw
+    }
   }
 }

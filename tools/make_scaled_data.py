@@ -46,7 +46,7 @@ SCALED = {
     # DuckDB oracles still bind hour()/date_trunc() on replicas. (The old
     # epoch_ns() form wrote plain BIGINT — same values for Spark, but the
     # 30x oracle run failed to bind time functions on it.)
-    "events": "event_id + i*100000 AS event_id, ts,"
+    "events": "event_id + i*100000 AS event_id, ts::TIMESTAMP_NS AS ts,"
               " user_id + i*1500 AS user_id, event_type, value, props",
     "lineitem": "l_orderkey + i*150000 AS l_orderkey, l_partkey + i*20000 AS l_partkey,"
                 " l_suppkey + i*1000 AS l_suppkey, l_linenumber, l_quantity,"
