@@ -20,10 +20,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   /** Fold a constant argument (e.g. the shingle width) to an Int at
     * resolution time — these expressions bake the constant into codegen,
     * so a non-literal here is a usage error, reported as one. */
-  private def constInt(e: Expression, fname: String): Int =
-    if (e.foldable) e.eval().asInstanceOf[Number].intValue
-    else throw new IllegalArgumentException(
+  private def constInt(args: Seq[Expression], idx: Int, fname: String): Int = {
+    if (args.length <= idx) throw new IllegalArgumentException(
+      s"$fname: missing constant integer argument at position ${idx + 1}")
+    val e = args(idx)
+    if (!e.foldable) throw new IllegalArgumentException(
       s"$fname: the count argument must be a constant integer")
+    e.eval() match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fname: the count argument must be a constant integer, got " +
+          (if (other == null) "NULL" else other.getClass.getSimpleName))
+    }
+  }
 
   private def register(ext: SparkSessionExtensions, name: String,
                        clazz: Class[_])(build: Seq[Expression] => Expression): Unit =
@@ -44,12 +53,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // shingle_hashes(text, n): distinct word-n-gram hashes;
     // shingle_hashes_all(text, n): one hash per position, in order
     register(ext, "shingle_hashes", classOf[ShingleHashExpr]) {
-      c => ShingleHashExpr(c(0), constInt(c(1), "shingle_hashes"), 31L) }
+      c => ShingleHashExpr(c(0), constInt(c, 1, "shingle_hashes"), 31L) }
     register(ext, "shingle_hashes_all", classOf[ShingleHashExpr]) {
-      c => ShingleHashExpr(c(0), constInt(c(1), "shingle_hashes_all"), 31L,
+      c => ShingleHashExpr(c(0), constInt(c, 1, "shingle_hashes_all"), 31L,
         distinct = false) }
     // min_hash_signature(shingle_hashes, k): k affine minima in one pass
     register(ext, "min_hash_signature", classOf[MinHashSignatureExpr]) {
-      c => MinHashSignatureExpr(c(0), constInt(c(1), "min_hash_signature")) }
+      c => MinHashSignatureExpr(c(0), constInt(c, 1, "min_hash_signature")) }
   }
 }

@@ -32,10 +32,15 @@ object Tables {
       // the harness's nanosecond representation, read as raw nanos
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // already a standard microsecond TimestampType (e.g. a replica
-      // written by an engine whose parquet writer emits MICROS) — same
-      // values the nanos path surfaces, nothing to convert
-      case _ => raw
+      // already a standard TimestampType (e.g. a replica written by an
+      // engine whose parquet writer emits MICROS) — same values the nanos
+      // path surfaces, nothing to convert
+      case org.apache.spark.sql.types.TimestampType => raw
+      // anything else is a data-generation mistake; fail HERE with the
+      // observed type instead of letting downstream gates mis-bind
+      case other => throw new IllegalStateException(
+        s"events.ts: expected nanos-as-long or TimestampType, got $other " +
+          s"in $sfDir/events.parquet")
     }
   }
 }

@@ -439,9 +439,12 @@ object Dedup {
     val fp = simHashDocs(df, id, text, bits).localCheckpoint(false)
     val banded = fp.select(col("doc_id"),
         explode(array((0 until bands).map { b =>
+          // Unsigned shift + mask: with bits=64 the sign bit is data, and a
+          // signed shiftright+% would sign-extend and emit negative keys for
+          // half the fingerprints, splitting identical blocks across keys.
           struct(lit(b).as("band"),
-            (shiftright(col("simhash"), b * bandBits) % (1L << bandBits))
-              .as("key"))
+            shiftrightunsigned(col("simhash"), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
     val cand = banded.as("a")

@@ -42,15 +42,20 @@ object Quantization {
     (dot(a, a) - lit(2.0) * dot(a, b)) + dot(b, b)
 
   /** (id, sub, sv): each vector exploded into its `numSub` contiguous
-    * sub-vectors of `subDim` dims. */
+    * sub-vectors of `subDim` dims. `carry` columns (e.g. the IVF cell id)
+    * pass through unchanged. */
   def subVectors(df: DataFrame, numSub: Int, subDim: Int,
                  id: String = "vec_id", vec: String = "embedding",
-                 outId: String = "vec_id"): DataFrame =
-    df.select(col(id).cast("long").as(outId), asDouble(col(vec)).as("v"))
-      .select(col(outId), explode(array((0 until numSub).map { m =>
+                 outId: String = "vec_id",
+                 carry: Seq[String] = Nil): DataFrame = {
+    val keep = col(outId) +: carry.map(col)
+    df.select((col(id).cast("long").as(outId) +: carry.map(col) :+
+        asDouble(col(vec)).as("v")): _*)
+      .select((keep :+ explode(array((0 until numSub).map { m =>
         struct(lit(m).as("sub"), slice(col("v"), m * subDim + 1, subDim).as("sv"))
-      }: _*)).as("s"))
-      .select(col(outId), col("s.sub").as("sub"), col("s.sv").as("sv"))
+      }: _*)).as("s")): _*)
+      .select((keep :+ col("s.sub").as("sub") :+ col("s.sv").as("sv")): _*)
+  }
 
   /** Seed codebooks: for every subspace, the sub-vectors of the `k`
     * lowest-id vectors (code = seeding vector id — the same id-keyed
@@ -64,13 +69,13 @@ object Quantization {
     * 6-dp-rounded squared L2, code tiebreak — ONE broadcast join plus a
     * map-side-combined `min(struct(dist, code))`, no window. */
   private def assignSv(sv: DataFrame, codebooks: DataFrame,
-                       outId: String): DataFrame =
+                       outId: String, carry: Seq[String] = Nil): DataFrame =
     sv.join(broadcast(codebooks), "sub")
       .withColumn("dist", round6(l2sq(col("sv"), col("cw"))))
-      .groupBy(col(outId), col("sub"))
+      .groupBy((col(outId) +: carry.map(col) :+ col("sub")): _*)
       .agg(min(struct(col("dist"), col("code"))).as("m"))
-      .select(col(outId), col("sub"), col("m.code").as("code"),
-        col("m.dist").as("dist"))
+      .select((col(outId) +: carry.map(col)) ++ Seq(col("sub"),
+        col("m.code").as("code"), col("m.dist").as("dist")): _*)
 
   /** PQ-encode a corpus against given codebooks (`(sub, code, cw)` rows):
     * per vector and subspace, the nearest codeword. Returns the narrow
@@ -135,6 +140,78 @@ object Quantization {
         floor(round6(l2sq(col("sv"), col("cw"))) * 1000000 + 0.5)
           .cast("long").as("d_int"))
     val scored = codes.join(broadcast(dtab), Seq("sub", "code"))
+      .where(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("d_int")).as("s_int"))
+    val w = Window.partitionBy("query_id").orderBy(asc("s_int"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"),
+        (col("s_int").cast("double") / 1000000.0).as("adist"), col("rank"))
+  }
+
+  /** IVF residuals: each vector minus its nearest centroid, keyed by the
+    * cell — `(vec_id, centroid_id, rv)`. This is the frame IVFADC
+    * codebooks are seeded/trained on (Jégou et al. 2011 §IV encode the
+    * residual, not the raw vector: residual energy is what's left after
+    * the coarse quantizer, so the same code budget buys more precision). */
+  def ivfResiduals(corpus: DataFrame, centroids: DataFrame,
+                   cId: String = "vec_id", cVec: String = "embedding",
+                   kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {
+    val cents = centroids.select(col(kId).cast("long").as("centroid_id"),
+      asDouble(col(kVec)).as("cent"))
+    corpus.select(col(cId).cast("long").as("vec_id"), asDouble(col(cVec)).as("v"))
+      .join(Similarity.ivfAssignN(corpus, centroids, 1, cId, cVec, kId, kVec),
+        "vec_id")
+      .join(broadcast(cents), "centroid_id")
+      .select(col("vec_id"), col("centroid_id"),
+        zip_with(col("v"), col("cent"), (a, b) => a - b).as("rv"))
+  }
+
+  /** Non-exhaustive IVFADC top-k (Jégou et al. 2011 §IV): the composition
+    * of the IVF coarse quantizer and ADC that [[pqAdcTopK]] alone lacks.
+    * The corpus is PQ-encoded ON RESIDUALS once (`codebooks` come from
+    * [[ivfResiduals]] via [[seedCodebooks]]/[[pqTrainCodebooks]]); a query
+    * probes its `nProbe` nearest cells, builds a distance table from its
+    * PER-CELL residual to every codeword (bounded: |Q|·nProbe·numSub·k
+    * rows, broadcast), and ADC sums run ONLY over code rows in probed
+    * cells — the (centroid_id, sub, code) join key is what turns v9's
+    * exhaustive corpus scan into a per-cell lookup. Per-query work scales
+    * with cell occupancy (n/cells · nProbe), not corpus size. At 100 TB,
+    * co-partition the code rows by centroid_id so probes are data-local.
+    * Same integer-micro-unit determinism as [[pqAdcTopK]]. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                codebooks: DataFrame, numSub: Int, subDim: Int, k: Int,
+                nProbe: Int = 1,
+                qId: String = "vec_id", qVec: String = "embedding",
+                cId: String = "vec_id", cVec: String = "embedding",
+                kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {
+    val cb = codebooks.select(col("sub").cast("int").as("sub"),
+      col("code").cast("long").as("code"), asDouble(col("cw")).as("cw"))
+    val cents = centroids.select(col(kId).cast("long").as("centroid_id"),
+      asDouble(col(kVec)).as("cent"))
+    // build side: residual-encode once; codes stay keyed by their cell
+    val resid = ivfResiduals(corpus, centroids, cId, cVec, kId, kVec)
+    val codes = assignSv(
+      subVectors(resid, numSub, subDim, id = "vec_id", vec = "rv",
+        outId = "cand_id", carry = Seq("centroid_id")),
+      cb, "cand_id", carry = Seq("centroid_id"))
+      .select("cand_id", "centroid_id", "sub", "code")
+    // query side: one residual (and one distance table) per probed cell
+    val qResid = queries
+      .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))
+      .join(Similarity.ivfAssignN(queries, centroids, nProbe, qId, qVec, kId, kVec)
+        .withColumnRenamed("vec_id", "query_id"), "query_id")
+      .join(broadcast(cents), "centroid_id")
+      .select(col("query_id"), col("centroid_id"),
+        zip_with(col("qv"), col("cent"), (a, b) => a - b).as("rv"))
+    val dtab = subVectors(qResid, numSub, subDim, id = "query_id", vec = "rv",
+        outId = "query_id", carry = Seq("centroid_id"))
+      .join(broadcast(cb), "sub")
+      .select(col("query_id"), col("centroid_id"), col("sub"), col("code"),
+        floor(round6(l2sq(col("sv"), col("cw"))) * 1000000 + 0.5)
+          .cast("long").as("d_int"))
+    val scored = codes.join(broadcast(dtab), Seq("centroid_id", "sub", "code"))
       .where(col("cand_id") =!= col("query_id"))
       .groupBy("query_id", "cand_id")
       .agg(sum(col("d_int")).as("s_int"))

@@ -109,7 +109,22 @@ object VectorQueries {
     // retention shape, composed.
     "v10_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(t(s, dir, "embeddings"),
-        threshold = 0.35, kmeansIters = 2))
+        threshold = 0.35, kmeansIters = 2)),
+
+    // V11: non-exhaustive IVFADC (Jégou et al. 2011 §IV) — the IVF+PQ
+    // composition: corpus PQ-encoded on per-cell RESIDUALS once, queries
+    // probe 2 cells, ADC sums run only over code rows in probed cells.
+    // Fixes v9's scale gap (exhaustive ADC over the whole corpus).
+    // Codebooks seed from residuals of vec_ids 8..15 — the centroids
+    // (0..7) residual to exactly zero and would degenerate the codebooks.
+    "v11_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 8)
+      val resid = Quantization.ivfResiduals(emb, cents)
+      val cb = Quantization.seedCodebooks(resid.where(col("vec_id") >= 8),
+        numSub = 4, subDim = 16, k = 8, id = "vec_id", vec = "rv")
+      Quantization.ivfPqTopK(emb.where(col("vec_id") < 10), emb, cents, cb,
+        numSub = 4, subDim = 16, k = 5, nProbe = 2)})
   )
 
   /** DuckDB sequential-fold dot product of two DOUBLE[] exprs. */
@@ -420,6 +435,61 @@ object VectorQueries {
          |       (l.vec_id = w.keep_id) AS kept
          |FROM lab l JOIN win w ON w.cluster = l.cluster""".stripMargin
     },
+
+    "v11_ivfpq" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+         |cassign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT c.vec_id, k.centroid_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY floor((${cosSql("c.e", "k.ce")}) * 1000000 + 0.5) / 1000000.0 DESC, k.centroid_id) AS rn
+         |    FROM v c CROSS JOIN cents k) WHERE rn = 1),
+         |cresid AS (
+         |  SELECT v.vec_id, ca.centroid_id,
+         |         list_apply(list_zip(v.e, k.ce), p -> p[1] - p[2]) AS rv
+         |  FROM v JOIN cassign ca USING (vec_id)
+         |         JOIN cents k ON k.centroid_id = ca.centroid_id),
+         |crsv AS (SELECT vec_id, centroid_id, r.i::INT AS sub,
+         |                rv[r.i*16+1:r.i*16+16] AS sv
+         |         FROM cresid, range(4) r(i)),
+         |cb AS (SELECT sub, vec_id AS code, sv AS cw FROM crsv
+         |       WHERE vec_id >= 8 AND vec_id < 16),
+         |enc AS (
+         |  SELECT vec_id AS cand_id, centroid_id, sub, code FROM (
+         |    SELECT s.vec_id, s.centroid_id, s.sub, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY floor((${l2Sql("s.sv", "c.cw")}) * 1000000 + 0.5) / 1000000.0, c.code) AS rn
+         |    FROM crsv s JOIN cb c ON c.sub = s.sub) WHERE rn = 1),
+         |qassign AS (
+         |  SELECT query_id, centroid_id FROM (
+         |    SELECT q.vec_id AS query_id, k.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY floor((${cosSql("q.e", "k.ce")}) * 1000000 + 0.5) / 1000000.0 DESC, k.centroid_id) AS rn
+         |    FROM v q CROSS JOIN cents k WHERE q.vec_id < 10) WHERE rn <= 2),
+         |qresid AS (
+         |  SELECT qa.query_id, qa.centroid_id,
+         |         list_apply(list_zip(q.e, k.ce), p -> p[1] - p[2]) AS rv
+         |  FROM qassign qa JOIN v q ON q.vec_id = qa.query_id
+         |       JOIN cents k ON k.centroid_id = qa.centroid_id),
+         |qrsv AS (SELECT query_id, centroid_id, r.i::INT AS sub,
+         |                rv[r.i*16+1:r.i*16+16] AS sv
+         |         FROM qresid, range(4) r(i)),
+         |dtab AS (
+         |  SELECT s.query_id, s.centroid_id, s.sub, c.code,
+         |    floor((floor((${l2Sql("s.sv", "c.cw")}) * 1000000 + 0.5) / 1000000.0)
+         |          * 1000000 + 0.5)::BIGINT AS d_int
+         |  FROM qrsv s JOIN cb c ON c.sub = s.sub),
+         |adc AS (
+         |  SELECT query_id, cand_id, sum(d_int)::BIGINT AS s_int
+         |  FROM enc e JOIN dtab d ON d.centroid_id = e.centroid_id
+         |    AND d.sub = e.sub AND d.code = e.code
+         |  WHERE e.cand_id != d.query_id GROUP BY 1, 2)
+         |SELECT query_id, cand_id, (s_int::DOUBLE / 1000000.0) AS adist,
+         |       rank::INT AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY s_int, cand_id) AS rank FROM adc)
+         |WHERE rank <= 5""".stripMargin,
 
     "v9_pq_adc" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

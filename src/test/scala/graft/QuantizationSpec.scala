@@ -89,6 +89,73 @@ class QuantizationSpec extends SparkSpec {
     got shouldBe want
   }
 
+  "Quantization.ivfPqTopK" should
+    "equal exact L2 ranking with lossless residual codebooks, all cells probed" in {
+    // Within a shared cell, ||(q-c)-(x-c)|| == ||q-x||: with every residual
+    // sub-vector its own codeword (lossless) and nProbe = #cells, IVFADC
+    // must reproduce brute-force L2 exactly (modulo the same per-subspace
+    // micro-rounding pqAdcTopK applies).
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 24L).map(i => i -> Seq.fill(8)(rnd.nextDouble()))
+    val df = vecs(rows: _*)
+    val cents = df.where(col("vec_id") < 3)
+    val resid = Quantization.ivfResiduals(df, cents)
+    val cb = Quantization.pqTrainCodebooks(
+      resid, numSub = 2, subDim = 4, k = 24, iters = 0, vec = "rv")
+    val got = Quantization.ivfPqTopK(df.where(col("vec_id") < 4), df, cents, cb,
+      numSub = 2, subDim = 4, k = 4, nProbe = 3)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p * q }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val byId = rows.toMap
+    val centIds = Seq(0L, 1L, 2L)
+    def cellOf(v: Seq[Double]): Long =
+      centIds.map(c => (math.floor(cos(v, byId(c)) * 1e6 + 0.5) / 1e6, c))
+        .minBy { case (s, c) => (-s, c) }._2
+    def adcMicro(q: Seq[Double], c: Seq[Double], cell: Long): Long = {
+      val qr = q.zip(byId(cell)).map { case (a, b) => a - b }
+      val cr = c.zip(byId(cell)).map { case (a, b) => a - b }
+      (0 until 2).map { m =>
+        val d = l2(qr.slice(m * 4, m * 4 + 4), cr.slice(m * 4, m * 4 + 4))
+        val r6 = math.floor(d * 1e6 + 0.5) / 1e6
+        math.floor(r6 * 1e6 + 0.5).toLong
+      }.sum
+    }
+    val want = (0L until 4L).flatMap { q =>
+      rows.filter(_._1 != q)
+        .map { case (c, v) => (c, adcMicro(byId(q), v, cellOf(v))) }
+        .sortBy { case (c, d) => (d, c) }.take(4).zipWithIndex
+        .map { case ((c, _), r) => (q, c, r + 1) }
+    }.toSet
+    got shouldBe want
+  }
+
+  it should "restrict ADC to probed cells (cell-keyed code join)" in {
+    // nProbe = 1: a candidate whose cell the query does not probe must be
+    // absent even if its ADC distance would rank it.
+    val df = vecs(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),  // centroid A
+      1L -> Seq(0.0, 1.0, 0.0, 0.0),  // centroid B
+      2L -> Seq(0.9, 0.1, 0.0, 0.0),  // cell A
+      3L -> Seq(0.1, 0.9, 0.0, 0.0),  // cell B
+      4L -> Seq(0.8, 0.2, 0.0, 0.0))  // cell A, the query
+    val cents = df.where(col("vec_id") < 2)
+    val resid = Quantization.ivfResiduals(df, cents)
+    val cb = Quantization.pqTrainCodebooks(
+      resid, numSub = 2, subDim = 2, k = 5, iters = 0, vec = "rv")
+    val got = Quantization.ivfPqTopK(df.where(col("vec_id") === 4), df, cents,
+      cb, numSub = 2, subDim = 2, k = 5, nProbe = 1)
+      .select("cand_id").as[Long].collect().toSet
+    got shouldBe Set(0L, 2L) // only cell A members; 1 and 3 unprobed
+  }
+
   it should "never read corpus vectors past encoding (narrow code rows)" in {
     val rows = (0L until 6L).map(i => i -> Seq.fill(4)(i.toDouble))
     val df = vecs(rows: _*)
