@@ -66,4 +66,39 @@ object EventsPipeline {
       score(events, model).select("event_id", "user_id", "event_type", "word", "score"),
       threshold, topK, tiebreak = Seq(col("event_id")))
   }
+
+  /** Training-quality assertion: the trained model's perplexity on its own
+    * corpus must not exceed `maxRatio` × the uniform baseline (= vocabulary
+    * size — see [[TopicModel.perplexity]]: a uniform model scores exactly
+    * |vocab|). The events corpus is deliberately FLAT (decile/quintile bins
+    * are equal-mass by construction), so a trained model only beats uniform
+    * by the corpus's residual structure — the ratio bound catches a model
+    * that is WORSE than knowing nothing (zeroed gammas, shuffled joins,
+    * degenerate topics), not optimizer noise. Throws IllegalStateException
+    * → the driver's rows-only gate records a non-null err. */
+  def assertQuality(model: Model, events: DataFrame,
+                    maxRatio: Double = 1.0): Unit = {
+    val wc = Corpus.wordCounts(featurize(events, model.cuts),
+      col("user_id"), col("word"))
+    val vocab = wc.select("word").distinct().count().toDouble
+    val pp = TopicModel.perplexity(model.topics, wc)
+    if (pp > maxRatio * vocab) throw new IllegalStateException(
+      f"LDA training-quality regression: perplexity $pp%.4f exceeds " +
+        f"$maxRatio%.3f x uniform baseline (vocab = $vocab%.0f)")
+  }
+
+  /** [[run]] with the quality gate inline: LDA has no SQL twin, so the
+    * driver's correctness check on this pipeline is rows-only — the
+    * perplexity bound turns a silent training regression into a gate
+    * failure. */
+  def runChecked(events: DataFrame, threshold: Double = 1.0, topK: Int = 100,
+                 topicCount: Int = 10, seed: Long = 42L,
+                 exactCuts: Boolean = true, maxRatio: Double = 1.0): DataFrame = {
+    val model = train(events, topicCount = topicCount, seed = seed,
+      exactCuts = exactCuts)
+    assertQuality(model, events, maxRatio)
+    Scoring.suspicious(
+      score(events, model).select("event_id", "user_id", "event_type", "word", "score"),
+      threshold, topK, tiebreak = Seq(col("event_id")))
+  }
 }

@@ -98,9 +98,12 @@ object PipelineQueries {
         col("user_id"), col("event_type"))
       graft.ml.ModelIO.exportCorpus(wc)._1}),
 
-    // Full suspicious-connects pipeline (LDA — no SQL twin, rows-only).
+    // Full suspicious-connects pipeline. LDA — no SQL twin, so the
+    // driver's check is rows-only; runChecked adds the inline perplexity
+    // bound (trained model must not be worse than uniform), turning a
+    // silent training regression into a non-null gate err.
     "pipe_events_suspicious" -> ((s, dir) =>
-      EventsPipeline.run(t(s, dir, "events"),
+      EventsPipeline.runChecked(t(s, dir, "events"),
         threshold = 1.0, topK = 100, topicCount = 10)),
 
     // The three reference pipelines end-to-end over network-shaped

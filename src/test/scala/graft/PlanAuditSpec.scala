@@ -20,6 +20,8 @@ class PlanAuditSpec extends SparkSpec {
   private val allowCross = Set(
     "v2_cosine_topk", "v3_ivf_assign", "v4_near_dup", "v4b_cell_near_dup",
     "v4c_scaled_cells", "v5_ivf_search", "v7_kmeans", "v10_semantic_dedup",
+    "v11_ivfpq", // cell assignment = broadcast cross vs 8 centroids; the
+                 // ADC itself is equi (centroid_id, sub, code) hash joins
     "j8_range_join", "a6_ecdf", "a7_quantiles", "a7b_quantile_agg")
 
   /** Full-LDA pipelines train during query construction — minutes of work
