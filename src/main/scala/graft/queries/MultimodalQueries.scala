@@ -45,8 +45,38 @@ object MultimodalQueries {
     // M2: frame-sampling row multiplication (every 4th sample frame; PNGs
     // contribute their single frame).
     "m2_frame_sample" -> ((s, dir) =>
-      Media.sampleFrames(Media.extractFeatures(media(s, dir)), every = 4))
+      Media.sampleFrames(Media.extractFeatures(media(s, dir)), every = 4)),
+
+    // M3: REAL sample statistics from true pixel/PCM decode — 24-bit BMP
+    // channel bytes (row padding excluded: width 3+n%13 makes most rows
+    // carry 1-3 pad bytes the decoder must skip) and signed 16-bit PCM WAV
+    // samples. Values are pure functions of (doc_id, n_chars), so the
+    // oracle recomputes the exact count/mean/min/max the decode must
+    // reproduce from the bytes alone.
+    "m3_media_stats" -> ((s, dir) =>
+      Media.extractStats(mediaPcm(s, dir)).toDF()
+        .select(col("id"), col("mime"), col("n_samples"),
+          col("mean_val"), col("min_val"), col("max_val")))
   )
+
+  /** The m3 fixture: even doc_ids → BMP with channel byte j =
+    * (id·31 + j·7) % 256; odd → 1-2 channel PCM WAV with sample i =
+    * (id·17 + i·13) % 4001 − 2000. */
+  private def mediaPcm(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, n) =>
+        if (id % 2 == 0)
+          MediaRecord(id, "image/bmp",
+            Media.bmpBytes((3 + n % 13).toInt, (1 + id % 7).toInt,
+              j => ((id * 31 + j.toLong * 7) % 256).toInt))
+        else
+          MediaRecord(id, "audio/wav",
+            Media.wavBytesPcm(8000, (1 + id % 2).toInt, (10 + id % 90).toInt,
+              i => (((id * 17 + i.toLong * 13) % 4001) - 2000).toShort))
+      }
+  }
 
   // Shared truth formulas (see `media` above):
   //   PNG: width 16+n%496, height 1+id%256, frames 1, bytes 45 (fixed)
@@ -74,6 +104,31 @@ object MultimodalQueries {
     "m2_frame_sample" ->
       s"""SELECT id, frames,
          |       unnest(generate_series(0, frames - 1, 4))::INT AS frame_idx
-         |FROM ($featureSql)""".stripMargin
+         |FROM ($featureSql)""".stripMargin,
+
+    // the m3 twin recomputes every sample value from the fixture formulas
+    // and aggregates — equality proves the byte-level decode (stride skip,
+    // signed PCM) recovered exactly the written values
+    "m3_media_stats" ->
+      s"""WITH m AS (SELECT doc_id AS id, n_chars AS n FROM documents
+         |           WHERE doc_id % 3 = 0),
+         |bmp AS (SELECT id, 'image/bmp' AS mime,
+         |               (3 + n % 13) * (1 + id % 7) * 3 AS cnt
+         |        FROM m WHERE id % 2 = 0),
+         |bvals AS (SELECT id, mime, cnt, (id * 31 + j.j * 7) % 256 AS v
+         |          FROM bmp,
+         |          LATERAL (SELECT unnest(generate_series(0, cnt - 1)) AS j) j),
+         |wav AS (SELECT id, 'audio/wav' AS mime,
+         |               (10 + id % 90) * (1 + id % 2) AS cnt
+         |        FROM m WHERE id % 2 = 1),
+         |wvals AS (SELECT id, mime, cnt,
+         |                 ((id * 17 + i.i * 13) % 4001) - 2000 AS v
+         |          FROM wav,
+         |          LATERAL (SELECT unnest(generate_series(0, cnt - 1)) AS i) i),
+         |allv AS (SELECT * FROM bvals UNION ALL SELECT * FROM wvals)
+         |SELECT id, mime, cnt::BIGINT AS n_samples,
+         |       sum(v)::DOUBLE / count(*) AS mean_val,
+         |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+         |FROM allv GROUP BY id, mime, cnt""".stripMargin
   )
 }

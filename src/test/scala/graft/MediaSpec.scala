@@ -90,6 +90,38 @@ class MediaSpec extends SparkSpec {
     got shouldBe Array(1L) // the PNG's single frame; the text row drops
   }
 
+  "SampleStatsDecoder" should
+    "recover exact pixel stats from a padded 24-bit BMP" in {
+    // width 3 → rowBytes 9, stride 12: three pad bytes per row. The pads
+    // are zero; if the decoder counted them, min/mean/count would all be
+    // wrong for this fixture (values 10..27, none zero).
+    val bmp = Media.bmpBytes(3, 2, j => 10 + j) // 18 samples: 10..27
+    val st = Media.SampleStatsDecoder.decodeStats(
+      Iterator(Media.MediaRecord(1L, "image/bmp", bmp))).next()
+    st.n_samples shouldBe 18L
+    st.min_val shouldBe 10L
+    st.max_val shouldBe 27L
+    st.mean_val shouldBe (10 to 27).sum.toDouble / 18
+  }
+
+  it should "recover signed 16-bit PCM sample stats" in {
+    val wav = Media.wavBytesPcm(8000, 2, 3, i => (i * 100 - 250).toShort)
+    val st = Media.SampleStatsDecoder.decodeStats(
+      Iterator(Media.MediaRecord(2L, "audio/wav", wav))).next()
+    st.n_samples shouldBe 6L // 3 frames x 2 channels
+    st.min_val shouldBe -250L
+    st.max_val shouldBe 250L
+    st.mean_val shouldBe Seq(-250, -150, -50, 50, 150, 250).sum.toDouble / 6
+  }
+
+  it should "emit no row for payloads it cannot truly decode" in {
+    val recs = Seq(
+      Media.MediaRecord(1L, "image/png", Media.pngBytes(4, 4)), // compressed
+      Media.MediaRecord(2L, "text/plain", "BMno, too short".getBytes("UTF-8")),
+      Media.MediaRecord(3L, "audio/wav", Media.wavBytes(8000, 1, 4).take(20)))
+    Media.SampleStatsDecoder.decodeStats(recs.iterator).toSeq shouldBe empty
+  }
+
   "sampleFrames" should "emit stride-sampled frame indexes" in {
     val feats = Media.extractFeatures(media, Media.StubDecoder)
     val got = Media.sampleFrames(feats, every = 4)
