@@ -125,7 +125,12 @@ object Quantization {
     * entries: one equi join on (sub, code) against the narrow code rows +
     * one integer-sum aggregation. Corpus vectors are never read past
     * encoding. Ranking compares exact integers (micro-unit sum, then
-    * cand id) — no float comparison anywhere. */
+    * cand id) — no float comparison anywhere.
+    *
+    * This is the EXHAUSTIVE (textbook) ADC form: every encoded corpus row
+    * is scored per query — the right oracle fixture, not the 100 TB path.
+    * Production ANN at scale composes the IVF coarse quantizer with ADC:
+    * [[ivfPqTopK]] restricts the sum to probed cells. */
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
                 numSub: Int, subDim: Int, k: Int,
                 qId: String = "vec_id", qVec: String = "embedding",
