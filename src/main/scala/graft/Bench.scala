@@ -23,8 +23,8 @@ object Bench {
     "x14_mixture", "x15_cluster_split", "x7b_fuzzy_decontaminate",
     "x16_lm_score", "v1_norm",
     "v2_cosine_topk", "v3_ivf_assign", "v4b_cell_near_dup",
-    "v4c_scaled_cells", "v7_kmeans", "v8b_pq_train", "v8_pq_encode",
-    "v9_pq_adc", "v11_ivfpq",
+    "v4c_scaled_cells", "v6b_lsh_scaled", "v7_kmeans", "v8b_pq_train",
+    "v8_pq_encode", "v9_pq_adc", "v11_ivfpq",
     "v10_semantic_dedup", "c1_curation", "j7_asof_join",
     "pipe_events_fixedmodel")
 
@@ -69,6 +69,11 @@ object Bench {
     // query is absent from the JSON, never silently fast.
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // SPARK_GRAFT_BENCH_ONLY: comma list — time ONLY these queries (for
+    // targeted scale points, e.g. v9 vs v11 growth curves, without paying
+    // for the whole suite at a large replica). Composes with SKIP.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
     // Contention guard: medians timed next to another Spark JVM or a
     // DuckDB oracle run are not comparable to idle-machine numbers (r4's
@@ -117,7 +122,9 @@ object Bench {
     // and poison later entries' GC (the r4 suite-position effect). The
     // unpersist itself is untimed (after the rep's clock stops).
     def time(name: String)(body: => Unit): Unit = {
-      if (skip(name)) { System.err.println(s"[bench] $name skipped"); return }
+      if (skip(name) || only.exists(!_.contains(name))) {
+        System.err.println(s"[bench] $name skipped"); return
+      }
       val ts = Seq.fill(reps) {
         var t = -1.0
         CheckpointScope.withScope(spark) { t = timeOnce(name)(body) }
@@ -146,7 +153,9 @@ object Bench {
 
     val stages = collection.mutable.LinkedHashMap[String, Double]()
     def timeStage(name: String)(body: => Unit): Unit = {
-      if (skip(name)) { System.err.println(s"[bench] $name skipped"); return }
+      if (skip(name) || only.exists(!_.contains(name))) {
+        System.err.println(s"[bench] $name skipped"); return
+      }
       val ts = Seq.fill(reps)(timeOnce(name)(body))
       stages(name) = if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(reps / 2)
       spread(name) = if (ts.contains(-1.0)) (-1.0, -1.0)

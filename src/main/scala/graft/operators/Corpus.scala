@@ -67,11 +67,17 @@ object Corpus {
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = toks.select("token").distinct().count()
-    val probs = c12.join(c1, "w1")
+    // MERGE hints: every side of these joins scales with the corpus (the
+    // bigram table is O(distinct bigrams), the unigram table O(vocab)) —
+    // a planner-chosen broadcast OOMs once the vocabulary grows (observed
+    // at the 100x replica: "Not enough memory to build and broadcast").
+    // Shuffle joins on (w1[, w2]) are the 100 TB plan; nothing here is
+    // bounded enough to pin a broadcast on.
+    val probs = c12.join(c1.hint("merge"), "w1")
       .withColumn("nll6",
         floor(-log((col("c12") + 1).cast("double")
           / (col("c1") + vocab).cast("double")) * 1000000 + 0.5).cast("long"))
-    bg.join(probs, Seq("w1", "w2"))
+    bg.join(probs.hint("merge"), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("nll6").as("s"))
       .select(col("doc_id"), col("n_bigrams"),

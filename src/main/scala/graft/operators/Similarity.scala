@@ -189,7 +189,14 @@ object Similarity {
     * (vs [[ivfAssign]] cells): per band, an 8-bit signature of
     * sign(v·plane) bits; vectors sharing any band signature become
     * candidates; candidates are verified with exact cosine >= threshold.
-    * One shuffle on (band, signature) — never a cross product. */
+    * One shuffle on (band, signature) — never a cross product.
+    *
+    * A FIXED `bitsPerBand` saturates like a fixed cell count: bucket
+    * occupancy grows with n and within-bucket candidates with n², so a
+    * width chosen for a small corpus becomes quadratic at scale (the
+    * v6 fixture's 4-bit bands held ~12.5k vectors each on the 100×
+    * replica — ~5·10^9 candidate pairs). Derive the width from the
+    * corpus size with [[lshNearDupPairsScaled]] instead. */
   def lshNearDupPairs(df: DataFrame, threshold: Double, dim: Int,
                       bands: Int = 2, bitsPerBand: Int = 8,
                       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
@@ -223,6 +230,29 @@ object Similarity {
         floor((dot(col("va"), col("vb")) / (col("na") * col("nb"))) * 1000000 + 0.5) / 1000000.0)
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Scale-adaptive [[lshNearDupPairs]] — the LSH analog of
+    * [[scaledCellNearDupPairs]]'s k=⌈√n⌉ rule: the per-band signature
+    * width is derived from the corpus size so expected bucket occupancy
+    * stays at `targetOccupancy` at ANY scale, keeping candidate volume
+    * ~bands·n·occupancy/2 (linear in n) where a fixed width is n²/2^bits.
+    * `bits` is the smallest b in [1, maxBits] with n ≤ targetOccupancy·2^b
+    * — an integer-exact rule (no floating log2 whose rounding an oracle
+    * could disagree with), so any engine derives the same width from the
+    * same count. One narrow count job, then [[lshNearDupPairs]]. */
+  def lshNearDupPairsScaled(df: DataFrame, threshold: Double, dim: Int,
+                            bands: Int = 4, maxBits: Int = 24,
+                            targetOccupancy: Long = 16L,
+                            id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(maxBits >= 1 && maxBits <= 62,
+      s"maxBits must be in [1, 62], got $maxBits")
+    require(targetOccupancy >= 1,
+      s"targetOccupancy must be >= 1, got $targetOccupancy")
+    val n = df.count()
+    val bits = (1 to maxBits).find(b => n <= (targetOccupancy << b))
+      .getOrElse(maxBits)
+    lshNearDupPairs(df, threshold, dim, bands, bits, id, vec)
   }
 
   /** Cell-routed near-dup — the scale path for [[cosineNearDupPairs]]:

@@ -67,6 +67,16 @@ object VectorQueries {
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"),
         threshold = 0.35, dim = 64, bands = 4, bitsPerBand = 4)),
 
+    // V6b: the scale path for v6 — signature width derived from n (the
+    // smallest b with n <= 16·2^b) so bucket occupancy, and with it
+    // per-vector candidate volume, is constant at any corpus size. At
+    // sf0.01 (500 vectors) this resolves to 5-bit bands; at the 100×
+    // replica (200k vectors) to 14-bit bands, where v6's fixed 4 bits
+    // hold ~12.5k vectors per bucket and never finish.
+    "v6b_lsh_scaled" -> ((s, dir) =>
+      Similarity.lshNearDupPairsScaled(t(s, dir, "embeddings"),
+        threshold = 0.35, dim = 64, bands = 4)),
+
     // V7: deterministic Lloyd k-means (k=4, 2 iterations) — the centroid
     // TRAINING step for the IVF index, exploded to scalar rows for the
     // hash compare. Init = the 4 lowest vec_ids (0..3 on this table).
@@ -343,6 +353,40 @@ object VectorQueries {
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |sigs AS (
          |  $sigsUnion),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b, floor((${cosSql("x.e", "y.e")}) * 1000000 + 0.5) / 1000000.0 AS cos
+         |  FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b)
+         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35""".stripMargin
+    },
+
+    "v6b_lsh_scaled" -> {
+      // The twin derives the SAME data-dependent signature width the
+      // Spark side does (smallest b in [1,24] with n <= 16·2^b — integer
+      // comparisons, no floating log2 to disagree over) and generates the
+      // plane constants from the shared closed form over (j, d) instead
+      // of literal arrays, so the SQL's SHAPE is fixed while its width is
+      // data-driven: planes are generated 0..95 and filtered to j < 4·bits,
+      // band = j // bits, bit position = j % bits — exactly the Spark
+      // side's j = band·bits + r indexing.
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |p1 AS (SELECT COALESCE((SELECT min(b) FROM generate_series(1, 24) AS gb(b)
+         |                        WHERE (SELECT count(*) FROM v) <= 16 * (1::BIGINT << b)), 24) AS bits),
+         |planes AS (
+         |  SELECT j, list((((1103515245 * (j * 64 + d) + 12345) % 2147483648) % 2001 - 1000) / 1000.0
+         |                 ORDER BY d) AS p
+         |  FROM generate_series(0, 95) AS gj(j), generate_series(0, 63) AS gd(d)
+         |  WHERE j < 4 * (SELECT bits FROM p1)
+         |  GROUP BY j),
+         |sigs AS (
+         |  SELECT vec_id, (j // (SELECT bits FROM p1)) AS band,
+         |    sum(CASE WHEN (${dotSql("e", "p")}) > 0
+         |        THEN (1::BIGINT << (j % (SELECT bits FROM p1))) ELSE 0 END)::BIGINT AS sig
+         |  FROM v, planes
+         |  GROUP BY 1, 2),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM sigs a JOIN sigs b

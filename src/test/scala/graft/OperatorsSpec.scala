@@ -414,6 +414,32 @@ class OperatorsSpec extends SparkSpec {
     got(1L) shouldBe ((1L, true))
   }
 
+  "Similarity.lshNearDupPairsScaled" should "derive the band width from the corpus size" in {
+    import graft.operators.Similarity
+    // n=4, targetOccupancy=1 → smallest b with 4 <= 2^b is 2: the scaled
+    // call must be EXACTLY lshNearDupPairs at bitsPerBand=2 (same planes:
+    // both index j = band*bits + r into the shared closed form).
+    val scaled = Similarity.lshNearDupPairsScaled(vecs, threshold = 0.1,
+        dim = 3, bands = 2, targetOccupancy = 1L)
+      .as[(Long, Long, Double)].collect().toSet
+    val fixed = Similarity.lshNearDupPairs(vecs, threshold = 0.1,
+        dim = 3, bands = 2, bitsPerBand = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    scaled shouldBe fixed
+    // maxBits caps the width when the corpus outgrows it
+    val capped = Similarity.lshNearDupPairsScaled(vecs, threshold = 0.1,
+        dim = 3, bands = 2, maxBits = 1, targetOccupancy = 1L)
+      .as[(Long, Long, Double)].collect().toSet
+    val oneBit = Similarity.lshNearDupPairs(vecs, threshold = 0.1,
+        dim = 3, bands = 2, bitsPerBand = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    capped shouldBe oneBit
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.lshNearDupPairsScaled(vecs, 0.1, 3, maxBits = 63)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.lshNearDupPairsScaled(vecs, 0.1, 3, targetOccupancy = 0L)
+  }
+
   "Joins.asOfJoin" should "match each left row to the latest right row at or before it" in {
     import graft.operators.Joins
     import java.sql.Timestamp
