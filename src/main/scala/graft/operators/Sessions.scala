@@ -33,7 +33,10 @@ object Sessions {
     val w = Window.partitionBy(key).orderBy(col("__us"), col("__tb"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
-      .withColumn("__us", unix_micros(ts))
+      // cast like Joins.asOfJoin: unix_micros rejects TIMESTAMP_NTZ (what
+      // a TIMESTAMP_NS parquet surfaces as), and under the UTC session the
+      // ltz cast is instant-identical. Caught by the 100x-replica verify.
+      .withColumn("__us", unix_micros(ts.cast("timestamp_ltz")))
       .withColumn("__tb", tiebreak)
       .withColumn("__prev", lag(col("__us"), 1).over(w))
       .withColumn("__new",
@@ -50,6 +53,6 @@ object Sessions {
     assign(events, key, ts, tiebreak, gapSeconds)
       .groupBy(key.as("key"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
-        min(unix_micros(ts)).as("first_us"),
-        max(unix_micros(ts)).as("last_us"))
+        min(unix_micros(ts.cast("timestamp_ltz"))).as("first_us"),
+        max(unix_micros(ts.cast("timestamp_ltz"))).as("last_us"))
 }
