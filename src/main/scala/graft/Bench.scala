@@ -220,10 +220,14 @@ object Bench {
       s""","contended":true,"contenders":$list"""
     }
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_reps":$reps,"queries":$qs,"stages":$st,"spread":$sp$contended,"sf":"$sfDir"}"""
-    println(json)
-    // The stdout line travels through sbt log prefixes and has been
-    // truncated/mangled in past driver artifacts ("parsed": null in r3 AND
-    // r4) — the file copy is the durable record.
+    // The driver's per-round artifact keeps only the LAST 2000 chars of
+    // stdout (r5's tail cut the line's head off → "parsed": null in r3,
+    // r4 AND r5). stdout therefore gets a COMPACT line — medians and the
+    // contention stamp, no stages/spread — sized to survive the window
+    // (~1.45 KB at 51 queries) with sbt's trailing "[success]" line after
+    // it; the FULL record (stages, spreads) is the BENCH_LOCAL.json file.
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_reps":$reps,"queries":$qs$contended,"sf":"$sfDir"}"""
+    println(compact)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()

@@ -196,10 +196,26 @@ object Similarity {
     * width chosen for a small corpus becomes quadratic at scale (the
     * v6 fixture's 4-bit bands held ~12.5k vectors each on the 100×
     * replica — ~5·10^9 candidate pairs). Derive the width from the
-    * corpus size with [[lshNearDupPairsScaled]] instead. */
+    * corpus size with [[lshNearDupPairsScaled]] instead.
+    *
+    * `bucketCap` > 0 additionally bounds the work of any SINGLE task: a
+    * width rule fixes MEAN occupancy, not skew — one hot (band, sig)
+    * bucket (2,092 vectors observed on the 100× replica at threshold
+    * 0.35 ⇒ ~2.2M candidates in ONE task) still funnels. Buckets above
+    * the cap are grid-salted: members get a balanced salt r = rn mod s
+    * (s = ⌈occ/cap⌉, rn a row_number within the bucket, so cells differ
+    * by ≤ 1 row), each side replicates s× against the OTHER side's salt
+    * axis, and the join key becomes (band, sig, salt_a, salt_b) — pair
+    * (a, b) matches in exactly the (salt_a, salt_b) cell, so the
+    * candidate SET is identical to the unsalted join while no join key
+    * carries more than ⌈occ/s⌉² ≤ cap² candidates. Cold buckets keep
+    * s = 1 (no replication). The exact-cosine verify is unchanged, so
+    * recall is exactly preserved. Cost: one extra window pass over the
+    * narrow (vid, band, sig) rows to derive (occ, rn). */
   def lshNearDupPairs(df: DataFrame, threshold: Double, dim: Int,
                       bands: Int = 2, bitsPerBand: Int = 8,
-                      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+                      id: String = "vec_id", vec: String = "embedding",
+                      bucketCap: Long = 0L): DataFrame = {
     val v = df.select(col(id).cast("long").as("vid"), asDouble(col(vec)).as("v"))
     val bandSigs = (0 until bands).map { b =>
       val sig = (0 until bitsPerBand).map { r =>
@@ -216,11 +232,13 @@ object Similarity {
     val banded = v.select(col("vid"), explode(array(bandSigs: _*)).as("bs"))
       .select(col("vid"), col("bs.band"), col("bs.sig"))
       .localCheckpoint(false)
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+    val cand = (if (bucketCap > 0L)
+                  saltedBandPairs(banded, bucketCap).select("id_a", "id_b")
+                else banded.as("a")
+                  .join(banded.as("b"),
+                    col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+                      col("a.vid") < col("b.vid"))
+                  .select(col("a.vid").as("id_a"), col("b.vid").as("id_b")))
       .distinct()
     val vn = v.withColumn("n", norm(col("v")))
     cand
@@ -232,6 +250,37 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Grid-salted within-bucket pair generation over (vid, band, sig)
+    * rows — see [[lshNearDupPairs]]'s `bucketCap` doc for the invariants.
+    * Both the occupancy and the balanced intra-bucket row number come out
+    * of ONE window pass; the salted frame is lazily checkpointed so the
+    * window job runs once for both join sides. Returns the salted join
+    * key alongside the pair so specs can bound per-key candidate counts;
+    * [[lshNearDupPairs]] keeps only (id_a, id_b). */
+  private[graft] def saltedBandPairs(banded: DataFrame, cap: Long): DataFrame = {
+    val byBucket = Window.partitionBy("band", "sig")
+    val salted = banded
+      .withColumn("occ", count(lit(1)).over(byBucket))
+      .withColumn("rn", row_number().over(byBucket.orderBy("vid")))
+      .withColumn("s", ceil(col("occ") / lit(cap.toDouble)).cast("long"))
+      .withColumn("salt", (col("rn") - 1) % col("s"))
+      .select(col("vid"), col("band"), col("sig"), col("s"), col("salt"))
+      .localCheckpoint(false)
+    // pair (a, b) matches in exactly one cell: B's explode hits A's salt
+    // on the first axis, A's explode hits B's salt on the second
+    val a = salted.select(col("vid"), col("band"), col("sig"),
+      col("salt").as("sa"), explode(sequence(lit(0L), col("s") - 1)).as("sb"))
+    val b = salted.select(col("vid"), col("band"), col("sig"),
+      explode(sequence(lit(0L), col("s") - 1)).as("sa"), col("salt").as("sb"))
+    a.as("a").join(b.as("b"),
+      col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.sa") === col("b.sa") && col("a.sb") === col("b.sb") &&
+        col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        col("a.band").as("band"), col("a.sig").as("sig"),
+        col("a.sa").as("sa"), col("a.sb").as("sb"))
+  }
+
   /** Scale-adaptive [[lshNearDupPairs]] — the LSH analog of
     * [[scaledCellNearDupPairs]]'s k=⌈√n⌉ rule: the per-band signature
     * width is derived from the corpus size so expected bucket occupancy
@@ -240,19 +289,32 @@ object Similarity {
     * `bits` is the smallest b in [1, maxBits] with n ≤ targetOccupancy·2^b
     * — an integer-exact rule (no floating log2 whose rounding an oracle
     * could disagree with), so any engine derives the same width from the
-    * same count. One narrow count job, then [[lshNearDupPairs]]. */
+    * same count.
+    *
+    * `precomputedN` lets a caller that already knows the corpus size skip
+    * the count job entirely (at 100 TB even the metadata-only count-star
+    * is a full-footer pass); absent, ONE zero-column count runs first.
+    * The width rule fixes MEAN occupancy only, so hot buckets from a
+    * skewed corpus are additionally grid-salted at `bucketCap` (see
+    * [[lshNearDupPairs]]) — on by default here because this is the scale
+    * path. */
   def lshNearDupPairsScaled(df: DataFrame, threshold: Double, dim: Int,
                             bands: Int = 4, maxBits: Int = 24,
                             targetOccupancy: Long = 16L,
-                            id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+                            id: String = "vec_id", vec: String = "embedding",
+                            precomputedN: Option[Long] = None,
+                            bucketCap: Long = 64L): DataFrame = {
     require(maxBits >= 1 && maxBits <= 62,
       s"maxBits must be in [1, 62], got $maxBits")
     require(targetOccupancy >= 1,
       s"targetOccupancy must be >= 1, got $targetOccupancy")
-    val n = df.count()
-    val bits = (1 to maxBits).find(b => n <= (targetOccupancy << b))
+    val n = precomputedN.getOrElse(df.count())
+    // guard the shift: if targetOccupancy·2^b overflows Long it exceeds
+    // Long.MaxValue >= n, so the mathematical "n <= t·2^b" is TRUE there
+    val bits = (1 to maxBits).find(b =>
+        targetOccupancy > (Long.MaxValue >> b) || n <= (targetOccupancy << b))
       .getOrElse(maxBits)
-    lshNearDupPairs(df, threshold, dim, bands, bits, id, vec)
+    lshNearDupPairs(df, threshold, dim, bands, bits, id, vec, bucketCap)
   }
 
   /** Cell-routed near-dup — the scale path for [[cosineNearDupPairs]]:

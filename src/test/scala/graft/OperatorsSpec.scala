@@ -438,6 +438,46 @@ class OperatorsSpec extends SparkSpec {
       Similarity.lshNearDupPairsScaled(vecs, 0.1, 3, maxBits = 63)
     an[IllegalArgumentException] should be thrownBy
       Similarity.lshNearDupPairsScaled(vecs, 0.1, 3, targetOccupancy = 0L)
+    // precomputedN replaces the count job: n=4 declared as 16 with
+    // targetOccupancy=1 → smallest b with 16 <= 2^b is 4, not 2
+    val declared = Similarity.lshNearDupPairsScaled(vecs, threshold = 0.1,
+        dim = 3, bands = 2, targetOccupancy = 1L, precomputedN = Some(16L),
+        bucketCap = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    val fourBit = Similarity.lshNearDupPairs(vecs, threshold = 0.1,
+        dim = 3, bands = 2, bitsPerBand = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    declared shouldBe fourBit
+  }
+
+  "Similarity.saltedBandPairs" should "bound per-join-key candidates at cap^2 on a hot bucket without losing pairs" in {
+    import graft.operators.Similarity
+    // one deliberately hot bucket: all 60 vids share (band=0, sig=7)
+    val banded = spark.range(60).select(col("id").as("vid"),
+      lit(0).as("band"), lit(7L).as("sig"))
+    val salted = Similarity.saltedBandPairs(banded, cap = 5L).cache()
+    // every unsalted pair survives, exactly once (the grid assigns each
+    // pair to exactly one (sa, sb) cell) — C(60, 2) = 1770
+    salted.count() shouldBe 1770L
+    salted.select("id_a", "id_b").distinct().count() shouldBe 1770L
+    // no single join key owns more than cap^2 candidates: occ=60, cap=5
+    // → s=12, cells of 5 → at most 25 pairs per (band, sig, sa, sb)
+    val maxPerKey = salted.groupBy("band", "sig", "sa", "sb").count()
+      .agg(max("count")).as[Long].head()
+    maxPerKey should be <= 25L
+    salted.unpersist()
+    // end-to-end: a skew-hot corpus (60 identical-direction vectors →
+    // ONE bucket per band) yields the identical pair set capped vs not
+    val hot = spark.range(60).select(col("id").as("vec_id"),
+      array(lit(1.0), lit(2.0), lit(3.0)).as("embedding"))
+    val capped = Similarity.lshNearDupPairs(hot, threshold = 0.5, dim = 3,
+        bands = 2, bitsPerBand = 3, bucketCap = 5L)
+      .as[(Long, Long, Double)].collect().toSet
+    val plain = Similarity.lshNearDupPairs(hot, threshold = 0.5, dim = 3,
+        bands = 2, bitsPerBand = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    capped shouldBe plain
+    capped should have size 1770
   }
 
   "Joins.asOfJoin" should "match each left row to the latest right row at or before it" in {
