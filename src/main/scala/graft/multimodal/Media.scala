@@ -185,9 +185,16 @@ object Media {
       val off = le32(b, 10); val w = le32(b, 18); val h = le32(b, 22)
       val planes = le16(b, 26); val bpp = le16(b, 28); val comp = le32(b, 30)
       if (w <= 0 || h == 0 || planes != 1 || bpp != 24 || comp != 0) return None
-      val rows = math.abs(h)
-      val stride = (w * 3 + 3) / 4 * 4
-      if (off < 54 || off.toLong + stride.toLong * rows > b.length) return None
+      // ALL size arithmetic in Long: an adversarial header with w near
+      // 2^31/3 overflows w*3 as Int to a NEGATIVE stride that slips past
+      // the bounds check and yields a zero-sample "success"; likewise
+      // abs(Int.MinValue) stays negative. The Long forms make the bounds
+      // check reject any geometry the payload can't actually hold, after
+      // which every per-row quantity provably fits an Int.
+      val rowsL = math.abs(h.toLong)
+      val strideL = (w.toLong * 3 + 3) / 4 * 4
+      if (off < 54 || off.toLong + strideL * rowsL > b.length) return None
+      val rows = rowsL.toInt; val stride = strideL.toInt
       var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
       var r = 0
       while (r < rows) {
@@ -200,6 +207,9 @@ object Media {
         }
         r += 1
       }
+      // mn > mx ⟺ the loop never read a sample (degenerate geometry) —
+      // that is "no stats", not a stats row of sentinels
+      if (mn > mx) return None
       Some((w.toLong * rows * 3, sum, mn, mx))
     }
 

@@ -54,7 +54,9 @@ object Corpus {
     * before the per-doc aggregation, so the sum is an exact integer —
     * order-independent across partitionings and bit-identical in the
     * DuckDB twin (a raw double sum would vary with reduction order). */
-  def bigramLmScores(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def bigramLmScores(docs: DataFrame, id: Column, text: Column,
+                     smallVocabMax: Long = 131072L,
+                     probsBroadcastMaxRows: Long = 524288L): DataFrame = {
     val toks = docs.select(id.cast("long").as("doc_id"),
       posexplode(graft.functions.TextFunctions.tokens(text))
         .as(Seq("pos", "token")))
@@ -67,17 +69,25 @@ object Corpus {
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = toks.select("token").distinct().count()
-    // MERGE hints: every side of these joins scales with the corpus (the
-    // bigram table is O(distinct bigrams), the unigram table O(vocab)) —
-    // a planner-chosen broadcast OOMs once the vocabulary grows (observed
-    // at the 100x replica: "Not enough memory to build and broadcast").
-    // Shuffle joins on (w1[, w2]) are the 100 TB plan; nothing here is
-    // bounded enough to pin a broadcast on.
-    val probs = c12.join(c1.hint("merge"), "w1")
+    // Join strategy, size-gated on MEASURED row counts: every side of
+    // these joins scales with the corpus (the bigram table is O(distinct
+    // bigrams), the unigram table O(vocab)) — a planner-chosen broadcast
+    // OOMs once the vocabulary grows (observed at the 100x replica: "Not
+    // enough memory to build and broadcast"), so corpus-scaled sides pin
+    // a MERGE shuffle join on (w1[, w2]), the 100 TB plan. Small corpora
+    // keep the fast broadcast plan: `vocab` (already computed) bounds the
+    // unigram side exactly, and when it says interactive-scale, one cheap
+    // distinct-bigram count over the checkpointed bigrams decides the
+    // probs side too. At scale the gate adds NO extra job — the vocab
+    // comparison alone routes both joins to merge.
+    val bigramRows = if (vocab <= smallVocabMax) c12.count() else Long.MaxValue
+    def gated(df: DataFrame, rows: Long, maxRows: Long) =
+      if (rows <= maxRows) broadcast(df) else df.hint("merge")
+    val probs = c12.join(gated(c1, vocab, smallVocabMax), "w1")
       .withColumn("nll6",
         floor(-log((col("c12") + 1).cast("double")
           / (col("c1") + vocab).cast("double")) * 1000000 + 0.5).cast("long"))
-    bg.join(probs.hint("merge"), Seq("w1", "w2"))
+    bg.join(gated(probs, bigramRows, probsBroadcastMaxRows), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("nll6").as("s"))
       .select(col("doc_id"), col("n_bigrams"),

@@ -159,7 +159,15 @@ object Quantization {
     * cell — `(vec_id, centroid_id, rv)`. This is the frame IVFADC
     * codebooks are seeded/trained on (Jégou et al. 2011 §IV encode the
     * residual, not the raw vector: residual energy is what's left after
-    * the coarse quantizer, so the same code budget buys more precision). */
+    * the coarse quantizer, so the same code budget buys more precision).
+    *
+    * Known deviation from the cited algorithm: the coarse assignment
+    * reuses [[Similarity.ivfAssignN]]'s 6-dp-rounded COSINE argmax (the
+    * engine-wide deterministic assignment rule that every IVF operator
+    * and its oracle twin share), where Jégou et al. assign by L2 — the
+    * choice that minimizes residual energy. On normalized embeddings the
+    * two agree; on unnormalized data recall/precision may differ from
+    * the paper's, while the oracle contract stays internally exact. */
   def ivfResiduals(corpus: DataFrame, centroids: DataFrame,
                    cId: String = "vec_id", cVec: String = "embedding",
                    kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {

@@ -498,7 +498,8 @@ object VectorQueries {
          |                rv[r.i*16+1:r.i*16+16] AS sv
          |         FROM cresid, range(4) r(i)),
          |cb AS (SELECT sub, vec_id AS code, sv AS cw FROM crsv
-         |       WHERE vec_id >= 8 AND vec_id < 16),
+         |       WHERE vec_id IN (SELECT DISTINCT vec_id FROM crsv
+         |                       WHERE vec_id >= 8 ORDER BY vec_id LIMIT 8)),
          |enc AS (
          |  SELECT vec_id AS cand_id, centroid_id, sub, code FROM (
          |    SELECT s.vec_id, s.centroid_id, s.sub, c.code,

@@ -320,6 +320,30 @@ class OperatorsSpec extends SparkSpec {
     got(2L) shouldBe ((2L, 0.660878))  // floor(1321756/2 + .5)/1e6
   }
 
+  it should "size-gate the model joins: broadcast small corpora, merge at scale" in {
+    val lm = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // interactive scale (vocab=3, bigrams=3 under both gates) → both
+    // model joins broadcast
+    val small = Corpus.bigramLmScores(lm, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    small should include("BroadcastHashJoin")
+    small should not include "SortMergeJoin"
+    // corpus-scaled (gates forced to 0) → both joins merge-pinned, the
+    // plan that survives the 100x vocabulary
+    val large = Corpus.bigramLmScores(lm, col("doc_id"), col("text"),
+        smallVocabMax = 0L, probsBroadcastMaxRows = 0L)
+      .queryExecution.executedPlan.toString
+    large should include("SortMergeJoin")
+    large should not include "BroadcastHashJoin"
+    // same numbers either way
+    val a = Corpus.bigramLmScores(lm, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Corpus.bigramLmScores(lm, col("doc_id"), col("text"),
+        smallVocabMax = 0L, probsBroadcastMaxRows = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    a shouldBe b
+  }
+
   "ShingleHash native expression" should "agree with the composed HOF chain as a set" in {
     import graft.functions.{ShingleHash, TextFunctions}
     import org.apache.spark.sql.functions.{transform => arrTransform}
