@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * Media travels as an opaque `binary` column plus typed metadata — the
   * schema, partitioning, and batch shapes are real and tested. Header
-  * metadata ([[HeaderDecoder]]) and UNCOMPRESSED payload decode
-  * ([[SampleStatsDecoder]]: 24-bit BMP pixels, 16-bit PCM WAV samples)
-  * are real pure-JVM parsing; only compressed-codec decode (PNG IDAT,
-  * JPEG, MP3) stays stubbed — those genuinely need codec libraries,
-  * which this environment doesn't ship.
+  * metadata ([[HeaderDecoder]]) and payload decode ([[SampleStatsDecoder]]:
+  * 24-bit BMP pixels, 16-bit PCM WAV samples, and 8-bit PNG pixels via
+  * `java.util.zip.Inflater` + the spec's five scanline filters) are real
+  * pure-JVM parsing; only formats that genuinely need an external codec
+  * library (JPEG, MP3, interlaced/16-bit PNG) stay loudly stubbed — this
+  * environment doesn't ship those libraries.
   *
   * Ingestion paths:
   *  - real files: `spark.read.format("binaryFile")` (path, length, content)
@@ -166,15 +167,18 @@ object Media {
     def decodeStats(batch: Iterator[MediaRecord]): Iterator[MediaStats]
   }
 
-  /** SAMPLE DECODER — real pure-JVM decode of the uncompressed formats
-    * (no codec library needed): 24-bit BI_RGB BMP pixel bytes (honoring
-    * the 4-byte row stride — padding bytes are NOT samples) and 16-bit
-    * PCM WAV samples from the data chunk. The integer sum is exact, so
+  /** SAMPLE DECODER — real pure-JVM decode, no codec library needed:
+    * 24-bit BI_RGB BMP pixel bytes (honoring the 4-byte row stride —
+    * padding bytes are NOT samples), 16-bit PCM WAV samples from the
+    * data chunk, and 8-bit-depth non-interlaced PNG pixels (IDAT is raw
+    * DEFLATE — `java.util.zip.Inflater` + the five scanline filters of
+    * the PNG spec §9 are the whole codec). The integer sum is exact, so
     * `mean = sum.toDouble / n` is one deterministic IEEE division — an
-    * oracle computing the same sum reproduces it bit-for-bit. Compressed
-    * formats (PNG IDAT, MP3, ...) yield no stats row: decoding those
-    * genuinely needs codec libraries ([[HeaderDecoder]] still covers
-    * their metadata), and a silent fake would poison quality filters. */
+    * oracle computing the same sum reproduces it bit-for-bit. Formats
+    * whose decode genuinely needs an external codec library (JPEG, MP3,
+    * 16-bit/interlaced PNG, ...) yield no stats row: [[HeaderDecoder]]
+    * still covers their metadata, and a silent fake would poison quality
+    * filters. */
   object SampleStatsDecoder extends MediaStatsDecoder {
     import Bytes._
 
@@ -211,6 +215,109 @@ object Media {
       // that is "no stats", not a stats row of sentinels
       if (mn > mx) return None
       Some((w.toLong * rows * 3, sum, mn, mx))
+    }
+
+    /** Paeth predictor (PNG spec §9.4) — the order of the <= tests is
+      * normative. */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** (n, sum, min, max) over the pixel channel bytes of an 8-bit-depth
+      * non-interlaced PNG, color types 0/2/4/6 (gray / RGB / gray+alpha /
+      * RGBA). The IDAT payload is a zlib stream — pure-JVM decodable with
+      * `java.util.zip.Inflater`; each inflated scanline is one filter
+      * byte plus `width·channels` filtered bytes, undone per spec §9
+      * (None, Sub, Up, Average, Paeth) against the reconstructed previous
+      * row. None for any geometry/stream the payload can't actually back:
+      * truncated or over-long IDAT, unknown filter, 16-bit or interlaced
+      * images (those are the genuinely-codec-shaped cases, kept loud). */
+    private def pngStats(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+      if (b.length < 33) return None // sig + complete IHDR chunk
+      val w = be32(b, 16); val h = be32(b, 20)
+      val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
+      val interlace = b(28) & 0xff
+      if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+        case _ => return None
+      }
+      // Long geometry guard (same discipline as bmpStats): the inflated
+      // image must fit one JVM array, and a header promising more is not
+      // a decodable payload
+      val rowBytesL = w.toLong * channels
+      val totalL = (1L + rowBytesL) * h
+      if (totalL > Int.MaxValue - 8) return None
+      val rowBytes = rowBytesL.toInt
+      val raw = new Array[Byte](totalL.toInt)
+      // inflate the concatenated IDAT chunks straight into `raw`
+      val inf = new java.util.zip.Inflater()
+      try {
+        var produced = 0
+        var o = 8L
+        var bad = false
+        var ended = false
+        while (!bad && !ended && o + 8 <= b.length) {
+          val oi = o.toInt
+          val len = be32(b, oi); val typ = tag(b, oi + 4)
+          if (len < 0 || o + 12L + len > b.length) bad = true
+          else {
+            if (typ == "IDAT") {
+              inf.setInput(b, oi + 8, len)
+              try {
+                while (!inf.needsInput && !inf.finished && produced < raw.length)
+                  produced += inf.inflate(raw, produced, raw.length - produced)
+                // a stream still yielding bytes past the geometry is corrupt
+                if (!inf.finished && !inf.needsInput) bad = true
+              } catch { case _: java.util.zip.DataFormatException => bad = true }
+            } else if (typ == "IEND") ended = true
+            o += 12L + len
+          }
+        }
+        if (bad || produced != raw.length) return None
+      } finally inf.end()
+      // undo the scanline filters in place: raw becomes recon row by row
+      val bpp = channels // 8-bit depth: one byte per channel
+      var r = 0
+      while (r < h) {
+        val base = r * (1 + rowBytes)
+        val filter = raw(base) & 0xff
+        if (filter > 4) return None
+        val prev = base - (1 + rowBytes)
+        var k = 0
+        while (k < rowBytes) {
+          val x = raw(base + 1 + k) & 0xff
+          val a = if (k >= bpp) raw(base + 1 + k - bpp) & 0xff else 0
+          val u = if (r > 0) raw(prev + 1 + k) & 0xff else 0
+          val c = if (r > 0 && k >= bpp) raw(prev + 1 + k - bpp) & 0xff else 0
+          val recon = filter match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + u
+            case 3 => x + (a + u) / 2
+            case 4 => x + paeth(a, u, c)
+          }
+          raw(base + 1 + k) = (recon & 0xff).toByte
+          k += 1
+        }
+        r += 1
+      }
+      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      r = 0
+      while (r < h) {
+        val base = r * (1 + rowBytes) + 1
+        var k = 0
+        while (k < rowBytes) {
+          val v = (raw(base + k) & 0xff).toLong
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          k += 1
+        }
+        r += 1
+      }
+      if (mn > mx) return None
+      Some((rowBytesL * h, sum, mn, mx))
     }
 
     /** (n, sum, min, max) over signed 16-bit PCM samples; None unless the
@@ -253,7 +360,8 @@ object Media {
     override def decodeStats(batch: Iterator[MediaRecord]): Iterator[MediaStats] =
       batch.flatMap { r =>
         val b = r.bytes
-        val st = if (isBmp(b)) bmpStats(b)
+        val st = if (isPng(b)) pngStats(b)
+          else if (isBmp(b)) bmpStats(b)
           else if (isWav(b)) wavStats(b)
           else None
         st.map { case (n, sum, mn, mx) =>
@@ -326,6 +434,71 @@ object Media {
       row += 1
     }
     out.array()
+  }
+
+  /** A complete, spec-valid 8-bit RGB PNG whose raw pixel channel byte
+    * `j` (row-major, filter bytes excluded) is `f(j) & 0xff`: scanlines
+    * are FILTERED with type `row % 5` — so any image of height ≥ 5
+    * genuinely exercises all five filter reconstructions — then
+    * DEFLATE-compressed into a single IDAT with real CRC32s. */
+  def pngBytesPixels(width: Int, height: Int, f: Int => Int): Array[Byte] = {
+    val channels = 3
+    val rowBytes = width * channels
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    def recon(r: Int, k: Int): Int =
+      if (r < 0 || k < 0) 0 else f(r * rowBytes + k) & 0xff
+    val filtered = new Array[Byte]((1 + rowBytes) * height)
+    var r = 0
+    while (r < height) {
+      val ft = r % 5
+      val base = r * (1 + rowBytes)
+      filtered(base) = ft.toByte
+      var k = 0
+      while (k < rowBytes) {
+        val x = recon(r, k)
+        val a = recon(r, k - channels)
+        val u = recon(r - 1, k)
+        val c = recon(r - 1, k - channels)
+        val v = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - u
+          case 3 => x - (a + u) / 2
+          case 4 => x - paeth(a, u, c)
+        }
+        filtered(base + 1 + k) = (v & 0xff).toByte
+        k += 1
+      }
+      r += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val idat = comp.toByteArray
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Bytes.PngSig)
+    out.write(chunk("IHDR", ihdr.array()))
+    out.write(chunk("IDAT", idat))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
   }
 
   /** [[wavBytes]] with real 16-bit PCM content: interleaved sample `i`

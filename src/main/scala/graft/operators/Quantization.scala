@@ -198,18 +198,62 @@ object Quantization {
                 nProbe: Int = 1,
                 qId: String = "vec_id", qVec: String = "embedding",
                 cId: String = "vec_id", cVec: String = "embedding",
-                kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {
+                kId: String = "vec_id", kVec: String = "embedding"): DataFrame =
+    ivfPqSearch(queries,
+      ivfPqEncode(corpus, centroids, codebooks, numSub, subDim,
+        cId, cVec, kId, kVec),
+      centroids, codebooks, numSub, subDim, k, nProbe, qId, qVec, kId, kVec)
+
+  /** The IVFADC build side alone: residual-PQ-encode a corpus against the
+    * coarse quantizer — narrow `(cand_id, centroid_id, sub, code)` rows,
+    * the persistable CODE INDEX. Encode once, search many:
+    * [[writeCodeIndex]] stores it bucketed by cell so [[ivfPqSearch]]
+    * probes are data-local. */
+  def ivfPqEncode(corpus: DataFrame, centroids: DataFrame,
+                  codebooks: DataFrame, numSub: Int, subDim: Int,
+                  cId: String = "vec_id", cVec: String = "embedding",
+                  kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {
     val cb = codebooks.select(col("sub").cast("int").as("sub"),
       col("code").cast("long").as("code"), asDouble(col("cw")).as("cw"))
-    val cents = centroids.select(col(kId).cast("long").as("centroid_id"),
-      asDouble(col(kVec)).as("cent"))
-    // build side: residual-encode once; codes stay keyed by their cell
     val resid = ivfResiduals(corpus, centroids, cId, cVec, kId, kVec)
-    val codes = assignSv(
+    assignSv(
       subVectors(resid, numSub, subDim, id = "vec_id", vec = "rv",
         outId = "cand_id", carry = Seq("centroid_id")),
       cb, "cand_id", carry = Seq("centroid_id"))
       .select("cand_id", "centroid_id", "sub", "code")
+  }
+
+  /** Persist an IVFADC code index BUCKETED BY ITS CELL — the physical
+    * layout the probe join wants at 100 TB: rows of one cell land in one
+    * bucket file set, so a probed-cell scan reads only those buckets
+    * (bucket pruning, `SelectedBucketsCount` in the plan) and the join
+    * needs no Exchange on the code side (the distance table is broadcast;
+    * the code side streams straight from its buckets). Within-bucket rows
+    * sort by (centroid_id, cand_id) for row-group locality. */
+  def writeCodeIndex(codes: DataFrame, table: String, numBuckets: Int): Unit =
+    codes.write.mode("overwrite")
+      .bucketBy(numBuckets, "centroid_id").sortBy("centroid_id", "cand_id")
+      .saveAsTable(table)
+
+  /** Probe-side IVFADC search over an EXISTING code index (the output of
+    * [[ivfPqEncode]], ideally [[writeCodeIndex]]-persisted). The query
+    * side is [[ivfPqTopK]]'s: per probed cell, one query residual and one
+    * broadcast distance table. `pruneProbedCells` additionally collects
+    * the (bounded: ≤ |Q|·nProbe) probed cell ids and pushes an IN filter
+    * into the code-index scan — on a bucketed index that is BUCKET
+    * PRUNING: per-query work touches only probed buckets, never the full
+    * code table. Results are identical either way (the equi join already
+    * drops unprobed cells); the filter changes only what gets READ. */
+  def ivfPqSearch(queries: DataFrame, codes: DataFrame, centroids: DataFrame,
+                  codebooks: DataFrame, numSub: Int, subDim: Int, k: Int,
+                  nProbe: Int = 1,
+                  qId: String = "vec_id", qVec: String = "embedding",
+                  kId: String = "vec_id", kVec: String = "embedding",
+                  pruneProbedCells: Boolean = false): DataFrame = {
+    val cb = codebooks.select(col("sub").cast("int").as("sub"),
+      col("code").cast("long").as("code"), asDouble(col("cw")).as("cw"))
+    val cents = centroids.select(col(kId).cast("long").as("centroid_id"),
+      asDouble(col(kVec)).as("cent"))
     // query side: one residual (and one distance table) per probed cell
     val qResid = queries
       .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))
@@ -218,13 +262,21 @@ object Quantization {
       .join(broadcast(cents), "centroid_id")
       .select(col("query_id"), col("centroid_id"),
         zip_with(col("qv"), col("cent"), (a, b) => a - b).as("rv"))
+      .localCheckpoint(false) // reused: distance tables + probed-cell ids
+    val codeSide =
+      if (!pruneProbedCells) codes
+      else {
+        val cells = qResid.select("centroid_id").distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        codes.where(col("centroid_id").isin(cells: _*))
+      }
     val dtab = subVectors(qResid, numSub, subDim, id = "query_id", vec = "rv",
         outId = "query_id", carry = Seq("centroid_id"))
       .join(broadcast(cb), "sub")
       .select(col("query_id"), col("centroid_id"), col("sub"), col("code"),
         floor(round6(l2sq(col("sv"), col("cw"))) * 1000000 + 0.5)
           .cast("long").as("d_int"))
-    val scored = codes.join(broadcast(dtab), Seq("centroid_id", "sub", "code"))
+    val scored = codeSide.join(broadcast(dtab), Seq("centroid_id", "sub", "code"))
       .where(col("cand_id") =!= col("query_id"))
       .groupBy("query_id", "cand_id")
       .agg(sum(col("d_int")).as("s_int"))

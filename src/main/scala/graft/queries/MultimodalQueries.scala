@@ -56,8 +56,32 @@ object MultimodalQueries {
     "m3_media_stats" -> ((s, dir) =>
       Media.extractStats(mediaPcm(s, dir)).toDF()
         .select(col("id"), col("mime"), col("n_samples"),
+          col("mean_val"), col("min_val"), col("max_val"))),
+
+    // M4: REAL PNG pixel statistics — the fixture DEFLATE-compresses
+    // known pixel values behind per-row filters 0..4 (heights up to 10,
+    // so every filter type occurs), and the decoder must inflate + undo
+    // the filters to recover them; the oracle recomputes the exact
+    // aggregates from the closed form. This is the full PNG codec path
+    // minus nothing: IDAT is just zlib + the 5 filters.
+    "m4_png_stats" -> ((s, dir) =>
+      Media.extractStats(mediaPng(s, dir)).toDF()
+        .select(col("id"), col("mime"), col("n_samples"),
           col("mean_val"), col("min_val"), col("max_val")))
   )
+
+  /** The m4 fixture: doc_id % 3 == 1 → 8-bit RGB PNG, width 3 + n%13,
+    * height 2 + id%9, channel byte j = (id·29 + j·11) % 256. */
+  private def mediaPng(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, n) =>
+        MediaRecord(id, "image/png",
+          Media.pngBytesPixels((3 + n % 13).toInt, (2 + id % 9).toInt,
+            j => ((id * 29 + j.toLong * 11) % 256).toInt))
+      }
+  }
 
   /** The m3 fixture: even doc_ids → BMP with channel byte j =
     * (id·31 + j·7) % 256; odd → 1-2 channel PCM WAV with sample i =
@@ -129,6 +153,22 @@ object MultimodalQueries {
          |SELECT id, mime, cnt::BIGINT AS n_samples,
          |       sum(v)::DOUBLE / count(*) AS mean_val,
          |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
-         |FROM allv GROUP BY id, mime, cnt""".stripMargin
+         |FROM allv GROUP BY id, mime, cnt""".stripMargin,
+
+    // the m4 twin recomputes the PNG pixel bytes from the fixture closed
+    // form — equality proves inflate + all five filter reconstructions
+    // recovered exactly the values that were filtered and compressed
+    "m4_png_stats" ->
+      s"""WITH m AS (SELECT doc_id AS id, n_chars AS n FROM documents
+         |           WHERE doc_id % 3 = 1),
+         |png AS (SELECT id, 'image/png' AS mime,
+         |               (3 + n % 13) * (2 + id % 9) * 3 AS cnt FROM m),
+         |pvals AS (SELECT id, mime, cnt, (id * 29 + j.j * 11) % 256 AS v
+         |          FROM png,
+         |          LATERAL (SELECT unnest(generate_series(0, cnt - 1)) AS j) j)
+         |SELECT id, mime, cnt::BIGINT AS n_samples,
+         |       sum(v)::DOUBLE / count(*) AS mean_val,
+         |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+         |FROM pvals GROUP BY id, mime, cnt""".stripMargin
   )
 }

@@ -114,11 +114,29 @@ class MediaSpec extends SparkSpec {
     st.mean_val shouldBe Seq(-250, -150, -50, 50, 150, 250).sum.toDouble / 6
   }
 
+  it should "recover PNG pixel stats through inflate + all five scanline filters" in {
+    // height 7 ≥ 5 → rows carry filter types 0,1,2,3,4,0,1 — every
+    // reconstruction path runs; values are the full 0..255 wrap so the
+    // unfilter arithmetic is exercised across the byte range
+    val w = 5; val h = 7; val n = w * h * 3
+    val png = Media.pngBytesPixels(w, h, j => (j * 37 + 11) % 256)
+    val st = Media.SampleStatsDecoder.decodeStats(
+      Iterator(Media.MediaRecord(7L, "image/png", png))).next()
+    val vals = (0 until n).map(j => (j * 37 + 11) % 256)
+    st.n_samples shouldBe n.toLong
+    st.min_val shouldBe vals.min.toLong
+    st.max_val shouldBe vals.max.toLong
+    st.mean_val shouldBe vals.sum.toDouble / n
+  }
+
   it should "emit no row for payloads it cannot truly decode" in {
+    val full = Media.pngBytesPixels(6, 6, j => j)
     val recs = Seq(
-      Media.MediaRecord(1L, "image/png", Media.pngBytes(4, 4)), // compressed
+      Media.MediaRecord(1L, "image/png", Media.pngBytes(4, 4)), // no IDAT
       Media.MediaRecord(2L, "text/plain", "BMno, too short".getBytes("UTF-8")),
-      Media.MediaRecord(3L, "audio/wav", Media.wavBytes(8000, 1, 4).take(20)))
+      Media.MediaRecord(3L, "audio/wav", Media.wavBytes(8000, 1, 4).take(20)),
+      // truncated mid-IDAT: inflate cannot fill the declared geometry
+      Media.MediaRecord(4L, "image/png", full.take(full.length - 16)))
     Media.SampleStatsDecoder.decodeStats(recs.iterator).toSeq shouldBe empty
   }
 

@@ -168,4 +168,39 @@ class QuantizationSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  "Quantization.writeCodeIndex + ivfPqSearch" should
+    "probe a bucketed code index with bucket pruning and no code-side Exchange" in {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 24L).map(i => i -> Seq.fill(8)(rnd.nextDouble()))
+    val df = vecs(rows: _*)
+    val cents = df.where(col("vec_id") < 3)
+    val resid = Quantization.ivfResiduals(df, cents)
+    val cb = Quantization.pqTrainCodebooks(
+      resid, numSub = 2, subDim = 4, k = 8, iters = 1, vec = "rv")
+    val queries = df.where(col("vec_id") < 4)
+    try {
+      // encode once, persist bucketed by cell — the write-once index
+      Quantization.writeCodeIndex(
+        Quantization.ivfPqEncode(df, cents, cb, numSub = 2, subDim = 4),
+        "pq_code_idx", numBuckets = 4)
+      val indexed = Quantization.ivfPqSearch(queries,
+        spark.table("pq_code_idx"), cents, cb,
+        numSub = 2, subDim = 4, k = 4, nProbe = 2, pruneProbedCells = true)
+      // identical results to the inline (unpersisted, unpruned) form
+      val inline = Quantization.ivfPqTopK(queries, df, cents, cb,
+        numSub = 2, subDim = 4, k = 4, nProbe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      indexed.as[(Long, Long, Double, Int)].collect().toSet shouldBe inline
+      val plan = indexed.queryExecution.executedPlan.toString
+      // probed-cell IN filter + bucketBy layout = bucket pruning: the
+      // scan reads only the probed cells' buckets...
+      plan should include("SelectedBucketsCount")
+      // ...and the code side streams straight from them into the
+      // broadcast ADC join — no shuffle anywhere before the per-
+      // (query, cand) sum aggregation
+      plan should not include "Exchange hashpartitioning(centroid_id"
+      plan should include("BroadcastHashJoin")
+    } finally spark.sql("DROP TABLE IF EXISTS pq_code_idx")
+  }
 }
