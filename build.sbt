@@ -12,6 +12,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain stdout passes through UNWRAPPED (no [info] logger
+// prefix): the Bench/Verify contract is "print ONE parseable JSON line
+// on stdout", and sbt's default logger prefix mangles exactly that line
+// for any consumer capturing sbt's stdout (Spark's log4j noise already
+// goes to stderr, so the streams stay separable).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

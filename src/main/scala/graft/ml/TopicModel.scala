@@ -179,6 +179,24 @@ object TopicModel {
     math.exp(-r.getDouble(0) / r.getDouble(1))
   }
 
+  /** Training-quality tripwire shared by every LDA pipeline gate: the
+    * trained model's [[perplexity]] on its own corpus must not exceed
+    * `maxRatio` × the uniform baseline (= vocabulary size — a uniform
+    * model scores exactly |vocab|). A trained model can only be WORSE
+    * than knowing nothing through a genuine defect (zeroed gammas,
+    * shuffled joins, degenerate topics), so the bound catches silent
+    * training regressions without pinning optimizer noise. Throws
+    * IllegalStateException → a driver rows-only gate records a non-null
+    * err instead of passing on row count alone. */
+  def assertQuality(model: Model, wordCounts: DataFrame,
+                    maxRatio: Double = 1.0, label: String = "LDA"): Unit = {
+    val vocab = wordCounts.select("word").distinct().count().toDouble
+    val pp = perplexity(model, wordCounts)
+    if (pp > maxRatio * vocab) throw new IllegalStateException(
+      f"$label training-quality regression: perplexity $pp%.4f exceeds " +
+        f"$maxRatio%.3f x uniform baseline (vocab = $vocab%.0f)")
+  }
+
   /** Persist a trained model: both frames as parquet + a tiny JSON meta.
     * The reference persisted implicitly via final.beta/final.gamma text
     * files (OniLDACWrapper.scala:88-104); parquet keeps the exact doubles

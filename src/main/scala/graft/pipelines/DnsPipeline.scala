@@ -194,4 +194,25 @@ object DnsPipeline {
       feedback = feedback)
     Scoring.suspicious(score(dns, model), threshold, topK)
   }
+
+  /** [[run]] with the training-quality tripwire inline
+    * ([[TopicModel.assertQuality]] on the scoring corpus): LDA has no SQL
+    * twin, so the driver's check on this pipeline is rows-only — the
+    * perplexity bound turns a silent training regression into a non-null
+    * gate err. */
+  def runChecked(dns: DataFrame, threshold: Double = 1.0, topK: Int = -1,
+                 popularDomains: Set[String] = Set.empty,
+                 topicCount: Int = 20, seed: Long = 42L,
+                 feedback: Option[DataFrame] = None,
+                 maxRatio: Double = 1.0): DataFrame = {
+    val model = train(dns, popularDomains, topicCount, seed = seed,
+      feedback = feedback)
+    TopicModel.assertQuality(model.topics,
+      Corpus.wordCounts(
+        featurizeWithLookup(withSubdomains(validRows(dns)),
+          model.cuts, model.popular),
+        col("ip_dst"), col("word")),
+      maxRatio, label = "dns LDA")
+    Scoring.suspicious(score(dns, model), threshold, topK)
+  }
 }

@@ -77,15 +77,11 @@ object EventsPipeline {
     * degenerate topics), not optimizer noise. Throws IllegalStateException
     * → the driver's rows-only gate records a non-null err. */
   def assertQuality(model: Model, events: DataFrame,
-                    maxRatio: Double = 1.0): Unit = {
-    val wc = Corpus.wordCounts(featurize(events, model.cuts),
-      col("user_id"), col("word"))
-    val vocab = wc.select("word").distinct().count().toDouble
-    val pp = TopicModel.perplexity(model.topics, wc)
-    if (pp > maxRatio * vocab) throw new IllegalStateException(
-      f"LDA training-quality regression: perplexity $pp%.4f exceeds " +
-        f"$maxRatio%.3f x uniform baseline (vocab = $vocab%.0f)")
-  }
+                    maxRatio: Double = 1.0): Unit =
+    TopicModel.assertQuality(model.topics,
+      Corpus.wordCounts(featurize(events, model.cuts),
+        col("user_id"), col("word")),
+      maxRatio, label = "events LDA")
 
   /** [[run]] with the quality gate inline: LDA has no SQL twin, so the
     * driver's correctness check on this pipeline is rows-only — the

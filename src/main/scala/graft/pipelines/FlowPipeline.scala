@@ -144,4 +144,21 @@ object FlowPipeline {
       feedback = feedback)
     Scoring.suspicious(score(flows, model), threshold, topK)
   }
+
+  /** [[run]] with the training-quality tripwire inline
+    * ([[TopicModel.assertQuality]] on the scoring corpus): LDA has no SQL
+    * twin, so the driver's check on this pipeline is rows-only — the
+    * perplexity bound turns a silent training regression into a non-null
+    * gate err. */
+  def runChecked(flows: DataFrame, threshold: Double = 1.0, topK: Int = -1,
+                 topicCount: Int = 20, seed: Long = 42L,
+                 feedback: Option[DataFrame] = None,
+                 maxRatio: Double = 1.0): DataFrame = {
+    val model = train(flows, topicCount = topicCount, seed = seed,
+      feedback = feedback)
+    TopicModel.assertQuality(model.topics,
+      corpus(featurize(validTimes(flows), model.cuts)),
+      maxRatio, label = "flow LDA")
+    Scoring.suspicious(score(flows, model), threshold, topK)
+  }
 }

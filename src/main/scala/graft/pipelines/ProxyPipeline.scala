@@ -181,4 +181,25 @@ object ProxyPipeline {
       feedback = feedback)
     Scoring.suspicious(score(proxy, model), threshold, topK)
   }
+
+  /** [[run]] with the training-quality tripwire inline
+    * ([[TopicModel.assertQuality]] on the scoring corpus): LDA has no SQL
+    * twin, so the driver's check on this pipeline is rows-only — the
+    * perplexity bound turns a silent training regression into a non-null
+    * gate err. */
+  def runChecked(proxy: DataFrame, threshold: Double = 1.0, topK: Int = -1,
+                 popularDomains: Set[String] = Set.empty,
+                 topicCount: Int = 20, seed: Long = 42L,
+                 feedback: Option[DataFrame] = None,
+                 maxRatio: Double = 1.0): DataFrame = {
+    val model = train(proxy, popularDomains, topicCount, seed = seed,
+      feedback = feedback)
+    TopicModel.assertQuality(model.topics,
+      Corpus.wordCounts(
+        featurizeWithLookup(withFeatures(validRows(proxy)),
+          model.cuts, model.popular),
+        col("clientip"), col("word")),
+      maxRatio, label = "proxy LDA")
+    Scoring.suspicious(score(proxy, model), threshold, topK)
+  }
 }

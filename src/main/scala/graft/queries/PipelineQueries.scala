@@ -107,7 +107,10 @@ object PipelineQueries {
         threshold = 1.0, topK = 100, topicCount = 10)),
 
     // The three reference pipelines end-to-end over network-shaped
-    // fabrications of the harness tables (LDA — rows-only checks).
+    // fabrications of the harness tables. LDA — rows-only checks, so each
+    // runs through runChecked: the inline perplexity bound
+    // (TopicModel.assertQuality) turns a silent training regression into
+    // a non-null gate err.
     "pipe_flow_full" -> ((s, dir) => {
       val flows = Fabrications.flowPorts(t(s, dir, "events"))
         .withColumn("trhour", hour(col("ts")))
@@ -115,7 +118,7 @@ object PipelineQueries {
         .withColumn("trsec", second(col("ts")))
         .withColumn("ipkt", (col("value") * 10).cast("long") + 1)
         .withColumn("ibyt", (col("value") * 1000).cast("long") + 40)
-      graft.pipelines.FlowPipeline.run(flows, threshold = 1.0, topK = 100,
+      graft.pipelines.FlowPipeline.runChecked(flows, threshold = 1.0, topK = 100,
         topicCount = 5, seed = 42L)
         .select("event_id", "sip", "dip", "src_word", "dst_word", "score")}),
 
@@ -126,7 +129,7 @@ object PipelineQueries {
         .withColumnRenamed("qname", "dns_qry_name")
         .withColumnRenamed("qry_type", "dns_qry_type")
         .withColumnRenamed("rcode", "dns_qry_rcode")
-      graft.pipelines.DnsPipeline.run(dns, threshold = 1.0, topK = 100,
+      graft.pipelines.DnsPipeline.runChecked(dns, threshold = 1.0, topK = 100,
         popularDomains = Set("src1", "src3", "src5"), topicCount = 5, seed = 42L)
         .select("doc_id", "ip_dst", "word", "score")}),
 
@@ -142,7 +145,7 @@ object PipelineQueries {
           when(col("event_id") % 2 === 0, lit("text/plain")).otherwise(lit("image/png")))
         .withColumn("fulluri", concat(lit("http://h/"), col("event_type"), lit("?"), col("props")))
         .withColumn("respcode", (lit(200) + col("event_id") % 3 * 100).cast("string"))
-      graft.pipelines.ProxyPipeline.run(proxy, threshold = 1.0, topK = 100,
+      graft.pipelines.ProxyPipeline.runChecked(proxy, threshold = 1.0, topK = 100,
         topicCount = 5, seed = 42L)
         .select("event_id", "clientip", "word", "score")})
   )

@@ -41,4 +41,29 @@ class EventsQualitySpec extends SparkSpec {
       EventsPipeline.assertQuality(bad, events)
     e.getMessage should include("LDA training-quality regression")
   }
+
+  // The SHARED tripwire now wired into every full-LDA gate
+  // (pipe_flow_full / pipe_dns_full / pipe_proxy_full via each pipeline's
+  // runChecked): hand-built models make the bound's two sides exact —
+  // uniform perplexity == |vocab| (allowed at maxRatio 1.0), degenerate
+  // mass > |vocab| (throws → the driver gate's err goes non-null).
+  "TopicModel.assertQuality" should
+    "accept a uniform model and reject a degenerate one on the same corpus" in {
+    val wc = Seq(("d1", "a", 3L), ("d1", "b", 1L), ("d2", "b", 2L))
+      .toDF("doc", "word", "count")
+    val mixes = Seq(("d1", Seq(0.5, 0.5)), ("d2", Seq(0.5, 0.5)))
+      .toDF("doc", "topic_mix")
+    val uniform = graft.ml.TopicModel.Model(mixes,
+      Seq(("a", Seq(0.5, 0.5)), ("b", Seq(0.5, 0.5))).toDF("word", "topic_prob"), 2)
+    // P(word|doc) = 0.5 everywhere = 1/|vocab| → perplexity exactly 2.0
+    noException should be thrownBy
+      graft.ml.TopicModel.assertQuality(uniform, wc, label = "flow LDA")
+    // all probability mass on "a": docs that emit "b" collapse to ~0 and
+    // perplexity blows past the uniform baseline
+    val degenerate = uniform.copy(wordTopicProb =
+      Seq(("a", Seq(1.0, 1.0)), ("b", Seq(1e-12, 1e-12))).toDF("word", "topic_prob"))
+    val e = the[IllegalStateException] thrownBy
+      graft.ml.TopicModel.assertQuality(degenerate, wc, label = "flow LDA")
+    e.getMessage should include("flow LDA training-quality regression")
+  }
 }
