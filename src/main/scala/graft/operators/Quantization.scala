@@ -230,10 +230,12 @@ object Quantization {
     * needs no Exchange on the code side (the distance table is broadcast;
     * the code side streams straight from its buckets). Within-bucket rows
     * sort by (centroid_id, cand_id) for row-group locality. */
-  def writeCodeIndex(codes: DataFrame, table: String, numBuckets: Int): Unit =
-    codes.write.mode("overwrite")
+  def writeCodeIndex(codes: DataFrame, table: String, numBuckets: Int,
+                     path: Option[String] = None): Unit = {
+    val w = codes.write.mode("overwrite")
       .bucketBy(numBuckets, "centroid_id").sortBy("centroid_id", "cand_id")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Probe-side IVFADC search over an EXISTING code index (the output of
     * [[ivfPqEncode]], ideally [[writeCodeIndex]]-persisted). The query

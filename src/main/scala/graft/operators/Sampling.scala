@@ -79,4 +79,64 @@ object Sampling {
       .where(col("__rn") <= target)
       .drop("__rn")
   }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): pick the `topK`
+    * source-pool documents whose hashed-bigram feature distribution looks
+    * most like a TARGET corpus. Features are token bigrams hashed into
+    * `numBuckets` buckets ([[PolyHash]] — engine-stable); each corpus
+    * gets an additive-smoothed unigram model over buckets
+    * p(b) = (c(b)+1)/(N+B); a document's score is the mean per-feature
+    * log importance ratio ln p_target(b) − ln p_source(b), each log
+    * 6-dp-rounded to an integer so the cross-engine sum is exact and the
+    * one final division is deterministic IEEE (the x16 bigram-LM
+    * discipline). Deterministic rank (score desc, id asc) replaces the
+    * paper's Gumbel resampling — reproducibility over noise injection.
+    *
+    * Scale shape: bigrams are narrow rows; both bucket models aggregate
+    * map-side to ≤ `numBuckets` rows and BROADCAST back to the per-doc
+    * score aggregation; the final top-k is TakeOrdered — no shuffle grows
+    * with the corpus beyond the doc-keyed feature count. */
+  def dsirSelect(docs: DataFrame, id: Column, text: Column, isTarget: Column,
+                 numBuckets: Int = 1024, topK: Int = 50): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    require(topK > 0, "topK must be positive")
+    val toks = docs.select(id.cast("long").as("doc_id"),
+      isTarget.cast("boolean").as("is_target"),
+      posexplode(graft.functions.TextFunctions.tokens(text))
+        .as(Seq("pos", "token")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    // per-(doc, bucket) feature counts — the only corpus-sized aggregation
+    val feats = toks.withColumn("nxt", lead("token", 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), col("is_target"),
+        (PolyHash.poly_hash(concat(col("token"), lit(" "), col("nxt")))
+          % numBuckets).as("b"))
+      .groupBy("doc_id", "is_target", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds both bucket models and doc scoring
+    // corpus bucket models: ≤ numBuckets rows each, exact integer counts
+    def model(target: Boolean) = feats.where(col("is_target") === target)
+      .groupBy("b").agg(sum("c").as("cnt"))
+    val nT = feats.where(col("is_target")).agg(sum("c")).head().getLong(0)
+    val nS = feats.where(!col("is_target")).agg(sum("c")).head().getLong(0)
+    def l6(cnt: Column, n: Long) = floor(
+      log((coalesce(cnt, lit(0L)) + 1).cast("double") / (n + numBuckets).toDouble)
+        * 1000000 + 0.5).cast("long")
+    val deltas = model(target = true).withColumnRenamed("cnt", "ct")
+      .join(model(target = false).withColumnRenamed("cnt", "cs"), Seq("b"), "full_outer")
+      .select(col("b"), (l6(col("ct"), nT) - l6(col("cs"), nS)).as("d_int"))
+    val scored = feats.where(!col("is_target"))
+      .join(broadcast(deltas), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("d_int")).as("s_int"), sum("c").as("n_feats"))
+      .withColumn("avg_logw",
+        col("s_int").cast("double") / col("n_feats") / 1000000.0)
+    // TakeOrdered top-k, then rank within the k driver-bounded rows
+    val top = scored.orderBy(col("avg_logw").desc, col("doc_id")).limit(topK)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("avg_logw").desc, col("doc_id"))).cast("int"))
+      .select("doc_id", "n_feats", "avg_logw", "rank")
+  }
 }

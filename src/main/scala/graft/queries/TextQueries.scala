@@ -290,7 +290,16 @@ object TextQueries {
     // bigram NLL per doc (the perplexity-filter signal).
     "x16_lm_score" -> ((s, dir) =>
       graft.operators.Corpus.bigramLmScores(t(s, dir, "documents"),
-        col("doc_id"), col("text")))
+        col("doc_id"), col("text"))),
+
+    // X17: DSIR-style data selection — the 25 non-English-pool docs whose
+    // hashed-bigram feature distribution is most English-like (target =
+    // lang 'en'), by smoothed log importance ratio. Deterministic rank
+    // replaces the paper's Gumbel resampling, so the oracle is exact.
+    "x17_dsir_select" -> ((s, dir) =>
+      graft.operators.Sampling.dsirSelect(t(s, dir, "documents"),
+        col("doc_id"), col("text"), col("lang") === "en",
+        numBuckets = 1024, topK = 25))
   )
 
   /** Injected tails for the Gopher gate, shared verbatim with the oracle. */
@@ -898,6 +907,42 @@ object TextQueries {
          |SELECT doc_id, n_bigrams,
          |       floor(s::DOUBLE / n_bigrams + 0.5) / 1000000.0 AS avg_nll
          |FROM agg""".stripMargin,
+
+    // hashed-bigram buckets, per-corpus smoothed bucket models with each
+    // log snapped to 1e-6 fixed point (integer per-doc sums), one double
+    // division chain per doc, deterministic top-k
+    "x17_dsir_select" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang = 'en' AS is_target,
+         |         list_filter(string_split_regex(text, '\\s+'),
+         |                     x -> len(x) > 0) AS tk
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, is_target, tk[i] || ' ' || tk[i+1] AS f
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)
+         |  WHERE len(tk) >= 2),
+         |feats AS (
+         |  SELECT doc_id, is_target, (${hashSql("f")}) % 1024 AS b, count(*) AS c
+         |  FROM bg GROUP BY 1, 2, 3),
+         |nt AS (SELECT sum(c) AS n FROM feats WHERE is_target),
+         |ns AS (SELECT sum(c) AS n FROM feats WHERE NOT is_target),
+         |mt AS (SELECT b, sum(c) AS ct FROM feats WHERE is_target GROUP BY 1),
+         |ms AS (SELECT b, sum(c) AS cs FROM feats WHERE NOT is_target GROUP BY 1),
+         |deltas AS (
+         |  SELECT coalesce(mt.b, ms.b) AS b,
+         |    floor(ln((coalesce(ct, 0) + 1)::DOUBLE / (nt.n + 1024)) * 1000000 + 0.5)::BIGINT
+         |  - floor(ln((coalesce(cs, 0) + 1)::DOUBLE / (ns.n + 1024)) * 1000000 + 0.5)::BIGINT
+         |      AS d_int
+         |  FROM mt FULL OUTER JOIN ms ON mt.b = ms.b, nt, ns),
+         |scored AS (
+         |  SELECT doc_id, sum(c * d_int)::BIGINT AS s_int, sum(c)::BIGINT AS n_feats
+         |  FROM feats JOIN deltas USING (b) WHERE NOT is_target GROUP BY 1)
+         |SELECT doc_id, n_feats,
+         |       (s_int::DOUBLE / n_feats) / 1000000.0 AS avg_logw, rank
+         |FROM (SELECT *, row_number() OVER (
+         |        ORDER BY (s_int::DOUBLE / n_feats) / 1000000.0 DESC, doc_id)::INT AS rank
+         |      FROM scored)
+         |WHERE rank <= 25""".stripMargin,
 
     "x14_mixture" ->
       s"""WITH h AS (

@@ -134,7 +134,28 @@ object VectorQueries {
       val cb = Quantization.seedCodebooks(resid.where(col("vec_id") >= 8),
         numSub = 4, subDim = 16, k = 8, id = "vec_id", vec = "rv")
       Quantization.ivfPqTopK(emb.where(col("vec_id") < 10), emb, cents, cb,
-        numSub = 4, subDim = 16, k = 5, nProbe = 2)})
+        numSub = 4, subDim = 16, k = 5, nProbe = 2)}),
+
+    // V11b: the same IVFADC search through its PERSISTED form — encode
+    // once to a code index bucketed by centroid_id (the 100 TB physical
+    // layout: a probed-cell scan reads only that cell's buckets, and the
+    // probe join needs no code-side Exchange), then search with the
+    // probed-cell filter pushed into the scan. Same oracle as v11: the
+    // layout changes what is READ, never the result.
+    "v11b_ivfpq_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 8)
+      val resid = Quantization.ivfResiduals(emb, cents)
+      val cb = Quantization.seedCodebooks(resid.where(col("vec_id") >= 8),
+        numSub = 4, subDim = 16, k = 8, id = "vec_id", vec = "rv")
+      Quantization.writeCodeIndex(
+        Quantization.ivfPqEncode(emb, cents, cb, numSub = 4, subDim = 16),
+        table = "graft_v11b_code_idx", numBuckets = 4,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_v11b_code_idx"))
+      Quantization.ivfPqSearch(emb.where(col("vec_id") < 10),
+        s.table("graft_v11b_code_idx"), cents, cb,
+        numSub = 4, subDim = 16, k = 5, nProbe = 2,
+        pruneProbedCells = true)})
   )
 
   /** DuckDB sequential-fold dot product of two DOUBLE[] exprs. */
@@ -480,7 +501,33 @@ object VectorQueries {
          |FROM lab l JOIN win w ON w.cluster = l.cluster""".stripMargin
     },
 
-    "v11_ivfpq" ->
+    // shared by v11 (inline) and v11b (persisted bucketed index): the
+    // physical layout changes what is read, never the result
+    "v11_ivfpq" -> v11Sql,
+    "v11b_ivfpq_indexed" -> v11Sql,
+
+    "v9_pq_adc" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |$svSql,
+         |$pqTrainCte,
+         |enc AS (SELECT vec_id AS cand_id, sub, code FROM (${pqAssignSql("cb2")}) pe),
+         |dtab AS (
+         |  SELECT s.vec_id AS query_id, s.sub, c.code,
+         |    floor((floor((${l2Sql("s.sv", "c.cw")}) * 1000000 + 0.5) / 1000000.0)
+         |          * 1000000 + 0.5)::BIGINT AS d_int
+         |  FROM sv s JOIN cb2 c ON c.sub = s.sub WHERE s.vec_id < 10),
+         |adc AS (
+         |  SELECT query_id, cand_id, sum(d_int)::BIGINT AS s_int
+         |  FROM enc e JOIN dtab d ON d.sub = e.sub AND d.code = e.code
+         |  WHERE e.cand_id != d.query_id GROUP BY 1, 2)
+         |SELECT query_id, cand_id, (s_int::DOUBLE / 1000000.0) AS adist,
+         |       rank::INT AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY s_int, cand_id) AS rank FROM adc)
+         |WHERE rank <= 5""".stripMargin
+  )
+
+  private lazy val v11Sql: String =
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
          |cassign AS (
@@ -534,26 +581,5 @@ object VectorQueries {
          |       rank::INT AS rank
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY s_int, cand_id) AS rank FROM adc)
-         |WHERE rank <= 5""".stripMargin,
-
-    "v9_pq_adc" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |$svSql,
-         |$pqTrainCte,
-         |enc AS (SELECT vec_id AS cand_id, sub, code FROM (${pqAssignSql("cb2")}) pe),
-         |dtab AS (
-         |  SELECT s.vec_id AS query_id, s.sub, c.code,
-         |    floor((floor((${l2Sql("s.sv", "c.cw")}) * 1000000 + 0.5) / 1000000.0)
-         |          * 1000000 + 0.5)::BIGINT AS d_int
-         |  FROM sv s JOIN cb2 c ON c.sub = s.sub WHERE s.vec_id < 10),
-         |adc AS (
-         |  SELECT query_id, cand_id, sum(d_int)::BIGINT AS s_int
-         |  FROM enc e JOIN dtab d ON d.sub = e.sub AND d.code = e.code
-         |  WHERE e.cand_id != d.query_id GROUP BY 1, 2)
-         |SELECT query_id, cand_id, (s_int::DOUBLE / 1000000.0) AS adist,
-         |       rank::INT AS rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY s_int, cand_id) AS rank FROM adc)
          |WHERE rank <= 5""".stripMargin
-  )
 }

@@ -277,6 +277,29 @@ class OperatorsSpec extends SparkSpec {
       got.as[(Long, String)].collect().toSet
   }
 
+  "Sampling.dsirSelect" should
+    "rank the target-like source doc first and score by mean log ratio" in {
+    // target corpus speaks "alpha beta"; source doc 10 repeats exactly the
+    // target's bigrams, doc 11 shares none — 10 must outrank 11, with
+    // n_feats = its bigram count and ranks a dense 1..k
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha", true),
+      (2L, "alpha beta gamma alpha beta", true),
+      (10L, "alpha beta alpha beta", false),
+      (11L, "omega psi chi phi upsilon", false)).toDF("id", "txt", "tgt")
+    val got = Sampling.dsirSelect(docs, col("id"), col("txt"), col("tgt"),
+      numBuckets = 64, topK = 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    got.map(_._1) shouldBe Array(10L, 11L)
+    got.map(_._4) shouldBe Array(1, 2)
+    got(0)._2 shouldBe 3L // "alpha beta","beta alpha","alpha beta"
+    got(0)._3 should be > got(1)._3
+    // the target-like doc's ratio is positive (target-favored buckets),
+    // the disjoint doc's negative (source-only buckets)
+    got(0)._3 should be > 0.0
+    got(1)._3 should be < 0.0
+  }
+
   "Dedup.leakageSafeSplits" should "assign whole near-dup clusters to one split" in {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -22,6 +22,8 @@ class PlanAuditSpec extends SparkSpec {
     "v4c_scaled_cells", "v5_ivf_search", "v7_kmeans", "v10_semantic_dedup",
     "v11_ivfpq", // cell assignment = broadcast cross vs 8 centroids; the
                  // ADC itself is equi (centroid_id, sub, code) hash joins
+    "v11b_ivfpq_indexed", // same assignment shape; the probe join is a
+                          // bucket-pruned scan + broadcast equi join
     "j8_range_join", "a6_ecdf", "a7_quantiles", "a7b_quantile_agg")
 
   /** Full-LDA pipelines train during query construction — minutes of work
