@@ -176,6 +176,45 @@ object Corpus {
         col("ellipsis_ratio") < maxEllipsisRatio)
   }
 
+  /** C4-style line + page cleaning (Raffel et al. 2020 §2.2): keep a LINE
+    * iff it ends in terminal punctuation (. ! ? "), has ≥ `minLineWords`
+    * whitespace words, and doesn't mention javascript; drop the whole PAGE
+    * if fewer than `minKeptLines` lines survive, or it contains
+    * "lorem ipsum" (case-insensitive), a curly brace, or any of
+    * `badWords` (the paper's dirty-word list — pluggable, not shipped).
+    * The paper's "fewer than 3 sentences" page rule is applied as
+    * fewer-than-3 RETAINED lines, the standard reimplementation reading.
+    *
+    * Output per doc: n_lines, n_kept, page_kept, and clean_text (the kept
+    * lines re-joined, NULL for dropped pages — a dropped page contributes
+    * no text downstream, and the NULL makes that unfakeable). Entirely
+    * per-row array expressions — a map-only plan with NO shuffle at any
+    * scale; the lambda filters are interpreted, which is acceptable on a
+    * scan-bound cleaning pass (same trade as [[gopherStats]]'s shape
+    * rules). */
+  def c4LineFilter(docs: DataFrame, id: Column, text: Column,
+                   minLineWords: Int = 5, minKeptLines: Int = 3,
+                   badWords: Seq[String] = Nil): DataFrame = {
+    val keepLine = (l: Column) =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(l, "\\s+"), t => length(t) > 0)) >= minLineWords &&
+        !lower(l).contains("javascript")
+    val staged = docs.select(id.cast("long").as("doc_id"), text.as("__t"),
+      split(text, "\n").as("lines"))
+      .withColumn("kept", filter(col("lines"), keepLine))
+    val pageKept = size(col("kept")) >= minKeptLines &&
+      !lower(col("__t")).contains("lorem ipsum") &&
+      !col("__t").contains("{") &&
+      badWords.foldLeft(lit(true))((acc, w) =>
+        acc && !lower(col("__t")).contains(w.toLowerCase))
+    staged.select(
+      col("doc_id"),
+      size(col("lines")).cast("long").as("n_lines"),
+      size(col("kept")).cast("long").as("n_kept"),
+      pageKept.as("page_kept"),
+      when(pageKept, array_join(col("kept"), "\n")).as("clean_text"))
+  }
+
   /** Corpus-level top-k most frequent word n-grams — the boilerplate
     * detector (headers, license blocks, navigation chrome surface as
     * high-frequency n-grams; the winners feed a removal/cut list).

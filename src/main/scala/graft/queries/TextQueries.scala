@@ -223,6 +223,23 @@ object TextQueries {
               .otherwise(lit("")))),
         col("doc_id"), col("txt"))),
 
+    // X18: C4 line+page cleaning on a fixture that exercises every rule:
+    // appended multi-line tails give doc_id%17==2 a page with 3 keepable
+    // lines plus two too-short ones (page kept), %17==5 a javascript line
+    // that drops the page below the 3-line floor, %17==8 a lorem-ipsum
+    // page kill, %17==11 a curly-brace page kill; all other docs are one
+    // unterminated line (0 kept, page dropped).
+    "x18_c4_filter" -> ((s, dir) =>
+      graft.operators.Corpus.c4LineFilter(
+        t(s, dir, "documents").withColumn("txt",
+          concat(col("text"),
+            when(col("doc_id") % 17 === 2, lit(C4Injections("mixed")))
+              .when(col("doc_id") % 17 === 5, lit(C4Injections("js")))
+              .when(col("doc_id") % 17 === 8, lit(C4Injections("lorem")))
+              .when(col("doc_id") % 17 === 11, lit(C4Injections("brace")))
+              .otherwise(lit("")))),
+        col("doc_id"), col("txt"))),
+
     // D7: duplicated-span profile (exact-substring dedup signal) on the
     // dup-bearing corpus: per doc, how many of its 5-gram spans occur
     // anywhere else in the corpus. The injected exact duplicates give the
@@ -301,6 +318,26 @@ object TextQueries {
         col("doc_id"), col("text"), col("lang") === "en",
         numBuckets = 1024, topK = 25))
   )
+
+  /** Injected tails for the C4 gate, shared verbatim with the oracle
+    * (no apostrophes — they interpolate into SQL string literals). */
+  private val C4Injections: Map[String, String] = Map(
+    "mixed" -> ("\nThis first injected line ends with a period and carries many words." +
+      "\nshort line." +
+      "\nTiny." +
+      "\nThe second good line also carries enough words to pass easily." +
+      "\nAnd a third quality line closes the page with proper punctuation."),
+    "js" -> ("\nThis page would be fine except that one line fails below." +
+      "\nPlease enable javascript to view the content of this page." +
+      "\nAnother perfectly reasonable sentence appears right here at the end."),
+    "lorem" -> ("\nLorem ipsum dolor sit amet consectetur adipiscing elit sed do." +
+      "\nThis sentence is long enough and ends with a period." +
+      "\nSo is this one which also ends with a nice period." +
+      "\nAnd this third one completes the trio with a period."),
+    "brace" -> ("\nThis brace bearing line { is otherwise full of words." +
+      "\nThis sentence is long enough and ends with a period." +
+      "\nSo is this one which also ends with a nice period." +
+      "\nAnd this third one completes the trio with a period."))
 
   /** Injected tails for the Gopher gate, shared verbatim with the oracle. */
   private val GopherInjections: Map[String, String] = Map(
@@ -907,6 +944,36 @@ object TextQueries {
          |SELECT doc_id, n_bigrams,
          |       floor(s::DOUBLE / n_bigrams + 0.5) / 1000000.0 AS avg_nll
          |FROM agg""".stripMargin,
+
+    // the same line rules over the same injected tails; clean_text is the
+    // kept lines rejoined, NULL for dropped pages
+    "x18_c4_filter" ->
+      raw"""WITH inj AS (
+           |  SELECT doc_id, text || CASE
+           |    WHEN doc_id % 17 = 2 THEN '${C4Injections("mixed")}'
+           |    WHEN doc_id % 17 = 5 THEN '${C4Injections("js")}'
+           |    WHEN doc_id % 17 = 8 THEN '${C4Injections("lorem")}'
+           |    WHEN doc_id % 17 = 11 THEN '${C4Injections("brace")}'
+           |    ELSE '' END AS txt
+           |  FROM documents),
+           |k AS (
+           |  SELECT doc_id, txt, len(string_split(txt, chr(10))) AS n_lines,
+           |    list_filter(string_split(txt, chr(10)), x ->
+           |      right(x, 1) IN ('.', '!', '?', '"')
+           |      AND len(list_filter(string_split_regex(x, '\s+'),
+           |                          t -> len(t) > 0)) >= 5
+           |      AND NOT contains(lower(x), 'javascript')) AS kept
+           |  FROM inj),
+           |p AS (
+           |  SELECT doc_id, n_lines, kept,
+           |    (len(kept) >= 3 AND NOT contains(lower(txt), 'lorem ipsum')
+           |     AND NOT contains(txt, '{')) AS page_kept
+           |  FROM k)
+           |SELECT doc_id, n_lines::BIGINT AS n_lines,
+           |       len(kept)::BIGINT AS n_kept, page_kept,
+           |       CASE WHEN page_kept
+           |            THEN array_to_string(kept, chr(10)) END AS clean_text
+           |FROM p""".stripMargin,
 
     // hashed-bigram buckets, per-corpus smoothed bucket models with each
     // log snapped to 1e-6 fixed point (integer per-doc sums), one double

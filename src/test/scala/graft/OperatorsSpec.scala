@@ -277,6 +277,38 @@ class OperatorsSpec extends SparkSpec {
       got.as[(Long, String)].collect().toSet
   }
 
+  "Corpus.c4LineFilter" should "apply every line and page rule" in {
+    val keep3 = "One good line ends with a period right here.\n" +
+      "Another good line also ends with terminal punctuation!\n" +
+      "Does a third line with a question mark count too?"
+    val docs = Seq(
+      (1L, keep3),                                      // 3 kept → page kept
+      (2L, keep3 + "\nshort line.\nno terminal punct here at all"), // extras dropped
+      (3L, keep3 + "\nPlease enable JavaScript to view this site."), // js line dropped, page still kept
+      (4L, keep3 + "\nFour words only here."), // terminal punct but < 5 words → dropped
+      (5L, keep3 + " lorem ipsum"),                     // page killed
+      (6L, keep3 + "\ncode { block }"),                 // page killed
+      (7L, "too few kept lines here.")                  // 1 kept < 3 → dropped
+    ).toDF("id", "txt")
+    val got = Corpus.c4LineFilter(docs, col("id"), col("txt"))
+      .as[(Long, Long, Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    got(1L)._4 shouldBe true
+    got(1L)._3 shouldBe 3L
+    got(1L)._5 shouldBe Some(keep3)
+    got(2L)._3 shouldBe 3L          // the two bad lines dropped
+    got(2L)._4 shouldBe true
+    got(3L)._3 shouldBe 3L          // javascript line dropped, page survives
+    got(3L)._4 shouldBe true
+    got(4L)._3 shouldBe 3L          // 4-word line fails the word floor
+    got(4L)._4 shouldBe true
+    got(5L)._4 shouldBe false       // lorem ipsum kills the page
+    got(5L)._5 shouldBe None
+    got(6L)._4 shouldBe false       // curly brace kills the page
+    got(7L)._4 shouldBe false       // below the kept-line floor
+    got(7L)._3 shouldBe 1L
+  }
+
   "Sampling.dsirSelect" should
     "rank the target-like source doc first and score by mean log ratio" in {
     // target corpus speaks "alpha beta"; source doc 10 repeats exactly the
