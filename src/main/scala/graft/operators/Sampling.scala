@@ -118,8 +118,11 @@ object Sampling {
     // corpus bucket models: ≤ numBuckets rows each, exact integer counts
     def model(target: Boolean) = feats.where(col("is_target") === target)
       .groupBy("b").agg(sum("c").as("cnt"))
-    val nT = feats.where(col("is_target")).agg(sum("c")).head().getLong(0)
-    val nS = feats.where(!col("is_target")).agg(sum("c")).head().getLong(0)
+    // both corpus totals in ONE job over the checkpointed narrow rows
+    val totals = feats.groupBy("is_target").agg(sum("c").as("n"))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val nT = totals.getOrElse(true, 0L)
+    val nS = totals.getOrElse(false, 0L)
     def l6(cnt: Column, n: Long) = floor(
       log((coalesce(cnt, lit(0L)) + 1).cast("double") / (n + numBuckets).toDouble)
         * 1000000 + 0.5).cast("long")

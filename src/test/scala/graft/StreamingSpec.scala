@@ -97,6 +97,33 @@ class StreamingSpec extends SparkSpec {
     got shouldBe Set(1L -> "a", 3L -> "b", 5L -> "c")
   }
 
+  "Corpus.c4LineFilter" should
+    "clean a stream stateless-map-only, matching its batch output" in {
+    import StreamingScore.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      StreamDoc(1L, "One good line ends with a period right here.\n" +
+        "Another good line also ends with terminal punctuation!\n" +
+        "Does a third line with a question mark count too?", ts(0)),
+      StreamDoc(2L, "short.\nno punct", ts(1)))
+    val input = MemoryStream[StreamDoc]
+    input.addData(docs: _*)
+    // the SAME operator call works on the streaming frame — it is pure
+    // per-row column expressions, so append mode needs no state/watermark
+    val q = graft.operators.Corpus.c4LineFilter(
+        input.toDF(), col("doc_id"), col("text"))
+      .writeStream.format("memory").queryName("c4_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("c4_out")
+      .as[(Long, Long, Long, Boolean, Option[String])].collect().toSet
+    val batch = graft.operators.Corpus.c4LineFilter(
+        docs.toDF(), col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Boolean, Option[String])].collect().toSet
+    streamed shouldBe batch
+    streamed.map(r => r._1 -> r._4).toMap shouldBe Map(1L -> true, 2L -> false)
+  }
+
   "lshCandidateStream" should "pair new docs against bucket history across batches" in {
     import StreamingScore.{CandidatePair, StreamDoc}
     implicit val sqlCtx = spark.sqlContext
