@@ -436,13 +436,21 @@ object Media {
     out.array()
   }
 
-  /** A complete, spec-valid 8-bit RGB PNG whose raw pixel channel byte
+  /** A complete, spec-valid 8-bit PNG whose raw pixel channel byte
     * `j` (row-major, filter bytes excluded) is `f(j) & 0xff`: scanlines
     * are FILTERED with type `row % 5` — so any image of height ≥ 5
     * genuinely exercises all five filter reconstructions — then
-    * DEFLATE-compressed into a single IDAT with real CRC32s. */
-  def pngBytesPixels(width: Int, height: Int, f: Int => Int): Array[Byte] = {
-    val channels = 3
+    * DEFLATE-compressed into a single IDAT with real CRC32s.
+    * `colorType`: 0 gray, 2 RGB (default), 4 gray+alpha, 6 RGBA — the
+    * bytes-per-pixel used by Sub/Average/Paeth reconstruction follows
+    * it, so non-RGB types exercise the bpp-dependent filter paths. */
+  def pngBytesPixels(width: Int, height: Int, f: Int => Int,
+                     colorType: Int = 2): Array[Byte] = {
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => throw new IllegalArgumentException(
+        s"unsupported fixture color type $colorType")
+    }
     val rowBytes = width * channels
     def paeth(a: Int, b: Int, c: Int): Int = {
       val p = a + b - c
@@ -492,7 +500,8 @@ object Media {
     }
     val ihdr = java.nio.ByteBuffer.allocate(13)
     ihdr.putInt(width).putInt(height)
-    ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    ihdr.put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
     val out = new java.io.ByteArrayOutputStream()
     out.write(Bytes.PngSig)
     out.write(chunk("IHDR", ihdr.array()))

@@ -129,6 +129,25 @@ class MediaSpec extends SparkSpec {
     st.mean_val shouldBe vals.sum.toDouble / n
   }
 
+  it should "decode gray, gray+alpha, and RGBA PNGs (bpp-dependent filters)" in {
+    // Sub/Average/Paeth reconstruct against the previous PIXEL (bpp
+    // bytes back) — a wrong bpp corrupts every row of type 1/3/4, so
+    // exercising each color type pins the channel-count plumbing
+    for ((ct, ch) <- Seq(0 -> 1, 4 -> 2, 6 -> 4)) {
+      val w = 4; val h = 6; val n = w * h * ch
+      val png = Media.pngBytesPixels(w, h, j => (j * 53 + 5) % 256, colorType = ct)
+      val st = Media.SampleStatsDecoder.decodeStats(
+        Iterator(Media.MediaRecord(ct.toLong, "image/png", png))).next()
+      val vals = (0 until n).map(j => (j * 53 + 5) % 256)
+      withClue(s"colorType $ct:") {
+        st.n_samples shouldBe n.toLong
+        st.min_val shouldBe vals.min.toLong
+        st.max_val shouldBe vals.max.toLong
+        st.mean_val shouldBe vals.sum.toDouble / n
+      }
+    }
+  }
+
   it should "emit no row for payloads it cannot truly decode" in {
     val full = Media.pngBytesPixels(6, 6, j => j)
     val recs = Seq(
