@@ -237,6 +237,32 @@ object Quantization {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** Trained IVFADC index, end to end — the production constructor a
+    * reference user would call (the v11 gates fix centroids/codebook
+    * seeds only so a SQL oracle can recompute them): Lloyd-train
+    * `nCells` coarse centroids (⌈√n⌉ when omitted — the same occupancy
+    * rule as the cell-routed dedup paths), residual-encode, Lloyd-train
+    * PQ codebooks ON the residuals, encode. Returns (centroids,
+    * codebooks, codes) — persist codes via [[writeCodeIndex]] and serve
+    * with [[ivfPqSearch]]. Training is iteration-bound Lloyd on narrow
+    * rows; every per-row stage is the oracle-checked ones composed. */
+  def buildIvfPqIndex(corpus: DataFrame, numSub: Int, subDim: Int,
+                      codebookK: Int = 256, nCells: Int = 0,
+                      kmeansIters: Int = 2, pqIters: Int = 2,
+                      cId: String = "vec_id", cVec: String = "embedding")
+      : (DataFrame, DataFrame, DataFrame) = {
+    val k = if (nCells > 0) nCells
+      else math.max(1, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+    val cents = Similarity.kmeansCentroids(corpus, k, kmeansIters, cId, cVec)
+      .select(col("centroid_id").as("vec_id"), col("cent").as("embedding"))
+      .localCheckpoint(false)
+    val resid = ivfResiduals(corpus, cents, cId, cVec)
+    val cb = pqTrainCodebooks(resid, numSub, subDim, codebookK, pqIters,
+      id = "vec_id", vec = "rv").localCheckpoint(false)
+    val codes = ivfPqEncode(corpus, cents, cb, numSub, subDim, cId, cVec)
+    (cents, cb, codes)
+  }
+
   /** Probe-side IVFADC search over an EXISTING code index (the output of
     * [[ivfPqEncode]], ideally [[writeCodeIndex]]-persisted). The query
     * side is [[ivfPqTopK]]'s: per probed cell, one query residual and one

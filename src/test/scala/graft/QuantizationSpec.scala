@@ -169,6 +169,55 @@ class QuantizationSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  "Quantization.buildIvfPqIndex" should
+    "train a full index whose lossless search equals exact L2" in {
+    // the production constructor: TRAINED coarse centroids + codebooks.
+    // With codebookK = n every residual stays its own codeword (Lloyd
+    // fixes singleton clusters), so search over the built index must
+    // reproduce exact L2 ranking — through trained cells this time.
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 24L).map(i => i -> Seq.fill(8)(rnd.nextDouble()))
+    val df = vecs(rows: _*)
+    val (cents, cb, codes) = Quantization.buildIvfPqIndex(df,
+      numSub = 2, subDim = 4, codebookK = 24, nCells = 2,
+      kmeansIters = 1, pqIters = 0)
+    codes.count() shouldBe 24L * 2   // n vectors x numSub narrow rows
+    cents.count() shouldBe 2L
+    val got = Quantization.ivfPqSearch(df.where(col("vec_id") < 4),
+      codes, cents, cb, numSub = 2, subDim = 4, k = 4, nProbe = 2)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+
+    def dot(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p * q }
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byId = rows.toMap
+    val centVecs = cents.as[(Long, Seq[Double])].collect().toMap
+    def cellOf(v: Seq[Double]): Long =
+      centVecs.toSeq.map { case (c, cv) =>
+        (math.floor(cos(v, cv) * 1e6 + 0.5) / 1e6, c) }
+        .minBy { case (s, c) => (-s, c) }._2
+    def adcMicro(q: Seq[Double], c: Seq[Double], cell: Long): Long = {
+      val qr = q.zip(centVecs(cell)).map { case (a, b) => a - b }
+      val cr = c.zip(centVecs(cell)).map { case (a, b) => a - b }
+      (0 until 2).map { m =>
+        val d = l2(qr.slice(m * 4, m * 4 + 4), cr.slice(m * 4, m * 4 + 4))
+        val r6 = math.floor(d * 1e6 + 0.5) / 1e6
+        math.floor(r6 * 1e6 + 0.5).toLong
+      }.sum
+    }
+    val want = (0L until 4L).flatMap { q =>
+      rows.filter(_._1 != q)
+        .map { case (c, v) => (c, adcMicro(byId(q), v, cellOf(v))) }
+        .sortBy { case (c, d) => (d, c) }.take(4).zipWithIndex
+        .map { case ((c, _), r) => (q, c, r + 1) }
+    }.toSet
+    got shouldBe want
+  }
+
   "Quantization.writeCodeIndex + ivfPqSearch" should
     "probe a bucketed code index with bucket pruning and no code-side Exchange" in {
     val rnd = new scala.util.Random(11)
