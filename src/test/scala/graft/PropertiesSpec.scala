@@ -64,4 +64,31 @@ object PropertiesSpec extends Properties("graft") {
       d == Domains.NoDomain || h.split('.').contains(d)
     }
   }
+
+  // PNG encode→decode round trip: for ANY geometry, color type, and pixel
+  // function, the pure-JVM decoder must recover the exact stats of the
+  // values the fixture filtered and DEFLATE-compressed (filters cycle
+  // row % 5, so height ≥ 5 exercises all five reconstructions)
+  property("png pixel stats round-trip exactly") = {
+    import graft.multimodal.Media
+    val geom = for {
+      w <- Gen.choose(1, 12); h <- Gen.choose(1, 12)
+      ct <- Gen.oneOf(0, 2, 4, 6)
+      mult <- Gen.choose(1, 997); add <- Gen.choose(0, 255)
+    } yield (w, h, ct, mult, add)
+    forAll(geom) { case (w, h, ct, mult, add) =>
+      val ch = ct match { case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4 }
+      val f = (j: Int) => (j * mult + add) % 256
+      val png = Media.pngBytesPixels(w, h, f, colorType = ct)
+      val st = Media.SampleStatsDecoder.decodeStats(
+        Iterator(Media.MediaRecord(1L, "image/png", png))).toSeq
+      val vals = (0 until w * h * ch).map(f)
+      Prop.all(
+        Prop(st.length == 1) :| "one stats row",
+        Prop(st.head.n_samples == vals.length.toLong) :| "count",
+        Prop(st.head.min_val == vals.min.toLong) :| "min",
+        Prop(st.head.max_val == vals.max.toLong) :| "max",
+        Prop(st.head.mean_val == vals.sum.toDouble / vals.length) :| "mean")
+    }
+  }
 }
