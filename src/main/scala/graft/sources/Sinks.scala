@@ -19,6 +19,34 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** JSONL (one JSON object per line) — the interchange format of LLM
+    * training corpora. Spark's native json writer IS JSONL (one object
+    * per line per file part); `compression` ("gzip" | "zstd" | "none")
+    * trades scan CPU for storage, and parts stay independently
+    * splittable files for downstream distributed reads. */
+  def writeJsonl(df: DataFrame, path: String,
+                 compression: String = "none"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
+
+  /** Read a JSONL corpus WITH a caller-supplied schema: at 100 TB,
+    * schema inference is a full extra pass over the data and silently
+    * unions drifting shapes — an explicit schema makes both impossible.
+    * `columnNameOfCorruptRecord` rows surface in `_corrupt_record`
+    * (PERMISSIVE) rather than killing the read; count that column to
+    * gate ingest quality. */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType,
+                keepCorrupt: Boolean = false): DataFrame = {
+    val withCorrupt = if (keepCorrupt)
+      schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    else schema
+    val df = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+    if (keepCorrupt) df else df.drop("_corrupt_record")
+  }
+
   /** Overwrite `path` with a frame that may itself be LAZILY READING from
     * `path` (the load-then-save-to-same-path shape in the pipeline model
     * stores). A direct `mode("overwrite")` there either fails with

@@ -117,4 +117,34 @@ class PipelinesSpec extends SparkSpec {
       .as[(String, String)].collect().toSet
     lines shouldBe Set(("a", "1"), ("b", "2"))
   }
+
+  "Sinks.writeJsonl/readJsonl" should
+    "round-trip a corpus under an explicit schema and surface corrupt lines" in {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonl").toFile.getAbsolutePath + "/docs"
+    val docs = Seq((1L, "alpha text", "en"), (2L, "beta text", "fr"))
+      .toDF("doc_id", "text", "lang")
+    Sinks.writeJsonl(docs, dir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    Sinks.readJsonl(spark, dir, schema)
+      .as[(Long, String, String)].collect().toSet shouldBe
+      Set((1L, "alpha text", "en"), (2L, "beta text", "fr"))
+    // a malformed line must surface in _corrupt_record, not kill the read
+    // or silently vanish
+    Files.writeString(java.nio.file.Paths.get(dir, "part-bad.json"),
+      """{"doc_id": 3, "text": "good", "lang": "en"}
+        |{"doc_id": broken json here
+        |""".stripMargin)
+    // Spark disallows queries touching ONLY _corrupt_record on a raw
+    // json scan — materialize first (the documented pattern)
+    val withCorrupt =
+      Sinks.readJsonl(spark, dir, schema, keepCorrupt = true).cache()
+    try {
+      withCorrupt.where(col("_corrupt_record").isNotNull).count() shouldBe 1
+      withCorrupt.where(col("_corrupt_record").isNull).count() shouldBe 3
+    } finally withCorrupt.unpersist()
+    // default drops the diagnostic column but keeps parseable rows
+    Sinks.readJsonl(spark, dir, schema).count() shouldBe 4 // 3 good + 1 null row
+  }
 }
