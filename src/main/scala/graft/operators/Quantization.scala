@@ -161,20 +161,23 @@ object Quantization {
     * residual, not the raw vector: residual energy is what's left after
     * the coarse quantizer, so the same code budget buys more precision).
     *
-    * Known deviation from the cited algorithm: the coarse assignment
-    * reuses [[Similarity.ivfAssignN]]'s 6-dp-rounded COSINE argmax (the
-    * engine-wide deterministic assignment rule that every IVF operator
-    * and its oracle twin share), where Jégou et al. assign by L2 — the
-    * choice that minimizes residual energy. On normalized embeddings the
-    * two agree; on unnormalized data recall/precision may differ from
-    * the paper's, while the oracle contract stays internally exact. */
+    * The coarse assignment defaults to [[Similarity.ivfAssignN]]'s
+    * 6-dp-rounded COSINE argmax (the engine-wide deterministic rule that
+    * every IVF operator and its oracle twin share), where Jégou et al.
+    * assign by L2 — the choice that minimizes residual energy. On
+    * normalized embeddings the two agree; on unnormalized data pass
+    * `metric = "l2"` for the paper-faithful quantizer (the production
+    * default in [[buildIvfPqIndex]]); the cosine default keeps the
+    * oracle contract internally exact. */
   def ivfResiduals(corpus: DataFrame, centroids: DataFrame,
                    cId: String = "vec_id", cVec: String = "embedding",
-                   kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {
+                   kId: String = "vec_id", kVec: String = "embedding",
+                   metric: String = "cosine"): DataFrame = {
     val cents = centroids.select(col(kId).cast("long").as("centroid_id"),
       asDouble(col(kVec)).as("cent"))
     corpus.select(col(cId).cast("long").as("vec_id"), asDouble(col(cVec)).as("v"))
-      .join(Similarity.ivfAssignN(corpus, centroids, 1, cId, cVec, kId, kVec),
+      .join(Similarity.ivfAssignN(corpus, centroids, 1, cId, cVec, kId, kVec,
+          metric),
         "vec_id")
       .join(broadcast(cents), "centroid_id")
       .select(col("vec_id"), col("centroid_id"),
@@ -198,11 +201,13 @@ object Quantization {
                 nProbe: Int = 1,
                 qId: String = "vec_id", qVec: String = "embedding",
                 cId: String = "vec_id", cVec: String = "embedding",
-                kId: String = "vec_id", kVec: String = "embedding"): DataFrame =
+                kId: String = "vec_id", kVec: String = "embedding",
+                metric: String = "cosine"): DataFrame =
     ivfPqSearch(queries,
       ivfPqEncode(corpus, centroids, codebooks, numSub, subDim,
-        cId, cVec, kId, kVec),
-      centroids, codebooks, numSub, subDim, k, nProbe, qId, qVec, kId, kVec)
+        cId, cVec, kId, kVec, metric),
+      centroids, codebooks, numSub, subDim, k, nProbe, qId, qVec, kId, kVec,
+      metric = metric)
 
   /** The IVFADC build side alone: residual-PQ-encode a corpus against the
     * coarse quantizer — narrow `(cand_id, centroid_id, sub, code)` rows,
@@ -212,10 +217,11 @@ object Quantization {
   def ivfPqEncode(corpus: DataFrame, centroids: DataFrame,
                   codebooks: DataFrame, numSub: Int, subDim: Int,
                   cId: String = "vec_id", cVec: String = "embedding",
-                  kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {
+                  kId: String = "vec_id", kVec: String = "embedding",
+                  metric: String = "cosine"): DataFrame = {
     val cb = codebooks.select(col("sub").cast("int").as("sub"),
       col("code").cast("long").as("code"), asDouble(col("cw")).as("cw"))
-    val resid = ivfResiduals(corpus, centroids, cId, cVec, kId, kVec)
+    val resid = ivfResiduals(corpus, centroids, cId, cVec, kId, kVec, metric)
     assignSv(
       subVectors(resid, numSub, subDim, id = "vec_id", vec = "rv",
         outId = "cand_id", carry = Seq("centroid_id")),
@@ -244,22 +250,28 @@ object Quantization {
     * rule as the cell-routed dedup paths), residual-encode, Lloyd-train
     * PQ codebooks ON the residuals, encode. Returns (centroids,
     * codebooks, codes) — persist codes via [[writeCodeIndex]] and serve
-    * with [[ivfPqSearch]]. Training is iteration-bound Lloyd on narrow
-    * rows; every per-row stage is the oracle-checked ones composed. */
+    * with [[ivfPqSearch]] (pass the SAME `metric`). Training is
+    * iteration-bound Lloyd on narrow rows; every per-row stage is the
+    * oracle-checked ones composed. Coarse assignment defaults to the
+    * paper's L2 quantizer here (residual-energy minimizing on
+    * unnormalized data); the v11 gates stay on the engine-wide cosine
+    * rule their twins recompute. */
   def buildIvfPqIndex(corpus: DataFrame, numSub: Int, subDim: Int,
                       codebookK: Int = 256, nCells: Int = 0,
                       kmeansIters: Int = 2, pqIters: Int = 2,
-                      cId: String = "vec_id", cVec: String = "embedding")
+                      cId: String = "vec_id", cVec: String = "embedding",
+                      metric: String = "l2")
       : (DataFrame, DataFrame, DataFrame) = {
     val k = if (nCells > 0) nCells
       else math.max(1, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
     val cents = Similarity.kmeansCentroids(corpus, k, kmeansIters, cId, cVec)
       .select(col("centroid_id").as("vec_id"), col("cent").as("embedding"))
       .localCheckpoint(false)
-    val resid = ivfResiduals(corpus, cents, cId, cVec)
+    val resid = ivfResiduals(corpus, cents, cId, cVec, metric = metric)
     val cb = pqTrainCodebooks(resid, numSub, subDim, codebookK, pqIters,
       id = "vec_id", vec = "rv").localCheckpoint(false)
-    val codes = ivfPqEncode(corpus, cents, cb, numSub, subDim, cId, cVec)
+    val codes = ivfPqEncode(corpus, cents, cb, numSub, subDim, cId, cVec,
+      metric = metric)
     (cents, cb, codes)
   }
 
@@ -277,7 +289,8 @@ object Quantization {
                   nProbe: Int = 1,
                   qId: String = "vec_id", qVec: String = "embedding",
                   kId: String = "vec_id", kVec: String = "embedding",
-                  pruneProbedCells: Boolean = false): DataFrame = {
+                  pruneProbedCells: Boolean = false,
+                  metric: String = "cosine"): DataFrame = {
     val cb = codebooks.select(col("sub").cast("int").as("sub"),
       col("code").cast("long").as("code"), asDouble(col("cw")).as("cw"))
     val cents = centroids.select(col(kId).cast("long").as("centroid_id"),
@@ -285,7 +298,8 @@ object Quantization {
     // query side: one residual (and one distance table) per probed cell
     val qResid = queries
       .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))
-      .join(Similarity.ivfAssignN(queries, centroids, nProbe, qId, qVec, kId, kVec)
+      .join(Similarity.ivfAssignN(queries, centroids, nProbe, qId, qVec, kId,
+          kVec, metric)
         .withColumnRenamed("vec_id", "query_id"), "query_id")
       .join(broadcast(cents), "centroid_id")
       .select(col("query_id"), col("centroid_id"),

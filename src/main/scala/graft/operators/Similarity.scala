@@ -54,27 +54,44 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
+  /** The 6-dp-rounded assignment score: cosine (argMAX, the engine-wide
+    * default every oracle twin recomputes) or negated squared L2 (so the
+    * same max-struct argmax yields the argMIN-distance cell — Jégou et
+    * al. 2011's coarse quantizer, the residual-energy-minimizing choice
+    * for IVFADC on unnormalized data; on normalized vectors the two
+    * rankings agree). L2 uses the engine's fixed IEEE order
+    * `(v·v − 2(v·c)) + c·c`. */
+  private def assignScore(metric: String): Column = metric match {
+    case "cosine" =>
+      floor((dot(col("v"), col("cent")) / (col("vn") * col("kn"))) * 1000000 + 0.5) / 1000000.0
+    case "l2" =>
+      -(floor(((dot(col("v"), col("v")) - (lit(2.0) * dot(col("v"), col("cent"))))
+          + dot(col("cent"), col("cent"))) * 1000000 + 0.5) / 1000000.0)
+    case m => throw new IllegalArgumentException(
+      s"""metric must be "cosine" or "l2", got "$m"""")
+  }
+
   /** IVF cell assignment: nearest centroid per vector (argmax 6-dp-rounded
-    * cosine, centroid-id tiebreak). Centroids are broadcast; the argmax is
-    * ONE map-side-combined `max(struct(cos, -id))` aggregation — no sort,
-    * no window: a row_number window would shuffle AND sort all n·k scored
-    * rows, the dominant cost of k-means/assignment at n·k in the millions.
-    * This is the build side of the scale path. */
+    * [[assignScore]], centroid-id tiebreak). Centroids are broadcast; the
+    * argmax is ONE map-side-combined `max(struct(score, -id))` aggregation
+    * — no sort, no window: a row_number window would shuffle AND sort all
+    * n·k scored rows, the dominant cost of k-means/assignment at n·k in
+    * the millions. This is the build side of the scale path. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
                 cId: String = "vec_id", cVec: String = "embedding",
-                kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {
+                kId: String = "vec_id", kVec: String = "embedding",
+                metric: String = "cosine"): DataFrame = {
     val c = corpus.select(col(cId).cast("long").as("vec_id"),
       asDouble(col(cVec)).as("v"))
       .withColumn("vn", norm(col("v")))
     val cents = centroids.select(col(kId).cast("long").as("centroid_id"),
       asDouble(col(kVec)).as("cent"))
       .withColumn("kn", norm(col("cent")))
-    // struct orders lexicographically: highest cos first, then lowest
+    // struct orders lexicographically: highest score first, then lowest
     // centroid_id (via the negated field); ties are impossible beyond that
     // (centroid ids are distinct), so the argmax is fully deterministic.
     c.join(broadcast(cents))
-      .withColumn("cos",
-        floor((dot(col("v"), col("cent")) / (col("vn") * col("kn"))) * 1000000 + 0.5) / 1000000.0)
+      .withColumn("cos", assignScore(metric))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cos"), (-col("centroid_id")).as("neg"),
         col("centroid_id").as("cid"))).as("m"))
@@ -89,9 +106,10 @@ object Similarity {
     * top-k and use the rank window. */
   def ivfAssignN(vectors: DataFrame, centroids: DataFrame, nProbe: Int,
                  vId: String = "vec_id", vVec: String = "embedding",
-                 kId: String = "vec_id", kVec: String = "embedding"): DataFrame = {
+                 kId: String = "vec_id", kVec: String = "embedding",
+                 metric: String = "cosine"): DataFrame = {
     if (nProbe == 1)
-      return ivfAssign(vectors, centroids, vId, vVec, kId, kVec)
+      return ivfAssign(vectors, centroids, vId, vVec, kId, kVec, metric)
         .select("vec_id", "centroid_id")
     val v = vectors.select(col(vId).cast("long").as("vec_id"),
       asDouble(col(vVec)).as("v"))
@@ -100,8 +118,7 @@ object Similarity {
       asDouble(col(kVec)).as("cent"))
       .withColumn("kn", norm(col("cent")))
     val scored = v.join(broadcast(cents))
-      .withColumn("cos",
-        floor((dot(col("v"), col("cent")) / (col("vn") * col("kn"))) * 1000000 + 0.5) / 1000000.0)
+      .withColumn("cos", assignScore(metric))
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("centroid_id"))
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= nProbe)

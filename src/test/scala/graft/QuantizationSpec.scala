@@ -184,22 +184,24 @@ class QuantizationSpec extends SparkSpec {
     codes.count() shouldBe 24L * 2   // n vectors x numSub narrow rows
     cents.count() shouldBe 2L
     val got = Quantization.ivfPqSearch(df.where(col("vec_id") < 4),
-      codes, cents, cb, numSub = 2, subDim = 4, k = 4, nProbe = 2)
+      codes, cents, cb, numSub = 2, subDim = 4, k = 4, nProbe = 2,
+      metric = "l2") // the index was built with the L2 coarse quantizer
       .select("query_id", "cand_id", "rank").as[(Long, Long, Int)]
       .collect().toSet
 
     def dot(x: Seq[Double], y: Seq[Double]) =
       x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p * q }
-    def cos(a: Seq[Double], b: Seq[Double]): Double =
-      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
     def l2(a: Seq[Double], b: Seq[Double]): Double =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val byId = rows.toMap
     val centVecs = cents.as[(Long, Seq[Double])].collect().toMap
+    // L2 coarse assignment in the engine's IEEE order (v·v − 2v·c) + c·c,
+    // 6-dp-rounded, lowest-id tiebreak
     def cellOf(v: Seq[Double]): Long =
       centVecs.toSeq.map { case (c, cv) =>
-        (math.floor(cos(v, cv) * 1e6 + 0.5) / 1e6, c) }
-        .minBy { case (s, c) => (-s, c) }._2
+        val d = (dot(v, v) - 2 * dot(v, cv)) + dot(cv, cv)
+        (math.floor(d * 1e6 + 0.5) / 1e6, c) }
+        .minBy { case (s, c) => (s, c) }._2
     def adcMicro(q: Seq[Double], c: Seq[Double], cell: Long): Long = {
       val qr = q.zip(centVecs(cell)).map { case (a, b) => a - b }
       val cr = c.zip(centVecs(cell)).map { case (a, b) => a - b }
