@@ -42,6 +42,10 @@ class EventsQualitySpec extends SparkSpec {
     e.getMessage should include("LDA training-quality regression")
   }
 
+  "SparkEntry.entry" should "produce rows (the driver's smoke check)" in {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+
   // The SHARED tripwire now wired into every full-LDA gate
   // (pipe_flow_full / pipe_dns_full / pipe_proxy_full via each pipeline's
   // runChecked): hand-built models make the bound's two sides exact —
