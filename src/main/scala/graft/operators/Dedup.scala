@@ -476,4 +476,94 @@ object Dedup {
         (0 until bits).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** Exact-substring span REMOVAL (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * policy): every token span of `n` tokens whose shingle occurs MORE
+    * THAN ONCE in the corpus is cut from the document, and the surviving
+    * tokens are rejoined (single spaces — canonical whitespace, the same
+    * normalization [[duplicatedSpans]]' hashes already imply). The paper
+    * builds a corpus suffix array and keeps each duplicated substring's
+    * FIRST occurrence; this removes ALL occurrences — the conservative
+    * policy common in reimplementations when span provenance isn't
+    * tracked (keep-first needs a global order over corpus positions; at
+    * 100 TB the all-occurrences rule is one distributed count, and
+    * boilerplate — the dominant real-world case — should lose every
+    * copy anyway). The Spark-native duplicate test is the
+    * positional-shingle inverted index: a span is duplicated iff its
+    * n-token shingle hash has global occurrence > 1 (within-doc repeats
+    * count).
+    *
+    * Plan shape (all linear, no quadratic step): positional hashes are
+    * one codegen scan pass; occurrence counting is one map-side-combined
+    * shuffle on the hash; covered token positions are an explode of the
+    * (few) duplicated span starts into [s, s+n−1] — O(dupSpans·n) rows,
+    * never tokens×spans; the kept-token anti-join and the per-doc
+    * reassembly each shuffle narrow (doc_id, pos) rows once. A doc that
+    * is entirely duplicated text comes back with clean_text = '' — the
+    * removal decision is complete, never silently dropped.
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text). */
+  def removeDuplicatedSpans(df: DataFrame, id: Column, text: Column,
+                            n: Int = 13): DataFrame = {
+    require(n >= 1, s"span width must be >= 1, got $n")
+    val base = df.select(id.cast("long").as("doc_id"), text.as("text"))
+    val spans = base.select(col("doc_id"),
+        posexplode(graft.functions.ShingleHash.shingle_hashes_all(col("text"), n)))
+      .toDF("doc_id", "pos", "h")
+      .localCheckpoint(false) // reused: occurrence counts + the dup join
+    val occ = spans.groupBy("h").agg(count(lit(1)).as("occ"))
+    // covered token positions: union of [s, s+n-1] over duplicated starts
+    val covered = spans.join(occ.where(col("occ") > 1), "h")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val toks = base.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    base.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Corpus-level exact LINE deduplication (the RefinedWeb / MassiveText
+    * recipe: boilerplate lines — headers, nav bars, cookie banners —
+    * repeat across pages verbatim; keep only the corpus-wide FIRST
+    * occurrence of every distinct line, where "first" is the smallest
+    * (doc_id, position)). Later occurrences drop, including repeats
+    * within one document; documents are reassembled from their surviving
+    * lines in original order, NULL when nothing survives (same
+    * dropped-page convention as [[Corpus.c4LineFilter]]).
+    *
+    * `lines` is the caller's array<string> split (newline split for real
+    * pages; any deterministic segmentation works). Plan: explode → one
+    * map-side-combined `min(struct(doc_id, pos))` per distinct line (no
+    * window: a hot boilerplate line combines map-side instead of
+    * funneling a partition sort) → semi-join winners back → per-doc
+    * reassembly. Two narrow shuffles, both linear in total lines.
+    *
+    * Output: (doc_id, n_lines, n_kept, clean_text). */
+  def dedupLines(df: DataFrame, id: Column, lines: Column): DataFrame = {
+    val base = df.select(id.cast("long").as("doc_id"), lines.as("lines"))
+    val exploded = base.select(col("doc_id"),
+        posexplode(col("lines")).as(Seq("pos", "line")))
+      .localCheckpoint(false) // reused: winner agg + winner semi-join
+    val winners = exploded.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("line"), col("w.doc_id").as("doc_id"), col("w.pos").as("pos"))
+    val kept = exploded.join(winners, Seq("line", "doc_id", "pos"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"))
+    base.select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_text"))
+  }
 }

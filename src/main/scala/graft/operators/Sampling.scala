@@ -63,6 +63,32 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Temperature-scaled mixture TARGETS (the multilingual sampling rule
+    * of mT5 / XLM-R: draw class l with probability ∝ n_l^α, α < 1
+    * flattening the head so low-resource classes aren't drowned). Given
+    * per-class counts n_l, weight_l = n_l^α / Σ n_l^α (6-dp-rounded —
+    * the engine-wide cross-engine contract for one IEEE `pow` + one
+    * division), target_l = ⌊totalTarget · weight_l + 0.5⌋, capped at n_l
+    * (a shortfall is visible, never rebalanced — [[mixture]]'s rule).
+    * One tiny aggregation (|classes| rows, broadcastable); pair with
+    * [[mixture]] to materialize the selection. Output per class:
+    * (class, n_docs, weight, target). */
+  def temperatureTargets(df: DataFrame, cls: Column, alpha: Double,
+                         totalTarget: Long): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(totalTarget >= 0, s"totalTarget must be >= 0, got $totalTarget")
+    val counts = df.groupBy(cls.as("class")).agg(count(lit(1)).as("n_docs"))
+    val wRaw = pow(col("n_docs").cast("double"), lit(alpha))
+    val denom = counts.agg(sum(pow(col("n_docs").cast("double"), lit(alpha)))
+      .as("denom"))
+    counts.crossJoin(broadcast(denom))
+      .select(col("class"), col("n_docs"),
+        (floor((wRaw / col("denom")) * 1000000 + 0.5) / 1000000.0).as("weight"))
+      .withColumn("target",
+        least(floor(lit(totalTarget.toDouble) * col("weight") + 0.5).cast("long"),
+          col("n_docs")))
+  }
+
   /** Deterministic per-class downsampling to at most `target` rows — the
     * class-balancing step for skewed training labels. Rows rank within
     * their class by (key hash, key): a stable pseudo-random order, so the

@@ -54,6 +54,58 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
+  /** Exact squared-L2 top-k — the ground-truth twin of the ANN paths
+    * ([[graft.operators.Quantization.ivfPqTopK]] ranks by approximated
+    * squared L2): for each query, the k nearest corpus vectors by
+    * 6-dp-rounded squared L2 (the engine's fixed IEEE fold order
+    * `(q·q − 2(q·c)) + c·c`), candidate-id tiebreak, self excluded.
+    * Same broadcast-query shape as [[bruteForceTopK]]. */
+  def exactL2TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                  qId: String = "vec_id", qVec: String = "embedding",
+                  cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).cast("long").as("query_id"),
+      asDouble(col(qVec)).as("qv"))
+      .withColumn("qq", dot(col("qv"), col("qv")))
+    val c = corpus.select(col(cId).cast("long").as("cand_id"),
+      asDouble(col(cVec)).as("cv"))
+      .withColumn("cc", dot(col("cv"), col("cv")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("dist",
+        floor(((col("qq") - (lit(2.0) * dot(col("qv"), col("cv")))) + col("cc"))
+          * 1000000 + 0.5) / 1000000.0)
+    val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("dist"), col("rank"))
+  }
+
+  /** Recall@k of an approximate top-k against the exact one — THE quality
+    * dial of every ANN deployment (nProbe / codebook size / cell count
+    * trade compute for exactly this number; without measuring it an
+    * "accelerated" index is untrustworthy). Both inputs are
+    * (query_id, cand_id, …) frames, e.g.
+    * [[graft.operators.Quantization.ivfPqTopK]] vs [[exactL2TopK]].
+    * Per query: hits = |approx ∩ exact| (id-set intersection — rank
+    * agreement is deliberately NOT required), recall = hits / k. Queries
+    * the approximate side missed entirely still appear (recall 0): the
+    * exact side drives. Both sides are ≤ |Q|·k rows, so every step is a
+    * bounded narrow join — corpus size never enters. */
+  def annRecallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = approx.select(col("query_id").cast("long").as("query_id"),
+      col("cand_id").cast("long").as("cand_id"))
+    val e = exact.select(col("query_id").cast("long").as("query_id"),
+      col("cand_id").cast("long").as("cand_id"))
+    val hits = e.join(a, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    e.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (floor((coalesce(col("n_hits"), lit(0L)).cast("double") / k) * 1000000
+          + 0.5) / 1000000.0).as("recall"))
+  }
+
   /** The 6-dp-rounded assignment score: cosine (argMAX, the engine-wide
     * default every oracle twin recomputes) or negated squared L2 (so the
     * same max-struct argmax yields the argMIN-distance cell — Jégou et

@@ -316,7 +316,37 @@ object TextQueries {
     "x17_dsir_select" -> ((s, dir) =>
       graft.operators.Sampling.dsirSelect(t(s, dir, "documents"),
         col("doc_id"), col("text"), col("lang") === "en",
-        numBuckets = 1024, topK = 25))
+        numBuckets = 1024, topK = 25)),
+
+    // X19: exact-substring span REMOVAL (Lee et al. 2021 ExactSubstr,
+    // all-occurrences policy) — every 5-token span occurring more than
+    // once in the dup-bearing corpus is cut and the survivors rejoined.
+    // The injected whole-doc copies (AND their originals) collapse to
+    // clean_text = ''; cross-doc shared phrases are cut mid-document.
+    "x19_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(withDups(s, dir), col("doc_id"),
+        col("text"), n = 5)),
+
+    // X20: corpus-level exact LINE dedup (the RefinedWeb boilerplate
+    // rule): first occurrence by (doc_id, pos) wins, every later copy
+    // drops, docs reassembled from their surviving lines. "Lines" are
+    // fabricated as 8-token groups (the synthetic corpus has no
+    // newlines) — the injected doc copies lose every line.
+    "x20_line_dedup" -> ((s, dir) => {
+      val staged = withDups(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+      val lines = when(size(col("tk")) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), floor((size(col("tk")) - 1) / 8).cast("int")),
+          g => array_join(slice(col("tk"), g * 8 + 1, lit(8)), " ")))
+      Dedup.dedupLines(staged, col("doc_id"), lines)}),
+
+    // X21: temperature-scaled mixture targets (mT5 / XLM-R multilingual
+    // sampling, α = 0.3): per-language weights n^α normalized, integer
+    // targets from a 200-doc budget, capped at class size.
+    "x21_temperature_mix" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureTargets(t(s, dir, "documents"),
+        col("lang"), alpha = 0.3, totalTarget = 200L))
   )
 
   /** Injected tails for the C4 gate, shared verbatim with the oracle
@@ -765,6 +795,86 @@ object TextQueries {
          |    * 1000000 + 0.5) / 1000000.0 AS dup_ratio
          |FROM sp JOIN occ USING (h)
          |GROUP BY doc_id""".stripMargin,
+
+    // d7's positional spans carried through to the REMOVAL decision:
+    // covered positions are the union of [i, i+4] over duplicated starts,
+    // kept tokens rejoin in position order.
+    "x19_span_removal" ->
+      s"""WITH dup AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text FROM documents WHERE doc_id % 10 = 0),
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+         |                             x -> len(x) > 0) AS tk
+         |  FROM dup),
+         |sp AS (
+         |  SELECT doc_id, i,
+         |    ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]")} AS h
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 4)) AS i)
+         |  WHERE len(tk) >= 5),
+         |occ AS (SELECT h, count(*) AS occ FROM sp GROUP BY 1),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, j
+         |  FROM sp JOIN occ USING (h),
+         |       LATERAL (SELECT unnest(generate_series(i, i + 4)) AS j)
+         |  WHERE occ > 1),
+         |tp AS (
+         |  SELECT doc_id, i AS j, tk[i] AS tok
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i)),
+         |kept AS (
+         |  SELECT doc_id, j, tok FROM tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov
+         |                    WHERE cov.doc_id = tp.doc_id AND cov.j = tp.j)),
+         |k AS (SELECT doc_id, count(*) AS n_kept,
+         |        string_agg(tok, ' ' ORDER BY j) AS clean FROM kept GROUP BY 1)
+         |SELECT t.doc_id, len(tk)::BIGINT AS n_tokens,
+         |       (len(tk) - coalesce(n_kept, 0))::BIGINT AS n_removed,
+         |       coalesce(clean, '') AS clean_text
+         |FROM toks t LEFT JOIN k USING (doc_id)""".stripMargin,
+
+    // first-occurrence-wins over the same fabricated 8-token lines;
+    // clean_text stays NULL (not '') when nothing survives — the
+    // dropped-page convention shared with x18.
+    "x20_line_dedup" ->
+      s"""WITH dup AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text FROM documents WHERE doc_id % 10 = 0),
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+         |                             x -> len(x) > 0) AS tk
+         |  FROM dup),
+         |lines AS (
+         |  SELECT doc_id, ((i - 1) // 8)::INT AS pos,
+         |         array_to_string(tk[i:i+7], ' ') AS line
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk), 8)) AS i)
+         |  WHERE len(tk) > 0),
+         |r AS (
+         |  SELECT doc_id, pos, line, row_number() OVER (
+         |    PARTITION BY line ORDER BY doc_id, pos) AS rn
+         |  FROM lines),
+         |k AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(line, chr(10) ORDER BY pos) AS clean
+         |  FROM r WHERE rn = 1 GROUP BY 1)
+         |SELECT t.doc_id,
+         |  (CASE WHEN len(tk) = 0 THEN 0
+         |        ELSE (len(tk) - 1) // 8 + 1 END)::BIGINT AS n_lines,
+         |  coalesce(n_kept, 0)::BIGINT AS n_kept, clean AS clean_text
+         |FROM toks t LEFT JOIN k USING (doc_id)""".stripMargin,
+
+    // one pow + one division per class, both 6-dp-rounded before the
+    // integer target derives from the ROUNDED weight
+    "x21_temperature_mix" ->
+      s"""WITH c AS (SELECT lang AS "class", count(*)::BIGINT AS n_docs
+         |           FROM documents GROUP BY 1),
+         |d AS (SELECT sum(pow(n_docs, 0.3)) AS denom FROM c)
+         |SELECT "class", n_docs,
+         |  floor((pow(n_docs, 0.3) / denom) * 1000000 + 0.5) / 1000000.0 AS weight,
+         |  least(floor(200 * (floor((pow(n_docs, 0.3) / denom) * 1000000 + 0.5)
+         |                     / 1000000.0) + 0.5)::BIGINT, n_docs) AS target
+         |FROM c, d""".stripMargin,
 
     "x13_top_ngrams" ->
       raw"""WITH $toksSql,

@@ -155,7 +155,24 @@ object VectorQueries {
       Quantization.ivfPqSearch(emb.where(col("vec_id") < 10),
         s.table("graft_v11b_code_idx"), cents, cb,
         numSub = 4, subDim = 16, k = 5, nProbe = 2,
-        pruneProbedCells = true)})
+        pruneProbedCells = true)}),
+
+    // V12: ANN recall@5 — the quality dial behind every IVFADC knob
+    // (nProbe/cells/codebook size trade compute for exactly this): the
+    // v11 search measured against exact 6-dp-rounded squared-L2 top-5.
+    // With 8 cells, nProbe=2 and 8-word codebooks on 500 vectors the
+    // recall is genuinely partial, so the gate exercises hit AND miss.
+    "v12_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 8)
+      val resid = Quantization.ivfResiduals(emb, cents)
+      val cb = Quantization.seedCodebooks(resid.where(col("vec_id") >= 8),
+        numSub = 4, subDim = 16, k = 8, id = "vec_id", vec = "rv")
+      val approx = Quantization.ivfPqTopK(emb.where(col("vec_id") < 10), emb,
+        cents, cb, numSub = 4, subDim = 16, k = 5, nProbe = 2)
+      val exact = Similarity.exactL2TopK(emb.where(col("vec_id") < 10), emb,
+        k = 5)
+      Similarity.annRecallAtK(approx, exact, k = 5)})
   )
 
   /** DuckDB sequential-fold dot product of two DOUBLE[] exprs. */
@@ -505,6 +522,7 @@ object VectorQueries {
     // physical layout changes what is read, never the result
     "v11_ivfpq" -> v11Sql,
     "v11b_ivfpq_indexed" -> v11Sql,
+    "v12_ann_recall" -> v12Sql,
 
     "v9_pq_adc" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -528,7 +546,19 @@ object VectorQueries {
   )
 
   private lazy val v11Sql: String =
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s"""WITH $v11Ctes
+       |SELECT query_id, cand_id, (s_int::DOUBLE / 1000000.0) AS adist,
+       |       rank::INT AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY s_int, cand_id) AS rank FROM adc)
+       |WHERE rank <= 5""".stripMargin
+
+  /** v11's full IVFADC pipeline as a reusable CTE block (ends at `adc`,
+    * the per-(query, candidate) integer ADC sums) — shared by the v11
+    * twins and v12's recall twin, which ranks the same sums and joins
+    * them against exact L2. */
+  private lazy val v11Ctes: String =
+      s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
          |cassign AS (
          |  SELECT vec_id, centroid_id FROM (
@@ -576,10 +606,30 @@ object VectorQueries {
          |  SELECT query_id, cand_id, sum(d_int)::BIGINT AS s_int
          |  FROM enc e JOIN dtab d ON d.centroid_id = e.centroid_id
          |    AND d.sub = e.sub AND d.code = e.code
-         |  WHERE e.cand_id != d.query_id GROUP BY 1, 2)
-         |SELECT query_id, cand_id, (s_int::DOUBLE / 1000000.0) AS adist,
-         |       rank::INT AS rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY s_int, cand_id) AS rank FROM adc)
-         |WHERE rank <= 5""".stripMargin
+         |  WHERE e.cand_id != d.query_id GROUP BY 1, 2)""".stripMargin
+
+  /** v12: recall@5 of the v11 IVFADC search against exact 6-dp-rounded
+    * squared L2 — approx side is v11's `adc` ranked, exact side the
+    * brute-force ground truth in the engine's IEEE fold order. */
+  private lazy val v12Sql: String =
+    s"""WITH $v11Ctes,
+       |approx AS (
+       |  SELECT query_id, cand_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY s_int, cand_id) AS rank FROM adc)
+       |  WHERE rank <= 5),
+       |exact AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY floor((${l2Sql("q.e", "c.e")}) * 1000000 + 0.5) / 1000000.0, c.vec_id) AS rn
+       |    FROM v q JOIN v c ON c.vec_id != q.vec_id
+       |    WHERE q.vec_id < 10) WHERE rn <= 5),
+       |hits AS (
+       |  SELECT e.query_id, count(*) AS n_hits
+       |  FROM exact e JOIN approx a USING (query_id, cand_id) GROUP BY 1)
+       |SELECT q.query_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+       |  floor((coalesce(n_hits, 0)::DOUBLE / 5) * 1000000 + 0.5) / 1000000.0 AS recall
+       |FROM (SELECT DISTINCT query_id FROM exact) q
+       |LEFT JOIN hits USING (query_id)""".stripMargin
 }

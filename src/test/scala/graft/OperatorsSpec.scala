@@ -812,4 +812,108 @@ class OperatorsSpec extends SparkSpec {
     got(3L) shouldBe 0L
     got(2L) shouldBe 0L // tie 45° → smaller centroid id
   }
+
+  "Dedup.removeDuplicatedSpans" should "cut every occurrence of a cross-doc span and rejoin survivors" in {
+    // "a b c" is shared by docs 1 and 2 (and only that 3-gram): each
+    // loses its covered 3 tokens; doc 3 is untouched.
+    val corpus = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y a b c"),
+      (3L, "p q r")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(corpus, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (d, t, r, c) => d -> ((t, r, c)) }.toMap
+    got(1L) shouldBe ((5L, 3L, "d e"))
+    got(2L) shouldBe ((5L, 3L, "x y"))
+    got(3L) shouldBe ((3L, 0L, "p q r"))
+  }
+
+  it should "remove within-doc repeats entirely (self-repetition counts)" in {
+    // every 3-gram of the loop appears at least twice inside the doc
+    val corpus = Seq((1L, "m n o m n o m n o")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(corpus, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long, Long, String)].collect().head
+    got shouldBe ((1L, 9L, 9L, ""))
+  }
+
+  it should "keep docs shorter than the span width whole" in {
+    val corpus = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    // identical docs, but no 3-token span exists — nothing to cut
+    val got = Dedup.removeDuplicatedSpans(corpus, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (d, t, r, c) => d -> ((t, r, c)) }.toMap
+    got(1L) shouldBe ((2L, 0L, "a b"))
+    got(2L) shouldBe ((2L, 0L, "a b"))
+  }
+
+  "Dedup.dedupLines" should "keep only the corpus-wide first occurrence of each line" in {
+    val corpus = Seq(
+      (1L, Seq("header", "body one")),
+      (2L, Seq("header", "body two")),
+      (3L, Seq("header", "header", "unique")),
+      (4L, Seq("header"))).toDF("doc_id", "lines")
+    val got = Dedup.dedupLines(corpus, col("doc_id"), col("lines"))
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map { case (d, n, k, c) => d -> ((n, k, c)) }.toMap
+    got(1L) shouldBe ((2L, 2L, Some("header\nbody one")))
+    got(2L) shouldBe ((2L, 1L, Some("body two")))
+    got(3L) shouldBe ((3L, 1L, Some("unique"))) // both header copies drop
+    got(4L) shouldBe ((1L, 0L, None))           // nothing survives → NULL
+  }
+
+  "Sampling.temperatureTargets" should "flatten class weights by n^alpha and cap targets at class size" in {
+    val df = (1 to 8).map(i => (i.toLong, "big")).toDF("doc_id", "cls")
+      .union(Seq((9L, "small")).toDF("doc_id", "cls"))
+    val got = Sampling.temperatureTargets(df, col("cls"), alpha = 0.5,
+        totalTarget = 4L)
+      .as[(String, Long, Double, Long)].collect()
+      .map { case (c, n, w, t) => c -> ((n, w, t)) }.toMap
+    // sqrt(8)/(sqrt(8)+1) = 0.738796..., 1/(sqrt(8)+1) = 0.261204...
+    got("big") shouldBe ((8L, 0.738796, 3L))
+    got("small") shouldBe ((1L, 0.261204, 1L))
+  }
+
+  it should "cap a class target at the class size (shortfall stays visible)" in {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b")).toDF("doc_id", "cls")
+    val got = Sampling.temperatureTargets(df, col("cls"), alpha = 1.0,
+        totalTarget = 100L)
+      .as[(String, Long, Double, Long)].collect()
+      .map { case (c, n, w, t) => c -> t }.toMap
+    got("a") shouldBe 3L  // 75 requested, only 3 exist
+    got("b") shouldBe 1L  // 25 requested, only 1 exists
+  }
+
+  "Similarity.exactL2TopK" should "rank by squared L2 with id tiebreak, self excluded" in {
+    val vs = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(-1.0, 0.0)), (3L, Seq(5.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.exactL2TopK(vs.where(col("vec_id") === 0), vs, k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    // dist 1.0 tie between ids 1 and 2 → lower id first; self (0) excluded
+    got.map(r => (r._2, r._3, r._4)).toSeq shouldBe
+      Seq((1L, 1.0, 1), (2L, 1.0, 2), (3L, 25.0, 3))
+  }
+
+  "Similarity.annRecallAtK" should "count id-set hits per query, exact side driving" in {
+    val exact = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L))
+      .toDF("query_id", "cand_id")
+    // query 0: one of two right; query 1: absent from the approx side
+    val approx = Seq((0L, 1L), (0L, 9L)).toDF("query_id", "cand_id")
+    val got = Similarity.annRecallAtK(approx, exact, k = 2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, h, r) => q -> ((h, r)) }.toMap
+    got(0L) shouldBe ((1L, 0.5))
+    got(1L) shouldBe ((0L, 0.0))
+  }
+
+  it should "report recall 1.0 when the approximate side is the exact one" in {
+    val vs = Seq(
+      (0L, Seq(0.0, 1.0)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.5, 0.5)), (3L, Seq(3.0, 3.0))).toDF("vec_id", "embedding")
+    val exact = Similarity.exactL2TopK(vs, vs, k = 2)
+    val got = Similarity.annRecallAtK(exact, exact, k = 2)
+      .as[(Long, Long, Double)].collect()
+    got.length shouldBe 4
+    all(got.map(_._3)) shouldBe 1.0
+  }
 }

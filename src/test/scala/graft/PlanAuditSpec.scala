@@ -24,6 +24,10 @@ class PlanAuditSpec extends SparkSpec {
                  // ADC itself is equi (centroid_id, sub, code) hash joins
     "v11b_ivfpq_indexed", // same assignment shape; the probe join is a
                           // bucket-pruned scan + broadcast equi join
+    "v12_ann_recall", // exact ground-truth side = v2's bounded broadcast
+                      // cross (10 queries); the recall joins are equi
+    "x21_temperature_mix", // |classes|-row frame × its broadcast ONE-row
+                           // normalizer sum — the scalar-subquery shape
     "j8_range_join", "a6_ecdf", "a7_quantiles", "a7b_quantile_agg")
 
   /** Full-LDA pipelines train during query construction — minutes of work
