@@ -22,11 +22,12 @@ object Bench {
     "d8_retain_best", "d9_simhash_pairs", "d10_incremental_lsh",
     "x14_mixture", "x15_cluster_split", "x7b_fuzzy_decontaminate",
     "x16_lm_score", "x17_dsir_select", "x18_c4_filter", "x19_span_removal",
-    "x20_line_dedup", "x21_temperature_mix", "v1_norm",
+    "x20_line_dedup", "x21_temperature_mix", "x22_normalize",
+    "x23_shuffle_shards", "v1_norm",
     "v2_cosine_topk", "v3_ivf_assign", "v4b_cell_near_dup",
     "v4c_scaled_cells", "v6b_lsh_scaled", "v7_kmeans", "v8b_pq_train",
     "v8_pq_encode", "v9_pq_adc", "v11_ivfpq", "v11b_ivfpq_indexed",
-    "v12_ann_recall",
+    "v12_ann_recall", "v13_random_project",
     "v10_semantic_dedup", "c1_curation", "j7_asof_join",
     "pipe_events_fixedmodel")
 

@@ -42,6 +42,34 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, key: Column): DataFrame =
     df.orderBy(PolyHash.poly_hash(key.cast("string")), key)
 
+  /** Deterministic shuffle into training SHARDS — the last step before a
+    * training run reads the corpus: N shard files, each internally
+    * pseudo-randomly ordered, no global sort. shard = hash(seed:key) mod
+    * numShards (seed varies the permutation between epochs/runs without
+    * RNG state); pos = rank within the shard by (hash, key). Returns the
+    * input columns plus (shard, pos).
+    *
+    * Scale shape: one narrow shuffle on `shard` then a per-shard sort —
+    * exactly the cost of writing the shard files themselves
+    * (`repartition(shard).sortWithinPartitions` / a partitioned sorted
+    * write), and parallelism = numShards, which a real pipeline sizes to
+    * its file-size budget (hundreds to thousands at 100 TB). The
+    * alternative — one global orderBy ([[deterministicShuffle]]) — pays
+    * a range exchange AND still writes per-file; this does neither. */
+  def shuffleShards(df: DataFrame, key: Column, numShards: Int,
+                    seed: String = ""): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val h = PolyHash.poly_hash(
+      concat(lit(seed), lit(":"), key.cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__h"), key)
+    df.withColumn("__h", h)
+      .withColumn("__shard", (col("__h") % numShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .withColumn("shard", col("__shard"))
+      .drop("__h", "__shard")
+  }
+
   /** Deterministic data-mixture construction: per-class target COUNTS
     * (the mixing-weights step of a training-data pipeline — "60k docs of
     * web, 30k of code, ..."). Rows rank within their class by (key hash,

@@ -106,6 +106,33 @@ object Similarity {
           + 0.5) / 1000000.0).as("recall"))
   }
 
+  /** Random projection to `outDim` dimensions (Johnson–Lindenstrauss;
+    * Achlioptas 2003 showed simple non-Gaussian matrices — uniform
+    * signs/entries — preserve pairwise distances just as well) — the
+    * dimensionality-reduction step that runs BEFORE the shuffle-bearing
+    * ANN stages: a wide embedding column (say 1536 dims) projected to
+    * `outDim` shrinks every downstream exchange, index, and verify by
+    * dim/outDim while approximately preserving distances.
+    *
+    * y_j = Σ_d v_d · p(j, d) with the engine's integer-exact LCG
+    * constants ([[planeComponent]], the same closed form the LSH twins
+    * reproduce in SQL), each component 6-dp-rounded. The projection
+    * matrix never materializes per row — `outDim` literal-array dot
+    * folds, all inside whole-stage codegen; map-only, zero shuffle.
+    * Output: (vec_id, proj: array<double>). */
+  def randomProject(df: DataFrame, dim: Int, outDim: Int,
+                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    val v = df.select(col(id).cast("long").as("vec_id"),
+      asDouble(col(vec)).as("v"))
+    val comps = (0 until outDim).map { j =>
+      val plane = array((0 until dim).map(d => lit(planeComponent(j, d, dim))): _*)
+      floor(dot(col("v"), plane) * 1000000 + 0.5) / 1000000.0
+    }
+    v.select(col("vec_id"), array(comps: _*).as("proj"))
+  }
+
   /** The 6-dp-rounded assignment score: cosine (argMAX, the engine-wide
     * default every oracle twin recomputes) or negated squared L2 (so the
     * same max-struct argmax yields the argMIN-distance cell — Jégou et

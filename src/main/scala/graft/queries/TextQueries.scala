@@ -346,7 +346,29 @@ object TextQueries {
     // targets from a 200-doc budget, capped at class size.
     "x21_temperature_mix" -> ((s, dir) =>
       graft.operators.Sampling.temperatureTargets(t(s, dir, "documents"),
-        col("lang"), alpha = 0.3, totalTarget = 200L))
+        col("lang"), alpha = 0.3, totalTarget = 200L)),
+
+    // X22: Unicode NFC + canonical cleanup — combining sequences
+    // compose, bare control chars strip, whitespace runs collapse. The
+    // synthetic corpus is clean ASCII, so deterministic mess is injected
+    // per doc bucket (NFD accents, a BEL, tab/double-space runs), shared
+    // verbatim with the oracle.
+    "x22_normalize" -> ((s, dir) => {
+      val messy = t(s, dir, "documents").withColumn("txt",
+        concat(col("text"), when(col("doc_id") % 4 === 0,
+            lit("  Café\tx"))
+          .when(col("doc_id") % 4 === 1, lit(" ab"))
+          .when(col("doc_id") % 4 === 2, lit(" Århus"))
+          .otherwise(lit(""))))
+      messy.select(col("doc_id"),
+        graft.functions.Normalize.normalizeText(col("txt")).as("clean_text"))}),
+
+    // X23: deterministic shuffle into 4 training shards, seed "s42" —
+    // shard files internally pseudo-random, positions dense from 0.
+    "x23_shuffle_shards" -> ((s, dir) =>
+      graft.operators.Sampling.shuffleShards(t(s, dir, "documents")
+          .select(col("doc_id")), col("doc_id"), numShards = 4, seed = "s42")
+        .select(col("doc_id"), col("shard"), col("pos")))
   )
 
   /** Injected tails for the C4 gate, shared verbatim with the oracle
@@ -875,6 +897,31 @@ object TextQueries {
          |  least(floor(200 * (floor((pow(n_docs, 0.3) / denom) * 1000000 + 0.5)
          |                     / 1000000.0) + 0.5)::BIGINT, n_docs) AS target
          |FROM c, d""".stripMargin,
+
+    // identical injected mess (NFD accents via chr(), BEL, tab/space
+    // runs); nfc_normalize is utf8proc's Form C — the same Unicode
+    // algorithm as java.text.Normalizer, so outputs are byte-identical
+    "x22_normalize" ->
+      s"""SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(nfc_normalize(
+         |    text || CASE
+         |      WHEN doc_id % 4 = 0 THEN '  Cafe' || chr(769) || chr(9) || 'x'
+         |      WHEN doc_id % 4 = 1 THEN ' a' || chr(7) || 'b'
+         |      WHEN doc_id % 4 = 2 THEN ' A' || chr(778) || 'rhus'
+         |      ELSE '' END),
+         |    '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'),
+         |    '\\s+', ' ', 'g')) AS clean_text
+         |FROM documents""".stripMargin,
+
+    // same poly hash over 's42:'||id, same (hash, id) within-shard order
+    "x23_shuffle_shards" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ${hashSql("'s42:' || doc_id::VARCHAR")} AS hh
+         |  FROM documents)
+         |SELECT doc_id, (hh % 4)::INT AS shard,
+         |  (row_number() OVER (PARTITION BY hh % 4 ORDER BY hh, doc_id)
+         |   - 1)::BIGINT AS pos
+         |FROM h""".stripMargin,
 
     "x13_top_ngrams" ->
       raw"""WITH $toksSql,

@@ -172,7 +172,14 @@ object VectorQueries {
         cents, cb, numSub = 4, subDim = 16, k = 5, nProbe = 2)
       val exact = Similarity.exactL2TopK(emb.where(col("vec_id") < 10), emb,
         k = 5)
-      Similarity.annRecallAtK(approx, exact, k = 5)})
+      Similarity.annRecallAtK(approx, exact, k = 5)}),
+
+    // V13: Johnson–Lindenstrauss random projection 64 → 8 dims, exploded
+    // to (vec_id, j, y) scalar rows for the hash compare. Map-only —
+    // the pre-shuffle shrink step for every downstream ANN stage.
+    "v13_random_project" -> ((s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), dim = 64, outDim = 8)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "y"))))
   )
 
   /** DuckDB sequential-fold dot product of two DOUBLE[] exprs. */
@@ -523,6 +530,18 @@ object VectorQueries {
     "v11_ivfpq" -> v11Sql,
     "v11b_ivfpq_indexed" -> v11Sql,
     "v12_ann_recall" -> v12Sql,
+
+    // the same LCG closed form as the LSH plane twins, j*64+d mixing
+    "v13_random_project" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |planes AS (
+         |  SELECT j, list((((1103515245 * (j * 64 + d) + 12345) % 2147483648)
+         |                  % 2001 - 1000) / 1000.0 ORDER BY d) AS p
+         |  FROM generate_series(0, 7) AS gj(j), generate_series(0, 63) AS gd(d)
+         |  GROUP BY j)
+         |SELECT vec_id, j::INT AS j,
+         |  floor((${dotSql("e", "p")}) * 1000000 + 0.5) / 1000000.0 AS y
+         |FROM v, planes""".stripMargin,
 
     "v9_pq_adc" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -122,4 +122,29 @@ class FunctionsSpec extends SparkSpec {
     got.foreach { case (native, hof) => native shouldBe hof }
     got.map(_._1).toSeq shouldBe Seq(4, 0, 2, 2, 2)
   }
+
+  "nfc" should "compose decomposed sequences and pass NFC text through" in {
+    import spark.implicits._
+    val df = Seq(
+      "Cafe\u0301",  // e + combining acute \u2192 \u00e9
+      "A\u030arhus", // A + combining ring \u2192 \u00c5
+      "caf\u00e9",   // already NFC \u2014 identity
+      "").toDF("s")
+    val got = df.select(Normalize.nfc(col("s"))).as[String].collect().toSeq
+    got shouldBe Seq("Caf\u00e9", "\u00c5rhus", "caf\u00e9", "")
+  }
+
+  it should "stay null-safe" in {
+    import spark.implicits._
+    val df = Seq[Option[String]](None, Some("x")).toDF("s")
+    df.select(Normalize.nfc(col("s"))).as[Option[String]].collect().toSet shouldBe
+      Set(None, Some("x"))
+  }
+
+  "normalizeText" should "strip controls, collapse whitespace, and trim" in {
+    import spark.implicits._
+    val df = Seq("  ab\t\tCafé  x \r\n ").toDF("s")
+    df.select(Normalize.normalizeText(col("s"))).as[String].collect().head shouldBe
+      "ab Café x"
+  }
 }

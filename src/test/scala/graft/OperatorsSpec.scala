@@ -916,4 +916,61 @@ class OperatorsSpec extends SparkSpec {
     got.length shouldBe 4
     all(got.map(_._3)) shouldBe 1.0
   }
+
+  "Similarity.randomProject" should "apply the LCG plane constants as a linear map" in {
+    val vs = Seq((7L, Seq(1.0, 0.0, 2.0))).toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(vs, dim = 3, outDim = 2)
+      .as[(Long, Seq[Double])].collect().head
+    got._1 shouldBe 7L
+    // y_j = p(j,0)·1 + p(j,2)·2, 6-dp-rounded
+    val want = (0 until 2).map { j =>
+      val y = Similarity.planeComponent(j, 0, 3) + 2.0 * Similarity.planeComponent(j, 2, 3)
+      math.floor(y * 1e6 + 0.5) / 1e6
+    }
+    got._2 shouldBe want
+  }
+
+  it should "approximately preserve relative distances (JL sanity)" in {
+    // 3 well-separated directions in 32-dim: after projection to 8 dims
+    // the closest pair by L2 stays the closest pair
+    def unit(i: Int) = Seq.tabulate(32)(d => if (d == i) 10.0 else 0.0)
+    val vs = Seq(
+      (0L, unit(0)), (1L, unit(0).updated(1, 1.0)), (2L, unit(16)))
+      .toDF("vec_id", "embedding")
+    val proj = Similarity.randomProject(vs, dim = 32, outDim = 8)
+      .as[(Long, Seq[Double])].collect().map(r => r._1 -> r._2).toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val d01 = d2(proj(0L), proj(1L))
+    d01 should be < d2(proj(0L), proj(2L))
+    d01 should be < d2(proj(1L), proj(2L))
+  }
+
+  "Sampling.shuffleShards" should "assign hash-mod shards with dense in-shard positions" in {
+    val df = (0L to 99L).toDF("doc_id")
+    val got = Sampling.shuffleShards(df, col("doc_id"), numShards = 4, seed = "s")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .as[(Long, Int, Long)].collect()
+    got.length shouldBe 100
+    // shard matches the poly hash closed form
+    def ph(s: String) = s.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    got.foreach { case (id, sh, _) =>
+      sh shouldBe (ph(s"s:$id") % 4).toInt
+    }
+    // positions are dense 0..n-1 per shard, ordered by (hash, id)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      rows.map(_._3).sorted shouldBe rows.indices.map(_.toLong)
+      val byPos = rows.sortBy(_._3).map(r => (ph(s"s:${r._1}"), r._1))
+      byPos shouldBe byPos.sorted
+    }
+  }
+
+  it should "vary the permutation with the seed but keep it stable per seed" in {
+    val df = (0L to 49L).toDF("doc_id")
+    def run(seed: String) =
+      Sampling.shuffleShards(df, col("doc_id"), numShards = 2, seed = seed)
+        .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    run("a") shouldBe run("a")
+    run("a") should not be run("b")
+  }
 }
