@@ -115,6 +115,22 @@ object TextFunctions {
       regexp_replace(c, p, s"<$name>")
     }
 
+  /** Keyed deterministic pseudonymization of an identifier column: the
+    * value becomes the opaque token `pid_<polyhash(secret:value)>`.
+    * Deterministic per (secret, value), so the SAME secret applied
+    * across tables keeps joins and group-bys working on the pseudonyms
+    * — the standard privacy-preserving-identifier technique for
+    * training corpora (complement of [[redactPii]]: redaction removes
+    * free-text PII, pseudonymization replaces join KEYS). Per-row
+    * codegen'd hash, map-only; rotate the secret to unlink releases.
+    * (The rolling hash is collision-plausible but preimage-hard enough
+    * only against casual inspection — treat the secret, not the hash
+    * width, as the protection boundary, and keep raw keys out of the
+    * published frame entirely.) */
+  def pseudonymize(c: Column, secret: String): Column =
+    concat(lit("pid_"),
+      PolyHash.poly_hash(concat(lit(secret), lit(":"), c.cast("string"))))
+
   /** Total PII matches across the pattern classes, counted in the same
     * order redaction applies them (on the progressively redacted text, so
     * an email's host digits are not double-counted as a number). */

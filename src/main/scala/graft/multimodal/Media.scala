@@ -182,10 +182,13 @@ object Media {
   object SampleStatsDecoder extends MediaStatsDecoder {
     import Bytes._
 
-    /** (n, sum, min, max) over the pixel channel bytes of a 24-bit
-      * uncompressed BMP, skipping per-row padding; None when the header
-      * isn't that format or declares more data than is present. */
-    private def bmpStats(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    /** Packed top-down pixel bytes of a 24-bit uncompressed BMP —
+      * per-row 4-byte padding stripped, bottom-up storage (positive
+      * height) flipped to raster order, stored BGR channel order kept
+      * (stats are order-invariant and resize moves whole pixels). None
+      * when the header isn't that format or declares more data than is
+      * present. Returns (width, height, pixels: height·width·3 bytes). */
+    def bmpPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
       val off = le32(b, 10); val w = le32(b, 18); val h = le32(b, 22)
       val planes = le16(b, 26); val bpp = le16(b, 28); val comp = le32(b, 30)
       if (w <= 0 || h == 0 || planes != 1 || bpp != 24 || comp != 0) return None
@@ -198,24 +201,39 @@ object Media {
       val rowsL = math.abs(h.toLong)
       val strideL = (w.toLong * 3 + 3) / 4 * 4
       if (off < 54 || off.toLong + strideL * rowsL > b.length) return None
+      val rowBytesL = w.toLong * 3
+      if (rowBytesL * rowsL > Int.MaxValue - 8) return None
       val rows = rowsL.toInt; val stride = strideL.toInt
-      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      val rowBytes = rowBytesL.toInt
+      val out = new Array[Byte](rowBytes * rows)
+      val bottomUp = h > 0 // negative height = already top-down (spec)
       var r = 0
       while (r < rows) {
-        val base = off + r * stride
-        var k = 0
-        while (k < w * 3) {
-          val v = (b(base + k) & 0xff).toLong
-          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
-          k += 1
-        }
+        val dstRow = if (bottomUp) rows - 1 - r else r
+        System.arraycopy(b, off + r * stride, out, dstRow * rowBytes, rowBytes)
         r += 1
       }
-      // mn > mx ⟺ the loop never read a sample (degenerate geometry) —
-      // that is "no stats", not a stats row of sentinels
-      if (mn > mx) return None
-      Some((w.toLong * rows * 3, sum, mn, mx))
+      Some((w, rows, out))
     }
+
+    /** (n, sum, min, max) over the pixel channel bytes of a 24-bit
+      * uncompressed BMP — aggregate over [[bmpPixels]] (row order is
+      * stats-invariant). None for non-decodable payloads or degenerate
+      * geometry that produced no sample. */
+    private def bmpStats(b: Array[Byte]): Option[(Long, Long, Long, Long)] =
+      bmpPixels(b).flatMap { case (_, _, pix) =>
+        if (pix.length == 0) None
+        else {
+          var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          var k = 0
+          while (k < pix.length) {
+            val v = (pix(k) & 0xff).toLong
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            k += 1
+          }
+          Some((pix.length.toLong, sum, mn, mx))
+        }
+      }
 
     /** Paeth predictor (PNG spec §9.4) — the order of the <= tests is
       * normative. */
@@ -225,16 +243,18 @@ object Media {
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
 
-    /** (n, sum, min, max) over the pixel channel bytes of an 8-bit-depth
-      * non-interlaced PNG, color types 0/2/4/6 (gray / RGB / gray+alpha /
-      * RGBA). The IDAT payload is a zlib stream — pure-JVM decodable with
+    /** Packed pixel bytes of an 8-bit-depth non-interlaced PNG, color
+      * types 0/2/4/6 (gray / RGB / gray+alpha / RGBA). The IDAT payload
+      * is a zlib stream — pure-JVM decodable with
       * `java.util.zip.Inflater`; each inflated scanline is one filter
       * byte plus `width·channels` filtered bytes, undone per spec §9
       * (None, Sub, Up, Average, Paeth) against the reconstructed previous
-      * row. None for any geometry/stream the payload can't actually back:
+      * row, then packed (filter bytes dropped) into raster order. None
+      * for any geometry/stream the payload can't actually back:
       * truncated or over-long IDAT, unknown filter, 16-bit or interlaced
-      * images (those are the genuinely-codec-shaped cases, kept loud). */
-    private def pngStats(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+      * images (those are the genuinely-codec-shaped cases, kept loud).
+      * Returns (width, height, channels, pixels). */
+    def pngPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
       if (b.length < 33) return None // sig + complete IHDR chunk
       val w = be32(b, 16); val h = be32(b, 20)
       val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
@@ -304,21 +324,31 @@ object Media {
         }
         r += 1
       }
-      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      val pix = new Array[Byte](rowBytes * h)
       r = 0
       while (r < h) {
-        val base = r * (1 + rowBytes) + 1
-        var k = 0
-        while (k < rowBytes) {
-          val v = (raw(base + k) & 0xff).toLong
-          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
-          k += 1
-        }
+        System.arraycopy(raw, r * (1 + rowBytes) + 1, pix, r * rowBytes, rowBytes)
         r += 1
       }
-      if (mn > mx) return None
-      Some((rowBytesL * h, sum, mn, mx))
+      Some((w, h, channels, pix))
     }
+
+    /** (n, sum, min, max) over the pixel channel bytes of a decodable
+      * PNG — aggregate over [[pngPixels]]. */
+    private def pngStats(b: Array[Byte]): Option[(Long, Long, Long, Long)] =
+      pngPixels(b).flatMap { case (_, _, _, pix) =>
+        if (pix.length == 0) None
+        else {
+          var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          var k = 0
+          while (k < pix.length) {
+            val v = (pix(k) & 0xff).toLong
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            k += 1
+          }
+          Some((pix.length.toLong, sum, mn, mx))
+        }
+      }
 
     /** (n, sum, min, max) over signed 16-bit PCM samples; None unless the
       * fmt chunk declares integer PCM at 16 bits. Same untrusted-size
@@ -560,6 +590,58 @@ object Media {
       .where(col("frames") > 0)
       .select(col("id"), col("frames"),
         explode(sequence(lit(0), col("frames") - 1, lit(every))).as("frame_idx"))
+
+  /** Nearest-neighbor image downsample by an integer factor — the
+    * resize step of a multimodal training pipeline (normalize wildly
+    * mixed source resolutions before feature extraction / embedding).
+    * Decodes with the same pure-JVM paths as [[SampleStatsDecoder]]
+    * (24-bit BMP, 8-bit PNG of color types 0/2/4/6), maps target pixel
+    * (x, y) to source (x·w/w2, y·h/h2) with integer division — exact
+    * and engine-reproducible, no resampling float kernel — and
+    * re-encodes as PNG (the storable, splittable interchange form;
+    * BMP input comes out PNG too). Target dims are max(1, dim/factor),
+    * so nothing collapses to zero. Payloads the decoders can't truly
+    * decode contribute no row — same loud-drop convention as
+    * [[extractStats]], never a fake resize. Per-row mapPartitions work,
+    * map-only, no shuffle: at 100 TB this is scan-bound exactly like
+    * the stats pass. */
+  def resizeImages(media: Dataset[MediaRecord], factor: Int = 2): Dataset[MediaRecord] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { rec =>
+      val b = rec.bytes
+      val decoded: Option[(Int, Int, Int, Array[Byte])] =
+        if (Bytes.isPng(b)) SampleStatsDecoder.pngPixels(b)
+        else if (Bytes.isBmp(b))
+          SampleStatsDecoder.bmpPixels(b).map { case (w, h, p) => (w, h, 3, p) }
+        else None
+      decoded.map { case (w, h, ch, pix) =>
+        val w2 = math.max(1, w / factor); val h2 = math.max(1, h / factor)
+        val out = new Array[Byte](w2 * h2 * ch)
+        var y = 0
+        while (y < h2) {
+          // Long product: y·h can pass Int.MaxValue on tall images even
+          // though the pixel buffer itself fits
+          val sy = (y.toLong * h / h2).toInt
+          var x = 0
+          while (x < w2) {
+            val sx = (x.toLong * w / w2).toInt
+            var c = 0
+            while (c < ch) {
+              out((y * w2 + x) * ch + c) = pix((sy * w + sx) * ch + c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val colorType = ch match { case 1 => 0; case 2 => 4; case 3 => 2; case _ => 6 }
+        MediaRecord(rec.id, "image/png",
+          pngBytesPixels(w2, h2, j => out(j) & 0xff, colorType))
+      }
+    })
+  }
 
   /** Read real files as media (driver for production use; kept thin). */
   def readBinaryFiles(spark: SparkSession, path: String, mime: String): Dataset[MediaRecord] = {

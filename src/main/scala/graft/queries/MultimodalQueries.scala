@@ -67,6 +67,17 @@ object MultimodalQueries {
     "m4_png_stats" -> ((s, dir) =>
       Media.extractStats(mediaPng(s, dir)).toDF()
         .select(col("id"), col("mime"), col("n_samples"),
+          col("mean_val"), col("min_val"), col("max_val"))),
+
+    // M5: REAL nearest-neighbor resize — the m4 PNGs decoded, halved
+    // ((x,y) ← (x·w/w2, y·h/h2) integer-exact), re-encoded as PNG, and
+    // the RESIZED bytes re-decoded for their stats. The oracle replays
+    // the index mapping against the fixture closed form, so equality
+    // proves decode → resize → encode → decode end to end.
+    "m5_resize_stats" -> ((s, dir) =>
+      Media.extractStats(Media.resizeImages(mediaPng(s, dir), factor = 2))
+        .toDF()
+        .select(col("id"), col("mime"), col("n_samples"),
           col("mean_val"), col("min_val"), col("max_val")))
   )
 
@@ -169,6 +180,27 @@ object MultimodalQueries {
          |SELECT id, mime, cnt::BIGINT AS n_samples,
          |       sum(v)::DOUBLE / count(*) AS mean_val,
          |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
-         |FROM pvals GROUP BY id, mime, cnt""".stripMargin
+         |FROM pvals GROUP BY id, mime, cnt""".stripMargin,
+
+    // the m5 twin replays the nearest-neighbor index map over the m4
+    // closed form: out(x2,y2,c) = value(((y2·h/h2)·w + x2·w/w2)·3 + c)
+    "m5_resize_stats" ->
+      s"""WITH m AS (SELECT doc_id AS id, n_chars AS n FROM documents
+         |           WHERE doc_id % 3 = 1),
+         |g AS (SELECT id, (3 + n % 13) AS w, (2 + id % 9) AS h FROM m),
+         |g2 AS (SELECT id, w, h, greatest(1, w // 2) AS w2,
+         |              greatest(1, h // 2) AS h2 FROM g),
+         |pvals AS (
+         |  SELECT id, w2 * h2 * 3 AS cnt,
+         |    (id * 29 + ((((y2.y * h) // h2) * w + (x2.x * w) // w2) * 3
+         |                + c.c) * 11) % 256 AS v
+         |  FROM g2,
+         |  LATERAL (SELECT unnest(generate_series(0, h2 - 1)) AS y) y2,
+         |  LATERAL (SELECT unnest(generate_series(0, w2 - 1)) AS x) x2,
+         |  LATERAL (SELECT unnest(generate_series(0, 2)) AS c) c)
+         |SELECT id, 'image/png' AS mime, cnt::BIGINT AS n_samples,
+         |       sum(v)::DOUBLE / count(*) AS mean_val,
+         |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+         |FROM pvals GROUP BY id, cnt""".stripMargin
   )
 }

@@ -368,7 +368,22 @@ object TextQueries {
     "x23_shuffle_shards" -> ((s, dir) =>
       graft.operators.Sampling.shuffleShards(t(s, dir, "documents")
           .select(col("doc_id")), col("doc_id"), numShards = 4, seed = "s42")
-        .select(col("doc_id"), col("shard"), col("pos")))
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // X24: keyed pseudonymization across TABLES — customer and order
+    // keys replaced by the same keyed token, the join runs ON THE
+    // PSEUDONYM, raw keys never appear in the output. Per-row 2-dp
+    // fixed-point cents before the sum (order-independent integers).
+    "x24_pseudonymize" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        pseudonymize(col("c_custkey"), "k7").as("pid"),
+        col("c_mktsegment"))
+      val ords = t(s, dir, "orders").select(
+        pseudonymize(col("o_custkey"), "k7").as("pid"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      cust.join(ords, "pid")
+        .groupBy("pid", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("spend_cents"))})
   )
 
   /** Injected tails for the C4 gate, shared verbatim with the oracle
@@ -912,6 +927,21 @@ object TextQueries {
          |    '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'),
          |    '\\s+', ' ', 'g')) AS clean_text
          |FROM documents""".stripMargin,
+
+    // same keyed token on both sides; cents fixed-point per row
+    "x24_pseudonymize" ->
+      s"""WITH c AS (
+         |  SELECT 'pid_' || ${hashSql("'k7:' || c_custkey::VARCHAR")} AS pid,
+         |         c_mktsegment
+         |  FROM customer),
+         |o AS (
+         |  SELECT 'pid_' || ${hashSql("'k7:' || o_custkey::VARCHAR")} AS pid,
+         |         floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+         |  FROM orders)
+         |SELECT pid, c_mktsegment, count(*)::BIGINT AS n_orders,
+         |       sum(cents)::BIGINT AS spend_cents
+         |FROM c JOIN o USING (pid)
+         |GROUP BY 1, 2""".stripMargin,
 
     // same poly hash over 's42:'||id, same (hash, id) within-shard order
     "x23_shuffle_shards" ->

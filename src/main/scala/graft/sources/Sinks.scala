@@ -47,6 +47,22 @@ object Sinks {
     if (keepCorrupt) df else df.drop("_corrupt_record")
   }
 
+  /** ORC — the other first-class columnar format (Spark ships the
+    * reader/writer natively; warehouses with Hive lineage are ORC-first).
+    * Same predicate-pushdown/column-pruning contract as parquet — ORC
+    * carries min/max/bloom row-group indexes the scan uses — so a corpus
+    * landed by an ORC-first upstream needs no convert-to-parquet pass.
+    * Optional `partitionCols` for the same y=/m=/d= pruning layout as
+    * [[writeParquet]]. */
+  def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
+               compression: String = "zstd"): Unit = {
+    val w = df.write.mode("overwrite").option("compression", compression)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Overwrite `path` with a frame that may itself be LAZILY READING from
     * `path` (the load-then-save-to-same-path shape in the pipeline model
     * stores). A direct `mode("overwrite")` there either fails with

@@ -141,6 +141,20 @@ class FunctionsSpec extends SparkSpec {
       Set(None, Some("x"))
   }
 
+  "pseudonymize" should "tokenize identically across frames under one secret" in {
+    import spark.implicits._
+    def ph(s: String) = s.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    val a = Seq(42L, 7L).toDF("k")
+      .select(TextFunctions.pseudonymize(col("k"), "sec").as("pid"))
+      .as[String].collect().toSeq
+    a shouldBe Seq(s"pid_${ph("sec:42")}", s"pid_${ph("sec:7")}")
+    // a different secret unlinks the tokens
+    val b = Seq(42L).toDF("k")
+      .select(TextFunctions.pseudonymize(col("k"), "other").as("pid"))
+      .as[String].collect().head
+    b should not be a.head
+  }
+
   "normalizeText" should "strip controls, collapse whitespace, and trim" in {
     import spark.implicits._
     val df = Seq("  ab\t\tCafé  x \r\n ").toDF("s")

@@ -159,6 +159,39 @@ class MediaSpec extends SparkSpec {
     Media.SampleStatsDecoder.decodeStats(recs.iterator).toSeq shouldBe empty
   }
 
+  "resizeImages" should "nearest-neighbor halve a PNG and re-encode exactly" in {
+    // 4×2 RGB, pixel (x,y) channel c value = y·100 + x·10 + c
+    def v(j: Int): Int = { val p = j / 3; (p / 4) * 100 + (p % 4) * 10 + j % 3 }
+    val rec = Media.MediaRecord(9L, "image/png", Media.pngBytesPixels(4, 2, v))
+    val out = Media.resizeImages(Seq(rec).toDS(), factor = 2).collect()
+    out.length shouldBe 1
+    out.head.mime shouldBe "image/png"
+    // 2×1 target: (x2,y2) ← (x2·4/2, y2·2/1) = sources (0,0) and (2,0)
+    val got = Media.SampleStatsDecoder.pngPixels(out.head.bytes).get
+    got._1 shouldBe 2; got._2 shouldBe 1; got._3 shouldBe 3
+    got._4.map(_ & 0xff).toSeq shouldBe Seq(0, 1, 2, 20, 21, 22)
+  }
+
+  it should "resize BMP input (bottom-up rows flipped) and emit PNG" in {
+    // 2×2 BMP stored bottom-up: file rows are (y=1, y=0). Channel byte j
+    // in FILE order = j·5 % 256; raster-order pixel (x,y=0) is thus the
+    // SECOND stored row. Halving to 1×1 must pick raster (0,0).
+    val rec = Media.MediaRecord(3L, "image/bmp", Media.bmpBytes(2, 2, j => j * 5))
+    val out = Media.resizeImages(Seq(rec).toDS(), factor = 2).collect()
+    out.length shouldBe 1
+    val got = Media.SampleStatsDecoder.pngPixels(out.head.bytes).get
+    got._1 shouldBe 1; got._2 shouldBe 1
+    // raster row 0 = SECOND file row = f(6..8)·5 for its first pixel
+    got._4.map(_ & 0xff).toSeq shouldBe Seq(30, 35, 40)
+  }
+
+  it should "drop undecodable payloads instead of faking a resize" in {
+    val recs = Seq(
+      Media.MediaRecord(1L, "image/png", Media.pngBytes(4, 4)), // no IDAT
+      Media.MediaRecord(2L, "text/plain", "not an image".getBytes("UTF-8")))
+    Media.resizeImages(recs.toDS(), factor = 2).collect() shouldBe empty
+  }
+
   "sampleFrames" should "emit stride-sampled frame indexes" in {
     val feats = Media.extractFeatures(media, Media.StubDecoder)
     val got = Media.sampleFrames(feats, every = 4)

@@ -147,4 +147,24 @@ class PipelinesSpec extends SparkSpec {
     // default drops the diagnostic column but keeps parseable rows
     Sinks.readJsonl(spark, dir, schema).count() shouldBe 4 // 3 good + 1 null row
   }
+
+  "Sinks.writeOrc/readOrc" should
+    "round-trip typed columns and prune partitions on read" in {
+    val dir = Files.createTempDirectory("orc").toFile.getAbsolutePath + "/docs"
+    val docs = Seq((1L, "alpha", "en", Seq(0.5, 1.5)),
+      (2L, "beta", "fr", Seq(2.0, 3.0)))
+      .toDF("doc_id", "text", "lang", "embedding")
+    Sinks.writeOrc(docs, dir, partitionCols = Seq("lang"))
+    val back = Sinks.readOrc(spark, dir)
+    back.select("doc_id", "text", "lang", "embedding")
+      .as[(Long, String, String, Seq[Double])].collect().toSet shouldBe
+      Set((1L, "alpha", "en", Seq(0.5, 1.5)), (2L, "beta", "fr", Seq(2.0, 3.0)))
+    // partition pruning reaches the scan exactly like the parquet path
+    val pruned = back.where(col("lang") === "en")
+    pruned.queryExecution.executedPlan.collectLeaves().head.toString should
+      include ("PartitionFilters: [isnotnull(lang#")
+    pruned.select("doc_id", "text", "lang", "embedding")
+      .as[(Long, String, String, Seq[Double])].collect()
+      .map(_._1).toSeq shouldBe Seq(1L)
+  }
 }

@@ -124,6 +124,26 @@ class StreamingSpec extends SparkSpec {
     streamed.map(r => r._1 -> r._4).toMap shouldBe Map(1L -> true, 2L -> false)
   }
 
+  "Normalize.normalizeText" should
+    "clean a stream stateless-map-only, matching its batch output" in {
+    import StreamingScore.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      StreamDoc(1L, "  Café\t du  monde ", ts(0)),
+      StreamDoc(2L, "plain text stays", ts(1)))
+    val input = MemoryStream[StreamDoc]
+    input.addData(docs: _*)
+    def clean(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.functions.Normalize.normalizeText(col("text")).as("clean"))
+    val q = clean(input.toDF()).writeStream.format("memory")
+      .queryName("norm_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("norm_out").as[(Long, String)].collect().toSet
+    streamed shouldBe clean(docs.toDF()).as[(Long, String)].collect().toSet
+    streamed shouldBe Set(1L -> "Café du monde", 2L -> "plain text stays")
+  }
+
   "lshCandidateStream" should "pair new docs against bucket history across batches" in {
     import StreamingScore.{CandidatePair, StreamDoc}
     implicit val sqlCtx = spark.sqlContext
