@@ -23,7 +23,8 @@ object Bench {
     "x14_mixture", "x15_cluster_split", "x7b_fuzzy_decontaminate",
     "x16_lm_score", "x17_dsir_select", "x18_c4_filter", "x19_span_removal",
     "x20_line_dedup", "x21_temperature_mix", "x22_normalize",
-    "x23_shuffle_shards", "x24_pseudonymize", "v1_norm",
+    "x23_shuffle_shards", "x24_pseudonymize", "x25_bpe_train",
+    "x26_bpe_encode", "v1_norm",
     "v2_cosine_topk", "v3_ivf_assign", "v4b_cell_near_dup",
     "v4c_scaled_cells", "v6b_lsh_scaled", "v7_kmeans", "v8b_pq_train",
     "v8_pq_encode", "v9_pq_adc", "v11_ivfpq", "v11b_ivfpq_indexed",

@@ -370,6 +370,24 @@ object TextQueries {
           .select(col("doc_id")), col("doc_id"), numShards = 4, seed = "s42")
         .select(col("doc_id"), col("shard"), col("pos"))),
 
+    // X25: TRUE iterative BPE training (Sennrich 2016) — 16 ranked
+    // merges from the corpus word-frequency table, each round's argmax
+    // tie-broken (count desc, l, r). The oracle replays all 16 rounds as
+    // materialized CTE chains over the same double-spaced representation.
+    "x25_bpe_train" -> ((s, dir) => {
+      val m = graft.operators.Bpe.trainMerges(t(s, dir, "documents"),
+        col("text"), numMerges = 16)
+      graft.operators.Bpe.mergesDf(s, m)}),
+
+    // X26: BPE encoding with the trained merges — per-doc whitespace
+    // word count vs subword token count (the number every mixture/
+    // packing/budget decision actually uses).
+    "x26_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.operators.Bpe.trainMerges(docs, col("text"),
+        numMerges = 16)
+      graft.operators.Bpe.encode(docs, col("doc_id"), col("text"), m)}),
+
     // X24: keyed pseudonymization across TABLES — customer and order
     // keys replaced by the same keyed token, the join runs ON THE
     // PSEUDONYM, raw keys never appear in the output. Per-row 2-dp
@@ -426,6 +444,44 @@ object TextQueries {
     s"""list_reduce(list_prepend(0::BIGINT,
        |  [ascii(c)::BIGINT for c in string_split($e, '')]),
        |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+
+  /** The BPE training replay as a chained-CTE block: word counts → the
+    * double-spaced symbol representation → `numMerges` rounds of
+    * (pair-count, argmax with the engine's total-order tie-break,
+    * boundary-preserving replace). MATERIALIZED is load-bearing: w{i}
+    * is referenced by both p{i+1} and w{i+1}, and inlined CTEs would
+    * re-evaluate the whole chain exponentially. */
+  private def bpeChainSql(numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      raw"""WITH $toksSql,
+           |wc AS MATERIALIZED (
+           |  SELECT w.tok AS word, count(*) AS cnt
+           |  FROM toks, LATERAL (SELECT unnest(tk) AS tok) w
+           |  GROUP BY 1),
+           |w0 AS MATERIALIZED (
+           |  SELECT word, cnt,
+           |    '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS seq
+           |  FROM wc)""".stripMargin)
+    for (i <- 1 to numMerges) {
+      sb.append(
+        raw""",
+           |p$i AS MATERIALIZED (
+           |  SELECT tk2[g.i] AS l, tk2[g.i + 1] AS r, sum(cnt) AS n
+           |  FROM (SELECT cnt, list_filter(string_split_regex(seq, '\s+'),
+           |                                x -> len(x) > 0) AS tk2
+           |        FROM w${i - 1}),
+           |       LATERAL (SELECT unnest(generate_series(1, len(tk2) - 1)) AS i) g
+           |  GROUP BY 1, 2),
+           |m$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+           |w$i AS MATERIALIZED (
+           |  SELECT word, cnt, replace(seq,
+           |    ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+           |    ' ' || (SELECT l || r FROM m$i) || ' ') AS seq
+           |  FROM w${i - 1})""".stripMargin)
+    }
+    sb.toString
+  }
 
   private val shingSql =
     s"""shing AS (
@@ -927,6 +983,28 @@ object TextQueries {
          |    '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'),
          |    '\\s+', ' ', 'g')) AS clean_text
          |FROM documents""".stripMargin,
+
+    // the full 16-round training replay — each round: pair counts over
+    // the current sequences, one argmax, one boundary-preserving replace
+    "x25_bpe_train" ->
+      s"""${bpeChainSql(16)}
+         |${(1 to 16).map(i => s"SELECT $i AS rank, l, r FROM m$i")
+              .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    // encode = the trained chain's final sequences, symbol counts joined
+    // back onto every doc word occurrence
+    "x26_bpe_encode" ->
+      s"""${bpeChainSql(16)},
+         |enc AS MATERIALIZED (
+         |  SELECT word, len(list_filter(string_split_regex(seq, '\\s+'),
+         |                               x -> len(x) > 0))::BIGINT AS n_tok
+         |  FROM w16),
+         |d AS (SELECT doc_id, w.tok AS word
+         |      FROM toks, LATERAL (SELECT unnest(tk) AS tok) w)
+         |SELECT doc_id, count(*)::BIGINT AS n_words,
+         |       sum(n_tok)::BIGINT AS n_bpe_tokens
+         |FROM d JOIN enc USING (word)
+         |GROUP BY 1""".stripMargin,
 
     // same keyed token on both sides; cents fixed-point per row
     "x24_pseudonymize" ->

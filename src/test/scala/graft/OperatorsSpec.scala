@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, Dedup, Sampling, Scoring, Similarity}
+import graft.operators.{Bpe, Corpus, Dedup, Sampling, Scoring, Similarity}
 import graft.ml.TopicModel
 import org.apache.spark.sql.functions._
 
@@ -972,5 +972,47 @@ class OperatorsSpec extends SparkSpec {
         .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
     run("a") shouldBe run("a")
     run("a") should not be run("b")
+  }
+
+  "Bpe.trainMerges" should "replay the classic Sennrich example merge by merge" in {
+    // low×5 lower×2 newest×6 widest×3: hand-computed ranked merges are
+    // (e,s) [9, tie with (s,t) broken by l], (es,t) [9], (l,o) [7, tie
+    // with (o,w)], (lo,w) [7]
+    val docs = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, col("text"), numMerges = 4)
+    merges shouldBe Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+  }
+
+  it should "merge back-to-back pair occurrences in one round (the overlap case)" in {
+    // 'abab' has (a,b) twice ADJACENTLY — a naive single-space replace
+    // representation merges only the first
+    val docs = Seq((1L, "abab")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, col("text"), numMerges = 2)
+    merges.head shouldBe (("a", "b"))
+    merges(1) shouldBe (("ab", "ab"))
+  }
+
+  it should "stop early when no adjacent pairs remain" in {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    Bpe.trainMerges(docs, col("text"), numMerges = 5) shouldBe empty
+  }
+
+  "Bpe.encode" should "count subword tokens per doc under the trained merges" in {
+    val train = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(train, col("text"), numMerges = 4)
+    // low → [low]; lower → [low,e,r]; newest → [n,e,w,est];
+    // widest → [w,i,d,est]
+    val docs = Seq((7L, "low lower newest widest")).toDF("doc_id", "text")
+    val got = Bpe.encode(docs, col("doc_id"), col("text"), merges)
+      .as[(Long, Long, Long)].collect().head
+    got shouldBe ((7L, 4L, 12L))
   }
 }
