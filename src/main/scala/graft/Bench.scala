@@ -6,38 +6,79 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Results are materialized through the noop sink so
   * every expression is fully evaluated (a bare count() would let Catalyst
-  * prune the projected expressions away and time only the scan). */
+  * prune the projected expressions away and time only the scan).
+  *
+  * ISOLATION (round 7): by default the suite FORKS A FRESH JVM PER QUERY
+  * FAMILY. The r6 artifact proved a 60+-query single-JVM run
+  * self-contaminates at JVM level — pipeline_events measured 26.6 s at
+  * sf0.1 vs 8.7 s on 30× the data, d10 quadrupled with zero code change —
+  * through heap fragmentation / shuffle-file / codegen-cache accretion
+  * that no per-rep checkpoint sweep clears and the contender stamp cannot
+  * see. Each family child pays its own Spark startup (untimed) and dies
+  * before the next starts, so no query inherits another family's JVM
+  * state. SPARK_GRAFT_BENCH_FORK=0 restores the single-JVM path (the
+  * children themselves run with it set).
+  *
+  * CONTAMINATION STAMP: any query whose median exceeds 2× its own min-rep
+  * by more than a second is listed under "suspect" in the JSON — the r6
+  * failure mode (medians silently passing while 3× off their own floor)
+  * becomes machine-visible in the artifact itself. */
 object Bench {
 
-  /** Representative subset: one per operator family, plus the full
-    * train+score pipeline. */
-  private val headline = Seq(
-    "s1_scan_project", "p2_range_predicate", "j1_equi_join", "j4_semi_join",
-    "a1_group_count", "a3_group_sum", "a6_ecdf", "t1_topk",
-    "w1_window_cumsum", "g1_rollup", "f3_bin", "f4_entropy", "f8_flow_words",
-    "x2_quality", "x3_langid", "x11b_pack_concat", "x12_class_balance",
-    "x13_top_ngrams", "c2_gopher_rules", "d7_dup_spans",
-    "w3_sessionize", "d1_exact_dedup", "d2_ngram_jaccard",
-    "d3_minhash_lsh", "d4_simhash", "d6_near_dup_clusters",
-    "d8_retain_best", "d9_simhash_pairs", "d10_incremental_lsh",
-    "x14_mixture", "x15_cluster_split", "x7b_fuzzy_decontaminate",
-    "x16_lm_score", "x17_dsir_select", "x18_c4_filter", "x19_span_removal",
-    "x20_line_dedup", "x21_temperature_mix", "x22_normalize",
-    "x23_shuffle_shards", "x24_pseudonymize", "x25_bpe_train",
-    "x26_bpe_encode", "v1_norm",
-    "v2_cosine_topk", "v3_ivf_assign", "v4b_cell_near_dup",
-    "v4c_scaled_cells", "v6b_lsh_scaled", "v7_kmeans", "v8b_pq_train",
-    "v8_pq_encode", "v9_pq_adc", "v11_ivfpq", "v11b_ivfpq_indexed",
-    "v12_ann_recall", "v13_random_project",
-    "v10_semantic_dedup", "c1_curation", "j7_asof_join",
-    "pipe_events_fixedmodel")
+  /** Headline queries grouped into JVM-isolation families: one child JVM
+    * per family, members ordered as they run. Families group operators
+    * that share warm state (same tables, same code paths) so the per-child
+    * JIT warmup is amortized where it helps and discarded where it
+    * poisons. pe_* stage splits live in the pipeline family with their
+    * pipeline. */
+  private[graft] val families: Seq[(String, Seq[String])] = Seq(
+    "relational" -> Seq(
+      "s1_scan_project", "p2_range_predicate", "j1_equi_join", "j4_semi_join",
+      "a1_group_count", "a3_group_sum", "a6_ecdf", "t1_topk",
+      "w1_window_cumsum", "g1_rollup", "j7_asof_join"),
+    "features" -> Seq(
+      "f3_bin", "f4_entropy", "f8_flow_words", "x2_quality", "x3_langid",
+      "c2_gopher_rules", "x18_c4_filter", "x22_normalize"),
+    "textops" -> Seq(
+      "x11b_pack_concat", "x12_class_balance", "x13_top_ngrams",
+      "x14_mixture", "x21_temperature_mix", "x23_shuffle_shards",
+      "x24_pseudonymize", "x17_dsir_select"),
+    "dedup" -> Seq(
+      "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
+      "d6_near_dup_clusters", "d7_dup_spans", "w3_sessionize"),
+    "dedup2" -> Seq(
+      "d8_retain_best", "d9_simhash_pairs", "d10_incremental_lsh",
+      "x7b_fuzzy_decontaminate", "x15_cluster_split", "x16_lm_score",
+      "x19_span_removal", "x20_line_dedup"),
+    "bpe" -> Seq("x25_bpe_train", "x26_bpe_encode"),
+    "vector" -> Seq(
+      "v1_norm", "v2_cosine_topk", "v3_ivf_assign", "v4b_cell_near_dup",
+      "v4c_scaled_cells", "v6b_lsh_scaled", "v7_kmeans", "v13_random_project"),
+    "pq" -> Seq(
+      "v8b_pq_train", "v8_pq_encode", "v9_pq_adc", "v11_ivfpq",
+      "v11b_ivfpq_indexed", "v12_ann_recall"),
+    "semantic" -> Seq("v10_semantic_dedup", "c1_curation"),
+    "media" -> Seq("m4_png_stats", "m5_resize_stats"),
+    "pipeline" -> Seq(
+      "pipeline_events_first", "pipe_events_fixedmodel", "pipeline_events",
+      "pipeline_events_approx", "pe_stage_cuts", "pe_stage_featurize",
+      "pe_stage_lda_fit", "pe_stage_score"))
+
+  /** Names timed by timeStage (reported under "stages", not "queries"). */
+  private val stageNames = Set("pipeline_events_first", "pe_stage_cuts",
+    "pe_stage_featurize", "pe_stage_lda_fit", "pe_stage_score")
+
+  private def headline: Seq[String] =
+    families.flatMap(_._2).filterNot(n =>
+      stageNames(n) || n.startsWith("pipeline_events"))
 
   /** Concurrent heavyweight processes (other JVMs, DuckDB oracles) — the
     * round-4 bench artifact was measured alongside still-streaming oracle
     * jobs and its medians disagreed with idle-machine re-runs by 5-25×.
     * Anything java/duckdb/pyspark outside this process's own ancestor
-    * chain (sbt, the driver) counts as a contender. */
-  private def contenders(): Seq[String] = {
+    * chain (sbt, the driver) AND outside its own child fork counts as a
+    * contender. */
+  private def contenders(children: Set[Long] = Set.empty): Seq[String] = {
     val anc = collection.mutable.Set[Long]()
     var cur: java.util.Optional[ProcessHandle] =
       java.util.Optional.of(ProcessHandle.current())
@@ -48,7 +89,7 @@ object Bench {
     procs.foreach { f =>
       if (f.getName.nonEmpty && f.getName.forall(_.isDigit)) {
         val pid = f.getName.toLong
-        if (!anc.contains(pid)) {
+        if (!anc.contains(pid) && !children.contains(pid)) {
           try {
             val cmd = new String(java.nio.file.Files.readAllBytes(
               java.nio.file.Paths.get(s"/proc/$pid/cmdline")))
@@ -64,26 +105,14 @@ object Bench {
     out.toSeq
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Large-replica scale runs: skip entries whose cost model is already
-    // documented (v4b's deliberate n²/k) and drop the rep count — medians
-    // matter at 1-6 s where JVM noise is comparable, not at 100+ s. Both
-    // knobs default to the driver contract (no skips, 3 reps); a skipped
-    // query is absent from the JSON, never silently fast.
-    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    // SPARK_GRAFT_BENCH_ONLY: comma list — time ONLY these queries (for
-    // targeted scale points, e.g. v9 vs v11 growth curves, without paying
-    // for the whole suite at a large replica). Composes with SKIP.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
-    // Contention guard: medians timed next to another Spark JVM or a
-    // DuckDB oracle run are not comparable to idle-machine numbers (r4's
-    // artifact was off 5-25×). Default = run anyway but stamp the JSON
-    // "contended": true with the process list; SPARK_GRAFT_BENCH_STRICT=1
-    // refuses outright so a scripted run can't record a poisoned artifact.
+  /** One suite pass inside THIS JVM (the child body; also the
+    * single-JVM path). Returns (queries, stages, spread, contenders). */
+  private def runSuite(sfDir: String, skip: Set[String],
+                       only: Option[Set[String]], reps: Int):
+      (collection.mutable.LinkedHashMap[String, Double],
+       collection.mutable.LinkedHashMap[String, Double],
+       collection.mutable.LinkedHashMap[String, (Double, Double)],
+       Seq[String]) = {
     val contendersAtStart = contenders()
     if (contendersAtStart.nonEmpty) {
       System.err.println(s"[bench] WARNING: concurrent heavyweight processes:")
@@ -107,10 +136,10 @@ object Bench {
     spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7)
       .as("k")).count().write.format("noop").mode("overwrite").save()
 
-    // EVERY query is timed 3× and reports its MEDIAN — single-run numbers
-    // proved unusable round-over-round (shared-JVM/GC noise produced
-    // 1.4-4.9× phantom swings on 1-6 s queries); the min/max spread is
-    // emitted alongside so a regression can be told from noise.
+    // EVERY query is timed `reps`× and reports its MEDIAN — single-run
+    // numbers proved unusable round-over-round (shared-JVM/GC noise
+    // produced 1.4-4.9× phantom swings on 1-6 s queries); the min/max
+    // spread is emitted alongside so a regression can be told from noise.
     val timed = collection.mutable.LinkedHashMap[String, Double]()
     val spread = collection.mutable.LinkedHashMap[String, (Double, Double)]()
     def timeOnce(name: String)(body: => Unit): Double = {
@@ -183,31 +212,175 @@ object Bench {
     }
 
     // Stage split, median-of-3 each, on the same inputs the pipeline uses.
-    val events = Tables.load(spark, sfDir, "events")
-    timeStage("pe_stage_cuts") { EventsPipeline.computeCuts(events) }
-    val cuts = EventsPipeline.computeCuts(events)
-    timeStage("pe_stage_featurize") {
-      run(graft.operators.Corpus.wordCounts(
+    // Guard the prerequisite work behind the same only/skip filter so a
+    // child whose family has no pe_* entries never pays the cuts/corpus
+    // jobs (they cost real time at large replicas).
+    val anyStage = Seq("pe_stage_cuts", "pe_stage_featurize",
+      "pe_stage_lda_fit", "pe_stage_score").exists(n =>
+      !skip(n) && !only.exists(!_.contains(n)))
+    if (anyStage) {
+      val events = Tables.load(spark, sfDir, "events")
+      timeStage("pe_stage_cuts") { EventsPipeline.computeCuts(events) }
+      val cuts = EventsPipeline.computeCuts(events)
+      timeStage("pe_stage_featurize") {
+        run(graft.operators.Corpus.wordCounts(
+          EventsPipeline.featurize(events, cuts),
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("word")))
+      }
+      val wc = graft.operators.Corpus.wordCounts(
         EventsPipeline.featurize(events, cuts),
         org.apache.spark.sql.functions.col("user_id"),
-        org.apache.spark.sql.functions.col("word")))
+        org.apache.spark.sql.functions.col("word"))
+      var model: graft.ml.TopicModel.Model = null
+      timeStage("pe_stage_lda_fit") {
+        model = graft.ml.TopicModel.train(wc, topicCount = 10, maxIter = 10)
+      }
+      if (model != null) {
+        val emodel = EventsPipeline.Model(cuts, model, 10)
+        timeStage("pe_stage_score") {
+          run(graft.operators.Scoring.suspicious(
+            EventsPipeline.score(events, emodel)
+              .select("event_id", "user_id", "event_type", "word", "score"),
+            threshold = 1.0, topK = 100,
+            tiebreak = Seq(org.apache.spark.sql.functions.col("event_id"))))
+        }
+      }
     }
-    val wc = graft.operators.Corpus.wordCounts(
-      EventsPipeline.featurize(events, cuts),
-      org.apache.spark.sql.functions.col("user_id"),
-      org.apache.spark.sql.functions.col("word"))
-    var model: graft.ml.TopicModel.Model = null
-    timeStage("pe_stage_lda_fit") {
-      model = graft.ml.TopicModel.train(wc, topicCount = 10, maxIter = 10)
+    val allContenders = (contendersAtStart ++ contenders()).distinct
+    spark.stop()
+    (timed, stages, spread, allContenders)
+  }
+
+  /** Fork one child JVM per family and merge their results. The child is
+    * THIS main with SPARK_GRAFT_BENCH_FORK=0, ONLY=<family members> and
+    * OUT=<tsv path>; it inherits the parent's full JVM flags (add-opens,
+    * -Xmx, -D props) and classpath, so child Spark == parent Spark. */
+  private def runForked(skip: Set[String], only: Option[Set[String]],
+                        sfDir: String):
+      (collection.mutable.LinkedHashMap[String, Double],
+       collection.mutable.LinkedHashMap[String, Double],
+       collection.mutable.LinkedHashMap[String, (Double, Double)],
+       Seq[String]) = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths.get(sys.props("java.home"), "bin", "java")
+      .toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val cp = sys.props("java.class.path")
+    val timed = collection.mutable.LinkedHashMap[String, Double]()
+    val stages = collection.mutable.LinkedHashMap[String, Double]()
+    val spread = collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val contNames = collection.mutable.LinkedHashSet[String]()
+    families.foreach { case (fam, members) =>
+      val effective = members.filter(n =>
+        !skip(n) && only.forall(_.contains(n)))
+      if (effective.nonEmpty) {
+        val out = java.nio.file.Files.createTempFile(s"bench_$fam", ".tsv")
+        val cmd = (Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", cp, "graft.Bench")).asJava
+        val pb = new ProcessBuilder(cmd)
+        pb.directory(new java.io.File(sys.props("user.dir")))
+        val env = pb.environment()
+        env.put("SPARK_GRAFT_BENCH_FORK", "0")
+        env.put("SPARK_GRAFT_BENCH_ONLY", effective.mkString(","))
+        env.put("SPARK_GRAFT_BENCH_OUT", out.toString)
+        env.remove("SPARK_GRAFT_BENCH_SKIP") // already applied above
+        // child stderr joins ours; child stdout must NOT reach our stdout
+        // (the driver parses ONE JSON line) — drain it to stderr instead
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        System.err.println(s"[bench] forking family $fam: " +
+          effective.mkString(", "))
+        val t0 = System.nanoTime()
+        val proc = pb.start()
+        val drain = new Thread(() => {
+          val src = scala.io.Source.fromInputStream(proc.getInputStream)
+          try src.getLines().foreach(l => System.err.println(s"[$fam] $l"))
+          finally src.close()
+        })
+        drain.setDaemon(true); drain.start()
+        val code = proc.waitFor()
+        drain.join(2000)
+        System.err.println(f"[bench] family $fam exited $code " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1f s wall)")
+        val got = collection.mutable.Map[String, (String, Double, Double, Double)]()
+        if (java.nio.file.Files.exists(out)) {
+          scala.io.Source.fromFile(out.toFile).getLines().foreach { line =>
+            line.split("\t") match {
+              case Array(kind@("Q" | "S"), name, med, lo, hi) =>
+                got(name) = (kind, med.toDouble, lo.toDouble, hi.toDouble)
+              case Array("C", c) => contNames += c
+              case _ =>
+            }
+          }
+          java.nio.file.Files.deleteIfExists(out)
+        }
+        effective.foreach { name =>
+          got.get(name) match {
+            case Some((kind, med, lo, hi)) =>
+              if (kind == "S") stages(name) = med else timed(name) = med
+              spread(name) = (lo, hi)
+            case None => // child died before reaching it: explicit failure
+              if (stageNames(name)) stages(name) = -1.0
+              else timed(name) = -1.0
+              spread(name) = (-1.0, -1.0)
+          }
+        }
+      }
     }
-    val emodel = EventsPipeline.Model(cuts, model, 10)
-    timeStage("pe_stage_score") {
-      run(graft.operators.Scoring.suspicious(
-        EventsPipeline.score(events, emodel)
-          .select("event_id", "user_id", "event_type", "word", "score"),
-        threshold = 1.0, topK = 100,
-        tiebreak = Seq(org.apache.spark.sql.functions.col("event_id"))))
+    (timed, stages, spread, contNames.toSeq)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Large-replica scale runs: skip entries whose cost model is already
+    // documented (v4b's deliberate n²/k) and drop the rep count — medians
+    // matter at 1-6 s where JVM noise is comparable, not at 100+ s. Both
+    // knobs default to the driver contract (no skips, 3 reps); a skipped
+    // query is absent from the JSON, never silently fast.
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // SPARK_GRAFT_BENCH_ONLY: comma list — time ONLY these queries (for
+    // targeted scale points, e.g. v9 vs v11 growth curves, without paying
+    // for the whole suite at a large replica). Composes with SKIP.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    val fork = sys.env.get("SPARK_GRAFT_BENCH_FORK").forall(_ != "0")
+    val childOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+
+    val (timed, stages, spread, conts) =
+      if (fork) runForked(skip, only, sfDir)
+      else runSuite(sfDir, skip, only, reps)
+
+    childOut match {
+      case Some(path) => // child mode: machine lines for the parent, no JSON
+        val sb = new StringBuilder
+        timed.foreach { case (n, v) =>
+          val (lo, hi) = spread.getOrElse(n, (-1.0, -1.0))
+          sb.append(f"Q\t$n\t$v%.4f\t$lo%.4f\t$hi%.4f\n")
+        }
+        stages.foreach { case (n, v) =>
+          val (lo, hi) = spread.getOrElse(n, (-1.0, -1.0))
+          sb.append(f"S\t$n\t$v%.4f\t$lo%.4f\t$hi%.4f\n")
+        }
+        conts.foreach(c => sb.append(s"C\t$c\n"))
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+          sb.toString)
+        return
+      case None =>
     }
+
+    // Contamination stamp: a median more than 2× its own min-rep (and more
+    // than a second over it — sub-second queries bounce on scheduler
+    // noise) is NOT a trustworthy median; r6's poisoned entries (26.6 s
+    // vs 8.6 min-rep) would all have carried this stamp. Failed entries
+    // (-1) are already explicit.
+    val suspect = (timed ++ stages).collect {
+      case (n, med) if med > 0 &&
+        spread.get(n).exists { case (lo, _) =>
+          lo > 0 && med > 2 * lo && med - lo > 1.0 } => n
+    }.toSeq
 
     val qs = timed.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -215,25 +388,28 @@ object Bench {
       .mkString("{", ",", "}")
     val sp = spread.map { case (k, (lo, hi)) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }
       .mkString("{", ",", "}")
-    val total = timed.values.sum
-    // re-check at the end: a contender that appeared mid-run also taints
-    val allContenders = (contendersAtStart ++ contenders()).distinct
-    val contended = if (allContenders.isEmpty) "" else {
-      val list = allContenders.map(c => "\"" + c.replace("\\", "\\\\")
+    val total = timed.values.filter(_ > 0).sum
+    val contended = if (conts.isEmpty) "" else {
+      val list = conts.map(c => "\"" + c.replace("\\", "\\\\")
         .replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
       s""","contended":true,"contenders":$list"""
     }
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_reps":$reps,"queries":$qs,"stages":$st,"spread":$sp$contended,"sf":"$sfDir"}"""
+    val sus = if (suspect.isEmpty) ""
+      else suspect.map("\"" + _ + "\"").mkString(""","suspect":[""", ",", "]")
+    val forked = s""","forked":$fork"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_reps":$reps$forked,"queries":$qs,"stages":$st,"spread":$sp$sus$contended,"sf":"$sfDir"}"""
     // The driver's per-round artifact keeps only the LAST 2000 chars of
     // stdout (r5's tail cut the line's head off → "parsed": null in r3,
-    // r4 AND r5). stdout therefore gets a COMPACT line — medians and the
-    // contention stamp, no stages/spread — sized to survive the window
-    // (~1.45 KB at 51 queries) with sbt's trailing "[success]" line after
-    // it; the FULL record (stages, spreads) is the BENCH_LOCAL.json file.
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_reps":$reps,"queries":$qs$contended,"sf":"$sfDir"}"""
+    // r4 AND r5). stdout therefore gets a COMPACT line — 2-decimal
+    // medians and the contention/suspect stamps, no stages/spread —
+    // sized to survive the window (~1.7 KB at 67 queries) with sbt's
+    // trailing "[success]" line after it; the FULL record (stages,
+    // spreads) is the BENCH_LOCAL.json file.
+    val qsc = timed.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+      .mkString("{", ",", "}")
+    val compact = f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_reps":$reps$forked,"queries":$qsc$sus$contended,"sf":"$sfDir"}"""
     println(compact)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
-    spark.stop()
   }
 }
