@@ -192,6 +192,8 @@ object TopicModel {
                     maxRatio: Double = 1.0, label: String = "LDA"): Unit = {
     val vocab = wordCounts.select("word").distinct().count().toDouble
     val pp = perplexity(model, wordCounts)
+    System.err.println(f"[lda] $label perplexity=$pp%.4f uniform=$vocab%.0f " +
+      f"ratio=${pp / vocab}%.4f bound=$maxRatio%.3f")
     if (pp > maxRatio * vocab) throw new IllegalStateException(
       f"$label training-quality regression: perplexity $pp%.4f exceeds " +
         f"$maxRatio%.3f x uniform baseline (vocab = $vocab%.0f)")

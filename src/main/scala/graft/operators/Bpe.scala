@@ -41,12 +41,21 @@ import org.apache.spark.sql.graft.ColumnBridge
   * exactly Sennrich's per-round greedy merge order.
   *
   * At 100 TB: the word-frequency table is the only corpus-scale object
-  * (one shuffle, then reused); rounds are sequential bounded jobs, so
-  * wall-clock grows with `numMerges`, not data. For production-size
-  * merge counts (~32k) cap the trained vocabulary with `maxVocab`
-  * (frequency cut, the standard practice) — the frame each round scans
-  * stays a few hundred thousand rows regardless of corpus size. */
+  * (one shuffle, then reused); training rounds are bounded jobs whose
+  * count is `numMerges / batch`, not `numMerges` — each round merges up
+  * to `batch` PAIRWISE-DISJOINT top pairs at once (see [[trainMerges]]
+  * for why the result is provably identical to one-at-a-time training),
+  * so a production-size merge count (~32k) is ~500 rounds, not ~32k
+  * sequential driver round-trips. The trained vocabulary defaults to a
+  * `maxVocab` = 2^17 frequency cut (the standard practice): the frame
+  * each round scans stays a few hundred thousand rows regardless of
+  * corpus size, instead of the corpus's full distinct-word set. */
 object Bpe {
+
+  /** Default vocabulary cap for training: 2^17 words bounds every round's
+    * pair-count frame at any corpus size. Pass maxVocab = 0 to disable
+    * (discretized/known-small vocabularies only). */
+  val DefaultMaxVocab: Int = 1 << 17
 
   /** Literal (non-regex) replace-all via Catalyst's native StringReplace:
     * codegen'd, and byte-for-byte the semantics of DuckDB's replace(). */
@@ -86,25 +95,72 @@ object Bpe {
   /** Train `numMerges` BPE merges; returns them ranked (driver-side list —
     * the merge table is the MODEL, bounded by numMerges, and the encode
     * step needs it as literals anyway). Stops early if the corpus runs
-    * out of adjacent pairs. */
+    * out of adjacent pairs.
+    *
+    * BATCHED ROUNDS, SEQUENTIAL RESULT: each round collects the top
+    * `4·batch + 1` pairs (bounded driver rows), greedily keeps a ranked
+    * prefix-selection of pairwise-SYMBOL-DISJOINT pairs, and merges them
+    * all in one codegen'd replace pass. The kept set is provably the next
+    * |kept| merges one-at-a-time training would pick:
+    *   - merging (l, r) only changes counts of pairs that SHARE l or r
+    *     (destroyed neighbors) and creates pairs involving the new symbol
+    *     lr, each with count ≤ some existing pair containing l or r — so
+    *     disjoint pairs' counts are untouched by each other's merges;
+    *   - every kept pair (beyond the round's argmax, which is always
+    *     correct) must out-count every pair it could interact with, so
+    *     kept pairs are filtered to count > max(count of any scanned
+    *     conflicting/rejected candidate, count at the collection
+    *     boundary) — any unseen conflicting pair sits below the boundary,
+    *     hence below every kept pair, hence so do all created pairs;
+    *   - ties therefore always degrade toward SMALLER batches (worst
+    *     case: 1 = plain sequential), never toward a different merge
+    *     list, and the (count desc, l, r) total order makes replay
+    *     deterministic on any engine.
+    * Rounds ≈ numMerges / batch: ~32k production merges become ~500
+    * bounded jobs instead of ~32k. */
   def trainMerges(docs: DataFrame, text: Column, numMerges: Int,
-                  maxVocab: Int = 0): Seq[(String, String)] = {
+                  maxVocab: Int = DefaultMaxVocab,
+                  batch: Int = 64): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     var seqs = wordFreq(docs, text, maxVocab)
       .select(col("cnt"), spaced(col("word")).as("seq"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
+      val want = math.min(batch, numMerges - merges.length)
+      val k = want * 4
       val top = pairCounts(seqs)
-        .orderBy(desc("n"), asc("l"), asc("r")).limit(1).collect()
+        .orderBy(desc("n"), asc("l"), asc("r")).limit(k + 1).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r) = (top.head.getString(0), top.head.getString(1))
-        merges += ((l, r))
+        val cands = top.take(k)
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        // candidates beyond the collected window all count <= boundary
+        val boundary =
+          if (top.length <= k) Long.MinValue else top(k).getLong(2)
+        // greedy ranked scan: keep disjoint pairs, track the highest
+        // count among everything NOT kept (conflicts and cap overflow —
+        // the floor every kept pair must strictly beat)
+        val used = scala.collection.mutable.Set.empty[String]
+        val provisional =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var floor = boundary
+        cands.foreach { case (l, r, n) =>
+          if (provisional.length < want && !used(l) && !used(r)) {
+            provisional += ((l, r, n)); used += l; used += r
+          } else floor = math.max(floor, n)
+        }
+        // the round's argmax is always a correct next merge (rank-first
+        // tiebreak); later picks survive only above the interaction floor
+        val accepted = provisional.head +:
+          provisional.tail.filter(_._3 > floor)
+        accepted.foreach { case (l, r, _) => merges += ((l, r)) }
         val old = seqs
         seqs = seqs.select(col("cnt"),
-          litReplace(col("seq"), s" $l  $r ", s" $l$r ").as("seq"))
+          accepted.foldLeft(col("seq")) { case (c, (l, r, _)) =>
+            litReplace(c, s" $l  $r ", s" $l$r ") }.as("seq"))
           .localCheckpoint()
         old.unpersist()
       }

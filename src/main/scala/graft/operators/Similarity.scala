@@ -462,11 +462,15 @@ object Similarity {
     * keep expected cell membership ≈ √n, so total within-cell verify work
     * grows ~n·√n instead of n²/k with a fixed cell count (the measured
     * failure mode of a static-k index at 10× data — see BENCH_SCALING.md).
-    * One count, one bounded k-means, then the usual cell-routed join. */
+    * One count, one bounded k-means, then the usual cell-routed join.
+    * `precomputedN` skips the count job when the caller already knows the
+    * corpus size (same contract as [[lshNearDupPairsScaled]] — at 100 TB
+    * even the metadata-only count-star is a full-footer pass). */
   def scaledCellNearDupPairs(df: DataFrame, threshold: Double,
                              nProbe: Int = 1, kmeansIters: Int = 2,
-                             id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val n = df.count()
+                             id: String = "vec_id", vec: String = "embedding",
+                             precomputedN: Option[Long] = None): DataFrame = {
+    val n = precomputedN.getOrElse(df.count())
     val k = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
     val cents = kmeansCentroids(df, k, kmeansIters, id, vec)
     cellRoutedNearDupPairs(df, cents, threshold, nProbe, id, vec,
@@ -504,10 +508,13 @@ object Similarity {
     * one cell, so components never span cells and the ~n^1.5 work bound of
     * the √n-cell routing holds; see BENCH_SCALING.md), then the O(log d)
     * pointer-doubling components and a map-side min(struct) winner per
-    * component — no windows anywhere. */
+    * component — no windows anywhere. `precomputedN` skips the count job
+    * when the caller already knows the corpus size (same contract as
+    * [[lshNearDupPairsScaled]]). */
   def semanticDedup(df: DataFrame, threshold: Double, kmeansIters: Int = 2,
-                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val n = df.count()
+                    id: String = "vec_id", vec: String = "embedding",
+                    precomputedN: Option[Long] = None): DataFrame = {
+    val n = precomputedN.getOrElse(df.count())
     val k = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
     val cents = kmeansCentroids(df, k, kmeansIters, id, vec)
     // one assignment pass (argmax aggregation, centroids broadcast) reused

@@ -195,6 +195,15 @@ object DnsPipeline {
     Scoring.suspicious(score(dns, model), threshold, topK)
   }
 
+  /** Pinned training-quality band ([[TopicModel.assertQuality]] ratio
+    * bound): seeded healthy ratio measured 0.9971 on the sf0.01 gate
+    * corpus — the dns fabrication is nearly flat (the 8-component word
+    * leaves little doc structure to learn), so healthy sits a hair
+    * under uniform and the band can only pin a thin margin (0.999,
+    * ~0.2% over healthy). It still strictly tightens the old ≤-uniform
+    * bound: any model that learns NOTHING (ratio ≥ 0.999) now errs. */
+  val PerplexityBand: Double = 0.999
+
   /** [[run]] with the training-quality tripwire inline
     * ([[TopicModel.assertQuality]] on the scoring corpus): LDA has no SQL
     * twin, so the driver's check on this pipeline is rows-only — the
@@ -204,7 +213,7 @@ object DnsPipeline {
                  popularDomains: Set[String] = Set.empty,
                  topicCount: Int = 20, seed: Long = 42L,
                  feedback: Option[DataFrame] = None,
-                 maxRatio: Double = 1.0): DataFrame = {
+                 maxRatio: Double = PerplexityBand): DataFrame = {
     val model = train(dns, popularDomains, topicCount, seed = seed,
       feedback = feedback)
     TopicModel.assertQuality(model.topics,

@@ -76,8 +76,20 @@ object EventsPipeline {
     * that is WORSE than knowing nothing (zeroed gammas, shuffled joins,
     * degenerate topics), not optimizer noise. Throws IllegalStateException
     * → the driver's rows-only gate records a non-null err. */
+  /** Pinned training-quality band: trained perplexity must stay below
+    * this fraction of the uniform baseline. Derivation: the seeded,
+    * deterministic trainer measures ratio 0.9818 on the sf0.01 gate
+    * corpus (0.95-0.97 at sf0.001); the band sits at the midpoint
+    * between healthy and uniform, so a HALF-degraded model — one the
+    * old "≤ uniform" bound silently accepted — now flips the gate's
+    * err non-null, while the healthy value keeps ~1% headroom. The
+    * events corpus is deliberately flat (equal-mass bins), which is why
+    * healthy sits so close to 1.0 here; pipelines with more corpus
+    * structure pin far tighter (flow 0.71, proxy 0.92). */
+  val PerplexityBand: Double = 0.991
+
   def assertQuality(model: Model, events: DataFrame,
-                    maxRatio: Double = 1.0): Unit =
+                    maxRatio: Double = PerplexityBand): Unit =
     TopicModel.assertQuality(model.topics,
       Corpus.wordCounts(featurize(events, model.cuts),
         col("user_id"), col("word")),
@@ -89,7 +101,8 @@ object EventsPipeline {
     * failure. */
   def runChecked(events: DataFrame, threshold: Double = 1.0, topK: Int = 100,
                  topicCount: Int = 10, seed: Long = 42L,
-                 exactCuts: Boolean = true, maxRatio: Double = 1.0): DataFrame = {
+                 exactCuts: Boolean = true,
+                 maxRatio: Double = PerplexityBand): DataFrame = {
     val model = train(events, topicCount = topicCount, seed = seed,
       exactCuts = exactCuts)
     assertQuality(model, events, maxRatio)

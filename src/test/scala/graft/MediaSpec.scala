@@ -104,6 +104,26 @@ class MediaSpec extends SparkSpec {
     st.mean_val shouldBe (10 to 27).sum.toDouble / 18
   }
 
+  it should "reject an adversarial BMP width instead of emitting garbage stats" in {
+    // w = 715827883 makes w*3 overflow Int to a NEGATIVE stride that
+    // would slip past an Int bounds check and "succeed" with zero/garbage
+    // samples; the Long geometry math must yield NO stats row instead
+    val b = java.nio.ByteBuffer.allocate(100)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(2, 100)          // file size
+    b.putInt(10, 54)          // pixel data offset
+    b.putInt(14, 40)          // DIB header size
+    b.putInt(18, 715827883)   // width: w*3 = 2^31 + 1
+    b.putInt(22, 1)           // height
+    b.putShort(26, 1)         // planes
+    b.putShort(28, 24)        // bpp
+    b.putInt(30, 0)           // BI_RGB
+    Media.SampleStatsDecoder.bmpPixels(b.array()) shouldBe None
+    Media.SampleStatsDecoder.decodeStats(
+      Iterator(Media.MediaRecord(9L, "image/bmp", b.array()))).toSeq shouldBe empty
+  }
+
   it should "recover signed 16-bit PCM sample stats" in {
     val wav = Media.wavBytesPcm(8000, 2, 3, i => (i * 100 - 250).toShort)
     val st = Media.SampleStatsDecoder.decodeStats(

@@ -529,6 +529,37 @@ class OperatorsSpec extends SparkSpec {
     declared shouldBe fourBit
   }
 
+  it should "survive a shift-overflowing targetOccupancy" in {
+    import graft.operators.Similarity
+    // targetOccupancy = Long.MaxValue makes `t << b` overflow for every
+    // b >= 1; mathematically n <= t·2^b is true there, so the guard must
+    // resolve to the SMALLEST width (b = 1), not fall through to maxBits
+    val huge = Similarity.lshNearDupPairsScaled(vecs, threshold = 0.1,
+        dim = 3, bands = 2, targetOccupancy = Long.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    val oneBit = Similarity.lshNearDupPairs(vecs, threshold = 0.1,
+        dim = 3, bands = 2, bitsPerBand = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    huge shouldBe oneBit
+  }
+
+  "Similarity.scaledCellNearDupPairs and semanticDedup" should
+      "accept a precomputed corpus size in place of the count job" in {
+    import graft.operators.Similarity
+    val n = Some(4L) // the fixture's true size: results must be identical
+    Similarity.scaledCellNearDupPairs(vecs, threshold = 0.3,
+        precomputedN = n)
+      .as[(Long, Long, Double)].collect().toSet shouldBe
+      Similarity.scaledCellNearDupPairs(vecs, threshold = 0.3)
+        .as[(Long, Long, Double)].collect().toSet
+    Similarity.semanticDedup(vecs, threshold = 0.3, precomputedN = n)
+      .select("vec_id", "cluster", "kept")
+      .as[(Long, Long, Boolean)].collect().toSet shouldBe
+      Similarity.semanticDedup(vecs, threshold = 0.3)
+        .select("vec_id", "cluster", "kept")
+        .as[(Long, Long, Boolean)].collect().toSet
+  }
+
   "Similarity.saltedBandPairs" should "bound per-join-key candidates at cap^2 on a hot bucket without losing pairs" in {
     import graft.operators.Similarity
     // one deliberately hot bucket: all 60 vids share (band=0, sig=7)
@@ -999,6 +1030,30 @@ class OperatorsSpec extends SparkSpec {
   it should "stop early when no adjacent pairs remain" in {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     Bpe.trainMerges(docs, col("text"), numMerges = 5) shouldBe empty
+  }
+
+  it should "merge several disjoint pairs in one batched round" in {
+    // (a,a):8 (b,b):4 (c,c):2 share no symbol and have distinct counts:
+    // one batched round must emit all three, in sequential-replay order
+    val docs = Seq((1L, (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++
+      Seq.fill(2)("cc")).mkString(" "))).toDF("doc_id", "text")
+    Bpe.trainMerges(docs, col("text"), numMerges = 3) shouldBe
+      Seq(("a", "a"), ("b", "b"), ("c", "c"))
+  }
+
+  it should "produce the identical merge list batched and one-at-a-time" in {
+    // varied-frequency pseudo-random corpus: the batched rounds (default
+    // batch=64) must replay EXACTLY the batch=1 sequential merge list —
+    // the disjointness + interaction-floor filter is what guarantees it
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 30L).map { i =>
+      (i, (1 to 20).map(_ => rnd.alphanumeric.filter(_.isLetter)
+        .take(3 + rnd.nextInt(5)).mkString.toLowerCase).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sequential = Bpe.trainMerges(docs, col("text"), numMerges = 24,
+      batch = 1)
+    val batched = Bpe.trainMerges(docs, col("text"), numMerges = 24)
+    batched shouldBe sequential
   }
 
   "Bpe.encode" should "count subword tokens per doc under the trained merges" in {

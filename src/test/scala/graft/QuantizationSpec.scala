@@ -156,6 +156,20 @@ class QuantizationSpec extends SparkSpec {
     got shouldBe Set(0L, 2L) // only cell A members; 1 and 3 unprobed
   }
 
+  "Quantization.seedCodebooks" should
+      "seed from the k LOWEST PRESENT ids on a gapped fixture" in {
+    // the v11 gate seeds codebooks from `vec_id >= 8` and its SQL twin
+    // replays "the 8 lowest ids >= 8" — this pins the Spark-side contract
+    // both mean: k lowest ids PRESENT in the (possibly gapped) input, not
+    // a contiguous id range
+    val df = vecs(3L -> Seq(1.0, 2.0), 11L -> Seq(3.0, 4.0),
+      40L -> Seq(5.0, 6.0), 41L -> Seq(7.0, 8.0))
+    val got = Quantization.seedCodebooks(df.where(col("vec_id") >= 8),
+        numSub = 1, subDim = 2, k = 2)
+      .select("code").as[Long].collect().toSet
+    got shouldBe Set(11L, 40L)
+  }
+
   it should "never read corpus vectors past encoding (narrow code rows)" in {
     val rows = (0L until 6L).map(i => i -> Seq.fill(4)(i.toDouble))
     val df = vecs(rows: _*)
