@@ -128,6 +128,7 @@ object Bpe {
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
+    var rounds = 0
     while (merges.length < numMerges && !exhausted) {
       val want = math.min(batch, numMerges - merges.length)
       val k = want * 4
@@ -157,6 +158,9 @@ object Bpe {
         val accepted = provisional.head +:
           provisional.tail.filter(_._3 > floor)
         accepted.foreach { case (l, r, _) => merges += ((l, r)) }
+        rounds += 1
+        System.err.println(s"[bpe] round $rounds: merged ${accepted.length} " +
+          s"disjoint pairs (${merges.length}/$numMerges total)")
         val old = seqs
         seqs = seqs.select(col("cnt"),
           accepted.foldLeft(col("seq")) { case (c, (l, r, _)) =>

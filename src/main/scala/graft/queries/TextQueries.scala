@@ -277,6 +277,51 @@ object TextQueries {
         .awaitTermination()
       s.read.parquet(out)}),
 
+    // ST2: the STATEFUL streaming surface behind the driver's oracle —
+    // exact dedup executed as a real Structured Streaming job through
+    // [[graft.streaming.StreamingScore.dedupStream]]'s
+    // flatMapGroupsWithState path (md5 content keys in the state store,
+    // event-time watermark, sliding-horizon timeouts). The d1-style dup
+    // injection happens stream-side via self-union; the single-file
+    // AvailableNow source makes the batch winner deterministic (min
+    // (ts, doc_id) per key, and ts is monotone in doc_id), so the DuckDB
+    // twin is plain min(doc_id) per text. st1 covers the stateless
+    // map-only stream surface; this covers custom state.
+    "st2_stream_dedup" -> ((s, dir) => {
+      val schema = t(s, dir, "documents").schema
+      val off = t(s, dir, "documents")
+        .agg(max(col("doc_id").cast("long"))).head().getLong(0) + 1
+      val base = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val dup = base.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .union(base.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + off).cast("long"), col("text")))
+      import s.implicits._
+      // ts = doc_id seconds past epoch+1day: monotone in doc_id (so the
+      // min-(ts,id) winner IS min(doc_id), the oracle's form) and never
+      // AT epoch 0 — Spark's initial watermark is 0 ms and the stateful
+      // operator drops rows at-or-before it as late, which would
+      // silently hand doc 0's win to its duplicate copy
+      val docs = dup
+        .select(col("doc_id"), col("text"),
+          (col("doc_id") + lit(86400L)).cast("timestamp").as("ts"))
+        .as[graft.streaming.StreamingScore.StreamDoc]
+      val first = graft.streaming.StreamingScore.dedupStream(docs)
+        .select(col("doc_id"), md5(col("text")).as("content_key"))
+      val out = java.nio.file.Files
+        .createTempDirectory("st2_out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("st2_ckpt").toString
+      first.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(out)}),
+
     // D7: duplicated-span profile (exact-substring dedup signal) on the
     // dup-bearing corpus: per doc, how many of its 5-gram spans occur
     // anywhere else in the corpus. The injected exact duplicates give the
@@ -1284,6 +1329,19 @@ object TextQueries {
     // the streaming gate cleans the identical injected input, so its
     // oracle IS the batch twin: stream == batch == SQL, driver-checked
     "st1_stream_c4_parity" -> C4FilterSql,
+
+    // stateful streaming dedup: first occurrence per content key == the
+    // relational min(doc_id) per text over the same dup-injected corpus
+    // (ts is monotone in doc_id, one micro-batch, so the stream's
+    // min-(ts,id) winner IS min(doc_id))
+    "st2_stream_dedup" ->
+      """WITH dup AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT min(doc_id) AS doc_id, md5(text) AS content_key
+        |FROM dup GROUP BY text""".stripMargin,
 
     // hashed-bigram buckets, per-corpus smoothed bucket models with each
     // log snapped to 1e-6 fixed point (integer per-doc sums), one double
