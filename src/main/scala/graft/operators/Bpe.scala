@@ -13,14 +13,15 @@ import org.apache.spark.sql.graft.ColumnBridge
   * whitespace words).
   *
   * Spark-native shape: training runs on the word-FREQUENCY table — one
-  * corpus-wide `tokens → groupBy word` shuffle, after which every round
-  * touches only the bounded distinct-word frame (the classic trainer's
-  * own trick; corpus size never re-enters). Each round is two small jobs:
-  * a pair-count aggregation and a one-row argmax collect (same
-  * bounded-driver-scalar pattern as the k-means/quantile loops), then a
-  * codegen'd literal replace over the sequences. Encoding applies the
-  * ranked merges to the DISTINCT words once and joins docs back — never
-  * re-encodes repeated words.
+  * corpus-wide `tokens → groupBy word` shuffle with a `maxVocab`
+  * frequency cut, after which the frame is BOUNDED (≤ 2^17 rows, a few
+  * MB) and collects to the driver like any other model-sized object
+  * (cut-sets, dictionaries, centroids). Training itself is the classic
+  * exact in-memory trainer over that table ([[trainMergesLocal]]):
+  * incremental pair-count updates + a lazy max-heap, zero per-merge
+  * Spark jobs. Encoding applies the ranked merges to the DISTINCT words
+  * once (distributed, codegen'd literal replaces) and joins docs back —
+  * never re-encodes repeated words.
   *
   * Determinism: pair counts are exact integers; the argmax tie-breaks
   * (count desc, left asc, right asc) — a total order, so any engine
@@ -40,16 +41,13 @@ import org.apache.spark.sql.graft.ColumnBridge
   * exactly these left-to-right non-overlapping semantics, which is also
   * exactly Sennrich's per-round greedy merge order.
   *
-  * At 100 TB: the word-frequency table is the only corpus-scale object
-  * (one shuffle, then reused); training rounds are bounded jobs whose
-  * count is `numMerges / batch`, not `numMerges` — each round merges up
-  * to `batch` PAIRWISE-DISJOINT top pairs at once (see [[trainMerges]]
-  * for why the result is provably identical to one-at-a-time training),
-  * so a production-size merge count (~32k) is ~500 rounds, not ~32k
-  * sequential driver round-trips. The trained vocabulary defaults to a
-  * `maxVocab` = 2^17 frequency cut (the standard practice): the frame
-  * each round scans stays a few hundred thousand rows regardless of
-  * corpus size, instead of the corpus's full distinct-word set. */
+  * At 100 TB: the word-frequency aggregation is the ONLY corpus-scale
+  * work, and it runs exactly once; merge count never touches the
+  * cluster (a ~32k-merge production run is ~32k in-memory heap
+  * operations after one distributed job + one bounded collect). The
+  * trained vocabulary defaults to a `maxVocab` = 2^17 frequency cut
+  * (the standard practice) so the collected frame is bounded at any
+  * corpus size instead of the corpus's full distinct-word set. */
 object Bpe {
 
   /** Default vocabulary cap for training: 2^17 words bounds every round's
@@ -70,17 +68,6 @@ object Bpe {
   private def symbols(seq: Column): Column =
     filter(split(seq, "\\s+"), t => length(t) > 0)
 
-  /** Adjacent symbol pairs of every sequence, weighted by word count. */
-  private def pairCounts(seqs: DataFrame): DataFrame = {
-    val tk = symbols(col("seq"))
-    seqs.select(col("cnt"), explode(when(size(tk) >= 2,
-        zip_with(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
-          (a, b) => struct(a.as("l"), b.as("r"))))
-      .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
-      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-      .agg(sum("cnt").as("n"))
-  }
-
   /** The distinct-word frequency frame of a corpus (optionally cut to the
     * `maxVocab` most frequent words — ties broken by word — the standard
     * cap that bounds every training round at any corpus size). */
@@ -97,79 +84,154 @@ object Bpe {
     * step needs it as literals anyway). Stops early if the corpus runs
     * out of adjacent pairs.
     *
-    * BATCHED ROUNDS, SEQUENTIAL RESULT: each round collects the top
-    * `4·batch + 1` pairs (bounded driver rows), greedily keeps a ranked
-    * prefix-selection of pairwise-SYMBOL-DISJOINT pairs, and merges them
-    * all in one codegen'd replace pass. The kept set is provably the next
-    * |kept| merges one-at-a-time training would pick:
-    *   - merging (l, r) only changes counts of pairs that SHARE l or r
-    *     (destroyed neighbors) and creates pairs involving the new symbol
-    *     lr, each with count ≤ some existing pair containing l or r — so
-    *     disjoint pairs' counts are untouched by each other's merges;
-    *   - every kept pair (beyond the round's argmax, which is always
-    *     correct) must out-count every pair it could interact with, so
-    *     kept pairs are filtered to count > max(count of any scanned
-    *     conflicting/rejected candidate, count at the collection
-    *     boundary) — any unseen conflicting pair sits below the boundary,
-    *     hence below every kept pair, hence so do all created pairs;
-    *   - ties therefore always degrade toward SMALLER batches (worst
-    *     case: 1 = plain sequential), never toward a different merge
-    *     list, and the (count desc, l, r) total order makes replay
-    *     deterministic on any engine.
-    * Rounds ≈ numMerges / batch: ~32k production merges become ~500
-    * bounded jobs instead of ~32k. */
+    * SHAPE: ONE distributed job (the [[wordFreq]] aggregation + its
+    * `maxVocab` frequency cut), then a bounded collect (≤ maxVocab rows,
+    * a few MB), then [[trainMergesLocal]] — the classic exact in-memory
+    * trainer with incremental pair-count updates. Zero per-merge Spark
+    * jobs: 32k production merges are 32k in-memory heap operations, not
+    * 32k driver-coordinated job rounds. (A provably-exact distributed
+    * batching variant was measured first: pairwise-disjoint batch merges
+    * with an interaction-count floor degrade to ~1 merge/round on real
+    * count distributions — the floor sits at the second-ranked count —
+    * so the bounded-frame collect is strictly the better scale shape,
+    * and is how production BPE trainers work on word-count tables.) */
   def trainMerges(docs: DataFrame, text: Column, numMerges: Int,
-                  maxVocab: Int = DefaultMaxVocab,
-                  batch: Int = 64): Seq[(String, String)] = {
+                  maxVocab: Int = DefaultMaxVocab): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    require(batch >= 1, s"batch must be >= 1, got $batch")
-    var seqs = wordFreq(docs, text, maxVocab)
-      .select(col("cnt"), spaced(col("word")).as("seq"))
-      .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var exhausted = false
-    var rounds = 0
-    while (merges.length < numMerges && !exhausted) {
-      val want = math.min(batch, numMerges - merges.length)
-      val k = want * 4
-      val top = pairCounts(seqs)
-        .orderBy(desc("n"), asc("l"), asc("r")).limit(k + 1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val cands = top.take(k)
-          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        // candidates beyond the collected window all count <= boundary
-        val boundary =
-          if (top.length <= k) Long.MinValue else top(k).getLong(2)
-        // greedy ranked scan: keep disjoint pairs, track the highest
-        // count among everything NOT kept (conflicts and cap overflow —
-        // the floor every kept pair must strictly beat)
-        val used = scala.collection.mutable.Set.empty[String]
-        val provisional =
-          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        var floor = boundary
-        cands.foreach { case (l, r, n) =>
-          if (provisional.length < want && !used(l) && !used(r)) {
-            provisional += ((l, r, n)); used += l; used += r
-          } else floor = math.max(floor, n)
+    val freq = wordFreq(docs, text, maxVocab).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainMergesLocal(freq, numMerges)
+  }
+
+  /** UTF-8 byte-wise comparison — Spark's UTF8String and DuckDB both
+    * order strings this way; java.lang.String.compareTo orders by UTF-16
+    * code unit, which disagrees on supplementary characters, so the
+    * argmax tiebreak must NOT use it. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** The double-spaced representation of a word, driver-side: symbols are
+    * CODE POINTS (exactly Spark's `split(word, "")` / the oracle's
+    * per-character split — a byte or code-unit split would break
+    * surrogate pairs differently on each engine). */
+  private def spacedStr(word: String): String = {
+    val sb = new StringBuilder("  ")
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      sb.appendAll(Character.toChars(cp)).append("  ")
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** Adjacent-pair multiplicities of one spaced sequence (overlapping
+    * positions count, mirroring [[pairCounts]]'s zip_with exactly). */
+  private def pairMults(seq: String): collection.mutable.Map[(String, String), Int] = {
+    val syms = seq.split("\\s+").filter(_.nonEmpty)
+    val m = collection.mutable.Map.empty[(String, String), Int]
+    var i = 0
+    while (i + 1 < syms.length) {
+      val p = (syms(i), syms(i + 1))
+      m.update(p, m.getOrElse(p, 0) + 1)
+      i += 1
+    }
+    m
+  }
+
+  /** Exact sequential Sennrich training over a collected word-frequency
+    * table: per merge round, the corpus-wide argmax pair under the total
+    * order (count desc, l asc, r asc — UTF-8 byte order, the order Spark
+    * and DuckDB share) is merged in every word, left-to-right
+    * non-overlapping (`String.replace` on the double-spaced form — the
+    * SAME primitive semantics as Catalyst's StringReplace and DuckDB's
+    * replace(), so the merge list is engine-replayable bit-for-bit).
+    *
+    * Incremental bookkeeping (the classic fast-trainer structure): a
+    * pair→count map, a pair→containing-words index, and a lazy-deletion
+    * max-heap. Each merge touches only the words that contain the merged
+    * pair — their old pair multiplicities are subtracted and the
+    * re-split multiplicities of the replaced sequence added — so a merge
+    * costs O(affected words · word length), and every current count
+    * always has a live heap entry (pushed on update; stale entries are
+    * discarded when their count no longer matches the map). */
+  def trainMergesLocal(wordFreq: Seq[(String, Long)],
+                       numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val words = wordFreq.map { case (w, _) => spacedStr(w) }.toArray
+    val cnts = wordFreq.map(_._2).toArray
+    val pairCount = collection.mutable.Map.empty[(String, String), Long]
+    val pairWords = collection.mutable.Map.empty[(String, String),
+      collection.mutable.Set[Int]]
+    // max-heap: highest count first, then smallest (l, r) in UTF-8 order
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(p: (Long, String, String), q: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(p._1, q._1)
+        if (c != 0) c
+        else {
+          val cl = utf8Compare(q._2, p._2)
+          if (cl != 0) cl else utf8Compare(q._3, p._3)
         }
-        // the round's argmax is always a correct next merge (rank-first
-        // tiebreak); later picks survive only above the interaction floor
-        val accepted = provisional.head +:
-          provisional.tail.filter(_._3 > floor)
-        accepted.foreach { case (l, r, _) => merges += ((l, r)) }
-        rounds += 1
-        System.err.println(s"[bpe] round $rounds: merged ${accepted.length} " +
-          s"disjoint pairs (${merges.length}/$numMerges total)")
-        val old = seqs
-        seqs = seqs.select(col("cnt"),
-          accepted.foldLeft(col("seq")) { case (c, (l, r, _)) =>
-            litReplace(c, s" $l  $r ", s" $l$r ") }.as("seq"))
-          .localCheckpoint()
-        old.unpersist()
       }
     }
-    seqs.unpersist()
+    val heap = collection.mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    var i = 0
+    while (i < words.length) {
+      pairMults(words(i)).foreach { case (p, m) =>
+        pairCount.update(p, pairCount.getOrElse(p, 0L) + m * cnts(i))
+        pairWords.getOrElseUpdate(p, collection.mutable.Set.empty) += i
+      }
+      i += 1
+    }
+    pairCount.foreach { case ((l, r), n) => heap.enqueue((n, l, r)) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      // pop to the first LIVE entry (count still matches the map)
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val c = heap.dequeue()
+        if (pairCount.get((c._2, c._3)).contains(c._1)) top = Some(c)
+      }
+      top match {
+        case None => exhausted = true
+        case Some((_, l, r)) =>
+          merges += ((l, r))
+          val search = s" $l  $r "; val repl = s" $l$r "
+          pairWords.get((l, r)).map(_.toArray).getOrElse(Array.empty)
+            .foreach { idx =>
+              val old = words(idx)
+              val next = old.replace(search, repl)
+              val oldM = pairMults(old); val newM = pairMults(next)
+              (oldM.keySet ++ newM.keySet).foreach { p =>
+                val delta =
+                  (newM.getOrElse(p, 0) - oldM.getOrElse(p, 0)).toLong * cnts(idx)
+                if (delta != 0) {
+                  val nc = pairCount.getOrElse(p, 0L) + delta
+                  if (nc <= 0) pairCount.remove(p)
+                  else { pairCount.update(p, nc); heap.enqueue((nc, p._1, p._2)) }
+                }
+                if (newM.contains(p) && !oldM.contains(p))
+                  pairWords.getOrElseUpdate(p, collection.mutable.Set.empty) += idx
+                else if (oldM.contains(p) && !newM.contains(p))
+                  pairWords.get(p).foreach(_ -= idx)
+              }
+              words(idx) = next
+            }
+          if (merges.length % 4096 == 0)
+            System.err.println(s"[bpe] ${merges.length}/$numMerges merges " +
+              s"(${pairCount.size} live pairs)")
+      }
+    }
     merges.toSeq
   }
 

@@ -1032,28 +1032,46 @@ class OperatorsSpec extends SparkSpec {
     Bpe.trainMerges(docs, col("text"), numMerges = 5) shouldBe empty
   }
 
-  it should "merge several disjoint pairs in one batched round" in {
-    // (a,a):8 (b,b):4 (c,c):2 share no symbol and have distinct counts:
-    // one batched round must emit all three, in sequential-replay order
+  it should "rank distinct-count pairs in frequency order" in {
+    // (a,a):8 (b,b):4 (c,c):2 — the merge list is the descending-count
+    // sequence regardless of symbol interaction
     val docs = Seq((1L, (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++
       Seq.fill(2)("cc")).mkString(" "))).toDF("doc_id", "text")
     Bpe.trainMerges(docs, col("text"), numMerges = 3) shouldBe
       Seq(("a", "a"), ("b", "b"), ("c", "c"))
   }
 
-  it should "produce the identical merge list batched and one-at-a-time" in {
-    // varied-frequency pseudo-random corpus: the batched rounds (default
-    // batch=64) must replay EXACTLY the batch=1 sequential merge list —
-    // the disjointness + interaction-floor filter is what guarantees it
+  it should "match a brute-force recount-every-round reference trainer" in {
+    // differential test of trainMergesLocal's incremental bookkeeping
+    // (pair-count deltas, containing-word index, lazy heap): a ~25-line
+    // reference that re-splits and recounts EVERY word each round — no
+    // shared machinery — must replay the identical merge list on a
+    // varied-frequency pseudo-random corpus
+    def reference(freq: Seq[(String, Long)], n: Int): Seq[(String, String)] = {
+      def sp(w: String) = "  " + w.map(c => s"$c").mkString("  ") + "  "
+      var words = freq.map { case (w, c) => (sp(w), c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (out.length < n) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach { case (s, c) =>
+          val syms = s.split("\\s+").filter(_.nonEmpty)
+          syms.lazyZip(syms.drop(1)).foreach((a, b) =>
+            counts.update((a, b), counts.getOrElse((a, b), 0L) + c))
+        }
+        if (counts.isEmpty) return out.toSeq
+        val (l, r) = counts.toSeq
+          .minBy { case ((l, r), c) => (-c, l, r) }._1 // ASCII corpus: string order == UTF-8 order
+        out += ((l, r))
+        words = words.map { case (s, c) => (s.replace(s" $l  $r ", s" $l$r "), c) }
+      }
+      out.toSeq
+    }
     val rnd = new scala.util.Random(7)
-    val docs = (1L to 30L).map { i =>
-      (i, (1 to 20).map(_ => rnd.alphanumeric.filter(_.isLetter)
-        .take(3 + rnd.nextInt(5)).mkString.toLowerCase).mkString(" "))
-    }.toDF("doc_id", "text")
-    val sequential = Bpe.trainMerges(docs, col("text"), numMerges = 24,
-      batch = 1)
-    val batched = Bpe.trainMerges(docs, col("text"), numMerges = 24)
-    batched shouldBe sequential
+    val freq = (1 to 400).map(_ => rnd.alphanumeric.filter(_.isLetter)
+        .take(3 + rnd.nextInt(5)).mkString.toLowerCase)
+      .groupBy(identity).map { case (w, g) => (w, g.size.toLong * (1 + w.length)) }
+      .toSeq
+    Bpe.trainMergesLocal(freq, numMerges = 40) shouldBe reference(freq, 40)
   }
 
   "Bpe.encode" should "count subword tokens per doc under the trained merges" in {
