@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * Media travels as an opaque `binary` column plus typed metadata — the
   * schema, partitioning, and batch shapes are real and tested. Header
   * metadata ([[HeaderDecoder]]) and payload decode ([[SampleStatsDecoder]]:
-  * 24-bit BMP pixels, 16-bit PCM WAV samples, and 8-bit PNG pixels via
-  * `java.util.zip.Inflater` + the spec's five scanline filters) are real
-  * pure-JVM parsing; only formats that genuinely need an external codec
-  * library (JPEG, MP3, interlaced/16-bit PNG) stay loudly stubbed — this
-  * environment doesn't ship those libraries.
+  * 24-bit BMP pixels, 16-bit PCM WAV samples, 8-bit PNG pixels via
+  * `java.util.zip.Inflater` + the spec's five scanline filters, and
+  * baseline JPEG via the pure-JVM [[Jpeg]] codec) are real parsing with
+  * no codec library; only formats still genuinely out of pure-JVM reach
+  * here (MP3, progressive JPEG, interlaced/16-bit PNG) stay loudly
+  * stubbed.
   *
   * Ingestion paths:
   *  - real files: `spark.read.format("binaryFile")` (path, length, content)
@@ -107,6 +108,9 @@ object Media {
 
     def isBmp(b: Array[Byte]): Boolean =
       b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
+
+    def isJpeg(b: Array[Byte]): Boolean =
+      b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
   }
 
   object HeaderDecoder extends MediaDecoder {
@@ -152,6 +156,8 @@ object Media {
           if (isPng(b)) (be32(b, 16), be32(b, 20), 1)
           else if (isWav(b)) wavInfo(b).getOrElse((-1, -1, -1))
           else if (isBmp(b)) (le32(b, 18), math.abs(le32(b, 22)), 1)
+          else if (isJpeg(b)) Jpeg.dimensions(b).map { case (w, h, _) => (w, h, 1) }
+            .getOrElse((-1, -1, -1))
           else (-1, -1, -1)
         MediaFeatures(r.id, r.mime, b.length.toLong, h, w, ht, fr)
       }
@@ -172,13 +178,14 @@ object Media {
     * padding bytes are NOT samples), 16-bit PCM WAV samples from the
     * data chunk, and 8-bit-depth non-interlaced PNG pixels (IDAT is raw
     * DEFLATE — `java.util.zip.Inflater` + the five scanline filters of
-    * the PNG spec §9 are the whole codec). The integer sum is exact, so
-    * `mean = sum.toDouble / n` is one deterministic IEEE division — an
-    * oracle computing the same sum reproduces it bit-for-bit. Formats
-    * whose decode genuinely needs an external codec library (JPEG, MP3,
-    * 16-bit/interlaced PNG, ...) yield no stats row: [[HeaderDecoder]]
-    * still covers their metadata, and a silent fake would poison quality
-    * filters. */
+    * the PNG spec §9 are the whole codec), and baseline JPEG pixels via
+    * the pure-JVM [[Jpeg]] codec (Huffman + IDCT + YCbCr). The integer
+    * sum is exact, so `mean = sum.toDouble / n` is one deterministic IEEE
+    * division — an oracle computing the same sum reproduces it
+    * bit-for-bit. Formats still outside pure-JVM reach (MP3, progressive
+    * JPEG, 16-bit/interlaced PNG, ...) yield no stats row:
+    * [[HeaderDecoder]] still covers their metadata, and a silent fake
+    * would poison quality filters. */
   object SampleStatsDecoder extends MediaStatsDecoder {
     import Bytes._
 
@@ -350,6 +357,25 @@ object Media {
         }
       }
 
+    /** (n, sum, min, max) over the decoded pixel channel bytes of a
+      * baseline JPEG ([[Jpeg.decodePixels]]: full Huffman + IDCT +
+      * YCbCr→RGB decode, pure JVM). Non-baseline payloads (progressive,
+      * arithmetic, 12-bit) yield None — loud, never a fake. */
+    private def jpegStats(b: Array[Byte]): Option[(Long, Long, Long, Long)] =
+      Jpeg.decodePixels(b).flatMap { case (_, _, _, pix) =>
+        if (pix.length == 0) None
+        else {
+          var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          var k = 0
+          while (k < pix.length) {
+            val v = (pix(k) & 0xff).toLong
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            k += 1
+          }
+          Some((pix.length.toLong, sum, mn, mx))
+        }
+      }
+
     /** (n, sum, min, max) over signed 16-bit PCM samples; None unless the
       * fmt chunk declares integer PCM at 16 bits. Same untrusted-size
       * discipline as [[HeaderDecoder.wavInfo]]. */
@@ -393,6 +419,7 @@ object Media {
         val st = if (isPng(b)) pngStats(b)
           else if (isBmp(b)) bmpStats(b)
           else if (isWav(b)) wavStats(b)
+          else if (isJpeg(b)) jpegStats(b)
           else None
         st.map { case (n, sum, mn, mx) =>
           MediaStats(r.id, r.mime, n, sum.toDouble / n, mn, mx)
@@ -615,6 +642,7 @@ object Media {
         if (Bytes.isPng(b)) SampleStatsDecoder.pngPixels(b)
         else if (Bytes.isBmp(b))
           SampleStatsDecoder.bmpPixels(b).map { case (w, h, p) => (w, h, 3, p) }
+        else if (Bytes.isJpeg(b)) Jpeg.decodePixels(b)
         else None
       decoded.map { case (w, h, ch, pix) =>
         val w2 = math.max(1, w / factor); val h2 = math.max(1, h / factor)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.multimodal.Media
+import graft.multimodal.{Jpeg, Media}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,19 @@ object MultimodalQueries {
         .select(col("id"), col("mime"), col("n_samples"),
           col("mean_val"), col("min_val"), col("max_val"))),
 
+    // M6: REAL baseline JPEG decode — the fixture encodes block-constant
+    // images (gray, and gray-valued RGB at 4:2:0 with restart markers)
+    // with unit quantization tables, the one JPEG family that round-trips
+    // BIT-EXACTLY (DC = 8·(v−128) is an exact integer, every AC quantizes
+    // to zero, Y = v and Cb = Cr = 128 exactly for gray-valued RGB), so
+    // the oracle predicts the decoded samples in closed form even though
+    // JPEG is lossy in general. The decode is the full baseline path:
+    // marker parse, Huffman, dequant, IDCT, 4:2:0 upsample, YCbCr→RGB.
+    "m6_jpeg_stats" -> ((s, dir) =>
+      Media.extractStats(mediaJpeg(s, dir)).toDF()
+        .select(col("id"), col("mime"), col("n_samples"),
+          col("mean_val"), col("min_val"), col("max_val"))),
+
     // M5: REAL nearest-neighbor resize — the m4 PNGs decoded, halved
     // ((x,y) ← (x·w/w2, y·h/h2) integer-exact), re-encoded as PNG, and
     // the RESIZED bytes re-decoded for their stats. The oracle replays
@@ -91,6 +104,40 @@ object MultimodalQueries {
         MediaRecord(id, "image/png",
           Media.pngBytesPixels((3 + n % 13).toInt, (2 + id % 9).toInt,
             j => ((id * 29 + j.toLong * 11) % 256).toInt))
+      }
+  }
+
+  /** The m6 fixture: doc_id % 3 == 2 → baseline JPEG with constant 8×8
+    * blocks, block b valued (id·37 + b·23) % 256. Odd ids → grayscale
+    * (w = 8·(1+n%3), h = 8·(1+id%4), restart interval id%5); even ids →
+    * gray-valued RGB at 4:2:0 (w = 16·(1+n%2), h = 16·(1+id%3), restart
+    * interval id%4). Unit quant tables make both bit-exact. */
+  private def mediaJpeg(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, n) =>
+        def v(b: Int): Int = ((id * 37 + b.toLong * 23) % 256).toInt
+        if (id % 2 == 1) {
+          val w = 8 * (1 + n % 3).toInt; val h = 8 * (1 + id % 4).toInt
+          val bw = w / 8
+          val pix = Array.tabulate[Byte](w * h) { i =>
+            val x = i % w; val y = i / w
+            v((y / 8) * bw + x / 8).toByte
+          }
+          MediaRecord(id, "image/jpeg",
+            Jpeg.encodeGray(w, h, pix, restartInterval = (id % 5).toInt))
+        } else {
+          val w = 16 * (1 + n % 2).toInt; val h = 16 * (1 + id % 3).toInt
+          val bw = w / 8
+          val rgb = Array.tabulate[Byte](w * h * 3) { i =>
+            val p = i / 3; val x = p % w; val y = p / w
+            v((y / 8) * bw + x / 8).toByte
+          }
+          MediaRecord(id, "image/jpeg",
+            Jpeg.encodeRgb(w, h, rgb, subsample420 = true,
+              restartInterval = (id % 4).toInt))
+        }
       }
   }
 
@@ -181,6 +228,30 @@ object MultimodalQueries {
          |       sum(v)::DOUBLE / count(*) AS mean_val,
          |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
          |FROM pvals GROUP BY id, mime, cnt""".stripMargin,
+
+    // the m6 twin recomputes the block-constant JPEG samples from the
+    // fixture closed form: block b of image id is (id·37 + b·23) % 256,
+    // each block contributes 64·ch samples — equality proves the full
+    // baseline decode (Huffman, dequant, IDCT, 4:2:0 upsample, YCbCr→RGB,
+    // restart markers) recovered exactly the encoded values
+    "m6_jpeg_stats" ->
+      s"""WITH m AS (SELECT doc_id AS id, n_chars AS n FROM documents
+         |           WHERE doc_id % 3 = 2),
+         |geo AS (SELECT id,
+         |          CASE WHEN id % 2 = 1 THEN 8 * (1 + n % 3)
+         |               ELSE 16 * (1 + n % 2) END AS w,
+         |          CASE WHEN id % 2 = 1 THEN 8 * (1 + id % 4)
+         |               ELSE 16 * (1 + id % 3) END AS h,
+         |          CASE WHEN id % 2 = 1 THEN 1 ELSE 3 END AS ch
+         |        FROM m),
+         |blocks AS (
+         |  SELECT id, w, h, ch, (id * 37 + b.b * 23) % 256 AS v
+         |  FROM geo,
+         |  LATERAL (SELECT unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS b) b)
+         |SELECT id, 'image/jpeg' AS mime, (w * h * ch)::BIGINT AS n_samples,
+         |       (sum(v) * 64 * ch)::DOUBLE / (w * h * ch) AS mean_val,
+         |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+         |FROM blocks GROUP BY id, w, h, ch""".stripMargin,
 
     // the m5 twin replays the nearest-neighbor index map over the m4
     // closed form: out(x2,y2,c) = value(((y2·h/h2)·w + x2·w/w2)·3 + c)
