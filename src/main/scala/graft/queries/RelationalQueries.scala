@@ -233,6 +233,40 @@ object RelationalQueries {
       graft.operators.Sessions.sessions(t(s, dir, "events"),
         col("user_id"), col("ts"), col("event_id"), gapSeconds = 21600L)),
 
+    // ST3: windowed aggregation behind the driver's oracle — tumbling
+    // 1-hour event counts + exact cent sums per event type, executed as a
+    // real Structured Streaming job in APPEND mode to a file sink (the
+    // production shape; st1 covers stateless maps, st2 custom state, this
+    // covers built-in windowed-agg state). The watermark cutoff is part
+    // of the checked semantics: only CLOSED windows (end ≤ max event
+    // time at drain) are emitted, and the DuckDB twin replays exactly
+    // that rule. Cent sums keep the aggregation integer-exact.
+    "st3_stream_window" -> ((s, dir) => {
+      // stream the raw file with the batch loader's nanos handling
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = (rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // TIMESTAMP_NS parquet surfaces as NTZ under the UTC session;
+        // watermarks demand TimestampType — same instants, cast is free
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }).withColumn("cents", round(col("value") * 100).cast("long"))
+      val agg = graft.streaming.StreamingScore.windowedEventStats(
+        ev, col("ts"), col("event_type"), col("cents"))
+      val out = java.nio.file.Files.createTempDirectory("st3_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("st3_ckpt").toString
+      agg.select(col("window.start").cast("long").as("w_start"),
+          col("key").as("event_type"), col("n_events"),
+          col("agg_sum").as("cents"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(out)}),
+
     // J7b: as-of tiebreak under REAL (key, ts) duplicates — every marker
     // row is doubled with a larger id, so the max-tiebreak rule decides
     // every match. Oracle: explicit rank twin (DuckDB's native ASOF picks
@@ -457,6 +491,21 @@ object RelationalQueries {
         |SELECT key, session_seq::BIGINT AS session_seq,
         |       count(*) AS n_events, min(us) AS first_us, max(us) AS last_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // the st3 twin: same tumbling windows + integer cent sums, keeping
+    // only windows CLOSED at the final watermark (= max ts, delay 0) —
+    // the append-mode emission rule is replayed, not approximated
+    "st3_stream_window" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |mx AS (SELECT max(ts) AS mts FROM events)
+        |SELECT epoch(ws)::BIGINT AS w_start, event_type,
+        |       count(*) AS n_events, sum(c) AS cents
+        |FROM e, mx
+        |GROUP BY ws, event_type, mts
+        |HAVING ws + INTERVAL 1 HOUR <= mts""".stripMargin,
 
     "j7c_asof_forward" ->
       """WITH m AS (

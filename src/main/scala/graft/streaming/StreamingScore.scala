@@ -37,6 +37,27 @@ object StreamingScore {
         count(when(col("score") <= threshold, 1)).as("n_suspicious"),
         min(col("score")).as("min_score"))
 
+  /** Tumbling-window per-key event stats for append-mode sinks (the
+    * file-sink-compatible production shape): (window, key, n_events,
+    * `agg` sum). A window row is emitted exactly once, when the
+    * watermark passes its end — so on a drained stream the output is
+    * every CLOSED window, and the final partial window (end > max event
+    * time − delay) stays unemitted. That cutoff is deterministic, which
+    * is what lets a batch oracle replay this operator: aggregate the
+    * same windows and keep those with end ≤ max(ts) − delay.
+    *
+    * `agg` should be an exact integral column (e.g. cents, counts):
+    * integer sums are order-invariant across partitions and retries,
+    * where a double sum is not — same discipline as the batch gates. */
+  def windowedEventStats(events: DataFrame, ts: Column, key: Column,
+                         agg: Column, windowLen: String = "1 hour",
+                         watermark: String = "0 seconds"): DataFrame =
+    events
+      .withColumn("__ts", ts)
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen).as("window"), key.as("key"))
+      .agg(count(lit(1)).as("n_events"), sum(agg).as("agg_sum"))
+
   /** Gap-based sessionization (built-in session_window): one row per
     * (doc, session) with bounds and event count. */
   def sessionize(events: DataFrame, ts: Column, doc: Column,

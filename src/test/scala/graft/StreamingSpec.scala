@@ -55,6 +55,31 @@ class StreamingSpec extends SparkSpec {
     got shouldBe Set(("u1", 2L, 1L), ("u2", 1L, 1L))
   }
 
+  "windowedEventStats" should "emit only closed windows in append mode" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Timestamp)]
+    // two closed 30-min windows + a final partial one (max ts 10:40)
+    input.addData(("a", 100L, ts(5)), ("a", 50L, ts(10)), ("b", 10L, ts(20)),
+      ("a", 7L, ts(35)), ("b", 3L, ts(40)))
+    val agg = StreamingScore.windowedEventStats(
+      input.toDF().toDF("k", "cents", "ts"),
+      col("ts"), col("k"), col("cents"), windowLen = "20 minutes")
+    val q = agg.select(col("window.start").cast("long").as("ws"),
+        col("key"), col("n_events"), col("agg_sum"))
+      .writeStream.format("memory").queryName("wes_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    val got = spark.table("wes_out")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // watermark after the batch = 10:40 → [10:00,10:20) and [10:20,10:40)
+    // are closed and emitted; [10:40,11:00) stays in state
+    got shouldBe Set(
+      (base, "a", 2L, 150L),
+      (base + 1200, "b", 1L, 10L),
+      (base + 1200, "a", 1L, 7L))
+  }
+
   "suspiciousRuns" should "carry run state across micro-batches" in {
     import StreamingScore.{ScoredEvent, RunUpdate}
     implicit val sqlCtx = spark.sqlContext
