@@ -28,6 +28,12 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** DuckDB twin of [[graft.functions.PolyHash]] (same as TextQueries). */
+  private def hashSql(e: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |  [ascii(c)::BIGINT for c in string_split($e, '')]),
+       |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P1: scan + projection + pushed-down predicate.
     "s1_scan_project" -> ((s, dir) =>
@@ -127,6 +133,22 @@ object RelationalQueries {
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))),
+
+    // A12: HyperLogLog distinct-count sketch — distinct users per event
+    // type in ONE aggregation pass with a 4 KB mergeable buffer per group
+    // (the 100 TB shape: no per-value shuffle, unlike a11's exact
+    // countDistinct). Runs over the engine-replayable PolyHash stream so
+    // the DuckDB twin derives byte-identical registers; nonzero and the
+    // scaled indicator sum are exact integers, the estimate is the same
+    // literal double formula on both sides (floor-rounded to 4 dp).
+    "a12_hll_distinct" -> ((s, dir) => {
+      val hashed = t(s, dir, "events").where(col("user_id").isNotNull)
+        .withColumn("uh", graft.functions.PolyHash.poly_hash(
+          concat(lit("u:"), col("user_id").cast("string")), 31L))
+      graft.operators.Sketches.hllDistinct(
+          hashed, Seq(col("event_type")), col("uh"), p = 12)
+        .select(col("event_type"), col("nonzero"), col("sum_scaled"),
+          (floor(col("estimate") * 10000 + 0.5) / 10000.0).as("est"))}),
 
     // U3: intersect / except set operators.
     "u3_intersect_except" -> ((s, dir) => {
@@ -408,6 +430,45 @@ object RelationalQueries {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // the a12 twin derives the same HLL registers from the same PolyHash
+    // stream: idx = h mod 4096, rho from the high 18 bits, register max,
+    // then the identical estimator (exact-integer indicator sum; absent
+    // registers contribute 2^19 each and count as zeros)
+    "a12_hll_distinct" ->
+      s"""WITH h0 AS (
+        |  SELECT event_type, ${hashSql("'u:' || user_id::VARCHAR")} AS hh
+        |  FROM events WHERE user_id IS NOT NULL),
+        |s1 AS (SELECT event_type,
+        |              (hh * 2654435761) % 1073741824 AS z1 FROM h0),
+        |s2 AS (SELECT event_type, xor(z1, z1 // 32768) AS z2 FROM s1),
+        |s3 AS (SELECT event_type,
+        |              (z2 * 1597334677) % 1073741824 AS z3 FROM s2),
+        |h AS (SELECT event_type, xor(z3, z3 // 8192) AS hh FROM s3),
+        |r AS (
+        |  SELECT event_type, hh % 4096 AS idx,
+        |         CASE WHEN hh // 4096 = 0 THEN 19
+        |              ELSE 18 - floor(log2((hh // 4096)::DOUBLE))::INT
+        |         END AS rho
+        |  FROM h),
+        |regs AS (SELECT event_type, idx, max(rho) AS mj FROM r GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, count(*)::INT AS nonzero,
+        |         (sum(1::BIGINT << (19 - mj))
+        |          + (4096 - count(*)) * 524288)::BIGINT AS sum_scaled
+        |  FROM regs GROUP BY 1),
+        |e AS (
+        |  SELECT event_type, nonzero, sum_scaled,
+        |         0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 4096.0::DOUBLE)
+        |           * 4096.0::DOUBLE * 4096.0::DOUBLE * 524288.0::DOUBLE
+        |           / sum_scaled::DOUBLE AS raw
+        |  FROM agg)
+        |SELECT event_type, nonzero, sum_scaled,
+        |       floor((CASE WHEN raw <= 10240.0::DOUBLE AND nonzero < 4096
+        |              THEN 4096.0::DOUBLE
+        |                   * ln(4096.0::DOUBLE / (4096 - nonzero)::DOUBLE)
+        |              ELSE raw END) * 10000 + 0.5) / 10000.0 AS est
+        |FROM e""".stripMargin,
 
     "u3_intersect_except" ->
       """WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),

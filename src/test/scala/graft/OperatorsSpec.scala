@@ -1074,6 +1074,47 @@ class OperatorsSpec extends SparkSpec {
     Bpe.trainMergesLocal(freq, numMerges = 40) shouldBe reference(freq, 40)
   }
 
+  "Sketches.hllDistinct" should "estimate within 5% on both estimator branches" in {
+    import graft.functions.PolyHash
+    import graft.operators.Sketches
+    // small group → linear-counting branch; large → raw-estimate branch
+    // (raw > 2.5m needs distinct ≳ 10k at p=12)
+    val df = ((1 to 500).map(i => ("small", i.toLong)) ++
+      (1 to 30000).map(i => ("large", i.toLong))).toDF("g", "uid")
+      .withColumn("h", PolyHash.poly_hash(
+        concat(lit("u:"), col("uid").cast("string")), 31L))
+    val got = Sketches.hllDistinct(df, Seq(col("g")), col("h"), p = 12)
+      .as[(String, Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    got("small")._4 shouldBe 500.0 +- 25.0
+    got("large")._4 shouldBe 30000.0 +- 1500.0
+    // branch check: small must have used linear counting (nonzero < m,
+    // raw small), large must exceed the linear-counting cutoff
+    got("small")._2 should be < 4096
+    got("large")._4 should be > 10240.0
+  }
+
+  it should "be partitioning-invariant (sketch merge == single-pass)" in {
+    import graft.functions.PolyHash
+    import graft.operators.Sketches
+    val base = (1 to 5000).map(i => ("g", i.toLong)).toDF("g", "uid")
+      .withColumn("h", PolyHash.poly_hash(
+        concat(lit("u:"), col("uid").cast("string")), 31L))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllDistinct(df, Seq(col("g")), col("h"), p = 12)
+        .as[(String, Int, Long, Double)].collect().head
+    run(base.repartition(1)) shouldBe run(base.repartition(32))
+  }
+
+  it should "reject hashes outside the PolyHash range loudly" in {
+    import graft.operators.Sketches
+    val bad = Seq(("g", -1L)).toDF("g", "h")
+    val ex = intercept[Exception] {
+      Sketches.hllDistinct(bad, Seq(col("g")), col("h")).collect()
+    }
+    Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("PolyHash"))) shouldBe true
+  }
+
   "Bpe.encode" should "count subword tokens per doc under the trained merges" in {
     val train = Seq(
       (1L, Seq.fill(5)("low").mkString(" ")),
