@@ -134,6 +134,22 @@ object RelationalQueries {
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))),
 
+    // J9: salted inner equi-join (plan-level skew mitigation — the
+    // static-plan/streaming complement of AQE skew handling): the large
+    // side's rows spread over 8 salt sub-keys, the small side replicates
+    // 8×, and the result must be ROW-IDENTICAL to the plain join — which
+    // is exactly what the plain-join oracle checks. Aggregated per
+    // nation so the gate artifact stays small; integral quantities keep
+    // the sum exact.
+    "j9_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_quantity"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.Skew.saltedJoin(li, sup, "l_suppkey", salt = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))}),
+
     // A12: HyperLogLog distinct-count sketch — distinct users per event
     // type in ONE aggregation pass with a 4 KB mergeable buffer per group
     // (the 100 TB shape: no per-value shuffle, unlike a11's exact
@@ -430,6 +446,13 @@ object RelationalQueries {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // the j9 twin is the PLAIN join — salting must not change one row
+    "j9_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |       sum(CAST(l_quantity AS BIGINT)) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
 
     // the a12 twin derives the same HLL registers from the same PolyHash
     // stream: idx = h mod 4096, rho from the high 18 bits, register max,
