@@ -123,4 +123,88 @@ object Sketches {
         col("hll.sum_scaled").as("sum_scaled"),
         col("hll.estimate").as("estimate")): _*)
   }
+
+  // ---- Count-Min ----------------------------------------------------------
+
+  /** Row `j`'s counter index for raw PolyHash `h`: scramble the
+    * j-salted hash, take the low `log2(w)` bits. (j+1)·h stays below
+    * 2^33, so the scramble's first product is < 2^65… too big — salt by
+    * ADDITION instead: (h + j·0x9E3779B9) mod 2^30 keeps every product
+    * within the scramble's proven range while giving each row an
+    * independent stream. Pure integer math — replayable in SQL with no
+    * floating step anywhere. */
+  def cmsIndex(h: Long, j: Int, w: Int): Int =
+    (scramble30((h + j.toLong * 2654435769L) % (1L << 30)) % w).toInt
+
+  /** Count-Min frequency sketch (Cormode–Muthukrishnan): `d` counter
+    * rows × `w` counters, point estimate = min over rows — the
+    * fixed-size frequency complement of [[HllAggregator]]'s cardinality
+    * sketch (heavy-hitter words/URLs/users per slice without a
+    * per-value shuffle). The buffer is d·w longs per group, merged by
+    * elementwise addition (fully mergeable, map-side combined). Output
+    * is the FLAT counter array (row j at offsets [j·w, (j+1)·w)), so
+    * point queries run as plain column ops downstream
+    * (element_at + array_min) and the whole structure is an exact
+    * integer object any engine can rebuild from the same hashes —
+    * estimates carry NO floating arithmetic at all. */
+  class CmsAggregator(d: Int, w: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+    require(d >= 1 && d <= 8, s"d in [1,8], got $d")
+    require(w >= 16 && (w & (w - 1)) == 0, s"w a power of two >= 16, got $w")
+
+    override def zero: Array[Long] = new Array[Long](d * w)
+
+    override def reduce(counters: Array[Long], h: Long): Array[Long] = {
+      if (h < 0 || h >= (1L << 30)) throw new IllegalArgumentException(
+        s"CmsAggregator expects a PolyHash value in [0, 2^30), got $h")
+      var j = 0
+      while (j < d) {
+        counters(j * w + cmsIndex(h, j, w)) += 1
+        j += 1
+      }
+      counters
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(counters: Array[Long]): Seq[Long] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(counters)
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Grouped Count-Min sketch build: one aggregation pass, one
+    * (groupCols..., sketch: array<bigint>) row per group. */
+  def cmsSketch(df: DataFrame, groupCols: Seq[Column], hash: Column,
+                d: Int = 4, w: Int = 2048): DataFrame = {
+    val agg = udaf(new CmsAggregator(d, w), Encoders.scalaLong)
+    df.groupBy(groupCols: _*)
+      .agg(agg(hash).as("sketch"))
+  }
+
+  /** Point estimates from a built sketch, as pure column ops (no second
+    * aggregation): `probes` is a small frame of (probe key, raw PolyHash
+    * `hash` LongType column); result attaches `est` = min over the d
+    * rows. The scramble is spelled in Spark column arithmetic — the
+    * exact integer ops [[cmsIndex]] runs on the JVM. */
+  def cmsEstimate(sketches: DataFrame, probes: DataFrame, hash: Column,
+                  d: Int = 4, w: Int = 2048): DataFrame = {
+    val idxCols: Seq[Column] = (0 until d).map { j =>
+      val salted = pmod(hash + lit(j.toLong * 2654435769L), lit(1L << 30))
+      val z1 = pmod(salted * lit(2654435761L), lit(1L << 30))
+      val z2 = z1.bitwiseXOR(shiftright(z1, 15))
+      val z3 = pmod(z2 * lit(1597334677L), lit(1L << 30))
+      val z = z3.bitwiseXOR(shiftright(z3, 13))
+      element_at(col("sketch"), (lit(j * w) + pmod(z, lit(w)) + 1).cast("int"))
+    }
+    sketches.crossJoin(broadcast(probes))
+      .withColumn("est", array_min(array(idxCols: _*)))
+      .drop("sketch")
+  }
 }

@@ -166,6 +166,26 @@ object RelationalQueries {
         .select(col("event_type"), col("nonzero"), col("sum_scaled"),
           (floor(col("estimate") * 10000 + 0.5) / 10000.0).as("est"))}),
 
+    // A13: Count-Min frequency sketch — per-event-type visit counts of a
+    // 10-user probe set estimated from a 4×2048 counter sketch built in
+    // ONE aggregation pass (the fixed-size heavy-hitter shape; exact
+    // per-user counts would shuffle every user). Build is a custom
+    // mergeable Aggregator; the point query is pure column ops over the
+    // flat counter array. Everything is integer arithmetic over the
+    // replayable PolyHash stream, so the twin rebuilds counter-identical
+    // sketches — estimates match exactly, no float anywhere.
+    "a13_cms_counts" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("user_id").isNotNull)
+        .withColumn("uh", graft.functions.PolyHash.poly_hash(
+          concat(lit("u:"), col("user_id").cast("string")), 31L))
+      val sk = graft.operators.Sketches.cmsSketch(
+        ev, Seq(col("event_type")), col("uh"))
+      val probes = s.range(0, 10).toDF("uid")
+        .withColumn("ph", graft.functions.PolyHash.poly_hash(
+          concat(lit("u:"), col("uid").cast("string")), 31L))
+      graft.operators.Sketches.cmsEstimate(sk, probes, col("ph"))
+        .select(col("event_type"), col("uid"), col("est"))}),
+
     // U3: intersect / except set operators.
     "u3_intersect_except" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -453,6 +473,42 @@ object RelationalQueries {
         |       sum(CAST(l_quantity AS BIGINT)) AS qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1""".stripMargin,
+
+    // the a13 twin rebuilds the 4×2048 counters from the same salted
+    // scramble chain and takes the same min — integer-exact end to end;
+    // probe cells no event hashed into read 0 via the LEFT JOIN
+    "a13_cms_counts" ->
+      s"""WITH ev AS (
+        |  SELECT event_type, ${hashSql("'u:' || user_id::VARCHAR")} AS hh
+        |  FROM events WHERE user_id IS NOT NULL),
+        |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |sal AS (SELECT event_type, j,
+        |               (hh + j * 2654435769) % 1073741824 AS s0 FROM ev, js),
+        |z1t AS (SELECT event_type, j,
+        |               (s0 * 2654435761) % 1073741824 AS z1 FROM sal),
+        |z2t AS (SELECT event_type, j, xor(z1, z1 // 32768) AS z2 FROM z1t),
+        |z3t AS (SELECT event_type, j,
+        |               (z2 * 1597334677) % 1073741824 AS z3 FROM z2t),
+        |ii AS (SELECT event_type, j,
+        |              (xor(z3, z3 // 8192) % 2048)::INT AS idx FROM z3t),
+        |counters AS (SELECT event_type, j, idx, count(*)::BIGINT AS c
+        |             FROM ii GROUP BY 1, 2, 3),
+        |probes AS (
+        |  SELECT uid, ${hashSql("'u:' || uid::VARCHAR")} AS ph
+        |  FROM (SELECT unnest(generate_series(0, 9))::BIGINT AS uid)),
+        |psal AS (SELECT uid, j,
+        |                (ph + j * 2654435769) % 1073741824 AS s0 FROM probes, js),
+        |pz1 AS (SELECT uid, j, (s0 * 2654435761) % 1073741824 AS z1 FROM psal),
+        |pz2 AS (SELECT uid, j, xor(z1, z1 // 32768) AS z2 FROM pz1),
+        |pz3 AS (SELECT uid, j, (z2 * 1597334677) % 1073741824 AS z3 FROM pz2),
+        |pii AS (SELECT uid, j,
+        |               (xor(z3, z3 // 8192) % 2048)::INT AS idx FROM pz3),
+        |types AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT t.event_type, p.uid, min(coalesce(c.c, 0))::BIGINT AS est
+        |FROM types t CROSS JOIN pii p
+        |LEFT JOIN counters c
+        |  ON c.event_type = t.event_type AND c.j = p.j AND c.idx = p.idx
+        |GROUP BY 1, 2""".stripMargin,
 
     // the a12 twin derives the same HLL registers from the same PolyHash
     // stream: idx = h mod 4096, rho from the high 18 bits, register max,

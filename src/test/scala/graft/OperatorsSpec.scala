@@ -1115,6 +1115,48 @@ class OperatorsSpec extends SparkSpec {
       .exists(t => Option(t.getMessage).exists(_.contains("PolyHash"))) shouldBe true
   }
 
+  "Sketches.cmsSketch/cmsEstimate" should "never underestimate and be exact without collisions" in {
+    import graft.functions.PolyHash
+    import graft.operators.Sketches
+    // user i appears i+1 times; 50 users in 4x2048 counters → collisions
+    // possible per row but min-over-4 almost surely exact here, and the
+    // CMS guarantee (est >= true) must hold regardless
+    val rows = (0 until 50).flatMap(i => Seq.fill(i + 1)(("g", i.toLong)))
+    val df = rows.toDF("g", "uid").withColumn("h", PolyHash.poly_hash(
+      concat(lit("u:"), col("uid").cast("string")), 31L))
+    val sk = Sketches.cmsSketch(df, Seq(col("g")), col("h"))
+    val probes = spark.range(0, 50).toDF("uid")
+      .withColumn("ph", PolyHash.poly_hash(
+        concat(lit("u:"), col("uid").cast("string")), 31L))
+    val est = Sketches.cmsEstimate(sk, probes, col("ph"))
+      .select(col("uid"), col("est")).as[(Long, Long)].collect().toMap
+    (0 until 50).foreach { i =>
+      est(i.toLong) should be >= (i + 1).toLong
+    }
+    est.values.sum shouldBe (1 to 50).map(_.toLong).sum // no collision hit
+  }
+
+  it should "match the JVM cmsIndex replay and merge across partitions" in {
+    import graft.functions.PolyHash
+    import graft.operators.Sketches
+    val df = (1 to 2000).map(i => ("g", i.toLong % 97)).toDF("g", "uid")
+      .withColumn("h", PolyHash.poly_hash(
+        concat(lit("u:"), col("uid").cast("string")), 31L))
+    def sketch(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Sketches.cmsSketch(d, Seq(col("g")), col("h"))
+        .select("sketch").as[Seq[Long]].collect().head
+    val one = sketch(df.repartition(1))
+    sketch(df.repartition(32)) shouldBe one
+    // the column-op estimate path indexes the same cells cmsIndex picks
+    val h5 = PolyHash.hash("u:5", 31L)
+    val jvm = (0 until 4).map(j => one(j * 2048 + Sketches.cmsIndex(h5, j, 2048))).min
+    val probes = Seq(5L).toDF("uid").withColumn("ph", PolyHash.poly_hash(
+      concat(lit("u:"), col("uid").cast("string")), 31L))
+    val sk = Sketches.cmsSketch(df, Seq(col("g")), col("h"))
+    Sketches.cmsEstimate(sk, probes, col("ph"))
+      .select("est").as[Long].collect().head shouldBe jvm
+  }
+
   "Bpe.encode" should "count subword tokens per doc under the trained merges" in {
     val train = Seq(
       (1L, Seq.fill(5)("low").mkString(" ")),

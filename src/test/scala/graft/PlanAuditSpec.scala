@@ -28,6 +28,8 @@ class PlanAuditSpec extends SparkSpec {
                       // cross (10 queries); the recall joins are equi
     "x21_temperature_mix", // |classes|-row frame × its broadcast ONE-row
                            // normalizer sum — the scalar-subquery shape
+    "a13_cms_counts", // per-type sketch rows × broadcast 10-probe frame —
+                      // the point-query shape over a built sketch
     "j8_range_join", "a6_ecdf", "a7_quantiles", "a7b_quantile_agg")
 
   /** Full-LDA pipelines train during query construction — minutes of work
