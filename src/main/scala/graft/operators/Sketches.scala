@@ -188,6 +188,83 @@ object Sketches {
       .agg(agg(hash).as("sketch"))
   }
 
+  // ---- Bloom filter -------------------------------------------------------
+
+  /** Bloom-filter bitset build: `d` bits per value at [[cmsIndex]]
+    * positions over `mBits` bits, packed into a long[] bitset — a CMS
+    * row degenerated to presence bits. Mergeable by OR; the classic
+    * shuffle reducer: build on a join's SMALL side, broadcast the
+    * few-KB bitset, and drop non-members of the LARGE side BEFORE the
+    * shuffle. False positives pass (the exact join downstream removes
+    * them); false negatives cannot happen — membership of every built
+    * value is a hard guarantee, so the composed semi-join is
+    * row-identical to the plain one. */
+  class BloomAggregator(d: Int, mBits: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+    require(d >= 1 && d <= 8, s"d in [1,8], got $d")
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits a power of two >= 64, got $mBits")
+
+    override def zero: Array[Long] = new Array[Long](mBits / 64)
+
+    override def reduce(bits: Array[Long], h: Long): Array[Long] = {
+      if (h < 0 || h >= (1L << 30)) throw new IllegalArgumentException(
+        s"BloomAggregator expects a PolyHash value in [0, 2^30), got $h")
+      var j = 0
+      while (j < d) {
+        val idx = cmsIndex(h, j, mBits)
+        bits(idx >>> 6) |= 1L << (idx & 63)
+        j += 1
+      }
+      bits
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    override def finish(bits: Array[Long]): Seq[Long] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(bits)
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Build one Bloom bitset over `hash` (ungrouped — one row out). */
+  def bloomBuild(df: DataFrame, hash: Column,
+                 d: Int = 4, mBits: Int = 1 << 17): DataFrame = {
+    val agg = udaf(new BloomAggregator(d, mBits), Encoders.scalaLong)
+    df.agg(agg(hash).as("bloom"))
+  }
+
+  /** Membership predicate against a single broadcast bitset row: keeps
+    * `probe` rows whose `hash` tests positive in all `d` positions —
+    * the pre-shuffle filter. Pure column ops (same scramble spelled in
+    * Spark arithmetic), map-only after the broadcast. */
+  def bloomMightContain(probe: DataFrame, bloom: DataFrame, hash: Column,
+                        d: Int = 4, mBits: Int = 1 << 17): DataFrame = {
+    val hits: Seq[Column] = (0 until d).map { j =>
+      val salted = pmod(hash + lit(j.toLong * 2654435769L), lit(1L << 30))
+      val z1 = pmod(salted * lit(2654435761L), lit(1L << 30))
+      val z2 = z1.bitwiseXOR(shiftright(z1, 15))
+      val z3 = pmod(z2 * lit(1597334677L), lit(1L << 30))
+      val idx = pmod(z3.bitwiseXOR(shiftright(z3, 13)), lit(mBits))
+      // dynamic shift amounts need the SQL function form — the Scala
+      // shiftleft/shiftright helpers only take literal counts
+      val word = element_at(col("bloom"),
+        (call_function("shiftright", idx, lit(6)) + 1).cast("int"))
+      val mask = call_function("shiftleft", lit(1L),
+        pmod(idx, lit(64)).cast("int"))
+      word.bitwiseAND(mask) =!= lit(0L)
+    }
+    probe.crossJoin(broadcast(bloom))
+      .where(hits.reduce(_ && _))
+      .drop("bloom")
+  }
+
   /** Point estimates from a built sketch, as pure column ops (no second
     * aggregation): `probes` is a small frame of (probe key, raw PolyHash
     * `hash` LongType column); result attaches `est` = min over the d

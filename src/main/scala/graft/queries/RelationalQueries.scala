@@ -150,6 +150,29 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("qty"))}),
 
+    // J10: Bloom-prefiltered semi join — the shuffle reducer: the build
+    // side's keys go into a 16 KB broadcast bitset, the probe side drops
+    // non-members map-side BEFORE any shuffle, and the exact semi join
+    // downstream removes the false positives. No false negatives can
+    // occur, so the composed result is row-identical to the plain semi
+    // join — which is the oracle.
+    "j10_bloom_semi" -> ((s, dir) => {
+      def keyed(c: org.apache.spark.sql.Column) = graft.functions.PolyHash.poly_hash(
+        concat(lit("c:"), c.cast("string")), 31L)
+      val hi = t(s, dir, "orders").where(col("o_totalprice") > 150000)
+        .select(col("o_custkey")).distinct()
+      val bloom = graft.operators.Sketches.bloomBuild(
+        hi.withColumn("bh", keyed(col("o_custkey"))), col("bh"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .withColumn("bh", keyed(col("c_custkey")))
+      val pre = graft.operators.Sketches.bloomMightContain(
+        cust, bloom, col("bh")).drop("bh")
+      pre.join(hi.select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))}),
+
     // A12: HyperLogLog distinct-count sketch — distinct users per event
     // type in ONE aggregation pass with a 4 KB mergeable buffer per group
     // (the 100 TB shape: no per-value shuffle, unlike a11's exact
@@ -472,6 +495,15 @@ object RelationalQueries {
       """SELECT s_nationkey, count(*) AS n,
         |       sum(CAST(l_quantity AS BIGINT)) AS qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    // the j10 twin is the PLAIN semi join — the bloom prefilter must
+    // not change one row
+    "j10_bloom_semi" ->
+      """SELECT c_nationkey, count(*) AS n_cust
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_totalprice > 150000)
         |GROUP BY 1""".stripMargin,
 
     // the a13 twin rebuilds the 4×2048 counters from the same salted

@@ -1157,6 +1157,23 @@ class OperatorsSpec extends SparkSpec {
       .select("est").as[Long].collect().head shouldBe jvm
   }
 
+  "Sketches.bloomBuild/bloomMightContain" should "admit every built key and reject most others" in {
+    import graft.functions.PolyHash
+    import graft.operators.Sketches
+    def hashed(df: org.apache.spark.sql.DataFrame) = df.withColumn("h",
+      PolyHash.poly_hash(concat(lit("k:"), col("k").cast("string")), 31L))
+    val built = hashed((0L until 1000L).toDF("k"))
+    val bloom = Sketches.bloomBuild(built, col("h"))
+    // no false negatives: every built key must test positive
+    Sketches.bloomMightContain(built, bloom, col("h"))
+      .count() shouldBe 1000L
+    // false-positive sanity on 10k disjoint keys: d=4 over 2^17 bits at
+    // 1000 entries → fp ≈ (4000/131072)^4 ~ 1e-6; allow generous slack
+    val outside = hashed((100000L until 110000L).toDF("k"))
+    Sketches.bloomMightContain(outside, bloom, col("h"))
+      .count() should be <= 10L
+  }
+
   "Bpe.encode" should "count subword tokens per doc under the trained merges" in {
     val train = Seq(
       (1L, Seq.fill(5)("low").mkString(" ")),

@@ -30,6 +30,8 @@ class PlanAuditSpec extends SparkSpec {
                            // normalizer sum — the scalar-subquery shape
     "a13_cms_counts", // per-type sketch rows × broadcast 10-probe frame —
                       // the point-query shape over a built sketch
+    "j10_bloom_semi", // probe rows × the broadcast ONE-row bitset — the
+                      // pre-shuffle membership filter shape
     "j8_range_join", "a6_ecdf", "a7_quantiles", "a7b_quantile_agg")
 
   /** Full-LDA pipelines train during query construction — minutes of work
