@@ -348,6 +348,38 @@ object RelationalQueries {
         .start().awaitTermination()
       s.read.parquet(out)}),
 
+    // ST4: streaming SESSIONIZATION behind the driver's oracle — the
+    // built-in session_window (variable-length state, unlike st3's fixed
+    // tumbling windows) as a real append-mode streaming job. A session's
+    // window end is last_event + gap, and only sessions whose end the
+    // final watermark passed are emitted — the twin replays w3's
+    // gaps-and-islands build plus exactly that cutoff. Same 6-hour gap
+    // as the batch w3 gate, so stream == batch sessionization is also
+    // implicitly cross-checked.
+    "st4_stream_sessions" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
+      val sess = graft.streaming.StreamingScore.sessionize(
+        ev, col("ts"), col("user_id"), gap = "6 hours",
+        watermark = "0 seconds")
+      val out = java.nio.file.Files.createTempDirectory("st4_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("st4_ckpt").toString
+      sess.select(col("doc").cast("long").as("key"), col("n_events"),
+          unix_micros(col("first_event")).as("first_us"),
+          unix_micros(col("last_event")).as("last_us"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(out)}),
+
     // J7b: as-of tiebreak under REAL (key, ts) duplicates — every marker
     // row is doubled with a larger id, so the max-tiebreak rule decides
     // every match. Oracle: explicit rank twin (DuckDB's native ASOF picks
@@ -663,6 +695,29 @@ object RelationalQueries {
         |SELECT key, session_seq::BIGINT AS session_seq,
         |       count(*) AS n_events, min(us) AS first_us, max(us) AS last_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // the st4 twin: w3's gaps-and-islands sessions (same 6 h gap) plus
+    // the append-mode emission rule — only sessions whose window end
+    // (last event + gap) the final watermark (= max ts) passed
+    "st4_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id AS key, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (
+        |  SELECT *, lag(us) OVER (PARTITION BY key ORDER BY us, event_id) AS pus
+        |  FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN pus IS NULL OR us - pus > 21600000000 THEN 1
+        |                 ELSE 0 END AS nw
+        |  FROM l),
+        |s AS (
+        |  SELECT *, sum(nw) OVER (PARTITION BY key ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM f),
+        |mx AS (SELECT max(us) AS mus FROM e)
+        |SELECT key, count(*) AS n_events,
+        |       min(us) AS first_us, max(us) AS last_us
+        |FROM s, mx GROUP BY key, session_seq, mus
+        |HAVING max(us) + 21600000000 <= mus""".stripMargin,
 
     // the st3 twin: same tumbling windows + integer cent sums, keeping
     // only windows CLOSED at the final watermark (= max ts, delay 0) —

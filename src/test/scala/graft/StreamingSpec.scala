@@ -80,6 +80,26 @@ class StreamingSpec extends SparkSpec {
       (base + 1200, "a", 1L, 7L))
   }
 
+  "sessionize (append)" should "emit only sessions closed at the final watermark" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    // a: session [10:00,10:10] ends 10:30 < wm → emitted; [10:50] ends
+    // 11:10 > wm → held. b: [10:30] ends exactly AT wm 10:50 — pins the
+    // inclusive boundary (end <= watermark emits).
+    input.addData(("a", ts(0)), ("a", ts(10)), ("a", ts(50)), ("b", ts(30)))
+    val sess = StreamingScore.sessionize(
+      input.toDF().toDF("k", "ts"), col("ts"), col("k"),
+      gap = "20 minutes", watermark = "0 seconds")
+    val q = sess.select(col("doc"), col("n_events"),
+        col("first_event").cast("long").as("fs"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    spark.table("sess_out").as[(String, Long, Long)].collect().toSet shouldBe
+      Set(("a", 2L, base), ("b", 1L, base + 1800))
+  }
+
   "suspiciousRuns" should "carry run state across micro-batches" in {
     import StreamingScore.{ScoredEvent, RunUpdate}
     implicit val sqlCtx = spark.sqlContext
