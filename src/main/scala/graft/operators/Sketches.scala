@@ -284,4 +284,121 @@ object Sketches {
       .withColumn("est", array_min(array(idxCols: _*)))
       .drop("sketch")
   }
+
+  // ---- HDR histogram quantiles -------------------------------------------
+
+  /** Per-group quantile summary: `n` = total count, `quantiles(i)` = the
+    * bucket lower bound holding the ceil(qsPermille(i)/1000 · n)-th
+    * smallest value. */
+  final case class HdrSummary(n: Long, quantiles: Seq[Long])
+
+  /** Mergeable histogram quantile sketch over non-negative integers
+    * (HdrHistogram's bucketing: base-2 exponent ranges split into
+    * 2^(subBits−1) linear sub-buckets — Tene's High Dynamic Range
+    * histogram). The quantile shape for 100 TB telemetry: a GROUP BY
+    * with an exact per-group percentile needs every value shuffled to
+    * its group (the a7/a6 sort path); this sketch is ONE aggregation
+    * pass with a fixed few-KB counter buffer per group, mergeable
+    * map-side, at a bounded relative error of 2^−(subBits−1).
+    *
+    * Everything is integer bit arithmetic: bucket index derives from the
+    * value's bit length, the reported quantile is the bucket's exact
+    * lower bound, and rank = ceil-div(q_permille · n, 1000) — so an SQL
+    * twin replays the identical histogram from `length(printf('%b', v))`
+    * and matches hash-exactly. No floating step exists on either side.
+    *
+    * Bucketing (m = 2^subBits, half = m/2), for v in [0, 2^maxBits):
+    *   v < m:  idx = v                      (exact linear region)
+    *   else:   e = floor(log2 v) = bitlen−1,
+    *           idx = m + (e − subBits)·half + (v >> (e − subBits + 1)) − half
+    * Lower bound of idx ≥ m (j = idx − m):
+    *           lb = (half + j mod half) << (j div half + 1)
+    * Bucket width at value v is ≤ v / half — the relative-error bound.
+    */
+  class HdrAggregator(subBits: Int, maxBits: Int, qsPermille: Seq[Int])
+      extends Aggregator[Long, Array[Long], HdrSummary] {
+    require(subBits >= 2 && subBits <= 10, s"subBits in [2,10], got $subBits")
+    require(maxBits > subBits && maxBits <= 62,
+      s"maxBits in (subBits,62], got $maxBits")
+    require(qsPermille.nonEmpty && qsPermille.forall(p => p >= 1 && p <= 1000),
+      s"qsPermille in [1,1000], got $qsPermille")
+    private val m = 1 << subBits
+    private val half = m >> 1
+    private val numBuckets = m + (maxBits - subBits) * half
+
+    /** Histogram slot for value `v` — pure integer bit ops. */
+    def bucketIndex(v: Long): Int =
+      if (v < m) v.toInt
+      else {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+        m + (e - subBits) * half + (v >>> (e - subBits + 1)).toInt - half
+      }
+
+    /** Smallest value mapping to slot `idx` — the reported quantile. */
+    def lowerBound(idx: Int): Long =
+      if (idx < m) idx.toLong
+      else {
+        val j = idx - m
+        (half + j % half).toLong << (j / half + 1)
+      }
+
+    override def zero: Array[Long] = new Array[Long](numBuckets)
+
+    override def reduce(counts: Array[Long], v: Long): Array[Long] = {
+      if (v < 0 || v >= (1L << maxBits)) throw new IllegalArgumentException(
+        s"HdrAggregator expects a value in [0, 2^$maxBits), got $v")
+      counts(bucketIndex(v)) += 1
+      counts
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(counts: Array[Long]): HdrSummary = {
+      var n = 0L
+      var i = 0
+      while (i < counts.length) { n += counts(i); i += 1 }
+      val qs = qsPermille.map { p =>
+        if (n == 0) 0L
+        else {
+          val rank = (p.toLong * n + 999L) / 1000L // ceil-div, all integer
+          var cum = 0L
+          var j = 0
+          var found = -1
+          while (found < 0 && j < counts.length) {
+            cum += counts(j)
+            if (cum >= rank) found = j
+            j += 1
+          }
+          lowerBound(found)
+        }
+      }
+      HdrSummary(n, qs)
+    }
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[HdrSummary] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[HdrSummary]()
+  }
+
+  /** Grouped quantile sketch: one aggregation pass, one row per group —
+    * (groupCols..., n, q_<p> per requested permille). `value` must be a
+    * non-negative LongType column (scale doubles to fixed-point cents
+    * upstream so the histogram stays integer-exact). */
+  def hdrQuantiles(df: DataFrame, groupCols: Seq[Column], value: Column,
+                   qsPermille: Seq[Int] = Seq(500, 900, 990),
+                   subBits: Int = 6, maxBits: Int = 40): DataFrame = {
+    val agg = udaf(new HdrAggregator(subBits, maxBits, qsPermille),
+      Encoders.scalaLong)
+    val qCols = qsPermille.zipWithIndex.map { case (p, i) =>
+      element_at(col("hdr.quantiles"), i + 1).as(s"q_$p")
+    }
+    df.groupBy(groupCols: _*)
+      .agg(agg(value).as("hdr"))
+      .select(groupCols ++ (col("hdr.n").as("n") +: qCols): _*)
+  }
 }

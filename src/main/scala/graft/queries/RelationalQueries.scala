@@ -209,6 +209,22 @@ object RelationalQueries {
       graft.operators.Sketches.cmsEstimate(sk, probes, col("ph"))
         .select(col("event_type"), col("uid"), col("est"))}),
 
+    // A14: HDR histogram quantile sketch — per-group p50/p90/p99 price
+    // cents from a fixed ~9 KB mergeable counter buffer in ONE
+    // aggregation pass (the quantile complement of a12/a13; a7's exact
+    // quantiles shuffle and sort every value per group). Bucket index is
+    // pure bit arithmetic on the value (HdrHistogram base-2 ranges with
+    // 32 linear sub-buckets → relative error ≤ 1/32), the reported
+    // quantile is the bucket's exact integer lower bound, rank is an
+    // integer ceil-div — the DuckDB twin replays the identical histogram
+    // from the value's bit length, no float anywhere.
+    "a14_hdr_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("cents",
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+      graft.operators.Sketches.hdrQuantiles(
+        li, Seq(col("l_returnflag")), col("cents"))}),
+
     // U3: intersect / except set operators.
     "u3_intersect_except" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -573,6 +589,45 @@ object RelationalQueries {
         |LEFT JOIN counters c
         |  ON c.event_type = t.event_type AND c.j = p.j AND c.idx = p.idx
         |GROUP BY 1, 2""".stripMargin,
+
+    // the a14 twin rebuilds the identical histogram: bucket index from
+    // the value's bit length (length(printf('%b', v)) — integer-exact
+    // floor-log2), cumulative counts per group, integer ceil-div rank,
+    // and the same closed-form bucket lower bound
+    "a14_hdr_quantiles" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem),
+        |b AS (SELECT g, v, length(printf('%b', v)) AS bits FROM v),
+        |ix AS (SELECT g,
+        |              CASE WHEN v < 64 THEN v
+        |                   ELSE 64 + (bits - 7) * 32
+        |                        + (v // (1::BIGINT << (bits - 6))) - 32
+        |              END AS idx
+        |       FROM b),
+        |c AS (SELECT g, idx, count(*)::BIGINT AS c FROM ix GROUP BY 1, 2),
+        |t AS (SELECT g, sum(c)::BIGINT AS n FROM c GROUP BY 1),
+        |cum AS (SELECT g, idx,
+        |               sum(c) OVER (PARTITION BY g ORDER BY idx) AS cum
+        |        FROM c),
+        |q AS (SELECT unnest([500, 900, 990]) AS p),
+        |r AS (SELECT t.g, q.p, t.n, (q.p * t.n + 999) // 1000 AS rank
+        |      FROM t CROSS JOIN q),
+        |sel AS (SELECT r.g, r.p, r.n, min(cum.idx) AS idx
+        |        FROM r JOIN cum ON cum.g = r.g AND cum.cum >= r.rank
+        |        GROUP BY 1, 2, 3),
+        |lb AS (SELECT g, p, n,
+        |              CASE WHEN idx < 64 THEN idx
+        |                   ELSE (32 + (idx - 64) % 32)::BIGINT
+        |                        << ((idx - 64) // 32 + 1)
+        |              END AS v
+        |       FROM sel)
+        |SELECT g AS l_returnflag, max(n) AS n,
+        |       max(CASE WHEN p = 500 THEN v END) AS q_500,
+        |       max(CASE WHEN p = 900 THEN v END) AS q_900,
+        |       max(CASE WHEN p = 990 THEN v END) AS q_990
+        |FROM lb GROUP BY 1""".stripMargin,
 
     // the a12 twin derives the same HLL registers from the same PolyHash
     // stream: idx = h mod 4096, rho from the high 18 bits, register max,

@@ -1188,4 +1188,63 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head
     got shouldBe ((7L, 4L, 12L))
   }
+
+  "Sketches.hdrQuantiles" should "be exact in the linear region and rank-correct" in {
+    import graft.operators.Sketches
+    // all values < 64 → every bucket holds exactly one value, so the
+    // sketch IS the exact quantile
+    val df = (1 to 63).map(v => ("g", v.toLong)).toDF("g", "v")
+    val got = Sketches.hdrQuantiles(df, Seq(col("g")), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    // rank = ceil(q·63): p50 → 32nd, p90 → 57th, p99 → 63rd value
+    got shouldBe (("g", 63L, 32L, 57L, 63L))
+  }
+
+  it should "bound relative error by 1/32 above the linear region" in {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(11)
+    val vals = (1 to 5000).map(_ => 1L + (math.abs(rnd.nextLong()) % 1000000000L))
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val got = Sketches.hdrQuantiles(df, Seq(col("g")), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    val sorted = vals.sorted
+    def exact(p: Int): Long = sorted(((p.toLong * 5000 + 999) / 1000).toInt - 1)
+    for ((lb, p) <- Seq((got._3, 500), (got._4, 900), (got._5, 990))) {
+      lb should be <= exact(p)
+      exact(p) should be < (lb + math.max(1L, lb / 32) + 1)
+    }
+  }
+
+  it should "be partitioning-invariant and reject out-of-range values loudly" in {
+    import graft.operators.Sketches
+    val base = (1 to 4000).map(i => ("g", i.toLong * 37 % 100000)).toDF("g", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hdrQuantiles(df, Seq(col("g")), col("v"))
+        .as[(String, Long, Long, Long, Long)].collect().head
+    run(base.repartition(1)) shouldBe run(base.repartition(32))
+    val ex = intercept[Exception] {
+      Sketches.hdrQuantiles(Seq(("g", -5L)).toDF("g", "v"),
+        Seq(col("g")), col("v")).collect()
+    }
+    Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("HdrAggregator"))) shouldBe true
+  }
+
+  it should "agree with the closed-form bucket math on boundaries" in {
+    import graft.operators.Sketches
+    val agg = new Sketches.HdrAggregator(6, 40, Seq(500))
+    // power-of-two boundaries land on fresh buckets whose lower bound is
+    // the value itself; bucket width doubles per exponent
+    for (e <- 6 to 39) {
+      val v = 1L << e
+      agg.lowerBound(agg.bucketIndex(v)) shouldBe v
+      agg.lowerBound(agg.bucketIndex(v - 1)) should be <= (v - 1)
+    }
+    // every value maps into a bucket whose [lb, lb+width) contains it
+    for (v <- Seq(63L, 64L, 65L, 127L, 128L, 1000L, 123456789L)) {
+      val lb = agg.lowerBound(agg.bucketIndex(v))
+      lb should be <= v
+      (v - lb) should be < math.max(1L, lb / 32) + 1
+    }
+  }
 }
