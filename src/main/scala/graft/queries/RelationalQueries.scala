@@ -225,6 +225,23 @@ object RelationalQueries {
       graft.operators.Sketches.hdrQuantiles(
         li, Seq(col("l_returnflag")), col("cents"))}),
 
+    // G2: PageRank over the customer↔supplier trade graph (orders ⋈
+    // lineitem, symmetrized; customer node = 2k, supplier node = 2k+1) —
+    // the link-authority quality signal of web-corpus curation, and the
+    // iterate-join-aggregate template at 100 TB scale. Three fixed
+    // iterations in exact integer micro-units (floor divs, damping
+    // 850/1000), so the DuckDB twin unrolls the same three rounds and
+    // matches hash-exactly — no floating reduction order anywhere.
+    "g2_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
+        .distinct()
+      val edges = pairs.select((col("c") * 2).as("src"), (col("su") * 2 + 1).as("dst"))
+        .union(pairs.select((col("su") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      graft.operators.Graph.pageRank(edges, iterations = 3)}),
+
     // U3: intersect / except set operators.
     "u3_intersect_except" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -628,6 +645,40 @@ object RelationalQueries {
         |       max(CASE WHEN p = 900 THEN v END) AS q_900,
         |       max(CASE WHEN p = 990 THEN v END) AS q_990
         |FROM lb GROUP BY 1""".stripMargin,
+
+    // the g2 twin unrolls the same three integer PageRank rounds; every
+    // division is a floor div on bigints, so the replay is bit-exact
+    "g2_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS su
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (SELECT 2 * c AS src, 2 * su + 1 AS dst FROM e0
+        |          UNION ALL
+        |          SELECT 2 * su + 1 AS src, 2 * c AS dst FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges
+        |          UNION SELECT DISTINCT dst FROM edges),
+        |outdeg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+        |r0 AS (SELECT node, 1000000::BIGINT AS rank FROM nodes),
+        |c1 AS (SELECT e.dst AS node, sum(r.rank // d.deg)::BIGINT AS s
+        |       FROM edges e JOIN r0 r ON r.node = e.src
+        |                    JOIN outdeg d ON d.src = e.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |              (150000 + (850 * coalesce(c1.s, 0)) // 1000)::BIGINT AS rank
+        |       FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+        |c2 AS (SELECT e.dst AS node, sum(r.rank // d.deg)::BIGINT AS s
+        |       FROM edges e JOIN r1 r ON r.node = e.src
+        |                    JOIN outdeg d ON d.src = e.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |              (150000 + (850 * coalesce(c2.s, 0)) // 1000)::BIGINT AS rank
+        |       FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+        |c3 AS (SELECT e.dst AS node, sum(r.rank // d.deg)::BIGINT AS s
+        |       FROM edges e JOIN r2 r ON r.node = e.src
+        |                    JOIN outdeg d ON d.src = e.src
+        |       GROUP BY 1)
+        |SELECT n.node,
+        |       (150000 + (850 * coalesce(c3.s, 0)) // 1000)::BIGINT AS rank
+        |FROM nodes n LEFT JOIN c3 ON c3.node = n.node""".stripMargin,
 
     // the a12 twin derives the same HLL registers from the same PolyHash
     // stream: idx = h mod 4096, rho from the high 18 bits, register max,

@@ -1189,6 +1189,35 @@ class OperatorsSpec extends SparkSpec {
     got shouldBe ((7L, 4L, 12L))
   }
 
+  "Graph.pageRank" should "match hand-computed integer ranks on a tiny graph" in {
+    import graft.operators.Graph
+    // 1→2, 2→1, 1→3; node 3 is dangling (its mass drops, the standard rule)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    // r1 = (1e6, 575000, 575000); r2 = (638750, 575000, 575000);
+    // r3(2) = 150000 + 850·(638750 div 2) div 1000 = 421468
+    got shouldBe Map(1L -> 638750L, 2L -> 421468L, 3L -> 421468L)
+  }
+
+  it should "settle source-only nodes at the teleport floor" in {
+    import graft.operators.Graph
+    val got = Graph.pageRank(Seq((5L, 6L)).toDF("src", "dst"), iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    // 5 has no in-edges → teleport floor; 6 receives 5's floor rank
+    got shouldBe Map(5L -> 150000L, 6L -> 277500L)
+  }
+
+  it should "be partitioning-invariant" in {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(3)
+    val edges = (1 to 500).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.pageRank(df, iterations = 3).as[(Long, Long)].collect().toMap
+    run(edges.repartition(1)) shouldBe run(edges.repartition(32))
+  }
+
   "Sketches.hdrQuantiles" should "be exact in the linear region and rank-correct" in {
     import graft.operators.Sketches
     // all values < 64 → every bucket holds exactly one value, so the
