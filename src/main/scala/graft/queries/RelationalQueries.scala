@@ -28,6 +28,14 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** DuckDB replay of [[graft.operators.Layout.zValue]]: bit i of x to
+    * position 2i, bit i of y to 2i+1, as a sum of floor-div/mod terms. */
+  private def zInterleaveSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(($x // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+        s"(($y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
   /** DuckDB twin of [[graft.functions.PolyHash]] (same as TextQueries). */
   private def hashSql(e: String): String =
     s"""list_reduce(list_prepend(0::BIGINT,
@@ -241,6 +249,21 @@ object RelationalQueries {
       val edges = pairs.select((col("c") * 2).as("src"), (col("su") * 2 + 1).as("dst"))
         .union(pairs.select((col("su") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
       graft.operators.Graph.pageRank(edges, iterations = 3)}),
+
+    // Z1: Z-order (Morton) curve values — the clustering key behind
+    // two-dimension file pruning (Layout.zOrderWrite range-partitions on
+    // exactly this column; the layout itself is spec-checked via per-file
+    // min/max boxes, which a row-hash oracle cannot see). The interleave
+    // is pure shift/mask integer arithmetic, replayed term-by-term in the
+    // twin.
+    "z1_zorder" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("x", pmod(col("o_custkey"), lit(65536L)))
+        .withColumn("y", pmod(
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long"), lit(65536L)))
+      o.select(col("o_orderkey"),
+        graft.operators.Layout.zValue(col("x"), col("y")).as("zval"))}),
 
     // U3: intersect / except set operators.
     "u3_intersect_except" -> ((s, dir) => {
@@ -679,6 +702,17 @@ object RelationalQueries {
         |SELECT n.node,
         |       (150000 + (850 * coalesce(c3.s, 0)) // 1000)::BIGINT AS rank
         |FROM nodes n LEFT JOIN c3 ON c3.node = n.node""".stripMargin,
+
+    // the z1 twin replays the Morton interleave term by term — integer
+    // floor-div/mod/multiply only
+    "z1_zorder" ->
+      s"""WITH b AS (
+        |  SELECT o_orderkey, o_custkey % 65536 AS x,
+        |         date_diff('day', DATE '1970-01-01', o_orderdate::DATE) % 65536 AS y
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |       (${zInterleaveSql("x", "y", 16)})::BIGINT AS zval
+        |FROM b""".stripMargin,
 
     // the a12 twin derives the same HLL registers from the same PolyHash
     // stream: idx = h mod 4096, rho from the high 18 bits, register max,
