@@ -436,6 +436,41 @@ object RelationalQueries {
         .start().awaitTermination()
       s.read.parquet(out)}),
 
+    // ST5: stream-STREAM interval join behind the driver's oracle — the
+    // enrichment join with both sides unbounded (events × their user's
+    // markers within the last hour), run as a real append-mode streaming
+    // job to a file sink. The two watermarks + the two-sided time bound
+    // cap the join state at O(rate · lookback); inner-join output is
+    // watermark-independent, so the drained stream equals the plain
+    // batch interval join — which is the twin. Completes the streaming
+    // ladder: st1 stateless, st2 custom state, st3 fixed windows,
+    // st4 session windows, st5 two-sided join state.
+    "st5_stream_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def src() = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      def fix(df: org.apache.spark.sql.DataFrame) =
+        rawSchema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+        }
+      val ev = fix(src()).select(col("event_id"), col("user_id"), col("ts"))
+      val mk = fix(src()).where(col("event_id") % 10 === 0)
+        .select(col("event_id").as("marker_id"), col("user_id"),
+          col("ts").as("mts"))
+      val joined = graft.streaming.StreamingScore.streamIntervalJoin(
+        ev, mk, key = "user_id", leftTs = "ts", rightTs = "mts")
+      val out = java.nio.file.Files.createTempDirectory("st5_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("st5_ckpt").toString
+      joined.select(col("event_id"), col("user_id"), col("marker_id"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(out)}),
+
     // J7b: as-of tiebreak under REAL (key, ts) duplicates — every marker
     // row is doubled with a larger id, so the max-tiebreak rule decides
     // every match. Oracle: explicit rank twin (DuckDB's native ASOF picks
@@ -702,6 +737,17 @@ object RelationalQueries {
         |SELECT n.node,
         |       (150000 + (850 * coalesce(c3.s, 0)) // 1000)::BIGINT AS rank
         |FROM nodes n LEFT JOIN c3 ON c3.node = n.node""".stripMargin,
+
+    // the st5 twin is the batch interval join the drained stream must
+    // equal row for row (inner stream-stream join output is
+    // watermark-independent)
+    "st5_stream_join" ->
+      """SELECT e.event_id, e.user_id, m.event_id AS marker_id
+        |FROM events e JOIN events m
+        |  ON m.user_id = e.user_id
+        | AND m.event_id % 10 = 0
+        | AND m.ts >= e.ts - INTERVAL 1 HOUR
+        | AND m.ts <= e.ts""".stripMargin,
 
     // the z1 twin replays the Morton interleave term by term — integer
     // floor-div/mod/multiply only

@@ -69,6 +69,33 @@ object StreamingScore {
       .agg(count(lit(1)).as("n_events"),
         min(col("__ts")).as("first_event"), max(col("__ts")).as("last_event"))
 
+  /** Watermarked stream-stream INNER interval join: left rows matched to
+    * right rows with the same key whose event time falls in
+    * [leftTs − lookback, leftTs] — the enrichment join (events × promo /
+    * impression × click) run with BOTH sides unbounded. The two
+    * watermarks plus the two-sided time condition are what bound the
+    * join state: Spark drops right-side state older than
+    * watermark + lookback and left-side state past the watermark, so
+    * state is O(rate · lookback), never O(stream). Inner-join OUTPUT is
+    * watermark-independent (every match emits when its second side
+    * arrives), which is what makes the result deterministic and
+    * oracle-checkable: the drained stream equals the batch interval
+    * join row for row. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+                         leftTs: String, rightTs: String,
+                         lookback: String = "1 hour",
+                         watermark: String = "0 seconds"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right
+      .withColumnRenamed(key, "__rkey")
+      .withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col("r.__rkey") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lookback") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+      .drop("__rkey")
+  }
+
   // ---- custom state: consecutive-suspicious-run tracking ----------------
 
   final case class ScoredEvent(doc: String, score: Double,

@@ -344,4 +344,32 @@ class StreamingSpec extends SparkSpec {
     streaming shouldBe batch
     batch.size shouldBe 3 // u1×1 (the boundary merge held), u2×1, u3×1
   }
+
+  "streamIntervalJoin" should "match rows ACROSS micro-batches via join state" in {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Long, String, Timestamp)]
+    val right = MemoryStream[(Long, String, Timestamp)]
+    val joined = StreamingScore.streamIntervalJoin(
+      left.toDF().toDF("event_id", "user", "ts"),
+      right.toDF().toDF("marker_id", "user", "mts"),
+      key = "user", leftTs = "ts", rightTs = "mts",
+      lookback = "30 minutes", watermark = "2 hours")
+    val q = joined.select(col("event_id"), col("marker_id"))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a marker arrives FIRST, its events later (and vice versa)
+      right.addData((100L, "u1", ts(0)))
+      q.processAllAvailable()
+      left.addData((1L, "u1", ts(10)), // matches marker 100 (10 min back)
+        (2L, "u1", ts(45)), // 45 min back — outside the 30-min lookback
+        (3L, "u2", ts(10))) // wrong key
+      q.processAllAvailable()
+      // batch 3: late-arriving marker must still match event 2 from state
+      right.addData((200L, "u1", ts(40)))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("ssj_out").as[(Long, Long)].collect().toSet shouldBe
+      Set((1L, 100L), (2L, 200L))
+  }
 }
