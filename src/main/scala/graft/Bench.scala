@@ -60,7 +60,8 @@ object Bench {
       "v8b_pq_train", "v8_pq_encode", "v9_pq_adc", "v11_ivfpq",
       "v11b_ivfpq_indexed", "v12_ann_recall"),
     "semantic" -> Seq("v10_semantic_dedup", "c1_curation"),
-    "media" -> Seq("m4_png_stats", "m5_resize_stats", "m6_jpeg_stats"),
+    "media" -> Seq("m4_png_stats", "m5_resize_stats", "m6_jpeg_stats",
+      "m7_avi_frames"),
     "pipeline" -> Seq(
       "pipeline_events_first", "pipe_events_fixedmodel", "pipeline_events",
       "pipeline_events_approx", "pe_stage_cuts", "pe_stage_featurize",

@@ -158,6 +158,7 @@ object Media {
           else if (isBmp(b)) (le32(b, 18), math.abs(le32(b, 22)), 1)
           else if (isJpeg(b)) Jpeg.dimensions(b).map { case (w, h, _) => (w, h, 1) }
             .getOrElse((-1, -1, -1))
+          else if (Avi.isAvi(b)) Avi.dimensions(b).getOrElse((-1, -1, -1))
           else (-1, -1, -1)
         MediaFeatures(r.id, r.mime, b.length.toLong, h, w, ht, fr)
       }

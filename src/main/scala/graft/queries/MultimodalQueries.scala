@@ -82,6 +82,16 @@ object MultimodalQueries {
         .select(col("id"), col("mime"), col("n_samples"),
           col("mean_val"), col("min_val"), col("max_val"))),
 
+    // M7: REAL AVI video decode + frame sampling — each fixture doc
+    // becomes an uncompressed-DIB AVI clip whose every frame byte is a
+    // closed-form function of (doc_id, frame, offset); the container
+    // walk, bottom-up stride-padded frame decode, and every-2nd-frame
+    // sampling must reproduce the oracle's recomputed per-frame stats
+    // exactly. Widths 3..7 force 0-3 pad bytes per row the decoder must
+    // strip.
+    "m7_avi_frames" -> ((s, dir) =>
+      graft.multimodal.Avi.frameStats(mediaAvi(s, dir), every = 2)),
+
     // M5: REAL nearest-neighbor resize — the m4 PNGs decoded, halved
     // ((x,y) ← (x·w/w2, y·h/h2) integer-exact), re-encoded as PNG, and
     // the RESIZED bytes re-decoded for their stats. The oracle replays
@@ -141,6 +151,22 @@ object MultimodalQueries {
       }
   }
 
+  /** The m7 fixture: doc_id % 3 == 2 → uncompressed-DIB AVI, width
+    * 3 + n%5, height 1 + id%4, 2 + id%7 frames; frame f's raster byte j
+    * = (id·41 + f·19 + j·7) % 256. */
+  private def mediaAvi(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, n) =>
+        val w = (3 + n % 5).toInt; val h = (1 + id % 4).toInt
+        val nf = (2 + id % 7).toInt
+        val frames = (0 until nf).map(f => Array.tabulate[Byte](w * h * 3)(
+          j => ((id * 41 + f.toLong * 19 + j.toLong * 7) % 256).toByte))
+        MediaRecord(id, "video/avi", graft.multimodal.Avi.encode(w, h, frames))
+      }
+  }
+
   /** The m3 fixture: even doc_ids → BMP with channel byte j =
     * (id·31 + j·7) % 256; odd → 1-2 channel PCM WAV with sample i =
     * (id·17 + i·13) % 4001 − 2000. */
@@ -187,6 +213,28 @@ object MultimodalQueries {
       s"""SELECT id, frames,
          |       unnest(generate_series(0, frames - 1, 4))::INT AS frame_idx
          |FROM ($featureSql)""".stripMargin,
+
+    // the m7 twin recomputes every sampled frame's bytes from the fixture
+    // closed form — equality proves container walk, bottom-up stride
+    // decode, and the every-2nd-frame stride rule end to end
+    "m7_avi_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, 3 + n_chars % 5 AS w, 1 + doc_id % 4 AS h,
+        |         2 + doc_id % 7 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT id, w, h,
+        |             unnest(generate_series(0, nf - 1, 2)) AS frame_idx
+        |      FROM m),
+        |s AS (SELECT id, frame_idx, w * h * 3 AS n,
+        |             unnest(generate_series(0, w * h * 3 - 1)) AS j
+        |      FROM f),
+        |v AS (SELECT id, frame_idx, n,
+        |             (id * 41 + frame_idx * 19 + j * 7) % 256 AS v
+        |      FROM s)
+        |SELECT id, frame_idx::INT AS frame_idx, max(n)::BIGINT AS n_samples,
+        |       sum(v)::DOUBLE / max(n) AS mean_val,
+        |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+        |FROM v GROUP BY 1, 2""".stripMargin,
 
     // the m3 twin recomputes every sample value from the fixture formulas
     // and aggregates — equality proves the byte-level decode (stride skip,

@@ -212,6 +212,61 @@ class MediaSpec extends SparkSpec {
     Media.resizeImages(recs.toDS(), factor = 2).collect() shouldBe empty
   }
 
+  "Avi.encode/framePixels" should "round-trip frames exactly across geometries" in {
+    import graft.multimodal.Avi
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 30) {
+      val w = 1 + rnd.nextInt(9) // widths 1..9 hit all 4 stride paddings
+      val h = 1 + rnd.nextInt(5)
+      val nf = 1 + rnd.nextInt(6)
+      val frames = (0 until nf).map { _ =>
+        val f = new Array[Byte](w * h * 3); rnd.nextBytes(f); f
+      }
+      val bytes = Avi.encode(w, h, frames)
+      Avi.isAvi(bytes) shouldBe true
+      Avi.dimensions(bytes) shouldBe Some((w, h, nf))
+      val got = Avi.framePixels(bytes).get
+      got._1 shouldBe w; got._2 shouldBe h
+      got._3.size shouldBe nf
+      got._3.zip(frames).foreach { case (g, e) => g.toSeq shouldBe e.toSeq }
+    }
+  }
+
+  it should "return None loudly on truncation and non-AVI payloads" in {
+    import graft.multimodal.Avi
+    val ok = Avi.encode(4, 3, Seq(Array.fill[Byte](36)(7)))
+    Avi.framePixels(ok) should not be None
+    // truncated mid-frame: the walk must refuse, not return a short clip
+    Avi.framePixels(ok.take(ok.length - 10)) shouldBe None
+    Avi.dimensions("RIFFxxxxWAVE".getBytes("US-ASCII")) shouldBe None
+    Avi.framePixels(Array[Byte](1, 2, 3)) shouldBe None
+  }
+
+  "Avi.frameStats" should "sample every k-th frame with exact stats" in {
+    import graft.multimodal.Avi
+    // frame f: all bytes = 10·f → mean 10f, min=max=10f; every=2 → 0,2,4
+    val frames = (0 until 5).map(f => Array.fill[Byte](3 * 2 * 3)((10 * f).toByte))
+    val rec = Media.MediaRecord(9L, "video/avi", Avi.encode(3, 2, frames))
+    val bad = Media.MediaRecord(10L, "video/avi", Array[Byte](9, 9, 9))
+    val got = Avi.frameStats(Seq(rec, bad).toDS(), every = 2)
+      .as[(Long, Int, Long, Double, Long, Long)].collect().sortBy(_._2)
+    got.map(_._1).distinct.toSeq shouldBe Seq(9L) // undecodable dropped
+    got.map(_._2).toSeq shouldBe Seq(0, 2, 4)
+    got.foreach { case (_, f, n, mean, mn, mx) =>
+      n shouldBe 18L
+      mean shouldBe 10.0 * f
+      mn shouldBe 10L * f; mx shouldBe 10L * f
+    }
+  }
+
+  "HeaderDecoder" should "report AVI container geometry as frames" in {
+    import graft.multimodal.Avi
+    val rec = Media.MediaRecord(4L, "video/avi",
+      Avi.encode(6, 4, (0 until 3).map(_ => new Array[Byte](72))))
+    val f = Media.extractFeatures(Seq(rec).toDS()).collect().head
+    (f.width, f.height, f.frames) shouldBe ((6, 4, 3))
+  }
+
   "sampleFrames" should "emit stride-sampled frame indexes" in {
     val feats = Media.extractFeatures(media, Media.StubDecoder)
     val got = Media.sampleFrames(feats, every = 4)
