@@ -61,7 +61,7 @@ object Bench {
       "v11b_ivfpq_indexed", "v12_ann_recall"),
     "semantic" -> Seq("v10_semantic_dedup", "c1_curation"),
     "media" -> Seq("m4_png_stats", "m5_resize_stats", "m6_jpeg_stats",
-      "m7_avi_frames"),
+      "m7_avi_frames", "m8_wav_resample"),
     "pipeline" -> Seq(
       "pipeline_events_first", "pipe_events_fixedmodel", "pipeline_events",
       "pipeline_events_approx", "pe_stage_cuts", "pe_stage_featurize",

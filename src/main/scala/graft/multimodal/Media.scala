@@ -581,6 +581,94 @@ object Media {
     bytes
   }
 
+  /** 16-bit PCM WAV payload decode: (sampleRate, channels, interleaved
+    * frame-major samples). None unless the chunk walk finds a PCM-16
+    * fmt and a data chunk — same bounds discipline as `wavStats`. */
+  def wavPcm(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    import Bytes._
+    if (!isWav(b)) return None
+    var o = 12L
+    var fmt: Option[(Int, Int)] = None // (rate, channels), pcm16 only
+    var data: Option[(Int, Int)] = None // (offset, length)
+    var bad = false
+    while (!bad && o + 8 <= b.length && !(fmt.isDefined && data.isDefined)) {
+      val oi = o.toInt
+      val id = tag(b, oi)
+      val size = le32(b, oi + 4)
+      if (size < 0) bad = true
+      else {
+        if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
+          if (le16(b, oi + 8) == 1 && le16(b, oi + 22) == 16)
+            fmt = Some((le32(b, oi + 12), le16(b, oi + 10)))
+        } else if (id == "data") {
+          val len = math.min(size.toLong, math.max(0L, b.length - (o + 8))).toInt
+          data = Some((oi + 8, len))
+        }
+        o += 8L + size.toLong + (size & 1)
+      }
+    }
+    if (bad) return None
+    for {
+      (rate, ch) <- fmt
+      (doff, dlen) <- data
+      if ch > 0 && rate > 0
+    } yield {
+      val n = dlen / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) { out(i) = le16(b, doff + i * 2).toShort; i += 1 }
+      (rate, ch, out)
+    }
+  }
+
+  /** Audio normalization for training pipelines — the WAV twin of
+    * [[resizeImages]]: integer-factor DECIMATION (keep every
+    * `decimate`-th frame; output rate = rate/decimate, which must divide
+    * exactly — a fractional rate would need a resampling filter kernel
+    * and stop being engine-replayable) and optional MONO MIXDOWN
+    * (per-frame channel mean with TRUNCATING integer division — JVM `/`
+    * rounds toward zero exactly like SQL integer division, measured
+    * against DuckDB: `//` on integers truncates too, while floorDiv
+    * would drift one unit low on odd negative sums). Decodes real PCM
+    * via [[wavPcm]],
+    * re-encodes via [[wavBytesPcm]]; payloads that don't decode (or
+    * whose rate `decimate` doesn't divide) contribute no row — loud
+    * drop, never a fake resample. mapPartitions, map-only, scan-bound. */
+  def resampleAudio(media: Dataset[MediaRecord], decimate: Int = 4,
+                    mixdown: Boolean = true): Dataset[MediaRecord] = {
+    require(decimate >= 1, s"decimate must be >= 1, got $decimate")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { rec =>
+      wavPcm(rec.bytes).flatMap { case (rate, ch, samples) =>
+        if (rate % decimate != 0) None
+        else {
+          val frames = samples.length / ch
+          val kept = 0 until frames by decimate
+          val outCh = if (mixdown) 1 else ch
+          val out = new Array[Short](kept.size * outCh)
+          var w = 0
+          kept.foreach { f =>
+            if (mixdown) {
+              var sum = 0L
+              var c = 0
+              while (c < ch) { sum += samples(f * ch + c); c += 1 }
+              out(w) = (sum / ch).toShort
+              w += 1
+            } else {
+              var c = 0
+              while (c < ch) {
+                out(w) = samples(f * ch + c); c += 1; w += 1
+              }
+            }
+          }
+          Some(rec.copy(bytes =
+            wavBytesPcm(rate / decimate, outCh, kept.size, i => out(i))))
+        }
+      }
+    })
+  }
+
   /** Normalize any (id, mime, binary) projection into the media schema. */
   def asMedia(df: DataFrame, id: Column, mime: Column, bytes: Column): Dataset[MediaRecord] = {
     val spark = df.sparkSession

@@ -92,6 +92,18 @@ object MultimodalQueries {
     "m7_avi_frames" -> ((s, dir) =>
       graft.multimodal.Avi.frameStats(mediaAvi(s, dir), every = 2)),
 
+    // M8: REAL audio resample — 1-2 channel PCM WAVs decoded, decimated
+    // 4× and mixed down to mono (floor-div channel mean), re-encoded,
+    // and the RESAMPLED bytes re-decoded for their stats. The oracle
+    // replays frame selection and the floor-div mix against the fixture
+    // closed form, proving decode → decimate/mixdown → encode → decode
+    // end to end (the WAV twin of m5's image resize).
+    "m8_wav_resample" -> ((s, dir) =>
+      Media.extractStats(Media.resampleAudio(mediaWav(s, dir),
+          decimate = 4, mixdown = true)).toDF()
+        .select(col("id"), col("mime"), col("n_samples"),
+          col("mean_val"), col("min_val"), col("max_val"))),
+
     // M5: REAL nearest-neighbor resize — the m4 PNGs decoded, halved
     // ((x,y) ← (x·w/w2, y·h/h2) integer-exact), re-encoded as PNG, and
     // the RESIZED bytes re-decoded for their stats. The oracle replays
@@ -167,6 +179,20 @@ object MultimodalQueries {
       }
   }
 
+  /** The m8 fixture: doc_id % 3 == 1 → PCM-16 WAV at 8000 Hz, 1 + id%2
+    * channels, 40 + id%60 frames; interleaved sample j =
+    * (id·17 + j·13) % 4001 − 2000. */
+  private def mediaWav(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, _) =>
+        MediaRecord(id, "audio/wav",
+          Media.wavBytesPcm(8000, (1 + id % 2).toInt, (40 + id % 60).toInt,
+            j => (((id * 17 + j.toLong * 13) % 4001) - 2000).toShort))
+      }
+  }
+
   /** The m3 fixture: even doc_ids → BMP with channel byte j =
     * (id·31 + j·7) % 256; odd → 1-2 channel PCM WAV with sample i =
     * (id·17 + i·13) % 4001 − 2000. */
@@ -235,6 +261,28 @@ object MultimodalQueries {
         |       sum(v)::DOUBLE / max(n) AS mean_val,
         |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
         |FROM v GROUP BY 1, 2""".stripMargin,
+
+    // the m8 twin replays decimation (every 4th frame) and the mono
+    // mixdown over the fixture closed form — DuckDB's integer `//`
+    // truncates toward zero exactly like the decoder's JVM `/`
+    "m8_wav_resample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, 1 + doc_id % 2 AS ch, 40 + doc_id % 60 AS nf
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |f AS (SELECT id, ch, unnest(generate_series(0, nf - 1, 4)) AS fr
+        |      FROM m),
+        |v AS (SELECT id,
+        |             CASE WHEN ch = 1
+        |                  THEN (id * 17 + fr * 13) % 4001 - 2000
+        |                  ELSE (((id * 17 + (2 * fr) * 13) % 4001 - 2000)
+        |                      + ((id * 17 + (2 * fr + 1) * 13) % 4001 - 2000))
+        |                       // 2
+        |             END AS v
+        |      FROM f)
+        |SELECT id, 'audio/wav' AS mime, count(*)::BIGINT AS n_samples,
+        |       sum(v)::DOUBLE / count(*) AS mean_val,
+        |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+        |FROM v GROUP BY 1""".stripMargin,
 
     // the m3 twin recomputes every sample value from the fixture formulas
     // and aggregates — equality proves the byte-level decode (stride skip,

@@ -267,6 +267,37 @@ class MediaSpec extends SparkSpec {
     (f.width, f.height, f.frames) shouldBe ((6, 4, 3))
   }
 
+  "Media.resampleAudio" should "decimate and mix down with truncating division" in {
+    // stereo frames: (L, R) pairs; mixdown = (L+R)/2 truncated toward
+    // zero — frame 2's sum is odd NEGATIVE, the case where floor and
+    // truncation disagree (-61/2 → -30, not -31)
+    val samples = Array[Short](10, 21, 5, 5, -30, -31, 7, 8, 100, 101, 2, 3)
+    val rec = Media.MediaRecord(1L, "audio/wav",
+      Media.wavBytesPcm(8000, 2, 6, i => samples(i)))
+    val out = Media.resampleAudio(Seq(rec).toDS(), decimate = 2, mixdown = true)
+      .collect().head
+    val got = Media.wavPcm(out.bytes).get
+    got._1 shouldBe 4000 // rate / decimate
+    got._2 shouldBe 1 // mono
+    // kept frames 0, 2, 4 → (10+21)/2=15, (-30-31)/2=-30, (100+101)/2=100
+    got._3.toSeq shouldBe Seq[Short](15, -30, 100)
+  }
+
+  it should "keep channels when mixdown is off and drop indivisible rates" in {
+    val samples = Array[Short](1, 2, 3, 4, 5, 6, 7, 8)
+    val stereo = Media.MediaRecord(1L, "audio/wav",
+      Media.wavBytesPcm(8000, 2, 4, i => samples(i)))
+    val odd = Media.MediaRecord(2L, "audio/wav",
+      Media.wavBytesPcm(8001, 1, 4, i => samples(i)))
+    val notWav = Media.MediaRecord(3L, "audio/wav", Array[Byte](1, 2, 3))
+    val out = Media.resampleAudio(Seq(stereo, odd, notWav).toDS(),
+      decimate = 2, mixdown = false).collect()
+    out.map(_.id).toSeq shouldBe Seq(1L) // 8001 % 2 != 0 → loud drop
+    val got = Media.wavPcm(out.head.bytes).get
+    got._2 shouldBe 2
+    got._3.toSeq shouldBe Seq[Short](1, 2, 5, 6) // frames 0 and 2, both channels
+  }
+
   "sampleFrames" should "emit stride-sampled frame indexes" in {
     val feats = Media.extractFeatures(media, Media.StubDecoder)
     val got = Media.sampleFrames(feats, every = 4)
