@@ -37,7 +37,7 @@ object Bench {
       "a1_group_count", "a3_group_sum", "a6_ecdf", "a12_hll_distinct",
       "t1_topk", "w1_window_cumsum", "g1_rollup", "j7_asof_join",
       "j9_salted_join", "a13_cms_counts", "j10_bloom_semi",
-      "a14_hdr_quantiles", "g2_pagerank", "z1_zorder"),
+      "a14_hdr_quantiles", "g2_pagerank", "z1_zorder", "a15_cms_heavy"),
     "features" -> Seq(
       "f3_bin", "f4_entropy", "f8_flow_words", "x2_quality", "x3_langid",
       "c2_gopher_rules", "x18_c4_filter", "x22_normalize"),

@@ -285,6 +285,47 @@ object Sketches {
       .drop("sketch")
   }
 
+  /** Heavy hitters (keys with ≥ `threshold` occurrences) WITHOUT a
+    * per-distinct-key shuffle — the Count-Min sketch applied the way
+    * [[bloomMightContain]] applies the Bloom filter to joins:
+    *
+    *   pass 1: ONE aggregation pass builds a global d×w counter sketch
+    *           (fixed-size, mergeable, map-side combined);
+    *   pass 2: re-scan the data, estimate each ROW's key count from the
+    *           broadcast sketch as pure column ops, and drop rows whose
+    *           estimate is under the threshold MAP-SIDE — before any
+    *           shuffle;
+    *   pass 3: exact count over the surviving (heavy-candidate) rows
+    *           only, then the exact HAVING filter.
+    *
+    * CMS never underestimates, so no true heavy key can be dropped in
+    * pass 2 (no false negatives); pass 3 removes the overestimated
+    * stragglers — the composed result is row-identical to the plain
+    * `GROUP BY key HAVING count ≥ threshold`, which is the oracle. At
+    * 100 TB the full-key shuffle (every row, every distinct key) becomes
+    * a shuffle of just the heavy candidates — for skewed corpora
+    * (heavy-hitter detection's whole point) that is orders of magnitude
+    * less. */
+  def cmsHeavyHitters(df: DataFrame, key: Column, hash: Column,
+                      threshold: Long, d: Int = 4, w: Int = 2048): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val sketch = df.agg(udaf(new CmsAggregator(d, w), Encoders.scalaLong)
+      .apply(hash).as("sketch"))
+    val estCols: Seq[Column] = (0 until d).map { j =>
+      val salted = pmod(hash + lit(j.toLong * 2654435769L), lit(1L << 30))
+      val z1 = pmod(salted * lit(2654435761L), lit(1L << 30))
+      val z2 = z1.bitwiseXOR(shiftright(z1, 15))
+      val z3 = pmod(z2 * lit(1597334677L), lit(1L << 30))
+      val z = z3.bitwiseXOR(shiftright(z3, 13))
+      element_at(col("sketch"), (lit(j * w) + pmod(z, lit(w)) + 1).cast("int"))
+    }
+    df.crossJoin(broadcast(sketch))
+      .where(array_min(array(estCols: _*)) >= threshold) // map-side prune
+      .groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= threshold)
+  }
+
   // ---- HDR histogram quantiles -------------------------------------------
 
   /** Per-group quantile summary: `n` = total count, `quantiles(i)` = the

@@ -217,6 +217,20 @@ object RelationalQueries {
       graft.operators.Sketches.cmsEstimate(sk, probes, col("ph"))
         .select(col("event_type"), col("uid"), col("est"))}),
 
+    // A15: CMS-guided heavy hitters — users with ≥ 80 events found
+    // WITHOUT a per-distinct-key shuffle: one sketch pass, a map-side
+    // row prune against the broadcast sketch, exact count over the
+    // surviving candidates only. CMS never underestimates → no false
+    // negatives → the composed result is row-identical to the plain
+    // GROUP BY ... HAVING, which is the twin (j10's Bloom-semi-join
+    // argument, applied to aggregation).
+    "a15_cms_heavy" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("user_id").isNotNull)
+        .withColumn("uh", graft.functions.PolyHash.poly_hash(
+          concat(lit("u:"), col("user_id").cast("string")), 31L))
+      graft.operators.Sketches.cmsHeavyHitters(
+        ev, col("user_id"), col("uh"), threshold = 80L)}),
+
     // A14: HDR histogram quantile sketch — per-group p50/p90/p99 price
     // cents from a fixed ~9 KB mergeable counter buffer in ONE
     // aggregation pass (the quantile complement of a12/a13; a7's exact
@@ -664,6 +678,13 @@ object RelationalQueries {
         |LEFT JOIN counters c
         |  ON c.event_type = t.event_type AND c.j = p.j AND c.idx = p.idx
         |GROUP BY 1, 2""".stripMargin,
+
+    // the a15 twin is the PLAIN heavy-hitter aggregation — the sketch
+    // prefilter must not change one row
+    "a15_cms_heavy" ->
+      """SELECT user_id AS key, count(*) AS n
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 HAVING count(*) >= 80""".stripMargin,
 
     // the a14 twin rebuilds the identical histogram: bucket index from
     // the value's bit length (length(printf('%b', v)) — integer-exact

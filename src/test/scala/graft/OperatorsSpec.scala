@@ -1189,6 +1189,35 @@ class OperatorsSpec extends SparkSpec {
     got shouldBe ((7L, 4L, 12L))
   }
 
+  "Sketches.cmsHeavyHitters" should "equal the plain HAVING aggregation exactly" in {
+    import graft.functions.PolyHash
+    import graft.operators.Sketches
+    // zipf-ish skew: key k appears 201-2k times (k=0..99) → heavy set
+    // under threshold 120 is k <= 40; 100 keys in 4x2048 counters means
+    // collisions are possible but must never LOSE a heavy key
+    val rows = (0 until 100).flatMap(k => Seq.fill(201 - 2 * k)(k.toLong))
+    val df = rows.toDF("uid").withColumn("h", PolyHash.poly_hash(
+      concat(lit("u:"), col("uid").cast("string")), 31L))
+    val got = Sketches.cmsHeavyHitters(df, col("uid"), col("h"), threshold = 120L)
+      .as[(Long, Long)].collect().toMap
+    val expect = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 120L).toMap
+    got shouldBe expect
+    got.keySet.max shouldBe 40L
+  }
+
+  it should "be partitioning-invariant" in {
+    import graft.functions.PolyHash
+    import graft.operators.Sketches
+    val rows = (0 until 50).flatMap(k => Seq.fill(k + 10)(k.toLong))
+    val df = rows.toDF("uid").withColumn("h", PolyHash.poly_hash(
+      concat(lit("u:"), col("uid").cast("string")), 31L))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsHeavyHitters(d, col("uid"), col("h"), threshold = 30L)
+        .as[(Long, Long)].collect().toMap
+    run(df.repartition(1)) shouldBe run(df.repartition(32))
+  }
+
   "Graph.pageRank" should "match hand-computed integer ranks on a tiny graph" in {
     import graft.operators.Graph
     // 1→2, 2→1, 1→3; node 3 is dangling (its mass drops, the standard rule)
