@@ -566,4 +566,38 @@ object Dedup {
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_text"))
   }
+
+  /** Token pairs at edit distance EXACTLY 1 — the spelling-variant /
+    * typo-unification signal (OCR and web corpora carry per-token
+    * mutations that explode the vocabulary; unifying them is a standard
+    * normalization pass before counting, BPE, or dedup).
+    *
+    * The all-pairs `levenshtein` join is O(|V|²) and dead at a 100 TB
+    * vocabulary; this uses DELETION-NEIGHBORHOOD blocking (the
+    * SymSpell/FastSS family): each token emits itself plus its
+    * single-character deletions as join keys, candidates are the
+    * equi-join on those keys, and `levenshtein == 1` verifies. The
+    * blocking is COMPLETE for distance 1 by construction — a
+    * substitution at position i makes both tokens share the delete-at-i
+    * key, and an insertion/deletion makes the shorter token itself one
+    * of the longer one's deletion keys — so the result provably equals
+    * the all-pairs join (which is the oracle at test scale). Per-key
+    * bucket occupancy is bounded by alphabet·(len+1)+1, never corpus
+    * size; everything else is one equi-join plus a codegen'd verify on
+    * candidates only. */
+  def editDistanceOnePairs(vocab: DataFrame, tok: Column): DataFrame = {
+    val t = vocab.select(tok.cast("string").as("tok"))
+      .where(length(col("tok")) >= 1).distinct()
+    val keys = t.select(col("tok"), explode(expr(
+      """array_union(
+        |  transform(sequence(0, length(tok) - 1),
+        |    i -> concat(substring(tok, 1, i), substring(tok, i + 2, length(tok)))),
+        |  array(tok))""".stripMargin)).as("key"))
+    keys.alias("a")
+      .join(keys.alias("b"),
+        col("a.key") === col("b.key") && col("a.tok") < col("b.tok"))
+      .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .distinct()
+      .where(levenshtein(col("tok_a"), col("tok_b")) === 1)
+  }
 }

@@ -107,6 +107,25 @@ object TextQueries {
         col("doc_id"), col("text"), n = 5, threshold = 0.2,
         maxShingleFreq = Long.MaxValue)),
 
+    // D11: spelling-variant pairs at edit distance EXACTLY 1 via
+    // deletion-neighborhood blocking (SymSpell/FastSS) — never an
+    // all-pairs join. The synthetic corpus vocabulary carries no natural
+    // typos, so the gate injects them deterministically (an 'x'-
+    // substitution and a first-char deletion per token) and BOTH engines
+    // replay the same injection; the twin then runs the all-pairs
+    // levenshtein join — equality proves the blocking loses nothing.
+    "d11_edit_pairs" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .where(length(col("tok")) >= 4)
+        .distinct()
+      val vocab = toks
+        .union(toks.select(
+          concat(lit("x"), expr("substring(tok, 2, length(tok))")).as("tok")))
+        .union(toks.where(length(col("tok")) >= 5)
+          .select(expr("substring(tok, 2, length(tok))").as("tok")))
+      Dedup.editDistanceOnePairs(vocab, col("tok"))}),
+
     // D3: MinHash + LSH banding candidate pairs (8 hashes, 4 bands x 2).
     "d3_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"),
@@ -790,6 +809,24 @@ object TextQueries {
          |SELECT ${hashSql("text")} AS content_hash,
          |       min(doc_id) AS keep_id, count(*) AS dup_count
          |FROM dup GROUP BY text HAVING count(*) > 1""".stripMargin,
+
+    // the d11 twin is the ALL-PAIRS levenshtein join over the same
+    // injected vocabulary — equality proves deletion-neighborhood
+    // blocking is complete for distance 1
+    "d11_edit_pairs" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT lower(tok) AS tok FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) >= 4),
+        |vocab AS (
+        |  SELECT DISTINCT tok FROM (
+        |    SELECT tok FROM toks
+        |    UNION ALL SELECT 'x' || substr(tok, 2) FROM toks
+        |    UNION ALL SELECT substr(tok, 2) FROM toks WHERE length(tok) >= 5))
+        |SELECT a.tok AS tok_a, b.tok AS tok_b
+        |FROM vocab a JOIN vocab b
+        |  ON a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1""".stripMargin,
 
     "d2_ngram_jaccard" ->
       s"""WITH $toksSql,

@@ -1189,6 +1189,46 @@ class OperatorsSpec extends SparkSpec {
     got shouldBe ((7L, 4L, 12L))
   }
 
+  "Dedup.editDistanceOnePairs" should "find exactly the distance-1 pairs (all three edit kinds)" in {
+    val vocab = Seq("table", "tably", "tble", "stable", "cable", "chair",
+      "chairs", "xhair", "zzz").toDF("tok")
+    val got = Dedup.editDistanceOnePairs(vocab, col("tok"))
+      .as[(String, String)].collect().toSet
+    got shouldBe Set(
+      ("table", "tably"), // substitution
+      ("table", "tble"), // deletion
+      ("stable", "table"), // insertion
+      ("cable", "table"), // substitution at position 0
+      ("chair", "chairs"), // insertion at the end
+      ("chair", "xhair")) // substitution
+    // tably↔tble is distance 2 (both neighbors of "table") and must NOT
+    // appear — the verify step, not just the blocking, decides membership
+    got should not contain ("tably" -> "tble")
+  }
+
+  it should "equal the all-pairs levenshtein join on a random mutated vocabulary" in {
+    val rnd = new scala.util.Random(23)
+    val base = (1 to 60).map(_ => rnd.alphanumeric.filter(_.isLetter)
+      .take(4 + rnd.nextInt(4)).mkString.toLowerCase).distinct
+    val mutated = base.flatMap { w =>
+      val i = rnd.nextInt(w.length)
+      Seq(w, w.updated(i, 'q'), w.take(i) + w.drop(i + 1)) // sub + del
+    }.distinct
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      a <- mutated; b <- mutated if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    Dedup.editDistanceOnePairs(mutated.toDF("tok"), col("tok"))
+      .as[(String, String)].collect().toSet shouldBe expect
+    expect.size should be > 50 // non-vacuous
+  }
+
   "Sketches.cmsHeavyHitters" should "equal the plain HAVING aggregation exactly" in {
     import graft.functions.PolyHash
     import graft.operators.Sketches
