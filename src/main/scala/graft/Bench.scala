@@ -55,7 +55,8 @@ object Bench {
     "bpe" -> Seq("x25_bpe_train", "x26_bpe_encode"),
     "vector" -> Seq(
       "v1_norm", "v2_cosine_topk", "v3_ivf_assign", "v4b_cell_near_dup",
-      "v4c_scaled_cells", "v6b_lsh_scaled", "v7_kmeans", "v13_random_project"),
+      "v4c_scaled_cells", "v6b_lsh_scaled", "v7_kmeans", "v13_random_project",
+      "v14_dim_stats"),
     "pq" -> Seq(
       "v8b_pq_train", "v8_pq_encode", "v9_pq_adc", "v11_ivfpq",
       "v11b_ivfpq_indexed", "v12_ann_recall"),

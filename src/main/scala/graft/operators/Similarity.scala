@@ -106,6 +106,28 @@ object Similarity {
           + 0.5) / 1000000.0).as("recall"))
   }
 
+  /** Per-dimension corpus statistics of an embedding column in 1e-6
+    * fixed point — the feature-scaling pass (mean-center / standardize)
+    * every downstream quantizer and ANN index assumes, and a drift
+    * check between embedding batches. Values are scaled to integer
+    * micro-units BEFORE aggregation, so the sums are exact and
+    * partition-order-independent (the repo-wide fixed-point rule: a
+    * float Σ would hash differently per run); the only float is the
+    * final mean division.
+    *
+    * Scale shape: posexplode multiplies rows ×dims, but partial
+    * (map-side) aggregation collapses each partition to ≤ dims rows
+    * before the shuffle — the exchange moves dims·partitions tiny rows
+    * regardless of corpus size. The stats frame (dims rows) then
+    * broadcasts into whatever normalization map needs it. */
+  def dimStats(df: DataFrame, embedding: Column): DataFrame =
+    df.select(posexplode(embedding).as(Seq("dim", "v")))
+      .withColumn("mv", floor(col("v") * 1000000 + 0.5).cast("long"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("mv").as("sum_micro"),
+        sum(col("mv") * col("mv")).as("sumsq_micro"))
+      .withColumn("mean_micro", col("sum_micro").cast("double") / col("n"))
+
   /** Random projection to `outDim` dimensions (Johnson–Lindenstrauss;
     * Achlioptas 2003 showed simple non-Gaussian matrices — uniform
     * signs/entries — preserve pairwise distances just as well) — the

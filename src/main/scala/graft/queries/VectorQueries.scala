@@ -22,6 +22,14 @@ object VectorQueries {
         (floor((Similarity.norm(col("embedding").cast("array<double>"))) * 1000000 + 0.5) / 1000000.0)
           .as("norm"))),
 
+    // V14: per-dimension embedding statistics in exact 1e-6 fixed point
+    // — the feature-scaling pass before quantization/ANN. Integer sums
+    // are partition-order-independent, so the twin unnests the same
+    // micro-units and matches hash-exactly.
+    "v14_dim_stats" -> ((s, dir) =>
+      graft.operators.Similarity.dimStats(
+        t(s, dir, "embeddings"), col("embedding").cast("array<double>"))),
+
     // V2: brute-force exact cosine top-k (first 10 vecs as queries, k=5).
     "v2_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -232,6 +240,18 @@ object VectorQueries {
     "v1_norm" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
          |SELECT vec_id, floor((sqrt(${dotSql("e", "e")})) * 1000000 + 0.5) / 1000000.0 AS norm FROM v""".stripMargin,
+
+    // the v14 twin unnests the same micro-unit integers — exact sums,
+    // one final IEEE division
+    "v14_dim_stats" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |x AS (SELECT i - 1 AS dim,
+        |             CAST(floor(e[i] * 1000000 + 0.5) AS BIGINT) AS mv
+        |      FROM v, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i))
+        |SELECT dim, count(*)::BIGINT AS n, sum(mv)::BIGINT AS sum_micro,
+        |       sum(mv * mv)::BIGINT AS sumsq_micro,
+        |       sum(mv)::DOUBLE / count(*) AS mean_micro
+        |FROM x GROUP BY 1""".stripMargin,
 
     "v2_cosine_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -1189,6 +1189,37 @@ class OperatorsSpec extends SparkSpec {
     got shouldBe ((7L, 4L, 12L))
   }
 
+  "Similarity.dimStats" should "compute exact fixed-point per-dim sums" in {
+    val df = Seq(
+      (1L, Seq(0.5, -1.25)),
+      (2L, Seq(0.25, 2.0)),
+      (3L, Seq(-0.75, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.dimStats(df, col("embedding"))
+      .as[(Int, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // dim 0 micro: 500000, 250000, -750000 → sum 0, sumsq 8.75e11
+    got(0) shouldBe ((0, 3L, 0L, 500000L * 500000 + 250000L * 250000 + 750000L * 750000, 0.0))
+    // dim 1 micro: -1250000, 2000000, 0 → sum 750000
+    got(1)._3 shouldBe 750000L
+    got(1)._5 shouldBe 250000.0
+  }
+
+  it should "be partitioning-invariant with one exchange in the plan" in {
+    val rnd = new scala.util.Random(9)
+    val df = (1 to 300).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() * 2 - 1))).toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.dimStats(d, col("embedding"))
+        .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    run(df.repartition(1)) shouldBe run(df.repartition(32))
+    // partial aggregation must collapse rows BEFORE the shuffle: exactly
+    // one exchange, fed by a partial HashAggregate
+    val plan = Similarity.dimStats(df, col("embedding"))
+      .queryExecution.executedPlan.toString
+    plan.split("Exchange").length - 1 shouldBe 1
+    plan should include ("partial_count")
+  }
+
   "Dedup.editDistanceOnePairs" should "find exactly the distance-1 pairs (all three edit kinds)" in {
     val vocab = Seq("table", "tably", "tble", "stable", "cable", "chair",
       "chairs", "xhair", "zzz").toDF("tok")
