@@ -32,6 +32,8 @@ class PlanAuditSpec extends SparkSpec {
                       // the point-query shape over a built sketch
     "j10_bloom_semi", // probe rows × the broadcast ONE-row bitset — the
                       // pre-shuffle membership filter shape
+    "a15_cms_heavy", // rows × the broadcast ONE-row sketch — j10's shape
+                     // applied to aggregation (map-side heavy-key prune)
     "j8_range_join", "a6_ecdf", "a7_quantiles", "a7b_quantile_agg")
 
   /** Full-LDA pipelines train during query construction — minutes of work
