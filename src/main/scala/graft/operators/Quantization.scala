@@ -100,8 +100,12 @@ object Quantization {
                        id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val sv = subVectors(corpus, numSub, subDim, id, vec)
       .localCheckpoint(false)
-    var cb = seedCodebooks(corpus, numSub, subDim, k, id, vec)
-      .localCheckpoint()
+    // codebooks are bounded (numSub·k rows) AND broadcast every round —
+    // the exact shape whose eager localCheckpoint deadlocks against the
+    // async broadcast-exchange jobs (see graft.Lineage.cutSmall); the
+    // driver-collect cut keeps plans flat with no checkpoint locks
+    var cb = graft.Lineage.cutSmall(
+      seedCodebooks(corpus, numSub, subDim, k, id, vec))
     for (_ <- 1 to iters) {
       val assign = assignSv(sv, cb, "vec_id").select("vec_id", "sub", "code")
       val sums = assign.join(sv, Seq("vec_id", "sub"))
@@ -109,11 +113,10 @@ object Quantization {
         .groupBy("sub", "code", "pos")
         .agg(sum(floor(col("x") * 1000000000L + 0.5)).as("sx"), count(lit(1)).as("n"))
         .withColumn("m", floor(col("sx") / col("n") + 0.5) / 1000000000.0)
-      cb = sums.groupBy("sub", "code")
+      cb = graft.Lineage.cutSmall(sums.groupBy("sub", "code")
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("sub"), col("code"),
-          transform(col("pm"), s => s.getField("m")).as("cw"))
-        .localCheckpoint()
+          transform(col("pm"), s => s.getField("m")).as("cw")))
     }
     cb
   }

@@ -278,9 +278,11 @@ object Similarity {
     val v = corpus.select(col(cId).cast("long").as("vec_id"),
       asDouble(col(cVec)).as("v"))
       .localCheckpoint(false)
-    var cents = v.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cent"))
-      .localCheckpoint()
+    // centroids are bounded (k rows) AND broadcast in every assignment —
+    // cut their lineage by driver collect, not localCheckpoint, to stay
+    // clear of the checkpoint/broadcast lock inversion (graft.Lineage)
+    var cents = graft.Lineage.cutSmall(v.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cent")))
     for (_ <- 1 to iters) {
       val assign = ivfAssignN(v, cents, 1, "vec_id", "v", "centroid_id", "cent")
       val sums = assign.join(v, "vec_id")
@@ -288,11 +290,10 @@ object Similarity {
         .groupBy("centroid_id", "pos")
         .agg(sum(floor(col("x") * 1000000000L + 0.5)).as("sx"), count(lit(1)).as("n"))
         .withColumn("m", floor(col("sx") / col("n") + 0.5) / 1000000000.0)
-      cents = sums.groupBy("centroid_id")
+      cents = graft.Lineage.cutSmall(sums.groupBy("centroid_id")
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id"),
-          transform(col("pm"), s => s.getField("m")).as("cent"))
-        .localCheckpoint()
+          transform(col("pm"), s => s.getField("m")).as("cent")))
     }
     cents
   }
