@@ -254,9 +254,14 @@ object RelationalQueries {
     // iterations in exact integer micro-units (floor divs, damping
     // 850/1000), so the DuckDB twin unrolls the same three rounds and
     // matches hash-exactly — no floating reduction order anywhere.
+    // The edge set uses each order's FIRST line item (l_linenumber = 1):
+    // one trade edge per order keeps the graph |orders|-sized — at the
+    // 30× replica the unfiltered distinct (cust, supp) set is 17.6M
+    // pairs, which the Spark side iterates over fine but blows DuckDB's
+    // spill past the sandbox disk when the twin replays three rounds.
     "g2_pagerank" -> ((s, dir) => {
       val pairs = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"),
+        .join(t(s, dir, "lineitem").where(col("l_linenumber") === 1),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
         .distinct()
@@ -729,7 +734,8 @@ object RelationalQueries {
     // division is a floor div on bigints, so the replay is bit-exact
     "g2_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS su
-        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |            WHERE l_linenumber = 1),
         |edges AS (SELECT 2 * c AS src, 2 * su + 1 AS dst FROM e0
         |          UNION ALL
         |          SELECT 2 * su + 1 AS src, 2 * c AS dst FROM e0),
