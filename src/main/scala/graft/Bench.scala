@@ -42,6 +42,7 @@ object Bench {
       "f3_bin", "f4_entropy", "f8_flow_words", "x2_quality", "x3_langid",
       "c2_gopher_rules", "x18_c4_filter", "x22_normalize"),
     "textops" -> Seq(
+      "x27_chunk_overlap",
       "x11b_pack_concat", "x12_class_balance", "x13_top_ngrams",
       "x14_mixture", "x21_temperature_mix", "x23_shuffle_shards",
       "x24_pseudonymize", "x17_dsir_select"),
@@ -56,7 +57,7 @@ object Bench {
     "vector" -> Seq(
       "v1_norm", "v2_cosine_topk", "v3_ivf_assign", "v4b_cell_near_dup",
       "v4c_scaled_cells", "v6b_lsh_scaled", "v7_kmeans", "v13_random_project",
-      "v14_dim_stats"),
+      "v14_dim_stats", "v15_l2_normalize"),
     "pq" -> Seq(
       "v8b_pq_train", "v8_pq_encode", "v9_pq_adc", "v11_ivfpq",
       "v11b_ivfpq_indexed", "v12_ann_recall"),

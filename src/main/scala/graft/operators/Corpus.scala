@@ -226,6 +226,39 @@ object Corpus {
     * strings re-derived from a broadcast semi-join of the top hash set —
     * the string groupBy here keeps the operator single-stage and its
     * output directly readable. */
+  /** Fixed-window document chunking with overlap — the context-window
+    * preparation step of RAG indexing and long-document training:
+    * `window` tokens per chunk, a new chunk every `stride` tokens
+    * (overlap = window − stride), the last chunk covering the tail.
+    * Chunk count is the closed form 1 + ceil-div(max(0, n − window),
+    * stride), so an SQL twin replays the split exactly.
+    *
+    * Map-only column ops end to end (split → sequence → explode →
+    * slice) — no shuffle, no UDF; at 100 TB this is scan-bound like
+    * every per-document transform. Empty documents contribute no row
+    * (a chunk of nothing is not a training example). */
+  def chunkDocuments(docs: DataFrame, id: Column, text: Column,
+                     window: Int = 16, stride: Int = 12): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride in [1, window], got $stride (window $window)")
+    docs.select(id.cast("long").as("doc_id"), text.as("text"))
+      .withColumn("toks",
+        filter(split(col("text"), "\\s+"), t => length(t) > 0))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+      .withColumn("nchunks",
+        lit(1) + expr(
+          s"(greatest(n - $window, 0) + ${stride - 1}) div $stride").cast("int"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("nchunks") - 1)).as("chunk_idx"))
+      .withColumn("start", col("chunk_idx") * stride)
+      .withColumn("chunk", slice(col("toks"), col("start") + 1, lit(window)))
+      .select(col("doc_id"), col("chunk_idx"), col("start").cast("long").as("start"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
   def topNgrams(docs: DataFrame, text: Column, n: Int, k: Int): DataFrame =
     docs.select(graft.functions.TextFunctions.tokens(text).as("toks"))
       .select(explode(

@@ -106,6 +106,20 @@ object Similarity {
           + 0.5) / 1000000.0).as("recall"))
   }
 
+  /** L2-normalization map — the unit-sphere projection cosine pipelines
+    * assume (after it, cosine == dot product and every IVF/LSH/PQ stage
+    * drops its per-vector norm term). Map-only, zero shuffle, codegen'd
+    * sequential-fold norm; outputs round to 1e-6 (the engine-wide
+    * fixed-point rule) so any engine reproduces the bytes. Zero-norm
+    * vectors yield NULL — loud, never a fabricated direction. */
+  def l2Normalize(df: DataFrame, id: Column, embedding: Column): DataFrame = {
+    val nrm = norm(embedding)
+    df.select(id.cast("long").as("vec_id"),
+      when(nrm > 0, transform(embedding,
+        x => floor(x / nrm * 1000000 + 0.5) / 1000000.0))
+        .as("unit"))
+  }
+
   /** Per-dimension corpus statistics of an embedding column in 1e-6
     * fixed point — the feature-scaling pass (mean-center / standardize)
     * every downstream quantizer and ANN index assumes, and a drift

@@ -490,6 +490,39 @@ object RelationalQueries {
         .start().awaitTermination()
       s.read.parquet(out)}),
 
+    // ST6: SKETCHES UNDER STREAMING STATE — the a12 HyperLogLog
+    // aggregator as append-mode windowed streaming aggregation:
+    // per-window register arrays live in the state store and merge
+    // across micro-batches; only closed windows (end ≤ final watermark,
+    // st3's rule) emit. The twin derives the registers from the same
+    // PolyHash chain per (hour, type) with the same cutoff — the
+    // drained stream must be byte-identical to the batch build.
+    "st6_stream_hll" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = (rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }).where(col("user_id").isNotNull)
+        .withColumn("uh", graft.functions.PolyHash.poly_hash(
+          concat(lit("u:"), col("user_id").cast("string")), 31L))
+      val agg = graft.streaming.StreamingScore.windowedDistinctSketch(
+        ev, col("ts"), col("event_type"), col("uh"))
+      val out = java.nio.file.Files.createTempDirectory("st6_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("st6_ckpt").toString
+      agg.select(col("window.start").cast("long").as("w_start"),
+          col("key").as("event_type"), col("hll.nonzero").as("nonzero"),
+          col("hll.sum_scaled").as("sum_scaled"),
+          (floor(col("hll.estimate") * 10000 + 0.5) / 10000.0).as("est"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(out)}),
+
     // J7b: as-of tiebreak under REAL (key, ts) duplicates — every marker
     // row is doubled with a larger id, so the max-tiebreak rule decides
     // every match. Oracle: explicit rank twin (DuckDB's native ASOF picks
@@ -786,6 +819,48 @@ object RelationalQueries {
         |SELECT o_orderkey,
         |       (${zInterleaveSql("x", "y", 16)})::BIGINT AS zval
         |FROM b""".stripMargin,
+
+    // the st6 twin = a12's register derivation per (hour window, type)
+    // plus st3's closed-window cutoff
+    "st6_stream_hll" ->
+      s"""WITH h0 AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type,
+        |         ${hashSql("'u:' || user_id::VARCHAR")} AS hh
+        |  FROM events WHERE user_id IS NOT NULL),
+        |mx AS (SELECT max(ts) AS mts FROM events),
+        |closed AS (SELECT ws, event_type, hh FROM h0, mx
+        |           WHERE ws + INTERVAL 1 HOUR <= mts),
+        |s1 AS (SELECT ws, event_type,
+        |              (hh * 2654435761) % 1073741824 AS z1 FROM closed),
+        |s2 AS (SELECT ws, event_type, xor(z1, z1 // 32768) AS z2 FROM s1),
+        |s3 AS (SELECT ws, event_type,
+        |              (z2 * 1597334677) % 1073741824 AS z3 FROM s2),
+        |h AS (SELECT ws, event_type, xor(z3, z3 // 8192) AS hh FROM s3),
+        |r AS (
+        |  SELECT ws, event_type, hh % 4096 AS idx,
+        |         CASE WHEN hh // 4096 = 0 THEN 19
+        |              ELSE 18 - floor(log2((hh // 4096)::DOUBLE))::INT
+        |         END AS rho
+        |  FROM h),
+        |regs AS (SELECT ws, event_type, idx, max(rho) AS mj
+        |         FROM r GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT ws, event_type, count(*)::INT AS nonzero,
+        |         (sum(1::BIGINT << (19 - mj))
+        |          + (4096 - count(*)) * 524288)::BIGINT AS sum_scaled
+        |  FROM regs GROUP BY 1, 2),
+        |e AS (
+        |  SELECT ws, event_type, nonzero, sum_scaled,
+        |         0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 4096.0::DOUBLE)
+        |           * 4096.0::DOUBLE * 4096.0::DOUBLE * 524288.0::DOUBLE
+        |           / sum_scaled::DOUBLE AS raw
+        |  FROM agg)
+        |SELECT epoch(ws)::BIGINT AS w_start, event_type, nonzero, sum_scaled,
+        |       floor((CASE WHEN raw <= 10240.0::DOUBLE AND nonzero < 4096
+        |              THEN 4096.0::DOUBLE
+        |                   * ln(4096.0::DOUBLE / (4096 - nonzero)::DOUBLE)
+        |              ELSE raw END) * 10000 + 0.5) / 10000.0 AS est
+        |FROM e""".stripMargin,
 
     // the a12 twin derives the same HLL registers from the same PolyHash
     // stream: idx = h mod 4096, rho from the high 18 bits, register max,

@@ -248,6 +248,15 @@ object TextQueries {
     // that drops the page below the 3-line floor, %17==8 a lorem-ipsum
     // page kill, %17==11 a curly-brace page kill; all other docs are one
     // unterminated line (0 kept, page dropped).
+    // X27: fixed-window chunking with overlap (window 16, stride 12 →
+    // 4-token overlap) — the RAG/long-doc context-window split. The
+    // chunk count is a closed form of the token count, so the twin
+    // replays every boundary; chunk text must match byte for byte.
+    "x27_chunk_overlap" -> ((s, dir) =>
+      graft.operators.Corpus.chunkDocuments(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        window = 16, stride = 12)),
+
     "x18_c4_filter" -> ((s, dir) =>
       graft.operators.Corpus.c4LineFilter(
         t(s, dir, "documents").withColumn("txt",
@@ -1361,6 +1370,28 @@ object TextQueries {
 
     // the same line rules over the same injected tails; clean_text is the
     // kept lines rejoined, NULL for dropped pages
+    // the x27 twin replays the closed-form chunk boundaries over the
+    // same whitespace tokens; list_slice clamps the tail exactly like
+    // Spark's slice
+    "x27_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     t -> t <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |             unnest(generate_series(0,
+        |               (greatest(n - 16, 0) + 11) // 12)) AS chunk_idx
+        |      FROM n)
+        |SELECT doc_id, chunk_idx::INT AS chunk_idx,
+        |       (chunk_idx * 12)::BIGINT AS start,
+        |       len(list_slice(toks, chunk_idx * 12 + 1,
+        |                      chunk_idx * 12 + 16))::BIGINT AS n_tokens,
+        |       array_to_string(list_slice(toks, chunk_idx * 12 + 1,
+        |                                  chunk_idx * 12 + 16), ' ') AS chunk_text
+        |FROM c""".stripMargin,
+
     "x18_c4_filter" -> C4FilterSql,
 
     // the streaming gate cleans the identical injected input, so its

@@ -30,6 +30,15 @@ object VectorQueries {
       graft.operators.Similarity.dimStats(
         t(s, dir, "embeddings"), col("embedding").cast("array<double>"))),
 
+    // V15: L2 normalization map — the unit-sphere projection; after it
+    // cosine == dot. 1e-6-rounded outputs, NULL for zero-norm vectors;
+    // the twin runs the same sequential-fold norm (proven by v1) and
+    // the same per-element IEEE op order.
+    "v15_l2_normalize" -> ((s, dir) =>
+      graft.operators.Similarity.l2Normalize(
+        t(s, dir, "embeddings"), col("vec_id"),
+        col("embedding").cast("array<double>"))),
+
     // V2: brute-force exact cosine top-k (first 10 vecs as queries, k=5).
     "v2_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -240,6 +249,18 @@ object VectorQueries {
     "v1_norm" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
          |SELECT vec_id, floor((sqrt(${dotSql("e", "e")})) * 1000000 + 0.5) / 1000000.0 AS norm FROM v""".stripMargin,
+
+    // the v15 twin: identical fold-order norm, identical per-element
+    // division/rounding
+    "v15_l2_normalize" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |w AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM v)
+        |SELECT vec_id,
+        |       CASE WHEN nrm > 0 THEN
+        |         list_transform(e,
+        |           x -> floor(x / nrm * 1000000 + 0.5) / 1000000.0)
+        |       END AS unit
+        |FROM w""".stripMargin,
 
     // the v14 twin unnests the same micro-unit integers — exact sums,
     // one final IEEE division

@@ -69,6 +69,28 @@ object StreamingScore {
       .agg(count(lit(1)).as("n_events"),
         min(col("__ts")).as("first_event"), max(col("__ts")).as("last_event"))
 
+  /** Watermarked tumbling-window DISTINCT-COUNT sketch: the mergeable
+    * HyperLogLog aggregator ([[graft.operators.Sketches.HllAggregator]])
+    * run as STREAMING aggregation state — per-window register arrays
+    * live in the state store (2^p bytes per open window·key) and merge
+    * across micro-batches exactly like they merge across partitions in
+    * batch, so the drained stream's registers are byte-identical to the
+    * batch build over the same rows. The streaming shape every
+    * production telemetry pipeline wants: distinct users per window
+    * without keeping per-user state. */
+  def windowedDistinctSketch(events: DataFrame, ts: Column, key: Column,
+                             hash: Column, windowLen: String = "1 hour",
+                             watermark: String = "0 seconds",
+                             p: Int = 12): DataFrame = {
+    val agg = udaf(new graft.operators.Sketches.HllAggregator(p),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .withColumn("__ts", ts).withColumn("__h", hash)
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen).as("window"), key.as("key"))
+      .agg(agg(col("__h")).as("hll"))
+  }
+
   /** Watermarked stream-stream INNER interval join: left rows matched to
     * right rows with the same key whose event time falls in
     * [leftTs − lookback, leftTs] — the enrichment join (events × promo /

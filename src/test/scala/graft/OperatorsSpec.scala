@@ -1189,6 +1189,48 @@ class OperatorsSpec extends SparkSpec {
     got shouldBe ((7L, 4L, 12L))
   }
 
+  "Corpus.chunkDocuments" should "split on the closed-form boundaries with overlap" in {
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 toks → 2 chunks
+      (2L, (1 to 16).map(i => s"t$i").mkString(" ")), // exactly W → 1 chunk
+      (3L, (1 to 17).map(i => s"t$i").mkString(" ")), // W+1 → 2 chunks
+      (4L, "a b"), // shorter than W → 1 chunk
+      (5L, "   ")).toDF("doc_id", "text") // empty after filter → no row
+    val got = Corpus.chunkDocuments(docs, col("doc_id"), col("text"),
+        window = 16, stride = 12)
+      .as[(Long, Int, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    got(1L).map(c => (c._3, c._4)) shouldBe Seq((0L, 16L), (12L, 8L))
+    got(1L)(1)._5 shouldBe (13 to 20).map(i => s"t$i").mkString(" ")
+    got(2L).map(c => (c._3, c._4)) shouldBe Seq((0L, 16L))
+    got(3L).map(c => (c._3, c._4)) shouldBe Seq((0L, 16L), (12L, 5L))
+    got(4L).map(c => (c._3, c._4, c._5)) shouldBe Seq((0L, 2L, "a b"))
+    got.contains(5L) shouldBe false
+    // overlap: chunk k starts 4 tokens before chunk k-1 ends
+    got(1L)(1)._5.split(" ").take(4).toSeq shouldBe
+      got(1L)(0)._5.split(" ").takeRight(4).toSeq
+  }
+
+  "Similarity.l2Normalize" should "project to the unit sphere and null zero vectors" in {
+    val df = Seq(
+      (1L, Seq(3.0, 4.0)),
+      (2L, Seq(0.0, 0.0)),
+      (3L, Seq(-1.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.l2Normalize(df, col("vec_id"), col("embedding"))
+      .as[(Long, Option[Seq[Double]])].collect().toMap
+    got(1L).get shouldBe Seq(0.6, 0.8)
+    got(2L) shouldBe None // zero norm: loud NULL, not a fake direction
+    got(3L).get shouldBe Seq(-1.0, 0.0)
+    // random vectors: recomputed norm of the rounded output ≈ 1
+    val rnd = new scala.util.Random(31)
+    val rv = (1 to 50).map(i => (i.toLong, Seq.fill(16)(rnd.nextDouble() * 4 - 2)))
+      .toDF("vec_id", "embedding")
+    Similarity.l2Normalize(rv, col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Double])].collect().foreach { case (_, u) =>
+        math.sqrt(u.map(x => x * x).sum) shouldBe 1.0 +- 1e-4
+      }
+  }
+
   "Similarity.dimStats" should "compute exact fixed-point per-dim sums" in {
     val df = Seq(
       (1L, Seq(0.5, -1.25)),

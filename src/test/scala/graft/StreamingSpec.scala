@@ -345,6 +345,41 @@ class StreamingSpec extends SparkSpec {
     batch.size shouldBe 3 // u1×1 (the boundary merge held), u2×1, u3×1
   }
 
+  "windowedDistinctSketch" should "merge HLL registers across micro-batches (stream == batch)" in {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.PolyHash
+    import graft.operators.Sketches
+    // 400 users in one window, arriving over THREE micro-batches — the
+    // state-store register array must merge to the same bytes one batch
+    // (or one batch partition) would produce
+    val rows = (1 to 400).map(i => (s"u$i", i.toLong, ts(i % 50)))
+    val input = MemoryStream[(String, Long, Timestamp)]
+    val sketched = StreamingScore.windowedDistinctSketch(
+      input.toDF().toDF("user", "uid", "ts")
+        .withColumn("h", PolyHash.poly_hash(
+          concat(lit("u:"), col("uid").cast("string")), 31L)),
+      col("ts"), lit("all"), col("h"))
+    val q = sketched.select(col("hll.nonzero"), col("hll.sum_scaled"),
+        col("hll.estimate"))
+      .writeStream.format("memory").queryName("hll_stream_out")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(150).foreach { batch =>
+        input.addData(batch: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("hll_stream_out")
+      .as[(Int, Long, Double)].collect().head
+    val batch = Sketches.hllDistinct(
+        rows.toDF("user", "uid", "ts").withColumn("h", PolyHash.poly_hash(
+          concat(lit("u:"), col("uid").cast("string")), 31L)),
+        Seq(lit("all")), col("h"))
+      .select(col("nonzero"), col("sum_scaled"), col("estimate"))
+      .as[(Int, Long, Double)].collect().head
+    streamed shouldBe batch
+    streamed._3 shouldBe 400.0 +- 20.0
+  }
+
   "streamIntervalJoin" should "match rows ACROSS micro-batches via join state" in {
     implicit val sqlCtx = spark.sqlContext
     val left = MemoryStream[(Long, String, Timestamp)]
