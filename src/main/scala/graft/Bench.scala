@@ -159,20 +159,28 @@ object Bench {
     // intermediates, and without the scope those blocks outlive the query
     // and poison later entries' GC (the r4 suite-position effect). The
     // unpersist itself is untimed (after the rep's clock stops).
+    // One discarded warm-up rep per query absorbs the fork-per-family
+    // cold-JVM cost (r7's fix traded contamination for 0.1-0.3 s JIT
+    // upticks on every sub-second query: s1 0.22→0.33, j1 0.43→0.66) so
+    // medians measure the plan, not classloading. A warm-up failure
+    // still marks the query failed — a crash must never read as a skip.
+    val warmups =
+      sys.env.get("SPARK_GRAFT_BENCH_WARMUP").map(_.toInt).getOrElse(1)
     def time(name: String)(body: => Unit): Unit = {
       if (skip(name) || only.exists(!_.contains(name))) {
         System.err.println(s"[bench] $name skipped"); return
       }
-      val ts = Seq.fill(reps) {
+      val ts = Seq.fill(warmups + reps) {
         var t = -1.0
         CheckpointScope.withScope(spark) { t = timeOnce(name)(body) }
         t
       }
+      val measured = ts.drop(warmups)
       if (ts.contains(-1.0)) {
         timed(name) = -1.0
         spread(name) = (-1.0, -1.0)
       } else {
-        val sorted = ts.sorted
+        val sorted = measured.sorted
         timed(name) = sorted(reps / 2)
         spread(name) = (sorted.head, sorted.last)
       }
@@ -194,10 +202,12 @@ object Bench {
       if (skip(name) || only.exists(!_.contains(name))) {
         System.err.println(s"[bench] $name skipped"); return
       }
-      val ts = Seq.fill(reps)(timeOnce(name)(body))
-      stages(name) = if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(reps / 2)
+      val ts = Seq.fill(warmups + reps)(timeOnce(name)(body))
+      val measured = ts.drop(warmups)
+      stages(name) =
+        if (ts.contains(-1.0)) -1.0 else measured.sorted.apply(reps / 2)
       spread(name) = if (ts.contains(-1.0)) (-1.0, -1.0)
-        else (ts.min, ts.max)
+        else (measured.min, measured.max)
     }
 
     timeStage("pipeline_events_first") { pipelineEvents() }

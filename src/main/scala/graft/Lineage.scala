@@ -26,14 +26,19 @@ object Lineage {
     * frames already are, every iteration) is by definition small enough
     * to collect — same object, same place. The row cap is a LOUD guard,
     * not a truncation: exceeding it is a sizing bug upstream (the
-    * [[graft.ml.TopicModel]] maxDriverVocab convention). Values
-    * round-trip exactly — doubles and arrays are copied, never
-    * re-parsed. */
-  def cutSmall(df: DataFrame, maxRows: Int = 1 << 22): DataFrame = {
-    val rows = df.collect()
-    if (rows.length > maxRows) throw new IllegalStateException(
-      s"Lineage.cutSmall: frame has ${rows.length} rows (cap $maxRows) — " +
+    * [[graft.ml.TopicModel]] maxDriverVocab convention). The guard
+    * bounds the collect ITSELF (`limit(maxRows + 1)`), so a mis-sized
+    * frame throws before the driver materializes it, not after an OOM;
+    * the default cap is 2^20 — comfortably above every model frame in
+    * the repo (codebooks ≤ 2^16, vocab ≤ 2^17) yet far below anything
+    * that could stress a driver heap. Values round-trip exactly —
+    * doubles and arrays are copied, never re-parsed. */
+  def cutSmall(df: DataFrame, maxRows: Int = 1 << 20): DataFrame = {
+    val probe = df.limit(maxRows + 1).collect()
+    if (probe.length > maxRows) throw new IllegalStateException(
+      s"Lineage.cutSmall: frame exceeds the $maxRows-row cap — " +
         "this cut is for bounded model-sized frames only")
+    val rows = probe
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
   }

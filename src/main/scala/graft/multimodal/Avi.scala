@@ -111,15 +111,19 @@ object Avi {
   /** Container geometry (width, height, totalFrames) from the 'avih'
     * header — None unless the bytes walk as a spec-valid AVI. */
   def dimensions(b: Array[Byte]): Option[(Int, Int, Int)] =
-    walk(b).map { case (w, h, n, _) => (w, h, n) }
+    walk(b).map { case (w, h, n, _, _) => (w, h, n) }
 
   /** All frames decoded to raster-order (top-down) BGR bytes, each
     * height·width·3 — None when the container is malformed, a frame
     * chunk is truncated, or the frame count disagrees with the header
     * (a silent partial clip would poison frame sampling). */
   def framePixels(b: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] =
-    walk(b).flatMap { case (w, h, n, chunks) =>
-      if (chunks.size != n) None
+    walk(b).flatMap { case (w, h, n, handler, chunks) =>
+      // the video stream's strh fccHandler must declare uncompressed DIB:
+      // a compressed clip (MJPG/H.264/…) whose '00dc' chunks happen to be
+      // >= stride*height would otherwise "decode" as garbage rasters
+      if (!handler.contains("DIB ")) None
+      else if (chunks.size != n) None
       else {
         val st = stride(w)
         if (chunks.exists(_.length < st * h)) None
@@ -135,13 +139,15 @@ object Avi {
       }
     }
 
-  /** Chunk walk: (width, height, totalFrames, '00db' payloads). Bounds
-    * are checked at every step — truncation returns None, never a
-    * partial parse. */
-  private def walk(b: Array[Byte]): Option[(Int, Int, Int, Seq[Array[Byte]])] = {
+  /** Chunk walk: (width, height, totalFrames, video-stream strh
+    * fccHandler, '00db'/'00dc' payloads). Bounds are checked at every
+    * step — truncation returns None, never a partial parse. */
+  private def walk(
+      b: Array[Byte]): Option[(Int, Int, Int, Option[String], Seq[Array[Byte]])] = {
     import Media.Bytes.{le32, tag}
     if (!isAvi(b)) return None
     var dims: Option[(Int, Int, Int)] = None
+    var handler: Option[String] = None
     val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
 
     def chunks(from: Int, until: Int): Boolean = {
@@ -159,9 +165,14 @@ object Avi {
             if (size < 40) return false
             dims = Some((le32(b, o + 8 + 32), le32(b, o + 8 + 36),
               le32(b, o + 8 + 16)))
+          case "strh" =>
+            // fccType at +0, fccHandler at +4; only the video stream's
+            // handler gates frame decode (audio 'auds' streams don't)
+            if (size >= 8 && tag(b, o + 8) == "vids")
+              handler = Some(tag(b, o + 12))
           case "00db" | "00dc" =>
             frames += java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size)
-          case _ => // strh/strf/JUNK/idx1/…: skip
+          case _ => // strf/JUNK/idx1/…: skip
         }
         o += 8 + size + (size & 1) // chunks are word-aligned
       }
@@ -169,7 +180,7 @@ object Avi {
     }
     if (!chunks(12, b.length)) return None
     dims.collect { case (w, h, n) if w > 0 && h > 0 && n >= 0 =>
-      (w, h, n, frames.toSeq)
+      (w, h, n, handler, frames.toSeq)
     }
   }
 

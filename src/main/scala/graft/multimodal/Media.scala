@@ -601,8 +601,11 @@ object Media {
           if (le16(b, oi + 8) == 1 && le16(b, oi + 22) == 16)
             fmt = Some((le32(b, oi + 12), le16(b, oi + 10)))
         } else if (id == "data") {
-          val len = math.min(size.toLong, math.max(0L, b.length - (o + 8))).toInt
-          data = Some((oi + 8, len))
+          // a declared size past EOF is truncation — refuse loudly (the
+          // policy resampleAudio documents and Avi.framePixels applies);
+          // a silently-clamped partial clip would fake a shorter take
+          if (o + 8 + size.toLong > b.length) bad = true
+          else data = Some((oi + 8, size))
         }
         o += 8L + size.toLong + (size & 1)
       }

@@ -71,4 +71,65 @@ object Graph {
     }
     rank
   }
+
+  /** Per-node triangle participation counts over an undirected edge
+    * frame — the clustering-coefficient numerator (community-density
+    * quality signal for link-graph curation, and the classic test of a
+    * multi-way distributed self-join).
+    *
+    * Algorithm: degree orientation. Edges are canonicalized
+    * (least, greatest, distinct), each node's degree computed, and every
+    * edge oriented from its (deg, node)-smaller endpoint to its larger
+    * one — a total order, so each triangle {u, v, w} is discovered
+    * EXACTLY once as a wedge u→v, u→w (key(v) < key(w)) closed by the
+    * oriented edge v→w. Orientation is what makes this scale: a node's
+    * out-degree is O(√m) regardless of its raw degree (a celebrity node
+    * with 10^6 followers contributes wedges only through its few
+    * higher-key neighbors), so the wedge join is bounded Σ outdeg² ≤
+    * m^1.5 instead of Σ deg² (quadratic in the hottest node). Every step
+    * is an equi-join shuffle on a key — wedges on the pivot u, closure
+    * on (v, w) — never a cross product; counts are integer-exact, so an
+    * oracle replays the same orientation bit-for-bit.
+    *
+    * Returns (node, n_tri) for nodes in ≥ 1 triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by key(x) = (deg(x), x): u -> v iff key(u) < key(v); the
+    // edge carries key(v) so the wedge can order out-neighbors by key
+    val keyed = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val oriented = keyed.select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .localCheckpoint(false)
+    // wedges u→x, u→y with key(x) < key(y): an equi self-join on the
+    // pivot u (the key inequality is a post-join filter, not a join
+    // condition — the plan stays a hash/sort-merge join on u)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dv") < col("e2.dv") ||
+            (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
+    // closure: key(x) < key(y) means the third edge, if present, is
+    // oriented exactly x→y — ONE equi join on (x, y), no disjunction
+    val tri = wedges.join(
+        oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"))
+    tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

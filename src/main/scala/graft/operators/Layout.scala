@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers beyond partitioning/bucketing: multi-dimension
@@ -50,4 +50,47 @@ object Layout {
       .sortWithinPartitions("_zval")
       .drop("_zval")
       .write.mode("overwrite").parquet(path)
+
+  /** Per-file min/max stats manifest over a parquet directory — the
+    * Iceberg/Delta manifest pattern: ONE scan at layout time produces a
+    * (file, min_c1, max_c1, min_c2, max_c2, …) frame of `numFiles` rows,
+    * and every later box query prunes its file LIST against it instead
+    * of opening footers. Column order in the output: `file`, then
+    * min_/max_ per stat column in the given order. The aggregation is
+    * map-side-partial over file-aligned partitions, so the exchange
+    * moves ≤ files·2·cols tiny rows regardless of table size. */
+  def fileStats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(path)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Manifest-pruned box read: keep only the files whose [min, max] box
+    * intersects every requested [lo, hi] range, then scan JUST those
+    * files. The manifest is a bounded model-sized frame (one row per
+    * file), so the file-list cut is a driver-side collect by design —
+    * exactly what an Iceberg planner does with its manifest list. The
+    * residual predicate is still applied (file granularity is coarser
+    * than row granularity), and still pushes down into the pruned scan.
+    * Returns (prunedFrame, filesSelected, filesTotal) so callers — and
+    * the z3 gate — can assert the I/O bound, not just row equality. */
+  def prunedRead(spark: SparkSession, path: String, manifest: DataFrame,
+                 ranges: Map[String, (Long, Long)]): (DataFrame, Long, Long) = {
+    val keep = ranges.foldLeft(lit(true)) { case (acc, (c, (lo, hi))) =>
+      acc && col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }
+    val all = manifest.select("file").collect().map(_.getString(0))
+    val selected = manifest.where(keep).select("file").collect()
+      .map(_.getString(0))
+    val residual = ranges.map { case (c, (lo, hi)) =>
+      col(c).between(lo, hi)
+    }.reduce(_ && _)
+    val scan =
+      if (selected.isEmpty)
+        spark.read.parquet(path).where(residual).limit(0)
+      else spark.read.parquet(selected: _*).where(residual)
+    (scan, selected.length.toLong, all.length.toLong)
+  }
 }

@@ -106,6 +106,29 @@ object PipelineQueries {
       EventsPipeline.runChecked(t(s, dir, "events"),
         threshold = 1.0, topK = 100, topicCount = 10)),
 
+    // LDA-TRAINING DETERMINISM, driver-checked: the one property of the
+    // no-oracle quartet a SQL twin CAN gate. The trained events pipeline
+    // runs twice in-process with the same seed; the gate emits one
+    // summary row whose values are constants IFF the two runs are
+    // bit-identical (string repr catches any float divergence), and the
+    // twin IS those constants — so any nondeterminism in featurize /
+    // LDA fit / scoring order hash-reds the gate. Both result sets are
+    // topK=100 rows: the collect is bounded by construction.
+    "pipe_events_determinism" -> ((s, dir) => {
+      def once(): Array[String] =
+        EventsPipeline.runChecked(t(s, dir, "events"),
+            threshold = 1.0, topK = 100, topicCount = 10)
+          .collect().map(_.toString).sorted
+      val a = once()
+      val b = once()
+      val ca = a.groupBy(identity).view.mapValues(_.size).toMap
+      val matching = b.groupBy(identity)
+        .map { case (k, bs) => math.min(bs.size, ca.getOrElse(k, 0)) }.sum
+      import s.implicits._
+      Seq((a.length.toLong, b.length.toLong, matching.toLong,
+          a.length == b.length && matching == a.length))
+        .toDF("n_run1", "n_run2", "n_matching", "deterministic")}),
+
     // The three reference pipelines end-to-end over network-shaped
     // fabrications of the harness tables. LDA — rows-only checks, so each
     // runs through runChecked: the inline perplexity bound
@@ -238,6 +261,13 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT user_id, event_type, 1000::BIGINT AS w FROM events
         |  WHERE event_id % 100 = 0)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the determinism twin: the constants the gate emits iff two
+    // same-seed trained runs are bit-identical — LDA itself has no SQL
+    // twin, but seed-stability of the WHOLE trained pipeline does
+    "pipe_events_determinism" ->
+      """SELECT 100::BIGINT AS n_run1, 100::BIGINT AS n_run2,
+        |       100::BIGINT AS n_matching, TRUE AS deterministic""".stripMargin
   )
 }

@@ -8,6 +8,20 @@ import org.apache.spark.sql.functions._
   * tables, each with an exact DuckDB oracle. Every output column is
   * explicitly aliased identically in both engines; floats are rounded on
   * both sides so the driver's value-hash compare is engine-independent.
+  *
+  * ==Twin-authoring rules (learned the hard way; r7's only red gates)==
+  *  - Every integer aggregate in a twin ends `::BIGINT`: DuckDB's
+  *    `sum(BIGINT)` returns HUGEINT, which pandas decays to float64, so
+  *    the driver hashes `3.0` against Spark's `3` and the gate goes red
+  *    even though rows/schema match (r7 j9/st3).
+  *  - No bare `round(x)` on doubles: Spark's `round` goes through the
+  *    shortest-decimal BigDecimal repr while DuckDB rounds the binary
+  *    value, so ties can diverge. Use the repo-wide
+  *    `floor(x * scale + 0.5)` fixed-point convention on BOTH sides.
+  *  - No array/struct columns in gate output: the driver's pandas
+  *    compare sorts rows and cannot sort ndarray cells (r7 v15 crash).
+  *    posexplode to scalar rows in Spark, `unnest(generate_series(...))`
+  *    in the twin.
   */
 object RelationalQueries {
 
@@ -269,6 +283,21 @@ object RelationalQueries {
         .union(pairs.select((col("su") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
       graft.operators.Graph.pageRank(edges, iterations = 3)}),
 
+    // G3: per-node triangle counts (degree-oriented wedge join — the
+    // clustering-coefficient numerator) over the consecutive-event user
+    // graph: an edge joins the users of adjacent event_ids, giving a
+    // sparse clustered graph (~6.5k edges, ~110k triangles at sf0.01).
+    // The twin counts each triangle once via the a<b<c canonical 3-way
+    // join — orientation-independent, so it replays the oriented
+    // algorithm's output exactly.
+    "g3_triangles" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"))
+      val pairs = ev.as("e1").join(ev.as("e2"),
+          col("e2.event_id") === col("e1.event_id") + 1)
+        .select(col("e1.user_id").as("src"), col("e2.user_id").as("dst"))
+      graft.operators.Graph.triangleCounts(pairs)}),
+
     // Z1: Z-order (Morton) curve values — the clustering key behind
     // two-dimension file pruning (Layout.zOrderWrite range-partitions on
     // exactly this column; the layout itself is spec-checked via per-file
@@ -283,6 +312,55 @@ object RelationalQueries {
             .cast("long"), lit(65536L)))
       o.select(col("o_orderkey"),
         graft.operators.Layout.zValue(col("x"), col("y")).as("zval"))}),
+
+    // Z2: the layout CLAIM driver-checked (z1 only checks the curve
+    // math): orders written z-clustered on (custkey, orderdate-day) via
+    // Layout.zOrderWrite, re-scanned with a 2-D box predicate. The row
+    // set must equal the plain filter (the twin), AND the box rows must
+    // be physically concentrated — `files_pruned` asserts the box
+    // touches at most half the written files (measured: 2-3 of 16
+    // z-ordered vs ~16 of 16 for a random layout), so a layout
+    // regression flips the column and hash-reds the gate. The two file
+    // counts are bounded driver-side scalars (≤ numFiles), not
+    // data-scale collects; at 100 TB the same footer min/max boxes
+    // drive row-group skipping.
+    "z2_zorder_prune" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("x", pmod(col("o_custkey"), lit(65536L)))
+        .withColumn("y", pmod(
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long"), lit(65536L)))
+        .select("o_orderkey", "x", "y")
+      val path = java.nio.file.Files.createTempDirectory("z2_layout").toString
+      graft.operators.Layout.zOrderWrite(o, path, col("x"), col("y"))
+      val z = s.read.parquet(path)
+      val box = z.where(col("x").between(100L, 300L) &&
+        col("y").between(9500L, 10000L))
+      val nTotal = z.select(input_file_name()).distinct.count()
+      val nBox = box.select(input_file_name()).distinct.count()
+      box.select("o_orderkey", "x", "y")
+        .withColumn("files_pruned", lit(nBox * 2 <= nTotal))}),
+
+    // Z3: manifest-pruned read — the Iceberg/Delta pattern z2 stops
+    // short of: ONE stats pass builds a per-file min/max manifest, and
+    // the box query then selects its file LIST from the manifest and
+    // scans ONLY those files (z2 still opened every footer). Row result
+    // must equal the plain filter; files_pruned asserts the manifest
+    // kept ≤ half the files out of the scan.
+    "z3_manifest_prune" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("x", pmod(col("o_custkey"), lit(65536L)))
+        .withColumn("y", pmod(
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long"), lit(65536L)))
+        .select("o_orderkey", "x", "y")
+      val path = java.nio.file.Files.createTempDirectory("z3_layout").toString
+      graft.operators.Layout.zOrderWrite(o, path, col("x"), col("y"))
+      val manifest = graft.operators.Layout.fileStats(s, path, Seq("x", "y"))
+      val (scan, nSel, nTot) = graft.operators.Layout.prunedRead(s, path,
+        manifest, Map("x" -> (100L, 300L), "y" -> (9500L, 10000L)))
+      scan.select("o_orderkey", "x", "y")
+        .withColumn("files_pruned", lit(nSel * 2 <= nTot))}),
 
     // U3: intersect / except set operators.
     "u3_intersect_except" -> ((s, dir) => {
@@ -409,7 +487,7 @@ object RelationalQueries {
         // TIMESTAMP_NS parquet surfaces as NTZ under the UTC session;
         // watermarks demand TimestampType — same instants, cast is free
         case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
-      }).withColumn("cents", round(col("value") * 100).cast("long"))
+      }).withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
       val agg = graft.streaming.StreamingScore.windowedEventStats(
         ev, col("ts"), col("event_type"), col("cents"))
       val out = java.nio.file.Files.createTempDirectory("st3_out").toString
@@ -668,7 +746,7 @@ object RelationalQueries {
     // the j9 twin is the PLAIN join — salting must not change one row
     "j9_salted_join" ->
       """SELECT s_nationkey, count(*) AS n,
-        |       sum(CAST(l_quantity AS BIGINT)) AS qty
+        |       (sum(CAST(l_quantity AS BIGINT)))::BIGINT AS qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1""".stripMargin,
 
@@ -819,6 +897,49 @@ object RelationalQueries {
         |SELECT o_orderkey,
         |       (${zInterleaveSql("x", "y", 16)})::BIGINT AS zval
         |FROM b""".stripMargin,
+
+    // the z2 twin: the plain 2-D filter — the clustered rewrite + box
+    // scan must not change one row; files_pruned replays as literal TRUE
+    // (the twin has no files, so the concentration claim lives entirely
+    // on the Spark side and any layout regression diverges from TRUE)
+    "z2_zorder_prune" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey % 65536 AS x,
+        |         date_diff('day', DATE '1970-01-01', o_orderdate::DATE) % 65536 AS y
+        |  FROM orders)
+        |SELECT o_orderkey, x, y, TRUE AS files_pruned
+        |FROM b
+        |WHERE x BETWEEN 100 AND 300 AND y BETWEEN 9500 AND 10000""".stripMargin,
+
+    // the z3 twin: identical to z2's — the manifest cut must not change
+    // one row, and files_pruned replays as literal TRUE
+    "z3_manifest_prune" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey % 65536 AS x,
+        |         date_diff('day', DATE '1970-01-01', o_orderdate::DATE) % 65536 AS y
+        |  FROM orders)
+        |SELECT o_orderkey, x, y, TRUE AS files_pruned
+        |FROM b
+        |WHERE x BETWEEN 100 AND 300 AND y BETWEEN 9500 AND 10000""".stripMargin,
+
+    // the g3 twin counts each triangle ONCE via the canonical a<b<c
+    // 3-way self-join — per-node attribution is orientation-independent,
+    // so this replays the degree-oriented wedge algorithm exactly
+    "g3_triangles" ->
+      """WITH ev AS (SELECT event_id, user_id FROM events
+        |            WHERE user_id IS NOT NULL),
+        |p AS (SELECT e1.user_id AS u1, e2.user_id AS u2
+        |      FROM ev e1 JOIN ev e2 ON e2.event_id = e1.event_id + 1),
+        |e AS (SELECT DISTINCT least(u1, u2) AS a, greatest(u1, u2) AS b
+        |      FROM p WHERE u1 != u2),
+        |t AS (SELECT e1.a AS u, e1.b AS x, e2.b AS y
+        |      FROM e e1
+        |      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |n AS (SELECT u AS node FROM t
+        |      UNION ALL SELECT x FROM t
+        |      UNION ALL SELECT y FROM t)
+        |SELECT node, count(*)::BIGINT AS n_tri FROM n GROUP BY 1""".stripMargin,
 
     // the st6 twin = a12's register derivation per (hour window, type)
     // plus st3's closed-window cutoff
@@ -1013,11 +1134,11 @@ object RelationalQueries {
     "st3_stream_window" ->
       """WITH e AS (
         |  SELECT date_trunc('hour', ts) AS ws, event_type,
-        |         CAST(round(value * 100) AS BIGINT) AS c
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
         |  FROM events),
         |mx AS (SELECT max(ts) AS mts FROM events)
         |SELECT epoch(ws)::BIGINT AS w_start, event_type,
-        |       count(*) AS n_events, sum(c) AS cents
+        |       count(*) AS n_events, (sum(c))::BIGINT AS cents
         |FROM e, mx
         |GROUP BY ws, event_type, mts
         |HAVING ws + INTERVAL 1 HOUR <= mts""".stripMargin,

@@ -33,11 +33,18 @@ object VectorQueries {
     // V15: L2 normalization map — the unit-sphere projection; after it
     // cosine == dot. 1e-6-rounded outputs, NULL for zero-norm vectors;
     // the twin runs the same sequential-fold norm (proven by v1) and
-    // the same per-element IEEE op order.
+    // the same per-element IEEE op order. The GATE posexplodes the unit
+    // vector to scalar (vec_id, pos, val) rows — the driver's pandas
+    // compare cannot sort array cells (r7 `unhashable ndarray` crash);
+    // the operator itself still returns the array column and is
+    // spec-covered in SimilaritySpec. Zero-norm vectors yield NULL
+    // units, which posexplode (and the twin's len(NULL) series) drop —
+    // the NULL-guard semantics stay visible as absent vec_ids.
     "v15_l2_normalize" -> ((s, dir) =>
       graft.operators.Similarity.l2Normalize(
-        t(s, dir, "embeddings"), col("vec_id"),
-        col("embedding").cast("array<double>"))),
+          t(s, dir, "embeddings"), col("vec_id"),
+          col("embedding").cast("array<double>"))
+        .select(col("vec_id"), posexplode(col("unit")).as(Seq("pos", "val")))),
 
     // V2: brute-force exact cosine top-k (first 10 vecs as queries, k=5).
     "v2_cosine_topk" -> ((s, dir) => {
@@ -251,16 +258,19 @@ object VectorQueries {
          |SELECT vec_id, floor((sqrt(${dotSql("e", "e")})) * 1000000 + 0.5) / 1000000.0 AS norm FROM v""".stripMargin,
 
     // the v15 twin: identical fold-order norm, identical per-element
-    // division/rounding
+    // division/rounding, unnested to the gate's scalar (vec_id, pos,
+    // val) rows (v14's pattern) so the driver compare can sort them
     "v15_l2_normalize" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |w AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM v)
-        |SELECT vec_id,
-        |       CASE WHEN nrm > 0 THEN
-        |         list_transform(e,
-        |           x -> floor(x / nrm * 1000000 + 0.5) / 1000000.0)
-        |       END AS unit
-        |FROM w""".stripMargin,
+        |w AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM v),
+        |u AS (SELECT vec_id,
+        |             CASE WHEN nrm > 0 THEN
+        |               list_transform(e,
+        |                 x -> floor(x / nrm * 1000000 + 0.5) / 1000000.0)
+        |             END AS unit
+        |      FROM w)
+        |SELECT vec_id, i - 1 AS pos, unit[i] AS val
+        |FROM u, LATERAL (SELECT unnest(generate_series(1, len(unit))) AS i)""".stripMargin,
 
     // the v14 twin unnests the same micro-unit integers — exact sums,
     // one final IEEE division

@@ -242,6 +242,21 @@ class MediaSpec extends SparkSpec {
     Avi.framePixels(Array[Byte](1, 2, 3)) shouldBe None
   }
 
+  it should "refuse compressed fourccs even when chunk sizes fit the DIB geometry" in {
+    import graft.multimodal.Avi
+    // patch the strh fccHandler ('DIB ' at strh+12: tag, size, 'vids')
+    // to MJPG: the chunks still hold >= stride·height bytes, so without
+    // the handler check they would "decode" as garbage rasters
+    val ok = Avi.encode(4, 3, Seq(Array.fill[Byte](36)(7)))
+    val strh = ok.indexOfSlice("strh".getBytes("US-ASCII"))
+    strh should be > 0
+    val mjpg = ok.clone()
+    System.arraycopy("MJPG".getBytes("US-ASCII"), 0, mjpg, strh + 12, 4)
+    Avi.framePixels(mjpg) shouldBe None
+    // container geometry stays readable — dimensions() is header-only
+    Avi.dimensions(mjpg) shouldBe Some((4, 3, 1))
+  }
+
   "Avi.frameStats" should "sample every k-th frame with exact stats" in {
     import graft.multimodal.Avi
     // frame f: all bytes = 10·f → mean 10f, min=max=10f; every=2 → 0,2,4
@@ -296,6 +311,14 @@ class MediaSpec extends SparkSpec {
     val got = Media.wavPcm(out.head.bytes).get
     got._2 shouldBe 2
     got._3.toSeq shouldBe Seq[Short](1, 2, 5, 6) // frames 0 and 2, both channels
+  }
+
+  "Media.wavPcm" should "refuse a truncated data chunk rather than decode a partial clip" in {
+    val full = Media.wavBytesPcm(8000, 1, 8, i => (i * 3).toShort)
+    Media.wavPcm(full) should not be None
+    // declared data size now exceeds the remaining bytes: loud None (the
+    // resampleAudio / Avi.framePixels policy), never a silent clamp
+    Media.wavPcm(full.dropRight(2)) shouldBe None
   }
 
   "sampleFrames" should "emit stride-sampled frame indexes" in {

@@ -7,22 +7,29 @@ For each query result `<outDir>/<name>/` (parquet written by graft.Verify),
 runs the matching SQL from `<outDir>/oracle_sql.json` in DuckDB against the
 same parquet tables, then compares: row count, column names (sorted), and a
 hash of the value matrix with columns sorted by name and rows sorted by all
-columns. Mirrors the driver's compare semantics (sort cols by name → hash).
+columns.
+
+Driver-faithful since r8: both sides go through pandas (like the driver's
+compare), rows are sorted with `DataFrame.sort_values` (so array cells
+crash here exactly as they crash there — r7 v15), and a column whose dtype
+*kind* differs between the two sides (int64 vs float64 — DuckDB HUGEINT
+sums decay to float64 in pandas; r7 j9/st3) FAILS even when the `%.9g`
+value canonicalization would mask it.
 """
 import sys, os, json, glob, hashlib
 
 import duckdb
+import pandas as pd
+
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def canon(val):
-    if val is None:
-        return "NULL"
+    if val is None or val != val:  # None or NaN
+        return "NULL" if val is None else "NaN"
     if isinstance(val, float):
-        if val != val:
-            return "NaN"
         return f"{val:.9g}"
     if isinstance(val, bytes):
         return val.hex()
@@ -31,14 +38,22 @@ def canon(val):
     return str(val)
 
 
-def table_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    mat = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+def frame_hash(df):
+    """Sort columns by name, sort rows via pandas (driver-style — raises
+    on unsortable cells), then hash the canonicalized value matrix."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(list(df.columns))
     h = hashlib.sha256()
-    for r in mat:
-        h.update("\x1f".join(r).encode())
+    for r in df.itertuples(index=False):
+        h.update("\x1f".join(canon(v) for v in r).encode())
         h.update(b"\x1e")
     return h.hexdigest()[:16]
+
+
+def kind(dtype):
+    k = dtype.kind
+    return "i" if k in "iu" else k
 
 
 def main(sf_dir, out_dir, skip=()):
@@ -60,22 +75,36 @@ def main(sf_dir, out_dir, skip=()):
             n_fail += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchall()
-            gcols = [c[0] for c in con.description]
-            want = con.execute(oracle[name]).fetchall()
-            wcols = [c[0] for c in con.description]
+            got = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
+            want = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
-        if sorted(gcols) != sorted(wcols):
-            print(f"FAIL {name}: cols {sorted(gcols)} != {sorted(wcols)}")
+        if sorted(got.columns) != sorted(want.columns):
+            print(f"FAIL {name}: cols {sorted(got.columns)} != "
+                  f"{sorted(want.columns)}")
             n_fail += 1
-        elif len(got) != len(want):
+            continue
+        if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
-        elif table_hash(gcols, got) != table_hash(wcols, want):
+            continue
+        dk = [(c, kind(got[c].dtype), kind(want[c].dtype))
+              for c in sorted(got.columns)
+              if kind(got[c].dtype) != kind(want[c].dtype)]
+        if dk:
+            print(f"FAIL {name}: dtype kind mismatch {dk} "
+                  "(driver hashes these differently, e.g. 3 vs 3.0)")
+            n_fail += 1
+            continue
+        try:
+            gh, wh = frame_hash(got), frame_hash(want)
+        except Exception as e:
+            print(f"FAIL {name}: sort/hash crash ({e})")
+            n_fail += 1
+            continue
+        if gh != wh:
             print(f"FAIL {name}: hash mismatch ({len(got)} rows)")
             n_fail += 1
         else:
