@@ -12,11 +12,17 @@ import org.apache.spark.sql.functions._
   * candidate generation + distinct, and the exact-cosine verify — so the
   * superlinear stage is measured, not guessed.
   *
-  * Usage: runMain graft.V6bProbe <sfDir>
+  * Usage: runMain graft.V6bProbe <sfDir> [threshold] [targetOccupancy] [hammingMargin]
+  * (the extra knobs measure the sparse-output regime: a higher threshold
+  * plus a tighter occupancy target = more signature bits = candidates
+  * limited to genuinely-agreeing groups)
   */
 object V6bProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val threshold = args.lift(1).map(_.toDouble).getOrElse(0.35)
+    val targetOccupancy = args.lift(2).map(_.toLong).getOrElse(16L)
+    val hammingMargin = args.lift(3).map(_.toDouble).getOrElse(Double.NaN)
     val spark = GraftSession.fromEnv(defaultCores = "32")
     def timed[A](body: => A): (A, Double) = {
       val t0 = System.nanoTime()
@@ -25,7 +31,6 @@ object V6bProbe {
     }
     val emb = Tables.load(spark, sfDir, "embeddings")
     val (n, tCount) = timed(emb.count())
-    val targetOccupancy = 16L
     val bits = (1 to 24).find(b => n <= (targetOccupancy << b)).getOrElse(24)
     val bands = 4
 
@@ -74,11 +79,14 @@ object V6bProbe {
     // stage 4: the full operator end-to-end (includes the verify join)
     val (nOut, tFull) = timed {
       graft.operators.Similarity.lshNearDupPairsScaled(
-        emb, threshold = 0.35, dim = 64, bands = 4,
-        precomputedN = Some(n)).count()
+        emb, threshold = threshold, dim = 64, bands = 4,
+        targetOccupancy = targetOccupancy, precomputedN = Some(n),
+        hammingMargin = hammingMargin).count()
     }
 
     println(f"""{"metric":"v6b_probe","sf":"$sfDir","n":$n,"bits":$bits,""" +
+      f""""threshold":$threshold,"target_occ":$targetOccupancy,""" +
+      f""""hamming_margin":$hammingMargin,""" +
       f""""t_count":$tCount%.2f,"t_band":$tBand%.2f,"t_occ":$tOcc%.2f,""" +
       f""""n_buckets":${occRow.getLong(0)},"max_occ":${occRow.getLong(1)},""" +
       f""""cand_budget":${occRow.getLong(2)},"n_hot":${occRow.getLong(3)},""" +

@@ -98,8 +98,12 @@ object VectorQueries {
     // replica (200k vectors) to 14-bit bands, where v6's fixed 4 bits
     // hold ~12.5k vectors per bucket and never finish.
     "v6b_lsh_scaled" -> ((s, dir) =>
+      // hammingMargin enables the sketch-verify cascade — the r8 fix for
+      // the 100× superlinearity (96% of replica candidates were the
+      // 64-dim fixture's quadratic cos≈0.3 random tail; the signature-
+      // Hamming screen drops them before the array-attach verify)
       Similarity.lshNearDupPairsScaled(t(s, dir, "embeddings"),
-        threshold = 0.35, dim = 64, bands = 4)),
+        threshold = 0.35, dim = 64, bands = 4, hammingMargin = 0.2)),
 
     // V7: deterministic Lloyd k-means (k=4, 2 iterations) — the centroid
     // TRAINING step for the IVF index, exploded to scalar rows for the
@@ -468,9 +472,16 @@ object VectorQueries {
       // data-driven: planes are generated 0..95 and filtered to j < 4·bits,
       // band = j // bits, bit position = j % bits — exactly the Spark
       // side's j = band·bits + r indexing.
+      // … and since r8 the twin also replays the sketch-verify cascade:
+      // the concatenated band signatures' Hamming distance screens each
+      // candidate (h ≤ hmax = ⌊B·acos(threshold − margin)/π⌋, B = 4·bits,
+      // margin 0.2 → acos(0.15)) before the exact-cosine verify — the
+      // integer Hamming bound is derived identically on both sides, so
+      // the cut is bit-reproducible
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |p1 AS (SELECT COALESCE((SELECT min(b) FROM generate_series(1, 24) AS gb(b)
          |                        WHERE (SELECT count(*) FROM v) <= 16 * (1::BIGINT << b)), 24) AS bits),
+         |p2 AS (SELECT floor(4 * bits * acos(0.15) / pi())::BIGINT AS hmax FROM p1),
          |planes AS (
          |  SELECT j, list((((1103515245 * (j * 64 + d) + 12345) % 2147483648) % 2001 - 1000) / 1000.0
          |                 ORDER BY d) AS p
@@ -483,10 +494,17 @@ object VectorQueries {
          |        THEN (1::BIGINT << (j % (SELECT bits FROM p1))) ELSE 0 END)::BIGINT AS sig
          |  FROM v, planes
          |  GROUP BY 1, 2),
+         |allb AS (
+         |  SELECT vec_id,
+         |         sum(sig << (band * (SELECT bits FROM p1)))::BIGINT AS sb
+         |  FROM sigs GROUP BY 1),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM sigs a JOIN sigs b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+         |  JOIN allb xa ON xa.vec_id = a.vec_id
+         |  JOIN allb xb ON xb.vec_id = b.vec_id
+         |  WHERE bit_count(xor(xa.sb, xb.sb)) <= (SELECT hmax FROM p2)),
          |scored AS (
          |  SELECT id_a, id_b, floor((${cosSql("x.e", "y.e")}) * 1000000 + 0.5) / 1000000.0 AS cos
          |  FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b)

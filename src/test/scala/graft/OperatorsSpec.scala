@@ -529,6 +529,30 @@ class OperatorsSpec extends SparkSpec {
     declared shouldBe fourBit
   }
 
+  it should "screen candidates by signature Hamming distance without changing kept pairs" in {
+    import graft.operators.Similarity
+    // margin 2.0 → screen floor = −1 → hmax = B: every candidate passes,
+    // so the cascade is a pure no-op vs the unscreened run
+    val off = Similarity.lshNearDupPairs(vecs, threshold = 0.1,
+        dim = 3, bands = 2, bitsPerBand = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val loose = Similarity.lshNearDupPairs(vecs, threshold = 0.1,
+        dim = 3, bands = 2, bitsPerBand = 2, hammingMargin = 2.0)
+      .as[(Long, Long, Double)].collect().toSet
+    loose shouldBe off
+    // a NEGATIVE margin raises the floor above the threshold: hmax
+    // shrinks to 0 and only all-band signature-identical pairs survive —
+    // must be a subset of the unscreened result
+    val tight = Similarity.lshNearDupPairs(vecs, threshold = 0.1,
+        dim = 3, bands = 2, bitsPerBand = 2, hammingMargin = -0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    tight.subsetOf(off) shouldBe true
+    // the scaled wrapper threads the margin through
+    Similarity.lshNearDupPairsScaled(vecs, threshold = 0.1, dim = 3,
+        bands = 2, targetOccupancy = 1L, hammingMargin = 2.0)
+      .as[(Long, Long, Double)].collect().toSet shouldBe off
+  }
+
   it should "survive a shift-overflowing targetOccupancy" in {
     import graft.operators.Similarity
     // targetOccupancy = Long.MaxValue makes `t << b` overflow for every
@@ -1358,6 +1382,53 @@ class OperatorsSpec extends SparkSpec {
     def run(df: org.apache.spark.sql.DataFrame) =
       Graph.pageRank(df, iterations = 3).as[(Long, Long)].collect().toMap
     run(edges.repartition(1)) shouldBe run(edges.repartition(32))
+  }
+
+  "Graph.triangleCounts" should "count known triangles once, per node" in {
+    import graft.operators.Graph
+    // K4 minus edge (1,4): triangles {1,2,3} and {2,3,4}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L)
+  }
+
+  it should "ignore duplicate, reversed, and self edges" in {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L),
+      (2L, 2L)).toDF("src", "dst")
+    Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+  }
+
+  it should "match a brute-force count on a random graph and be partitioning-invariant" in {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(7)
+    val raw = (1 to 300).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    val canon = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = canon.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val expected = nodes.combinations(3).collect {
+      case Seq(a, b, c) if canon((a, b)) && canon((a, c)) && canon((b, c)) =>
+        Seq(a, b, c)
+    }.flatten.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val df = raw.toDF("src", "dst")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Graph.triangleCounts(d).as[(Long, Long)].collect().toMap
+    run(df.repartition(1)) shouldBe expected
+    run(df.repartition(32)) shouldBe expected
+  }
+
+  "Lineage.cutSmall" should "bound the collect itself and throw past the cap" in {
+    val small = (1 to 10).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+    graft.Lineage.cutSmall(small, maxRows = 10)
+      .as[(Long, Double)].collect().sorted shouldBe
+      (1 to 10).map(i => (i.toLong, i * 2.0))
+    val ex = intercept[IllegalStateException] {
+      graft.Lineage.cutSmall((1 to 20).map(i => (i.toLong, 0.0)).toDF("k", "v"),
+        maxRows = 10)
+    }
+    ex.getMessage should include("cap")
   }
 
   "Sketches.hdrQuantiles" should "be exact in the linear region and rank-correct" in {

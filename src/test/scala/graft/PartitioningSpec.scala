@@ -99,4 +99,33 @@ class PartitioningSpec extends SparkSpec {
     spark.read.parquet(zDir).where(col("y") >= 40 && col("y") <= 49).count() shouldBe
       spark.read.parquet(linDir).where(col("y") >= 40 && col("y") <= 49).count()
   }
+
+  "Layout.fileStats/prunedRead" should "cut the file list from the manifest and keep rows exact" in {
+    import graft.operators.Layout
+    val grid = for { x <- 0 until 100; y <- 0 until 100 }
+      yield (x.toLong, y.toLong, x * 100L + y)
+    val df = grid.toDF("x", "y", "payload")
+    val dir = Files.createTempDirectory("mani").toFile.getAbsolutePath + "/t"
+    Layout.zOrderWrite(df, dir, col("x"), col("y"), bits = 7, numFiles = 16)
+    val manifest = Layout.fileStats(spark, dir, Seq("x", "y"))
+    manifest.count() shouldBe 16
+    manifest.columns.toSeq shouldBe Seq("file", "min_x", "max_x", "min_y", "max_y")
+    // the manifest IS the per-file footer stats
+    manifest.agg(min("min_x"), max("max_x"), min("min_y"), max("max_y"))
+      .as[(Long, Long, Long, Long)].head() shouldBe ((0L, 99L, 0L, 99L))
+
+    val (scan, nSel, nTot) = Layout.prunedRead(spark, dir, manifest,
+      Map("x" -> (20L, 29L), "y" -> (40L, 49L)))
+    nTot shouldBe 16L
+    nSel should be < 8L // tight z rectangles: the box hits few files
+    // row set identical to the unpruned filter (residual still applied)
+    scan.select("x", "y", "payload").as[(Long, Long, Long)].collect().sorted shouldBe
+      df.where(col("x").between(20, 29) && col("y").between(40, 49))
+        .as[(Long, Long, Long)].collect().sorted
+    // a box outside the data selects zero files and returns zero rows
+    val (empty, n0, _) = Layout.prunedRead(spark, dir, manifest,
+      Map("x" -> (500L, 600L), "y" -> (0L, 99L)))
+    n0 shouldBe 0L
+    empty.count() shouldBe 0L
+  }
 }
