@@ -267,6 +267,48 @@ object Corpus {
       .orderBy(col("occ").desc, col("ngram").asc)
       .limit(k)
 
+  /** Top-k collocations by integer LIFT over the bigram table — the
+    * PMI-style association step of tokenizer/vocab curation (which word
+    * pairs cohere strongly enough to deserve a merged token), with the
+    * log replaced by its monotone integer argument so the ranking is
+    * oracle-exact: PMI = log lift, so ordering by
+    * `lift_micro = ((c_ab·10^6) div l_a)·T div r_b` (c_ab = bigram
+    * count, l_a/r_b = left/right marginal bigram counts, T = total
+    * bigrams) IS the PMI ordering with no engine-divergent `ln`
+    * anywhere. Division order is canonical and bounded: c_ab ≤ l_a keeps
+    * the first quotient ≤ 10^6, so the product with T stays in a long
+    * up to trillions of bigrams.
+    *
+    * Scale shape: one explode pass → map-side-combined bigram counts;
+    * marginals are two more aggregations OF THE COUNTS frame (not the
+    * corpus); the final ordering is orderBy+limit = TakeOrdered. The
+    * marginal joins are size-gated broadcasts (vocab-sized, not
+    * corpus-sized). */
+  def pmiCollocations(docs: DataFrame, text: Column, minCount: Long = 5,
+                      k: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bg = docs
+      .select(graft.functions.TextFunctions.tokens(text).as("toks"))
+      .select(explode(
+        graft.functions.TextFunctions.shingles(col("toks"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .withColumn("l", substring_index(col("bigram"), " ", 1))
+      .withColumn("r", substring_index(col("bigram"), " ", -1))
+      .localCheckpoint(false)
+    val total = bg.agg(sum("c_ab")).first().getLong(0)
+    val lefts = graft.operators.Scoring.sizeGatedBroadcast(
+      bg.groupBy("l").agg(sum("c_ab").as("l_a")))
+    val rights = graft.operators.Scoring.sizeGatedBroadcast(
+      bg.groupBy("r").agg(sum("c_ab").as("r_b")))
+    bg.where(col("c_ab") >= minCount)
+      .join(lefts, "l").join(rights, "r")
+      .withColumn("lift_micro",
+        expr(s"((c_ab * 1000000) div l_a) * ${total}L div r_b"))
+      .select("bigram", "c_ab", "lift_micro")
+      .orderBy(col("lift_micro").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Streaming sequence packing — the training-data layout step that
     * concatenates documents into budget-sized context windows: within each
     * `part` stream, documents are laid out in ascending id order and each

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Distributed sketch aggregates.
@@ -324,6 +324,90 @@ object Sketches {
       .groupBy(key.as("key"))
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= threshold)
+  }
+
+  // ---- K-minimum-values (bottom-k) set sketches ---------------------------
+
+  /** Column form of [[scramble30]] — the identical two-round
+    * multiply-mod-2^30 + xor-shift chain as plain column arithmetic
+    * (whole-stage codegen; the SQL twin spells the same five steps). */
+  def scramble30Column(h: Column): Column = {
+    val m = lit(1L << 30)
+    val z1 = (h * lit(2654435761L)) % m
+    val x1 = z1.bitwiseXOR(shiftrightunsigned(z1, 15))
+    val z2 = (x1 * lit(1597334677L)) % m
+    z2.bitwiseXOR(shiftrightunsigned(z2, 13))
+  }
+
+  /** K-minimum-values sketch (Bar-Yossef et al.'s bottom-k): the k
+    * smallest DISTINCT scrambled hashes per group, as one sorted
+    * array<bigint> row per group. The set-ALGEBRA complement of the HLL
+    * cardinality sketch: because a value hashes identically in every
+    * set, sketches of different sets are comparable element-wise —
+    * unions merge as "k smallest of the concatenation" and
+    * intersections/Jaccard fall out of union-sketch membership
+    * ([[kmvSetOps]]). Every number is an integer (hash domain
+    * [0, 2^30)), so estimates replay exactly in SQL.
+    *
+    * Scale shape: the global k-min is computed hierarchically — distinct
+    * (group, hash) rows first reduce to a per-(group, hash mod
+    * `saltCells`) k-min (each window cell sees ~1/saltCells of the
+    * group's distinct hashes), then the per-group k-min over the
+    * ≤ saltCells·k survivors. The global bottom-k is a subset of the
+    * union of cell bottom-ks, so the two-stage result is EXACTLY the
+    * one-stage result while no single task ever sorts a whole group. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[Column], hash: Column,
+                k: Int = 256, saltCells: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(saltCells >= 1, s"saltCells must be >= 1, got $saltCells")
+    val scrambled = df.select(groupCols :+ scramble30Column(hash).as("h"): _*)
+      .distinct()
+    val cellCols = scrambled.columns.dropRight(1).map(col)
+    val stage1 = scrambled
+      .withColumn("cell", pmod(col("h"), lit(saltCells.toLong)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(cellCols :+ col("cell"): _*).orderBy("h")))
+      .where(col("rn") <= k)
+    val stage2 = stage1
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(cellCols: _*).orderBy("h")))
+      .where(col("rn2") <= k)
+    stage2.groupBy(cellCols: _*)
+      .agg(sort_array(collect_list(col("h"))).as("kmv"))
+  }
+
+  /** Pairwise set algebra from [[kmvSketch]] rows: for every unordered
+    * group pair (a < b), integer-exact estimates of |A|, |B|, |A∪B|,
+    * Jaccard (per-mille), and |A∩B| — the decontamination / split-
+    * leakage / corpus-overlap measurement over sets too large to
+    * intersect exactly. All from the bottom-k identity: the k smallest
+    * of (sorted_a ∪ sorted_b) is the union's sketch U; members of U
+    * present in BOTH sketches estimate Jaccard as m/|U|; cardinalities
+    * are (|S|−1)·2^30 div S.last when the sketch is full, else the exact
+    * distinct count (a sketch smaller than k IS its whole set). The
+    * pair join is sketch-row × sketch-row — #groups² model-sized rows,
+    * never data-sized (the benign a15-style cross). */
+  def kmvSetOps(sketches: DataFrame, groupCol: String, k: Int): DataFrame = {
+    // every division is the SQL integer `div` — a float quotient's
+    // 53-bit rounding could cross an integer boundary that 2^30-domain
+    // numerators genuinely straddle, and the twin divides integers
+    val km1 = (k - 1).toLong * (1L << 30)
+    def estCard(sk: String): String =
+      s"case when size($sk) >= $k then ${km1}L div element_at($sk, $k) " +
+        s"else cast(size($sk) as bigint) end"
+    val a = sketches.select(col(groupCol).as("set_a"), col("kmv").as("ka"))
+    val b = sketches.select(col(groupCol).as("set_b"), col("kmv").as("kb"))
+    a.join(b, col("set_a") < col("set_b"))
+      .withColumn("u", slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+      .withColumn("m", size(array_intersect(col("u"),
+        array_intersect(col("ka"), col("kb")))).cast("long"))
+      .withColumn("est_a", expr(estCard("ka")))
+      .withColumn("est_b", expr(estCard("kb")))
+      .withColumn("est_union", expr(estCard("u")))
+      .withColumn("jaccard_milli", expr("(m * 1000) div size(u)"))
+      .withColumn("est_intersection", expr("(m * est_union) div size(u)"))
+      .select("set_a", "set_b", "est_a", "est_b", "est_union", "m",
+        "jaccard_milli", "est_intersection")
   }
 
   // ---- HDR histogram quantiles -------------------------------------------

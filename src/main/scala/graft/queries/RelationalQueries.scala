@@ -245,6 +245,20 @@ object RelationalQueries {
       graft.operators.Sketches.cmsHeavyHitters(
         ev, col("user_id"), col("uh"), threshold = 80L)}),
 
+    // A16: K-minimum-values set algebra — pairwise |A|/|B|/|A∪B|/Jaccard/
+    // |A∩B| estimates across the five event types' user sets, from one
+    // bottom-64 sketch per set (the corpus-overlap / decontamination
+    // measurement at sketch cost; a12 estimates ONE set's size, this
+    // compares sets). Every estimate is an integer div over the same
+    // scrambled PolyHash stream, so the twin replays bit-for-bit.
+    "a16_kmv_setops" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("user_id").isNotNull)
+        .withColumn("uh", graft.functions.PolyHash.poly_hash(
+          concat(lit("u:"), col("user_id").cast("string")), 31L))
+      val sk = graft.operators.Sketches.kmvSketch(
+        ev, Seq(col("event_type")), col("uh"), k = 64)
+      graft.operators.Sketches.kmvSetOps(sk, "event_type", k = 64)}),
+
     // A14: HDR histogram quantile sketch — per-group p50/p90/p99 price
     // cents from a fixed ~9 KB mergeable counter buffer in ONE
     // aggregation pass (the quantile complement of a12/a13; a7's exact
@@ -600,6 +614,36 @@ object RelationalQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
       s.read.parquet(out)}),
+
+    // ST7: streaming MERGE-INTO sink — the latest-event-per-user state
+    // TABLE maintained by foreachBatch upserts (MergeSink: hash-bucketed
+    // state, dynamic-partition overwrite of only the touched buckets).
+    // The events are staged into 4 time-ranged files and streamed with
+    // maxFilesPerTrigger=1, so AvailableNow drains in 4 REAL merge
+    // batches; latest-per-key is associative under the total
+    // (tsn, event_id) order, so the final table must equal the twin's
+    // whole-table rank — batch boundaries provably invisible.
+    "st7_stream_upsert" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val tsn = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts")
+        case _ => unix_micros(col("ts").cast("timestamp")) * 1000
+      }
+      val staged = java.nio.file.Files.createTempDirectory("st7_in").toString
+      ev0.where(col("user_id").isNotNull)
+        .select(col("user_id"), tsn.as("tsn"), col("event_id"),
+          col("event_type"))
+        .repartitionByRange(4, col("tsn"))
+        .write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val root = java.nio.file.Files.createTempDirectory("st7").toString
+      graft.streaming.MergeSink.upsertStream(stream, Seq("user_id"),
+          Seq("tsn", "event_id"), s"$root/state", s"$root/ckpt")
+        .awaitTermination()
+      s.read.parquet(s"$root/state")
+        .select("user_id", "event_id", "event_type")}),
 
     // J7b: as-of tiebreak under REAL (key, ts) duplicates — every marker
     // row is doubled with a larger id, so the max-tiebreak rule decides
@@ -983,10 +1027,57 @@ object RelationalQueries {
         |              ELSE raw END) * 10000 + 0.5) / 10000.0 AS est
         |FROM e""".stripMargin,
 
+    // the st7 twin: whole-table latest-per-user rank at full nanosecond
+    // resolution (the gate's tsn) — if any merge batch dropped or
+    // resurrected a row, a winner flips and the hash breaks
+    "st7_stream_upsert" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id IS NOT NULL)
+        |WHERE rn = 1""".stripMargin,
+
     // the a12 twin derives the same HLL registers from the same PolyHash
     // stream: idx = h mod 4096, rho from the high 18 bits, register max,
     // then the identical estimator (exact-integer indicator sum; absent
     // registers contribute 2^19 each and count as zeros)
+    // the a16 twin rebuilds the bottom-64 sketches from the same
+    // scramble chain (rank ≤ 64 over distinct scrambled hashes per set)
+    // and replays the pairwise integer algebra: 67645734912 = 63·2^30
+    "a16_kmv_setops" ->
+      s"""WITH h0 AS (
+        |  SELECT event_type, ${hashSql("'u:' || user_id::VARCHAR")} AS hh
+        |  FROM events WHERE user_id IS NOT NULL),
+        |s1 AS (SELECT event_type,
+        |              (hh * 2654435761) % 1073741824 AS z1 FROM h0),
+        |s2 AS (SELECT event_type, xor(z1, z1 // 32768) AS z2 FROM s1),
+        |s3 AS (SELECT event_type,
+        |              (z2 * 1597334677) % 1073741824 AS z3 FROM s2),
+        |d AS (SELECT DISTINCT event_type, xor(z3, z3 // 8192) AS sh FROM s3),
+        |r AS (SELECT event_type, sh, row_number() OVER (
+        |         PARTITION BY event_type ORDER BY sh) AS rn FROM d),
+        |sk AS (SELECT event_type, list(sh ORDER BY sh) AS kmv
+        |       FROM r WHERE rn <= 64 GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS set_a, b.event_type AS set_b,
+        |                 a.kmv AS ka, b.kmv AS kb
+        |          FROM sk a JOIN sk b ON a.event_type < b.event_type),
+        |uu AS (SELECT *, list_sort(list_distinct(ka || kb))[:64] AS u
+        |       FROM pairs),
+        |mm AS (SELECT *,
+        |          len(list_intersect(u, list_intersect(ka, kb)))::BIGINT AS m,
+        |          CASE WHEN len(ka) >= 64 THEN 67645734912 // ka[64]
+        |               ELSE len(ka) END::BIGINT AS est_a,
+        |          CASE WHEN len(kb) >= 64 THEN 67645734912 // kb[64]
+        |               ELSE len(kb) END::BIGINT AS est_b,
+        |          CASE WHEN len(u) >= 64 THEN 67645734912 // u[64]
+        |               ELSE len(u) END::BIGINT AS est_union
+        |       FROM uu)
+        |SELECT set_a, set_b, est_a, est_b, est_union, m,
+        |       ((m * 1000) // len(u))::BIGINT AS jaccard_milli,
+        |       ((m * est_union) // len(u))::BIGINT AS est_intersection
+        |FROM mm""".stripMargin,
+
     "a12_hll_distinct" ->
       s"""WITH h0 AS (
         |  SELECT event_type, ${hashSql("'u:' || user_id::VARCHAR")} AS hh

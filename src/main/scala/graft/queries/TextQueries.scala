@@ -363,6 +363,13 @@ object TextQueries {
       graft.operators.Corpus.topNgrams(t(s, dir, "documents"),
         col("text"), n = 3, k = 20)),
 
+    // X28: PMI-ranked collocations with the log replaced by its monotone
+    // integer argument (lift_micro) — vocab-curation association mining
+    // with a bit-exact twin (no engine-divergent ln anywhere).
+    "x28_pmi_collocations" -> ((s, dir) =>
+      graft.operators.Corpus.pmiCollocations(t(s, dir, "documents"),
+        col("text"), minCount = 5, k = 30)),
+
     // D8: dedup retention — the decision step after clustering: keep the
     // highest-quality doc per near-dup cluster (lowest id on ties);
     // unclustered docs are singleton keeps. Complete per-doc decision.
@@ -1197,6 +1204,27 @@ object TextQueries {
          |  WHERE len(tk) >= 3)
          |SELECT ngram, count(*) AS occ FROM ng GROUP BY 1
          |ORDER BY occ DESC, ngram LIMIT 20""".stripMargin,
+
+    // the x28 twin replays the identical two-step integer-div lift
+    // (division order matters and is part of the contract)
+    "x28_pmi_collocations" ->
+      raw"""WITH $toksSql,
+         |bg0 AS (
+         |  SELECT tk[i] || ' ' || tk[i+1] AS bigram
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)
+         |  WHERE len(tk) >= 2),
+         |bg AS (SELECT bigram, count(*)::BIGINT AS c_ab FROM bg0 GROUP BY 1),
+         |sp AS (SELECT bigram, c_ab, split_part(bigram, ' ', 1) AS l,
+         |              split_part(bigram, ' ', 2) AS r FROM bg),
+         |lm AS (SELECT l, sum(c_ab)::BIGINT AS l_a FROM sp GROUP BY 1),
+         |rm AS (SELECT r, sum(c_ab)::BIGINT AS r_b FROM sp GROUP BY 1),
+         |tt AS (SELECT sum(c_ab)::BIGINT AS total FROM bg)
+         |SELECT bigram, c_ab,
+         |       (((c_ab * 1000000) // l_a) * (SELECT total FROM tt) // r_b)::BIGINT
+         |         AS lift_micro
+         |FROM sp JOIN lm USING (l) JOIN rm USING (r)
+         |WHERE c_ab >= 5
+         |ORDER BY lift_micro DESC, bigram LIMIT 30""".stripMargin,
 
     "d4_simhash" ->
       s"""WITH $toksSql,

@@ -831,6 +831,22 @@ class OperatorsSpec extends SparkSpec {
     got shouldBe Array(("x y z", 3L), ("a b c", 1L), ("y z x", 1L))
   }
 
+  "Corpus.pmiCollocations" should "rank by the exact integer lift with the documented div order" in {
+    import graft.operators.Corpus
+    // bigrams: "a b"×2, "a c"×1 → T=3, l_a("a")=3, r_b("b")=2, r_b("c")=1
+    // "a b": (2e6 div 3)·3 div 2 = 666666·3 div 2 = 999999
+    // "a c": (1e6 div 3)·3 div 1 = 333333·3 = 999999 — a genuine lift
+    // tie, broken by bigram order
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = Corpus.pmiCollocations(docs, col("text"), minCount = 1, k = 10)
+      .as[(String, Long, Long)].collect()
+    got shouldBe Array(("a b", 2L, 999999L), ("a c", 1L, 999999L))
+    // minCount prunes the tail before the marginal joins
+    Corpus.pmiCollocations(docs, col("text"), minCount = 2, k = 10)
+      .as[(String, Long, Long)].collect() shouldBe
+      Array(("a b", 2L, 999999L))
+  }
+
   "Sampling" should "produce deterministic, complete, disjoint splits" in {
     import graft.operators.Sampling
     val df = (1 to 500).map(_.toLong).toDF("id")
@@ -1429,6 +1445,51 @@ class OperatorsSpec extends SparkSpec {
         maxRows = 10)
     }
     ex.getMessage should include("cap")
+  }
+
+  "Sketches.kmvSketch" should "hold the k smallest distinct scrambled hashes, hierarchically" in {
+    import graft.operators.Sketches
+    val df = (1 to 500).map(i => ("g", (i % 200).toLong)).toDF("g", "v")
+    val expected = (0 until 200).map(v => Sketches.scramble30(v))
+      .distinct.sorted
+    // k past the distinct count: the sketch IS the whole scrambled set
+    val all = Sketches.kmvSketch(df, Seq(col("g")), col("v"), k = 1000)
+      .as[(String, Seq[Long])].collect().head
+    all._2 shouldBe expected
+    // bounded k: exactly the k smallest, regardless of salt-cell fanout
+    for (cells <- Seq(1, 64)) {
+      val sk = Sketches.kmvSketch(df, Seq(col("g")), col("v"), k = 16,
+        saltCells = cells).as[(String, Seq[Long])].collect().head
+      sk._2 shouldBe expected.take(16)
+    }
+  }
+
+  "Sketches.kmvSetOps" should "be exact when sketches are exhaustive" in {
+    import graft.operators.Sketches
+    // A = {0..29}, B = {20..49}: |A|=|B|=30, |A∩B|=10, |A∪B|=50
+    val df = ((0 until 30).map(v => ("a", v.toLong)) ++
+      (20 until 50).map(v => ("b", v.toLong))).toDF("s", "v")
+    val sk = Sketches.kmvSketch(df, Seq(col("s")), col("v"), k = 100)
+    val got = Sketches.kmvSetOps(sk, "s", k = 100)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    got shouldBe (("a", "b", 30L, 30L, 50L, 10L, 200L, 10L))
+  }
+
+  it should "estimate within the bottom-k error envelope when sketches saturate" in {
+    import graft.operators.Sketches
+    // two 2000-element sets sharing 1000 members, k = 256: the estimator
+    // sd is ~1/√k ≈ 6% — assert a loose 20% envelope, deterministic seed
+    val common = (0 until 1000).map(v => v.toLong)
+    val df = ((common ++ (1000 until 2000).map(_.toLong)).map(("a", _)) ++
+      (common ++ (2000 until 3000).map(_.toLong)).map(("b", _))).toDF("s", "v")
+    val sk = Sketches.kmvSketch(df, Seq(col("s")), col("v"), k = 256)
+    val got = Sketches.kmvSetOps(sk, "s", k = 256)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    got._3 should (be >= 1600L and be <= 2400L) // |A| = 2000
+    got._5 should (be >= 2400L and be <= 3600L) // |A∪B| = 3000
+    got._8 should (be >= 700L and be <= 1300L) // |A∩B| = 1000
   }
 
   "Sketches.hdrQuantiles" should "be exact in the linear region and rank-correct" in {

@@ -33,6 +33,10 @@ class PlanAuditSpec extends SparkSpec {
     "j10_bloom_semi", // probe rows × the broadcast ONE-row bitset — the
                       // pre-shuffle membership filter shape
     "a15_cms_heavy", // rows × the broadcast ONE-row sketch — j10's shape
+    // sketch-row × sketch-row pair join (set_a < set_b): both sides are
+    // the per-GROUP sketch frame (5 rows here, #groups at scale), never
+    // data-sized — the benign model-object cross like a15
+    "a16_kmv_setops",
                      // applied to aggregation (map-side heavy-key prune)
     "j8_range_join", "a6_ecdf", "a7_quantiles", "a7b_quantile_agg")
 

@@ -407,4 +407,61 @@ class StreamingSpec extends SparkSpec {
     spark.table("ssj_out").as[(Long, Long)].collect().toSet shouldBe
       Set((1L, 100L), (2L, 200L))
   }
+
+  "MergeSink.mergeBatch" should "fold batches into latest-per-key regardless of split" in {
+    import graft.streaming.MergeSink
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    def row(k: String, t: Long, id: Long, v: String) = (k, t, id, v)
+    val all = Seq(row("a", 10, 1, "a@10"), row("a", 30, 3, "a@30"),
+      row("b", 20, 2, "b@20"), row("a", 20, 5, "a@20"),
+      row("b", 40, 4, "b@40"), row("c", 5, 6, "c@5"))
+    def read(p: String) = spark.read.parquet(p)
+      .select("k", "v").as[(String, String)].collect().toSet
+    val want = Set("a" -> "a@30", "b" -> "b@40", "c" -> "c@5")
+    // one batch vs three batches (out of time order) converge identically
+    val p1 = s"$root/one"
+    MergeSink.mergeBatch(spark, all.toDF("k", "t", "id", "v"),
+      Seq("k"), Seq("t", "id"), p1, numBuckets = 4)
+    read(p1) shouldBe want
+    val p3 = s"$root/three"
+    all.grouped(2).foreach { chunk =>
+      MergeSink.mergeBatch(spark, chunk.toDF("k", "t", "id", "v"),
+        Seq("k"), Seq("t", "id"), p3, numBuckets = 4)
+    }
+    read(p3) shouldBe want
+    // re-delivery of an already-applied batch is a no-op (idempotent)
+    MergeSink.mergeBatch(spark, all.take(2).toDF("k", "t", "id", "v"),
+      Seq("k"), Seq("t", "id"), p3, numBuckets = 4)
+    read(p3) shouldBe want
+    // an untouched bucket's files survive a batch that doesn't touch it:
+    // dynamic overwrite only rewrites the buckets the batch hits
+    val filesBefore = new java.io.File(p3).listFiles().map(_.getName).toSet
+    val lone = Seq(row("a", 50, 9, "a@50")).toDF("k", "t", "id", "v")
+    MergeSink.mergeBatch(spark, lone, Seq("k"), Seq("t", "id"), p3,
+      numBuckets = 4)
+    val filesAfter = new java.io.File(p3).listFiles().map(_.getName).toSet
+    // kb partitions not containing key "a" must still be present
+    filesAfter.intersect(filesBefore).size should be >= 1
+    read(p3) shouldBe Set("a" -> "a@50", "b" -> "b@40", "c" -> "c@5")
+  }
+
+  "MergeSink.upsertStream" should "drain a MemoryStream into the state table" in {
+    import graft.streaming.MergeSink
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("mergeq").toString
+    val input = MemoryStream[(String, Long, Long, String)]
+    input.addData(("a", 10L, 1L, "a@10"), ("b", 20L, 2L, "b@20"))
+    val q = MergeSink.upsertStream(
+      input.toDF().toDF("k", "t", "id", "v"), Seq("k"), Seq("t", "id"),
+      s"$root/state", s"$root/ckpt", numBuckets = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      input.addData(("a", 30L, 3L, "a@30"), ("c", 5L, 4L, "c@5"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(s"$root/state").select("k", "v")
+      .as[(String, String)].collect().toSet shouldBe
+      Set("a" -> "a@30", "b" -> "b@20", "c" -> "c@5")
+  }
 }
