@@ -37,12 +37,13 @@ object Bench {
       "a1_group_count", "a3_group_sum", "a6_ecdf", "a12_hll_distinct",
       "t1_topk", "w1_window_cumsum", "g1_rollup", "j7_asof_join",
       "j9_salted_join", "a13_cms_counts", "j10_bloom_semi",
-      "a14_hdr_quantiles", "g2_pagerank", "z1_zorder", "a15_cms_heavy"),
+      "a14_hdr_quantiles", "g2_pagerank", "z1_zorder", "a15_cms_heavy",
+      "a16_kmv_setops", "g3_triangles", "z3_manifest_prune"),
     "features" -> Seq(
       "f3_bin", "f4_entropy", "f8_flow_words", "x2_quality", "x3_langid",
       "c2_gopher_rules", "x18_c4_filter", "x22_normalize"),
     "textops" -> Seq(
-      "x27_chunk_overlap",
+      "x27_chunk_overlap", "x28_pmi_collocations",
       "x11b_pack_concat", "x12_class_balance", "x13_top_ngrams",
       "x14_mixture", "x21_temperature_mix", "x23_shuffle_shards",
       "x24_pseudonymize", "x17_dsir_select"),
