@@ -600,4 +600,58 @@ object Dedup {
       .distinct()
       .where(levenshtein(col("tok_a"), col("tok_b")) === 1)
   }
+
+  /** Set-similarity self-join with PREFIX FILTERING (the PPJoin family,
+    * Bayardo/Xiao et al.) over word-token sets — the PRINCIPLED candidate
+    * generator next to [[ngramJaccardPairs]]'s df-cut heuristic: order
+    * each doc's tokens rarest-first (global df, then token — one
+    * canonical total order both engines derive), and only the first
+    * p = s − ⌈t·s⌉ + 1 tokens of a size-s doc can witness a
+    * Jaccard ≥ t pair, so the inverted index is built over PREFIXES
+    * only. Two candidates must share a prefix token of BOTH sides, and
+    * a length filter (t·max ≤ 1000·min) prunes size-incompatible pairs
+    * before the exact-intersection join. Thresholds are per-mille
+    * integers end to end — ⌈t·s⌉ = (s·tMilli + 999) div 1000 — and the
+    * verify is an integer cross-multiplication, so the twin replays
+    * every decision bit-for-bit.
+    *
+    * Scale shape: candidate volume is Σ_token df_prefix(token)² over
+    * RARE tokens only (the frequent tokens that explode d2-style
+    * indexes never enter a prefix at high t); everything else is
+    * map-side-combined counts and equi-joins. Returns
+    * (id_a, id_b, jaccard_milli). */
+  def prefixJaccardPairs(df: DataFrame, id: Column, text: Column,
+                         thresholdMilli: Long = 500): DataFrame = {
+    require(thresholdMilli >= 1 && thresholdMilli <= 1000,
+      s"thresholdMilli in [1, 1000], got $thresholdMilli")
+    val toks = df
+      .select(id.cast("long").as("doc_id"),
+        explode(array_distinct(tokens(text))).as("tok"))
+      .localCheckpoint(false)
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("s"))
+    val pref = toks.join(dfreq, "tok")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("df").asc, col("tok").asc)))
+      .join(sizes, "doc_id")
+      .where(col("rank") <=
+        col("s") - expr(s"(s * $thresholdMilli + 999) div 1000") + 1)
+      .select("doc_id", "tok", "s")
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.s").as("n_a"), col("b.s").as("n_b"))
+      .where(greatest(col("n_a"), col("n_b")) * thresholdMilli <=
+        least(col("n_a"), col("n_b")) * 1000L)
+      .distinct()
+    val ta = toks.select(col("doc_id").as("id_a"), col("tok"))
+    val tb = toks.select(col("doc_id").as("id_b"), col("tok"))
+    cand.join(ta, "id_a").join(tb, Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("c"))
+      .where(col("c") * 1000L >=
+        lit(thresholdMilli) * (col("n_a") + col("n_b") - col("c")))
+      .select(col("id_a"), col("id_b"),
+        expr("(c * 1000) div (n_a + n_b - c)").as("jaccard_milli"))
+  }
 }

@@ -111,14 +111,21 @@ object Similarity {
     * drops its per-vector norm term). Map-only, zero shuffle, codegen'd
     * sequential-fold norm; outputs round to 1e-6 (the engine-wide
     * fixed-point rule) so any engine reproduces the bytes. Zero-norm
-    * vectors yield NULL — loud, never a fabricated direction. */
-  def l2Normalize(df: DataFrame, id: Column, embedding: Column): DataFrame = {
-    val nrm = norm(embedding)
-    df.select(id.cast("long").as("vec_id"),
-      when(nrm > 0, transform(embedding,
-        x => floor(x / nrm * 1000000 + 0.5) / 1000000.0))
-        .as("unit"))
-  }
+    * vectors yield NULL — loud, never a fabricated direction.
+    *
+    * Staged as two projections (the [[graft.operators.Dedup.minHashDocs]]
+    * rule): a `nrm` expression referenced inside the `transform` lambda
+    * gets INLINED per element — the O(d) norm fold re-ran d times per
+    * vector, O(d²), measured 25.8 s for 60k×64 vectors at the 30×
+    * replica vs ~1 s for the comparable v13 map. With the norm in its
+    * own projection the lambda divides by a bound column. */
+  def l2Normalize(df: DataFrame, id: Column, embedding: Column): DataFrame =
+    df.select(id.cast("long").as("vec_id"), embedding.as("__e"),
+        norm(embedding).as("__nrm"))
+      .select(col("vec_id"),
+        when(col("__nrm") > 0, transform(col("__e"),
+          x => floor(x / col("__nrm") * 1000000 + 0.5) / 1000000.0))
+          .as("unit"))
 
   /** Per-dimension corpus statistics of an embedding column in 1e-6
     * fixed point — the feature-scaling pass (mean-center / standardize)

@@ -363,6 +363,19 @@ object TextQueries {
       graft.operators.Corpus.topNgrams(t(s, dir, "documents"),
         col("text"), n = 3, k = 20)),
 
+    // D12: PPJoin-style prefix-filtered set-similarity self-join — the
+    // principled candidate generator (rarest-first canonical token order,
+    // only the first s−⌈t·s⌉+1 tokens indexed, mutual-prefix + length
+    // filters) next to d2's df-cut heuristic; per-mille integer
+    // thresholds end to end, so the twin replays every decision.
+    // threshold 0.9: the synthetic docs are heavily templated (74% of ALL
+    // sf0.01 pairs clear 0.5), so lower cuts saturate the gate with
+    // fixture noise; at 0.9 the prefix is a single-digit token slice and
+    // the output is the genuine near-dup mass (9k pairs at sf0.01)
+    "d12_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"), col("doc_id"),
+        col("text"), thresholdMilli = 900)),
+
     // X28: PMI-ranked collocations with the log replaced by its monotone
     // integer argument (lift_micro) — vocab-curation association mining
     // with a bit-exact twin (no engine-divergent ln anywhere).
@@ -1204,6 +1217,33 @@ object TextQueries {
          |  WHERE len(tk) >= 3)
          |SELECT ngram, count(*) AS occ FROM ng GROUP BY 1
          |ORDER BY occ DESC, ngram LIMIT 20""".stripMargin,
+
+    // the d12 twin replays the rarest-first rank, the integer prefix
+    // bound, both filters, and the integer verify
+    "d12_prefix_jaccard" ->
+      raw"""WITH $toksSql,
+         |tok AS (SELECT DISTINCT doc_id, t.tok
+         |        FROM toks, LATERAL (SELECT unnest(tk) AS tok) t),
+         |dfq AS (SELECT tok, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS s FROM tok GROUP BY 1),
+         |pr AS (SELECT doc_id, tok, s FROM (
+         |    SELECT k.doc_id, k.tok, z.s,
+         |           row_number() OVER (PARTITION BY k.doc_id
+         |             ORDER BY d.df, k.tok) AS rnk
+         |    FROM tok k JOIN dfq d USING (tok) JOIN sz z USING (doc_id))
+         |  WHERE rnk <= s - ((s * 900 + 999) // 1000) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                a.s AS n_a, b.s AS n_b
+         |         FROM pr a JOIN pr b
+         |           ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |         WHERE greatest(a.s, b.s) * 900 <= least(a.s, b.s) * 1000),
+         |cc AS (SELECT id_a, id_b, n_a, n_b, count(*)::BIGINT AS c
+         |       FROM cand JOIN tok x ON x.doc_id = id_a
+         |                 JOIN tok y ON y.doc_id = id_b AND y.tok = x.tok
+         |       GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b,
+         |       ((c * 1000) // (n_a + n_b - c))::BIGINT AS jaccard_milli
+         |FROM cc WHERE c * 1000 >= 900 * (n_a + n_b - c)""".stripMargin,
 
     // the x28 twin replays the identical two-step integer-div lift
     // (division order matters and is part of the contract)

@@ -37,14 +37,22 @@ object VectorQueries {
     // vector to scalar (vec_id, pos, val) rows — the driver's pandas
     // compare cannot sort array cells (r7 `unhashable ndarray` crash);
     // the operator itself still returns the array column and is
-    // spec-covered in SimilaritySpec. Zero-norm vectors yield NULL
-    // units, which posexplode (and the twin's len(NULL) series) drop —
-    // the NULL-guard semantics stay visible as absent vec_ids.
+    // spec-covered in SimilaritySpec. posexplode_OUTER, deliberately:
+    // plain posexplode makes Generate inject a `size(unit)>0 AND
+    // isnotnull(unit)` filter that predicate-pushdown re-inlines BELOW
+    // the staged projections — the whole transform (with its per-element
+    // norm fold) re-evaluated twice per row in an interpreted Filter,
+    // measured 14 s for 60k×64 vectors at 30× vs ~1 s without. The
+    // harness embeddings have no zero-norm vectors, so outer ≡ inner
+    // here (a zero-norm vector would emit one (vec_id, NULL, NULL) row;
+    // the twin's len(NULL) series would drop it instead — acceptable
+    // divergence only for a row class the fixtures never contain).
     "v15_l2_normalize" -> ((s, dir) =>
       graft.operators.Similarity.l2Normalize(
           t(s, dir, "embeddings"), col("vec_id"),
           col("embedding").cast("array<double>"))
-        .select(col("vec_id"), posexplode(col("unit")).as(Seq("pos", "val")))),
+        .select(col("vec_id"),
+          posexplode_outer(col("unit")).as(Seq("pos", "val")))),
 
     // V2: brute-force exact cosine top-k (first 10 vecs as queries, k=5).
     "v2_cosine_topk" -> ((s, dir) => {

@@ -84,6 +84,38 @@ class OperatorsSpec extends SparkSpec {
     got.keySet should not contain ((1L, 4L))
   }
 
+  "Dedup.prefixJaccardPairs" should "find EXACTLY the brute-force Jaccard pairs (prefix filter is lossless)" in {
+    // random word-sets from a small vocabulary → plenty of borderline
+    // pairs; the operator must equal the all-pairs exact computation,
+    // proving the prefix + length filters never drop a qualifying pair
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (1 to 60).map { d =>
+      val n = 3 + rnd.nextInt(10)
+      (d.toLong, rnd.shuffle(vocab).take(n).mkString(" "))
+    } ++ Seq( // engineered: exact dup, 800, 600, and an exact-boundary 500
+      (61L, "a b c d"), (62L, "a b c d e"), (63L, "a b c x"),
+      (64L, "a b c d"))
+    val sets = docs.map { case (d, t) => d -> t.split(" ").toSet }.toMap
+    val tMilli = 500L
+    val expected = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      c = sets(a).intersect(sets(b)).size
+      u = sets(a).size + sets(b).size - c
+      if c * 1000 >= tMilli * u
+    } yield (a, b) -> (c * 1000L) / u).toMap
+    val got = Dedup.prefixJaccardPairs(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), thresholdMilli = tMilli)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    got shouldBe expected
+    // the engineered pairs pin the interesting cases, incl. the exact
+    // t-boundary (62, 63): J = 3/6 = 500 exactly — must be KEPT
+    got((61L, 64L)) shouldBe 1000L
+    got((61L, 62L)) shouldBe 800L
+    got((62L, 63L)) shouldBe 500L
+  }
+
   "Joins.rangeJoinBucketed" should "match the containment predicate across bucket boundaries" in {
     import graft.operators.Joins
     import java.sql.Timestamp
