@@ -38,7 +38,8 @@ object Bench {
       "t1_topk", "w1_window_cumsum", "g1_rollup", "j7_asof_join",
       "j9_salted_join", "a13_cms_counts", "j10_bloom_semi",
       "a14_hdr_quantiles", "g2_pagerank", "z1_zorder", "a15_cms_heavy",
-      "a16_kmv_setops", "g3_triangles", "z3_manifest_prune"),
+      "a16_kmv_setops", "g3_triangles", "z3_manifest_prune",
+      "g4_cube", "u3_unpivot", "w4_lag_lead"),
     "features" -> Seq(
       "f3_bin", "f4_entropy", "f8_flow_words", "x2_quality", "x3_langid",
       "c2_gopher_rules", "x18_c4_filter", "x22_normalize"),

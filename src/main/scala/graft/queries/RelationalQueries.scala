@@ -420,6 +420,22 @@ object RelationalQueries {
       hi.union(lo).groupBy(col("o_orderpriority"), col("bucket"))
         .agg(count(lit(1)).as("cnt"))}),
 
+    // U3: unpivot (wide→long melt) — the inverse of r1's pivot; three
+    // integer-exact metric columns become (metric, value) rows. The
+    // schema-normalization step every mixed-width telemetry feed needs
+    // before a union.
+    "u3_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_cents"),
+          floor(col("l_discount") * 1000000 + 0.5).cast("long").as("disc_micros"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty"), col("price_cents"), col("disc_micros")),
+          "metric", "value")),
+
     // E1: row multiplication via explode (the feedback-duplication shape —
     // reference FlowPreLDA.scala:98).
     "e1_explode" -> ((s, dir) =>
@@ -447,6 +463,22 @@ object RelationalQueries {
           row_number().over(w).as("seq"))
         .where(col("seq") <= 5)}),
 
+    // W4: lag/lead/ntile in one window pass — inter-event gap times per
+    // user (the telemetry cadence profile) plus an ntile quartile. Gaps
+    // are integer microseconds; the window's tiebreak (event_id) makes
+    // every value deterministic. The twin orders by the SAME
+    // micro-truncated instant Spark carries, not the raw nanos, so
+    // sub-microsecond ts ties collapse identically on both sides.
+    "w4_lag_lead" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .select(col("user_id"), col("event_id"),
+          coalesce(col("us") - lag(col("us"), 1).over(w), lit(-1L)).as("prev_gap_us"),
+          coalesce(lead(col("us"), 1).over(w) - col("us"), lit(-1L)).as("next_gap_us"),
+          ntile(4).over(w).cast("long").as("quartile"))}),
+
     // G1: grouping sets via rollup (beyond-reference completeness).
     "g1_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -456,6 +488,22 @@ object RelationalQueries {
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("cnt"))),
+
+    // G4: full cube with grouping() disambiguation — every lattice level
+    // in one shuffle (g1 covers the rollup subset); gmask distinguishes a
+    // genuine NULL data value from a rolled-up total (a real corpus can
+    // hold the coalesce sentinel). grouping() must be computed IN the
+    // aggregate, where the lattice level still exists.
+    "g4_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          (grouping(col("o_orderstatus")) * 2 +
+            grouping(col("o_orderpriority"))).cast("long").as("gmask"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gmask"), col("cnt"))),
 
     // J7: true as-of join — each event matched to the latest "marker"
     // event (same user, marker ts <= event ts). Oracle: DuckDB's native
@@ -1170,6 +1218,37 @@ object RelationalQueries {
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       count(*) AS cnt
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "g4_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       (GROUPING(o_orderstatus) * 2
+        |         + GROUPING(o_orderpriority))::BIGINT AS gmask,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "u3_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+        |       CAST(l_quantity AS BIGINT) AS value
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price_cents',
+        |       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'disc_micros',
+        |       CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)
+        |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin,
+
+    "w4_lag_lead" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us
+        |           FROM events)
+        |SELECT user_id, event_id,
+        |       coalesce(us - lag(us) OVER w, -1)::BIGINT AS prev_gap_us,
+        |       coalesce(lead(us) OVER w - us, -1)::BIGINT AS next_gap_us,
+        |       (ntile(4) OVER w)::BIGINT AS quartile
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
 
     "j7_asof_join" ->
       """SELECT a.event_id, a.user_id, m.marker_id
