@@ -638,17 +638,38 @@ object Dedup {
       .where(col("rank") <=
         col("s") - expr(s"(s * $thresholdMilli + 999) div 1000") + 1)
       .select("doc_id", "tok", "s")
-    val cand = pref.as("a").join(pref.as("b"),
+    // The prefix index is tiny relative to what the bucket self-join
+    // expands it into (sf0.1 fixture: 14 k rows → 22 M matches), so AQE
+    // coalesces its shuffle output to ONE post-shuffle partition and the
+    // whole join+distinct+verify pipeline runs in a single task
+    // (measured: a 45 s one-task stage vs 1.2 s at 32-way). Pin the
+    // stream side's parallelism with an explicit round-robin repartition
+    // — user repartitions with an explicit count are exempt from AQE
+    // coalescing, and round-robin also spreads a hot bucket's probe rows
+    // uniformly instead of leaving them wherever doc_id hashing put them.
+    val prefR = pref.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val cand = prefR.as("a").join(pref.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.s").as("n_a"), col("b.s").as("n_b"))
       .where(greatest(col("n_a"), col("n_b")) * thresholdMilli <=
         least(col("n_a"), col("n_b")) * 1000L)
       .distinct()
-    val ta = toks.select(col("doc_id").as("id_a"), col("tok"))
-    val tb = toks.select(col("doc_id").as("id_b"), col("tok"))
-    cand.join(ta, "id_a").join(tb, Seq("id_b", "tok"))
-      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("c"))
+    // Verify: exact intersection counts. Joining candidates back to the
+    // exploded token table shuffles |cand|·s̄ rows (97 M at the sf0.1
+    // fixture — the gate's entire 39 s); attaching each side's token SET
+    // instead makes the count a map-side array_intersect over the narrow
+    // pair frame. The set side is broadcast when its estimate fits 256 MB
+    // (the v6b verify pattern); a corpus past the gate shuffles the
+    // arrays — |cand| rows, still far below the exploded join's volume.
+    val sets = Scoring.sizeGatedBroadcast(
+      toks.groupBy("doc_id").agg(collect_list(col("tok")).as("tks")),
+      256L << 20)
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("tks").as("tks_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("tks").as("tks_b")), "id_b")
+      .withColumn("c", size(array_intersect(col("tks_a"), col("tks_b"))).cast("long"))
       .where(col("c") * 1000L >=
         lit(thresholdMilli) * (col("n_a") + col("n_b") - col("c")))
       .select(col("id_a"), col("id_b"),
