@@ -16,9 +16,13 @@ object PlanCheck {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // size-gated plan choices (broadcast hints) depend on the actual
+    // input, so the audit dir is selectable: a 100× replica shows the
+    // post-gate plan a production corpus would get
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      println(SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
+      println(SparkEntry.queries(n)(spark, dir)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
     }
