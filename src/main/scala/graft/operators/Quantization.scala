@@ -158,6 +158,76 @@ object Quantization {
         (col("s_int").cast("double") / 1000000.0).as("adist"), col("rank"))
   }
 
+  /** Per-dimension bounds for 8-bit scalar quantization (SQ8): `(dim,
+    * mn, mx)` in exact integer micro-units. SQ8 is the cheapest vector
+    * compression — one byte per dimension against the per-dim linear
+    * grid `mn + code·span/255` — and unlike PQ its training is a single
+    * min/max aggregation (64 output rows, partial-aggregated map-side),
+    * not iterated Lloyd rounds. Exact integer bounds make encode and
+    * the decode grid bit-reproducible by the SQL twin. */
+  def sqTrain(corpus: DataFrame, id: String = "vec_id",
+              vec: String = "embedding"): DataFrame =
+    corpus.select(posexplode(asDouble(col(vec))).as(Seq("dim", "v")))
+      .select(col("dim"), floor(col("v") * 1000000 + 0.5).cast("long").as("mv"))
+      .groupBy("dim").agg(min("mv").as("mn"), max("mv").as("mx"))
+
+  /** SQ8-encode: `(outId, dim, code)` with `code = ((mv−mn)·255) div
+    * span` in pure integer arithmetic (a value at the max lands exactly
+    * on 255; a degenerate dimension with span 0 encodes as 0). The
+    * bounds frame is 1 row per dimension — always broadcast — so encode
+    * is a map-only pass over the exploded corpus: the 100 TB shape. */
+  def sqEncode(corpus: DataFrame, bounds: DataFrame,
+               id: String = "vec_id", vec: String = "embedding",
+               outId: String = "vec_id"): DataFrame =
+    corpus.select(col(id).cast("long").as(outId),
+        posexplode(asDouble(col(vec))).as(Seq("dim", "v")))
+      .withColumn("mv", floor(col("v") * 1000000 + 0.5).cast("long"))
+      .join(broadcast(bounds), "dim")
+      .select(col(outId), col("dim"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(expr("((mv - mn) * 255) div (mx - mn)")).as("code"))
+
+  /** Asymmetric-distance top-k over an SQ8-encoded corpus — structurally
+    * [[pqAdcTopK]] with subDim=1 and grid codewords: the (bounded) query
+    * side precomputes its squared distance to every grid point — a
+    * |Q|·dim·256 integer table, broadcast — and each candidate's
+    * approximate distance is the integer SUM of its codes' entries over
+    * one `(dim, code)` equi join. The corpus side is only the narrow
+    * code rows; no vector column is ever attached, so at scale this is
+    * a map-side join + partial aggregation. Grid reconstruction
+    * `mn + (code·span)/255.0` and the squared diff keep one fixed IEEE
+    * op order, replayed exactly by the twin. */
+  def sqAdcTopK(queries: DataFrame, codes: DataFrame, bounds: DataFrame,
+                k: Int, qId: String = "vec_id",
+                qVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).cast("long").as("query_id"),
+        posexplode(asDouble(col(qVec))).as(Seq("dim", "v")))
+      .withColumn("q_micro", floor(col("v") * 1000000 + 0.5).cast("long"))
+    val dtab = q.join(broadcast(bounds), "dim")
+      .select(col("query_id"), col("dim"), col("q_micro"),
+        col("mn"), (col("mx") - col("mn")).as("span"))
+      .select(col("query_id"), col("dim"),
+        explode(sequence(lit(0L), lit(255L))).as("code"),
+        col("q_micro"), col("mn"), col("span"))
+      .withColumn("r_micro",
+        col("mn") + (col("code") * col("span")) / lit(255.0))
+      .withColumn("diff",
+        (col("q_micro") - col("r_micro")) / lit(1000000.0))
+      .select(col("query_id"), col("dim"), col("code"),
+        floor(col("diff") * col("diff") * 1000000 + 0.5)
+          .cast("long").as("d_int"))
+    val scored = codes.select(col("vec_id").as("cand_id"), col("dim"), col("code"))
+      .join(broadcast(dtab), Seq("dim", "code"))
+      .where(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("d_int")).as("s_int"))
+    val w = Window.partitionBy("query_id").orderBy(asc("s_int"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"),
+        (col("s_int").cast("double") / 1000000.0).as("adist"), col("rank"))
+  }
+
   /** IVF residuals: each vector minus its nearest centroid, keyed by the
     * cell — `(vec_id, centroid_id, rv)`. This is the frame IVFADC
     * codebooks are seeded/trained on (Jégou et al. 2011 §IV encode the

@@ -195,6 +195,34 @@ object RelationalQueries {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_cust"))}),
 
+    // J11: multi-way star join (TPC-H Q5 shape) — the canonical
+    // fact-to-many-dims plan. lineitem⋈orders⋈customer⋈supplier shuffle
+    // on their keys (at 100 TB all four sides are large); nation/region
+    // are true dims, hinted broadcast so the last two hops stay map-side.
+    // The order-date range and region filters sit on the dim inputs where
+    // Catalyst pushes them into the scans, shrinking the first shuffle.
+    // Revenue is summed in exact per-row cents (associative integers), so
+    // the parallel aggregation hashes identically to the oracle.
+    "j11_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").where(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          (floor((sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)) / 100.0) * 100 + 0.5) / 100.0)
+            .as("revenue"))}),
+
     // A12: HyperLogLog distinct-count sketch — distinct users per event
     // type in ONE aggregation pass with a 4 KB mergeable buffer per group
     // (the 100 TB shape: no per-value shuffle, unlike a11's exact
@@ -849,6 +877,22 @@ object RelationalQueries {
         |FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 150000)
+        |GROUP BY 1""".stripMargin,
+
+    "j11_star_join" ->
+      """SELECT n_name, count(*)::BIGINT AS n_items,
+        |       floor((sum(floor(l_extendedprice * (1 - l_discount) * 100))
+        |              / 100.0) * 100 + 0.5) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |              AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
 
     // the a13 twin rebuilds the 4×2048 counters from the same salted

@@ -149,6 +149,26 @@ object VectorQueries {
       Quantization.pqAdcTopK(emb.where(col("vec_id") < 10), emb, cb,
         numSub = 4, subDim = 16, k = 5)}),
 
+    // V16: 8-bit scalar quantization encode — per-dim min/max bounds in
+    // exact micro-units (one cheap aggregation — SQ8's training), then
+    // the integer grid code per (vec_id, dim). One byte per dimension;
+    // the narrowest vector index this library builds.
+    "v16_sq8_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bounds = Quantization.sqTrain(emb)
+      Quantization.sqEncode(emb.where(col("vec_id") < 50), bounds)}),
+
+    // V17: SQ8 asymmetric-distance top-k — the decode grid is dim×256,
+    // broadcast; candidates are scored through one (dim, code) equi join
+    // + integer sum, never touching the original vectors (pqAdcTopK with
+    // subDim=1 and grid codewords).
+    "v17_sq8_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bounds = Quantization.sqTrain(emb)
+      val codes = Quantization.sqEncode(emb, bounds)
+      Quantization.sqAdcTopK(emb.where(col("vec_id") < 5), codes, bounds,
+        k = 5)}),
+
     // V10: semantic dedup (SemDeDup) — √n trained cells, within-cell
     // near-dup components, keep the member FARTHEST from its centroid.
     // Complete per-vector decision; v4c's cells + d6's components + d8's
@@ -638,8 +658,48 @@ object VectorQueries {
          |       rank::INT AS rank
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY s_int, cand_id) AS rank FROM adc)
+         |WHERE rank <= 5""".stripMargin,
+
+    "v16_sq8_encode" ->
+      s"""WITH $sq8Ctes
+         |SELECT cand_id AS vec_id, dim, code FROM enc
+         |WHERE cand_id < 50""".stripMargin,
+
+    "v17_sq8_adc" ->
+      s"""WITH $sq8Ctes,
+         |dtab AS (
+         |  SELECT q.vec_id AS query_id, q.dim, c.code,
+         |    floor(((q.mv - (b.mn + (c.code * (b.mx - b.mn)) / 255.0))
+         |             / 1000000.0)
+         |          * ((q.mv - (b.mn + (c.code * (b.mx - b.mn)) / 255.0))
+         |             / 1000000.0) * 1000000 + 0.5)::BIGINT AS d_int
+         |  FROM x q JOIN b ON q.dim = b.dim, range(256) c(code)
+         |  WHERE q.vec_id < 5),
+         |adc AS (
+         |  SELECT query_id, cand_id, sum(d_int)::BIGINT AS s_int
+         |  FROM enc e JOIN dtab d ON d.dim = e.dim AND d.code = e.code
+         |  WHERE e.cand_id != d.query_id GROUP BY 1, 2)
+         |SELECT query_id, cand_id, (s_int::DOUBLE / 1000000.0) AS adist,
+         |       rank::INT AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY s_int, cand_id) AS rank FROM adc)
          |WHERE rank <= 5""".stripMargin
   )
+
+  /** Shared SQ8 CTE block: per-dim micro-unit bounds and the integer
+    * grid encode, exactly [[graft.operators.Quantization.sqTrain]] /
+    * [[graft.operators.Quantization.sqEncode]]. */
+  private lazy val sq8Ctes: String =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |x AS (SELECT vec_id, i - 1 AS dim,
+      |             CAST(floor(e[i] * 1000000 + 0.5) AS BIGINT) AS mv
+      |      FROM v, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i)),
+      |b AS (SELECT dim, min(mv)::BIGINT AS mn, max(mv)::BIGINT AS mx
+      |      FROM x GROUP BY 1),
+      |enc AS (SELECT vec_id AS cand_id, x.dim,
+      |               CASE WHEN mx = mn THEN 0::BIGINT
+      |                    ELSE ((mv - mn) * 255) // (mx - mn) END AS code
+      |        FROM x JOIN b ON x.dim = b.dim)""".stripMargin
 
   private lazy val v11Sql: String =
     s"""WITH $v11Ctes

@@ -268,4 +268,50 @@ class QuantizationSpec extends SparkSpec {
       plan should include("BroadcastHashJoin")
     } finally spark.sql("DROP TABLE IF EXISTS pq_code_idx")
   }
+
+  "Quantization.sqTrain/sqEncode" should
+    "encode the min to 0, the max to 255, and stay within [0, 255]" in {
+    val df = vecs(
+      0L -> Seq(-1.0, 5.0), 1L -> Seq(0.0, 5.0), 2L -> Seq(3.0, 5.0))
+    val bounds = Quantization.sqTrain(df)
+    val codes = Quantization.sqEncode(df, bounds)
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, dim, c) => (id, dim) -> c }.toMap
+    codes((0L, 0)) shouldBe 0L    // the per-dim min
+    codes((2L, 0)) shouldBe 255L  // the per-dim max
+    codes((1L, 0)) shouldBe (255L * 1000000L) / 4000000L // linear interior
+    // degenerate dimension (span 0) encodes as 0, not a divide-by-zero
+    codes((0L, 1)) shouldBe 0L
+    codes((2L, 1)) shouldBe 0L
+    codes.values.foreach { c => c should (be >= 0L and be <= 255L) }
+  }
+
+  "Quantization.sqAdcTopK" should
+    "rank by true distance on grid-exact values" in {
+    // all values sit exactly on the 1-D grid between min 0 and max 255
+    // micro-millionths? use 0..255 scaled so codes reconstruct exactly:
+    // values k/255 for k in {0, 51, 102, 255} → span 1.0, code = k
+    val corpus = vecs(
+      0L -> Seq(0.0), 1L -> Seq(51.0 / 255), 2L -> Seq(102.0 / 255),
+      3L -> Seq(1.0))
+    val bounds = Quantization.sqTrain(corpus)
+    val codes = Quantization.sqEncode(corpus, bounds)
+    val got = Quantization.sqAdcTopK(
+        corpus.where(col("vec_id") === 0), codes, bounds, k = 3)
+      .select("cand_id", "rank").as[(Long, Int)].collect().toSet
+    got shouldBe Set((1L, 1), (2L, 2), (3L, 3))
+  }
+
+  it should "keep the corpus side free of vector columns (narrow scan)" in {
+    val corpus = vecs(0L -> Seq(0.0, 1.0), 1L -> Seq(0.5, 0.5),
+      2L -> Seq(1.0, 0.0))
+    val bounds = Quantization.sqTrain(corpus)
+    val codes = Quantization.sqEncode(corpus, bounds)
+    val plan = Quantization.sqAdcTopK(
+      corpus.where(col("vec_id") === 0), codes, bounds, k = 2)
+      .queryExecution.executedPlan.toString
+    // the candidate scoring join must be broadcast (decode table side),
+    // never a shuffle of the code rows against the distance table
+    plan should include("BroadcastHashJoin")
+  }
 }
