@@ -721,6 +721,69 @@ object RelationalQueries {
       s.read.parquet(s"$root/state")
         .select("user_id", "event_id", "event_type")}),
 
+    // ST8: WATERMARK LATE-DATA DROP — the one streaming semantic none of
+    // st1–st7 exercises: rows arriving after the watermark has passed
+    // their window are discarded, not aggregated. Spark separates the
+    // two watermark roles (SPARK-40925): batch N admits late events
+    // against the watermark evicting batch N−1 — one batch of grace —
+    // so a drop needs THREE batches: A = the on-time history (ts before
+    // Jan 20, stragglers withheld), B = the Jan 20–25 middle (advances
+    // the admission watermark to max(A) − 3d), C = the rest PLUS the
+    // withheld stragglers, now two batches late. Staged as single-file
+    // writes with strictly increasing modification times
+    // (FileStreamSource admits oldest-first), maxFilesPerTrigger=1 →
+    // exactly three data batches. C's stragglers split
+    // deterministically: windows closed by max(A) − 3d are DROPPED,
+    // newer stragglers still count (they merge before any eviction
+    // passes their window). The twin replays that admission cutoff and
+    // the final closed-window emission cutoff exactly.
+    "st8_stream_late" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val tsc = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000"))
+        case _ => col("ts").cast("timestamp")
+      }
+      val ev = ev0.select(tsc.as("ts"), col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val split = lit("2024-01-20 00:00:00").cast("timestamp")
+      val straggler = col("event_id") % 5 === 0
+      val staged = java.nio.file.Files.createTempDirectory("st8_in")
+      def stage(df: org.apache.spark.sql.DataFrame, name: String,
+                modMs: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("st8_tmp").toString
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = staged.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        require(dst.toFile.setLastModified(modMs),
+          s"st8: cannot set staged-file mtime on $dst")
+      }
+      val mid = lit("2024-01-25 00:00:00").cast("timestamp")
+      stage(ev.where(col("ts") < split && !straggler), "a.parquet",
+        1700000000000L)
+      stage(ev.where(col("ts") >= split && col("ts") < mid), "b.parquet",
+        1700000060000L)
+      stage(ev.where(col("ts") >= mid || (col("ts") < split && straggler)),
+        "c.parquet", 1700000120000L)
+      val schema = s.read.parquet(staged.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val agg = graft.streaming.StreamingScore.windowedEventStats(
+        stream, col("ts"), col("event_type"), col("cents"),
+        watermark = "3 days")
+      val out = java.nio.file.Files.createTempDirectory("st8_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("st8_ckpt").toString
+      agg.select(col("window.start").cast("long").as("w_start"),
+          col("key").as("event_type"), col("n_events"),
+          col("agg_sum").as("cents"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(out)}),
+
     // J7b: as-of tiebreak under REAL (key, ts) duplicates — every marker
     // row is doubled with a larger id, so the max-tiebreak rule decides
     // every match. Oracle: explicit rank twin (DuckDB's native ASOF picks
@@ -1356,6 +1419,33 @@ object RelationalQueries {
         |FROM e, mx
         |GROUP BY ws, event_type, mts
         |HAVING ws + INTERVAL 1 HOUR <= mts""".stripMargin,
+
+    // st8 twin: replay the watermark evolution — the stragglers
+    // (withheld pre-Jan-20 rows) arrive two batches late, when the
+    // admission watermark is wm1 = ms-truncated max(on-time history) −
+    // 3d, and are dropped iff their window END ≤ wm1; everything else
+    // is admitted before any eviction passes its window. Final
+    // emission keeps windows whose end ≤ the final watermark (global
+    // ms-truncated max − 3d). Spark tracks event-time stats in
+    // milliseconds, hence the date_trunc('millisecond', ...).
+    "st8_stream_late" ->
+      """WITH e AS (
+        |  SELECT ts, event_type, date_trunc('hour', ts) AS ws,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |         (ts < TIMESTAMP '2024-01-20' AND event_id % 5 = 0)
+        |           AS straggler
+        |  FROM events),
+        |wm1 AS (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 3 DAY AS w1
+        |        FROM e WHERE ts < TIMESTAMP '2024-01-20' AND NOT straggler),
+        |wmf AS (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 3 DAY AS wf
+        |        FROM e),
+        |kept AS (SELECT e.* FROM e, wm1
+        |         WHERE (NOT straggler) OR ws + INTERVAL 1 HOUR > w1)
+        |SELECT epoch(ws)::BIGINT AS w_start, event_type,
+        |       count(*) AS n_events, sum(c)::BIGINT AS cents
+        |FROM kept, wmf
+        |GROUP BY ws, event_type, wf
+        |HAVING ws + INTERVAL 1 HOUR <= wf""".stripMargin,
 
     "j7c_asof_forward" ->
       """WITH m AS (
