@@ -763,6 +763,59 @@ object Media {
     })
   }
 
+  /** Perceptual difference-hash (dHash) — the classic near-duplicate
+    * IMAGE fingerprint: decode (same pure-JVM PNG/BMP/JPEG paths as
+    * [[resizeImages]]), integer grayscale (floor((r+g+b)/3); gray images
+    * use the gray channel, alpha is ignored), nearest-neighbor
+    * downsample to a 9×8 grid with the resize convention
+    * (src = (x·w/9, y·h/8), integer division), then bit k = y·8+x set
+    * iff grid(x+1,y) > grid(x,y) — 64 horizontal-gradient bits.
+    * Integer-exact end to end, so an engine replaying the formulas
+    * reproduces the hash bit-for-bit; gradients are also invariant to a
+    * global brightness shift that doesn't clip, which is the property
+    * that makes dHash a NEAR-dup key where an exact byte hash fails.
+    * The hash is emitted as two unsigned 32-bit halves (bits 63..32 /
+    * 31..0) so integer-only twins rebuild it without sign games; at
+    * scale the pairing downstream is a plain equi-join (or banded
+    * Hamming, d4-style) on the halves. Map-only, no shuffle — scan-bound
+    * at 100 TB like every decoder here. Undecodable payloads contribute
+    * no row (the extractStats loud-drop convention). */
+  def imageDHash(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { rec =>
+      val b = rec.bytes
+      val decoded: Option[(Int, Int, Int, Array[Byte])] =
+        if (Bytes.isPng(b)) SampleStatsDecoder.pngPixels(b)
+        else if (Bytes.isBmp(b))
+          SampleStatsDecoder.bmpPixels(b).map { case (w, h, p) => (w, h, 3, p) }
+        else if (Bytes.isJpeg(b)) Jpeg.decodePixels(b)
+        else None
+      decoded.map { case (w, h, ch, pix) =>
+        def gray(sx: Int, sy: Int): Int = {
+          val base = (sy * w + sx) * ch
+          if (ch <= 2) pix(base) & 0xff // gray / gray+alpha
+          else ((pix(base) & 0xff) + (pix(base + 1) & 0xff) +
+            (pix(base + 2) & 0xff)) / 3 // rgb / rgba
+        }
+        val g = Array.tabulate(8, 9) { (y, x) =>
+          gray((x.toLong * w / 9).toInt, (y.toLong * h / 8).toInt)
+        }
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (g(y)(x + 1) > g(y)(x)) hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        (rec.id, hash >>> 32, hash & 0xffffffffL)
+      }
+    }).toDF("id", "dhash_hi", "dhash_lo")
+  }
+
   /** Read real files as media (driver for production use; kept thin). */
   def readBinaryFiles(spark: SparkSession, path: String, mime: String): Dataset[MediaRecord] = {
     import spark.implicits._

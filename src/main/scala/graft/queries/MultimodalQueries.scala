@@ -113,7 +113,16 @@ object MultimodalQueries {
       Media.extractStats(Media.resizeImages(mediaPng(s, dir), factor = 2))
         .toDF()
         .select(col("id"), col("mime"), col("n_samples"),
-          col("mean_val"), col("min_val"), col("max_val")))
+          col("mean_val"), col("min_val"), col("max_val"))),
+
+    // M9: perceptual difference-hash — the near-duplicate image
+    // fingerprint (decode → integer grayscale → 9×8 nearest-neighbor
+    // grid → 64 horizontal-gradient bits). Every step is integer-exact,
+    // so the oracle recomputes the hash bit-for-bit from the m4 fixture
+    // closed form; equality proves the full decode + downsample +
+    // gradient chain, not just a checksum.
+    "m9_image_dhash" -> ((s, dir) =>
+      Media.imageDHash(mediaPng(s, dir)))
   )
 
   /** The m4 fixture: doc_id % 3 == 1 → 8-bit RGB PNG, width 3 + n%13,
@@ -368,6 +377,36 @@ object MultimodalQueries {
          |SELECT id, 'image/png' AS mime, cnt::BIGINT AS n_samples,
          |       sum(v)::DOUBLE / count(*) AS mean_val,
          |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
-         |FROM pvals GROUP BY id, cnt""".stripMargin
+         |FROM pvals GROUP BY id, cnt""".stripMargin,
+
+    // the m9 twin replays the whole dHash chain over the m4 closed form:
+    // channel byte j = (id·29 + j·11) % 256, gray = (r+g+b)//3, grid
+    // src = ((x·w)//9, (y·h)//8), bit k = y·8+x iff right neighbor is
+    // brighter; halves rebuilt with BIGINT shifts (k−32 ≤ 31, no sign)
+    "m9_image_dhash" ->
+      """WITH m AS (SELECT doc_id AS id, (3 + n_chars % 13)::BIGINT AS w,
+        |                  (2 + doc_id % 9)::BIGINT AS h
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |g AS (SELECT id, y2.y AS y, x2.x AS x,
+        |             (((y2.y * h) // 8) * w + (x2.x * w) // 9) * 3 AS p
+        |      FROM m,
+        |      LATERAL (SELECT unnest(generate_series(0, 7)) AS y) y2,
+        |      LATERAL (SELECT unnest(generate_series(0, 8)) AS x) x2),
+        |gray AS (SELECT id, y, x,
+        |                (((id * 29 + p * 11) % 256)
+        |                 + ((id * 29 + (p + 1) * 11) % 256)
+        |                 + ((id * 29 + (p + 2) * 11) % 256)) // 3 AS gv
+        |         FROM g),
+        |bits AS (SELECT a.id, a.y * 8 + a.x AS k,
+        |                CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit
+        |         FROM gray a JOIN gray b
+        |           ON a.id = b.id AND a.y = b.y AND b.x = a.x + 1
+        |         WHERE a.x < 8)
+        |SELECT id,
+        |  sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+        |           ELSE 0 END)::BIGINT AS dhash_hi,
+        |  sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+        |           ELSE 0 END)::BIGINT AS dhash_lo
+        |FROM bits GROUP BY id""".stripMargin
   )
 }

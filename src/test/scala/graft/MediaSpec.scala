@@ -321,6 +321,50 @@ class MediaSpec extends SparkSpec {
     Media.wavPcm(full.dropRight(2)) shouldBe None
   }
 
+  "imageDHash" should "compute the hand-derived gradient hash on a synthetic ramp" in {
+    // 9×8 RGB with a horizontal brightness ramp: gray(x,y) = x·20, so
+    // every right neighbor is strictly brighter → all 64 bits set.
+    val ramp = Media.MediaRecord(1L, "image/png",
+      Media.pngBytesPixels(9, 8, j => ((j / 3) % 9) * 20))
+    // Reverse ramp: gray(x,y) = (8−x)·20 → no bit set.
+    val rev = Media.MediaRecord(2L, "image/png",
+      Media.pngBytesPixels(9, 8, j => (8 - (j / 3) % 9) * 20))
+    val got = Media.imageDHash(Seq(ramp, rev).toDS())
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    got(1L) shouldBe ((0xffffffffL, 0xffffffffL))
+    got(2L) shouldBe ((0L, 0L))
+  }
+
+  it should "be invariant to a non-clipping brightness shift but not to content" in {
+    def img(id: Long, shift: Int, seed: Int) = Media.MediaRecord(id, "image/png",
+      Media.pngBytesPixels(12, 10, j => (j * seed % 100) + 50 + shift))
+    val Seq(a, b, c) = Media.imageDHash(
+        Seq(img(1, 0, 7), img(2, 40, 7), img(3, 0, 13)).toDS())
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    (a._2, a._3) shouldBe ((b._2, b._3)) // +40 everywhere: gradients unchanged
+    (a._2, a._3) should not be ((c._2, c._3)) // different content
+  }
+
+  it should "hash BMP input identically to the same pixels as PNG" in {
+    // bmpBytes takes FILE-order (bottom-up) bytes; flip rows so the BMP's
+    // raster content equals the PNG's (gray sums make BGR-vs-RGB moot)
+    val rowB = 6 * 3
+    def v(j: Int): Int = (j * 31 + 5) % 256
+    def vb(j: Int): Int = v((3 - j / rowB) * rowB + j % rowB)
+    val png = Media.MediaRecord(1L, "image/png", Media.pngBytesPixels(6, 4, v))
+    val bmp = Media.MediaRecord(2L, "image/bmp", Media.bmpBytes(6, 4, vb))
+    val got = Media.imageDHash(Seq(png, bmp).toDS())
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    got(1L) shouldBe got(2L)
+  }
+
+  it should "drop undecodable payloads" in {
+    val recs = Seq(
+      Media.MediaRecord(1L, "image/png", Media.pngBytes(4, 4)), // header-only
+      Media.MediaRecord(2L, "text/plain", "not an image".getBytes("UTF-8")))
+    Media.imageDHash(recs.toDS()).count() shouldBe 0L
+  }
+
   "sampleFrames" should "emit stride-sampled frame indexes" in {
     val feats = Media.extractFeatures(media, Media.StubDecoder)
     val got = Media.sampleFrames(feats, every = 4)
