@@ -42,6 +42,24 @@ object TextQueries {
     "zh" -> (" 的 是 了 在 和 有 我" * 10))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F15: the pure-SQL surface — the same native expressions every other
+    // gate reaches through the Column API, here resolved by the PARSER via
+    // GraftExtensions' FunctionRegistry entries over a temp view. Proves a
+    // SQL-text user of the library (spark.sql, JDBC, notebook %%sql) gets
+    // identical integer-exact semantics, including the constant-argument
+    // fold (shingle width 5) through the SQL path.
+    "f15_sql_surface" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      s.sql("""SELECT doc_id,
+              |  floor(string_entropy(text) * 1000000 + 0.5) / 1000000.0
+              |    AS entropy,
+              |  poly_hash(text) AS text_hash,
+              |  token_length_sum(filter(split(text, '\\s+'),
+              |                          x -> length(x) > 0)) AS tok_chars,
+              |  cast(size(shingle_hashes(text, 5)) AS BIGINT) AS n_shingles
+              |FROM graft_docs""".stripMargin)
+    }),
+
     // X1: token counting — whitespace tokens plus a BPE-ish subword regex
     // (letter runs / digit runs / single punctuation), and char count.
     "x1_tokens" -> ((s, dir) =>
@@ -669,6 +687,34 @@ object TextQueries {
          |FROM p""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the f15 twin replays each registered SQL function from first
+    // principles: f4's char-entropy build, the rolling poly hash, token
+    // char sums, and the distinct-5-gram count (docs under 5 tokens
+    // carry 0 via the left join — shingle_hashes returns [] there)
+    "f15_sql_surface" ->
+      s"""WITH $toksSql,
+         |$shingSql,
+         |freq AS (
+         |  SELECT doc_id, ch, count(*)::DOUBLE AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+         |  GROUP BY doc_id, ch),
+         |tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id),
+         |ent AS (SELECT f.doc_id,
+         |          floor((sum(-(c/n) * log10(c/n) / log10(2))) * 1000000 + 0.5)
+         |            / 1000000.0 AS entropy
+         |        FROM freq f JOIN tot USING (doc_id) GROUP BY f.doc_id),
+         |ph AS (SELECT doc_id, ${hashSql("text")} AS text_hash FROM documents),
+         |tl AS (SELECT doc_id,
+         |         coalesce(list_sum(list_transform(tk, x -> len(x))), 0)::DOUBLE
+         |           AS tok_chars
+         |       FROM toks),
+         |ns AS (SELECT doc_id, count(*) AS n_shingles FROM shing GROUP BY doc_id)
+         |SELECT d.doc_id, ent.entropy, ph.text_hash, tl.tok_chars,
+         |       coalesce(ns.n_shingles, 0)::BIGINT AS n_shingles
+         |FROM documents d
+         |JOIN ent USING (doc_id) JOIN ph USING (doc_id) JOIN tl USING (doc_id)
+         |LEFT JOIN ns USING (doc_id)""".stripMargin,
+
     "x9_pii_redact" ->
       s"""WITH p AS ($piiInjectSql),
          |s1 AS (SELECT doc_id, txt,
