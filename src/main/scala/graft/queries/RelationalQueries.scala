@@ -438,6 +438,20 @@ object RelationalQueries {
         .limit(50)
         .select(col("o_orderkey"), (floor((col("o_totalprice")) * 100 + 0.5) / 100.0).as("total"))),
 
+    // T5: GROUPED top-k via the bounded-heap aggregator — the scale
+    // answer to `row_number() <= k` (which shuffles and sorts EVERY row;
+    // this ships ≤ k entries per group per partition, map-side combined,
+    // no sort). 97 hash groups × top-5 orders by cent-exact totalprice,
+    // ids break ties; the twin IS the window form, so the gate proves
+    // the bounded-state plan computes the identical relation.
+    "t5_grouped_topk" -> ((s, dir) =>
+      graft.operators.TopK.groupedTopK(
+        t(s, dir, "orders")
+          .select(pmod(col("o_custkey"), lit(97L)).as("g"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+            col("o_orderkey")),
+        Seq(col("g")), col("cents"), col("o_orderkey"), k = 5)),
+
     // U1: positional union then aggregate.
     "u1_union" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1294,6 +1308,19 @@ object RelationalQueries {
     "t1_topk" ->
       """SELECT o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100.0 AS total FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
+
+    // the t5 twin is the window form the aggregator replaces — identical
+    // relation, unbounded-state plan
+    "t5_grouped_topk" ->
+      """SELECT g, rank::INT AS rank, o_orderkey AS id, cents AS score FROM (
+        |  SELECT o_custkey % 97 AS g, o_orderkey,
+        |         floor(o_totalprice * 100 + 0.5)::BIGINT AS cents,
+        |         row_number() OVER (
+        |           PARTITION BY o_custkey % 97
+        |           ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey)
+        |           AS rank
+        |  FROM orders)
+        |WHERE rank <= 5""".stripMargin,
 
     "u1_union" ->
       """SELECT o_orderpriority, bucket, count(*) AS cnt FROM (

@@ -1565,7 +1565,55 @@ class OperatorsSpec extends SparkSpec {
       .exists(t => Option(t.getMessage).exists(_.contains("HdrAggregator"))) shouldBe true
   }
 
-  it should "agree with the closed-form bucket math on boundaries" in {
+  // --- grouped top-k ------------------------------------------------------
+
+  "TopK.groupedTopK" should "keep the k best per group with the exact tie rule" in {
+    import graft.operators.TopK
+    // group "a": scores 9,9,7,7,5 with a tie at 9 (ids 4,2 → 2 first)
+    // and at 7 (ids 1,3 → 1 before 3); k=3 cuts after (7, id 1).
+    val df = Seq(("a", 9L, 4L), ("a", 9L, 2L), ("a", 7L, 1L), ("a", 7L, 3L),
+      ("a", 5L, 9L), ("b", 1L, 8L)).toDF("g", "s", "id")
+    val got = TopK.groupedTopK(df, Seq(col("g")), col("s"), col("id"), k = 3)
+      .as[(String, Int, Long, Long)].collect().toSet
+    got shouldBe Set(
+      ("a", 1, 2L, 9L), ("a", 2, 4L, 9L), ("a", 3, 1L, 7L),
+      ("b", 1, 8L, 1L)) // groups smaller than k emit what they have
+  }
+
+  it should "be partitioning-invariant and equal the window form" in {
+    import graft.operators.TopK
+    val rng = new scala.util.Random(42)
+    val base = (1 to 500).map(i =>
+      (rng.nextInt(7).toLong, rng.nextInt(20).toLong, i.toLong))
+      .toDF("g", "s", "id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TopK.groupedTopK(df, Seq(col("g")), col("s"), col("id"), k = 4)
+        .as[(Long, Int, Long, Long)].collect().toSet
+    val got = run(base.repartition(32))
+    got shouldBe run(base.repartition(1))
+    // window-form oracle: row_number over (s desc, id asc)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy(desc("s"), asc("id"))
+    val oracle = base.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 4)
+      .select(col("g"), col("rank"), col("id"), col("s"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    got shouldBe oracle
+  }
+
+  it should "aggregate with bounded state, no window or sort of the input" in {
+    import graft.operators.TopK
+    val df = (1 to 100).map(i => (i % 5L, i.toLong, i.toLong)).toDF("g", "s", "id")
+    val plan = TopK.groupedTopK(df, Seq(col("g")), col("s"), col("id"), k = 3)
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    // both partial and final aggregation run the UDAF: map-side combine
+    // bounds the shuffle at k entries per group per partition
+    plan should include ("partial_topkaggregator")
+    plan should include ("ObjectHashAggregate")
+  }
+
+  "Sketches.HdrAggregator" should "agree with the closed-form bucket math on boundaries" in {
     import graft.operators.Sketches
     val agg = new Sketches.HdrAggregator(6, 40, Seq(500))
     // power-of-two boundaries land on fresh buckets whose lower bound is
