@@ -404,6 +404,29 @@ object RelationalQueries {
       scan.select("o_orderkey", "x", "y")
         .withColumn("files_pruned", lit(nSel * 2 <= nTot))}),
 
+    // A17: table profiling — the ANALYZE-stats layer: four numeric
+    // columns melt to narrow (col_name, v) rows and ONE hash aggregation
+    // computes rows/nulls/exact-ndv/min/max/sum-in-micros for all of
+    // them in a single shuffle (never one scan per column). Nulls are
+    // injected deterministically (extendedprice on every 13th orderkey)
+    // so the null-count path is really exercised; the twin replays the
+    // injection and one UNION ALL branch per column.
+    "a17_profile_num" -> ((s, dir) =>
+      graft.operators.Profile.numericProfile(
+        t(s, dir, "lineitem").withColumn("l_extendedprice",
+          when(col("l_orderkey") % 13 === 0, lit(null))
+            .otherwise(col("l_extendedprice"))),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // A17b: the string-column profile (lexicographic bounds + total
+    // length), same melt + one-pass shape over orders.
+    "a17b_profile_str" -> ((s, dir) =>
+      graft.operators.Profile.stringProfile(
+        t(s, dir, "orders").withColumn("o_orderpriority",
+          when(col("o_orderkey") % 11 === 0, lit(null))
+            .otherwise(col("o_orderpriority"))),
+        Seq("o_orderstatus", "o_orderpriority"))),
+
     // U3: intersect / except set operators.
     "u3_intersect_except" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1360,6 +1383,44 @@ object RelationalQueries {
         |         + GROUPING(o_orderpriority))::BIGINT AS gmask,
         |       count(*) AS cnt
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    // the a17 twins replay the null injection, the melt (one UNION ALL
+    // branch per column), and the single grouped aggregation
+    "a17_profile_num" ->
+      """WITH li AS (
+        |  SELECT l_quantity,
+        |         CASE WHEN l_orderkey % 13 = 0 THEN NULL
+        |              ELSE l_extendedprice END AS l_extendedprice,
+        |         l_discount, l_tax
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT 'l_quantity' AS col_name, l_quantity::DOUBLE AS v FROM li
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice::DOUBLE FROM li
+        |  UNION ALL SELECT 'l_discount', l_discount::DOUBLE FROM li
+        |  UNION ALL SELECT 'l_tax', l_tax::DOUBLE FROM li)
+        |SELECT col_name, count(*)::BIGINT AS n_rows,
+        |       sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |       count(DISTINCT v)::BIGINT AS n_distinct,
+        |       min(floor(v * 1000000 + 0.5))::BIGINT AS min_micro,
+        |       max(floor(v * 1000000 + 0.5))::BIGINT AS max_micro,
+        |       sum(floor(v * 1000000 + 0.5))::BIGINT AS sum_micro
+        |FROM m GROUP BY 1""".stripMargin,
+
+    "a17b_profile_str" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders),
+        |m AS (
+        |  SELECT 'o_orderstatus' AS col_name, o_orderstatus::VARCHAR AS v FROM o
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM o)
+        |SELECT col_name, count(*)::BIGINT AS n_rows,
+        |       sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |       count(DISTINCT v)::BIGINT AS n_distinct,
+        |       min(v) AS min_str, max(v) AS max_str,
+        |       sum(len(v))::BIGINT AS sum_len
+        |FROM m GROUP BY 1""".stripMargin,
 
     "u3_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'qty' AS metric,

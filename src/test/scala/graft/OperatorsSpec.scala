@@ -1613,6 +1613,41 @@ class OperatorsSpec extends SparkSpec {
     plan should include ("ObjectHashAggregate")
   }
 
+  // --- profiling ----------------------------------------------------------
+
+  "Profile.numericProfile" should "compute exact one-pass stats incl. nulls" in {
+    import graft.operators.Profile
+    val df = Seq((Some(1.5), Some(2.0)), (Some(2.5), None),
+      (None, Some(2.0))).toDF("a", "b")
+    val got = Profile.numericProfile(df, Seq("a", "b"))
+      .as[(String, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    got("a") shouldBe (("a", 3L, 1L, 2L,
+      Some(1500000L), Some(2500000L), Some(4000000L)))
+    got("b") shouldBe (("b", 3L, 1L, 1L,
+      Some(2000000L), Some(2000000L), Some(4000000L)))
+  }
+
+  it should "emit null bounds for an all-null column, never a fake zero" in {
+    import graft.operators.Profile
+    val df = Seq((1.0, Option.empty[Double]), (2.0, None)).toDF("a", "b")
+    val got = Profile.numericProfile(df, Seq("b"))
+      .as[(String, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    got shouldBe (("b", 2L, 2L, 0L, None, None, None))
+  }
+
+  "Profile.stringProfile" should "compute lexicographic bounds and total length" in {
+    import graft.operators.Profile
+    val df = Seq(("b", Some("xy")), ("a", None), ("c", Some("z")))
+      .toDF("s", "t")
+    val got = Profile.stringProfile(df, Seq("s", "t"))
+      .as[(String, Long, Long, Long, Option[String], Option[String], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    got("s") shouldBe (("s", 3L, 0L, 3L, Some("a"), Some("c"), Some(3L)))
+    got("t") shouldBe (("t", 3L, 1L, 2L, Some("xy"), Some("z"), Some(3L)))
+  }
+
   "Sketches.HdrAggregator" should "agree with the closed-form bucket math on boundaries" in {
     import graft.operators.Sketches
     val agg = new Sketches.HdrAggregator(6, 40, Seq(500))
