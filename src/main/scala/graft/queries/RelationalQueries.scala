@@ -427,6 +427,22 @@ object RelationalQueries {
             .otherwise(col("o_orderpriority"))),
         Seq("o_orderstatus", "o_orderpriority"))),
 
+    // A18: PSI distribution drift — the train/serve shift monitor: bins
+    // derived from the REFERENCE window's bounds (pre-Jan-20 events),
+    // per-bin ref/cur frequencies, (p−q)·ln(p/q) term per bin with the
+    // standard half-count smoothing for empty bins. Counts are exact
+    // integers; the term is micro-rounded (the f4 convention).
+    "a18_psi_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ts = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000"))
+        case _ => col("ts").cast("timestamp")
+      }
+      graft.operators.Profile.psiDrift(
+        ev.withColumn("is_ref", ts < lit("2024-01-20").cast("timestamp")),
+        col("value"), col("is_ref"), bins = 10)}),
+
     // U3: intersect / except set operators.
     "u3_intersect_except" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1421,6 +1437,29 @@ object RelationalQueries {
         |       min(v) AS min_str, max(v) AS max_str,
         |       sum(len(v))::BIGINT AS sum_len
         |FROM m GROUP BY 1""".stripMargin,
+
+    // the a18 twin replays the reference-bound bins, the half-count
+    // smoothing, and the micro-rounded ln term
+    "a18_psi_drift" ->
+      """WITH e AS (
+        |  SELECT value, ts < TIMESTAMP '2024-01-20' AS is_ref
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(value) AS lo, max(value) AS hi FROM e WHERE is_ref),
+        |tot AS (
+        |  SELECT sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::DOUBLE AS nr,
+        |         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)::DOUBLE AS nc
+        |  FROM e),
+        |c AS (
+        |  SELECT least(9, greatest(0,
+        |           floor((value - lo) / ((hi - lo) / 10))))::INT AS bin,
+        |         sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+        |         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)::BIGINT AS n_cur
+        |  FROM e, b GROUP BY 1)
+        |SELECT bin, n_ref, n_cur,
+        |  floor(((greatest(n_ref, 0.5) / nr) - (greatest(n_cur, 0.5) / nc))
+        |        * ln((greatest(n_ref, 0.5) / nr) / (greatest(n_cur, 0.5) / nc))
+        |        * 1000000 + 0.5) / 1000000.0 AS psi_term
+        |FROM c, tot""".stripMargin,
 
     "u3_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'qty' AS metric,

@@ -1648,6 +1648,39 @@ class OperatorsSpec extends SparkSpec {
     got("t") shouldBe (("t", 3L, 1L, 2L, Some("xy"), Some("z"), Some(3L)))
   }
 
+  "Profile.psiDrift" should "measure zero drift on identical halves and flag a shift" in {
+    import graft.operators.Profile
+    // identical distributions ref/cur → every p == q → every term 0
+    val same = ((1 to 100).map(i => (i % 10 * 1.0, true)) ++
+      (1 to 100).map(i => (i % 10 * 1.0, false))).toDF("v", "is_ref")
+    val zero = Profile.psiDrift(same, col("v"), col("is_ref"), bins = 5)
+      .agg(sum("psi_term")).as[Double].head()
+    zero shouldBe 0.0
+    // cur concentrated in the top bin → large positive PSI
+    val shifted = ((1 to 100).map(i => (i % 10 * 1.0, true)) ++
+      (1 to 100).map(_ => (9.0, false))).toDF("v", "is_ref")
+    val psi = Profile.psiDrift(shifted, col("v"), col("is_ref"), bins = 5)
+      .agg(sum("psi_term")).as[Double].head()
+    psi should be > 0.2
+  }
+
+  it should "clamp out-of-reference-range current values into edge bins" in {
+    import graft.operators.Profile
+    val df = (Seq((0.0, true), (10.0, true)) ++
+      Seq((-50.0, false), (999.0, false))).toDF("v", "is_ref")
+    val got = Profile.psiDrift(df, col("v"), col("is_ref"), bins = 4)
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    got(0)._3 shouldBe 1L // -50 → bin 0
+    got(3)._3 shouldBe 1L // 999 → bin 3
+  }
+
+  it should "refuse an empty or constant reference slice loudly" in {
+    import graft.operators.Profile
+    val flat = Seq((1.0, true), (1.0, true), (2.0, false)).toDF("v", "is_ref")
+    an[IllegalArgumentException] should be thrownBy
+      Profile.psiDrift(flat, col("v"), col("is_ref"))
+  }
+
   "Sketches.HdrAggregator" should "agree with the closed-form bucket math on boundaries" in {
     import graft.operators.Sketches
     val agg = new Sketches.HdrAggregator(6, 40, Seq(500))
