@@ -443,6 +443,27 @@ object RelationalQueries {
         ev.withColumn("is_ref", ts < lit("2024-01-20").cast("timestamp")),
         col("value"), col("is_ref"), bins = 10)}),
 
+    // U4: snapshot diff — the CDC/audit primitive for pipeline re-runs:
+    // one full-outer join on the key classifies every row of two table
+    // versions as added / removed / changed (with the changed-column
+    // list, null-safe per column) and emits only the delta. The "new"
+    // version is derived deterministically (drop %97 keys, bump
+    // totalprice on %13, clone %31 rows to fresh keys) so the twin
+    // replays the exact classification.
+    "u4_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val maxk = o.agg(max(col("o_orderkey").cast("long"))).head().getLong(0)
+      val nw = o.where(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .union(o.where(col("o_orderkey") % 31 === 0)
+          .select((col("o_orderkey") + maxk).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+      graft.operators.Diff.snapshotDiff(o, nw, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))}),
+
     // U3: intersect / except set operators.
     "u3_intersect_except" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1437,6 +1458,38 @@ object RelationalQueries {
         |       min(v) AS min_str, max(v) AS max_str,
         |       sum(len(v))::BIGINT AS sum_len
         |FROM m GROUP BY 1""".stripMargin,
+
+    // the u4 twin replays the derived new version and the full-outer
+    // classification with null-safe (IS DISTINCT FROM) comparisons
+    "u4_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |mk AS (SELECT max(o_orderkey) AS m FROM o),
+        |nw AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + m, o_orderstatus, o_totalprice
+        |  FROM o, mk WHERE o_orderkey % 31 = 0),
+        |j AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |              WHEN n.o_orderkey IS NULL THEN 'removed'
+        |              WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+        |                OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+        |                THEN 'changed'
+        |              ELSE 'unchanged' END AS status,
+        |         CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+        |              THEN concat_ws(',',
+        |                CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |                     THEN 'o_orderstatus' END,
+        |                CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |                     THEN 'o_totalprice' END)
+        |              ELSE '' END AS changed_cols
+        |  FROM o FULL OUTER JOIN nw n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, status, changed_cols FROM j
+        |WHERE status <> 'unchanged'""".stripMargin,
 
     // the a18 twin replays the reference-bound bins, the half-count
     // smoothing, and the micro-rounded ln term

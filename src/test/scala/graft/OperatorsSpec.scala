@@ -1648,6 +1648,34 @@ class OperatorsSpec extends SparkSpec {
     got("t") shouldBe (("t", 3L, 1L, 2L, Some("xy"), Some("z"), Some(3L)))
   }
 
+  "Diff.snapshotDiff" should "classify added/removed/changed with null-safe columns" in {
+    import graft.operators.Diff
+    val old = Seq((1L, Some("a"), Some(1.0)), (2L, Some("b"), Some(2.0)),
+      (3L, None, Some(3.0)), (4L, Some("d"), None)).toDF("k", "s", "v")
+    val nw = Seq((2L, Some("b"), Some(2.5)), // v changed
+      (3L, Some("c"), Some(3.0)), // null → value IS a change
+      (4L, Some("d"), Option.empty[Double]), // null == null: unchanged
+      (5L, Some("e"), Some(5.0))) // added
+      .toDF("k", "s", "v")
+    val got = Diff.snapshotDiff(old, nw, Seq("k"), Seq("s", "v"))
+      .as[(Long, String, String)].collect().toSet
+    got shouldBe Set(
+      (1L, "removed", ""),
+      (2L, "changed", "v"),
+      (3L, "changed", "s"),
+      (5L, "added", ""))
+  }
+
+  it should "report multiple changed columns in compare order and keep unchanged rows on demand" in {
+    import graft.operators.Diff
+    val old = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "s", "v")
+    val nw = Seq((1L, "x", 9.0), (2L, "b", 2.0)).toDF("k", "s", "v")
+    val all = Diff.snapshotDiff(old, nw, Seq("k"), Seq("s", "v"),
+        includeUnchanged = true)
+      .as[(Long, String, String)].collect().toSet
+    all shouldBe Set((1L, "changed", "s,v"), (2L, "unchanged", ""))
+  }
+
   "Profile.psiDrift" should "measure zero drift on identical halves and flag a shift" in {
     import graft.operators.Profile
     // identical distributions ref/cur → every p == q → every term 0
