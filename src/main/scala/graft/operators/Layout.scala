@@ -93,4 +93,36 @@ object Layout {
       else spark.read.parquet(selected: _*).where(residual)
     (scan, selected.length.toLong, all.length.toLong)
   }
+
+  /** Small-file compaction — the maintenance rewrite every long-lived
+    * table needs: streaming sinks and incremental batches leave
+    * thousands of KB-sized files whose open/footer overhead dominates
+    * scans and whose row groups are too small to skip. Size the output
+    * from the INPUT's actual bytes (a driver-side file listing — the
+    * same bounded metadata op any compactor performs): ceil(totalBytes /
+    * targetBytes) files, rewritten with one round-robin repartition (no
+    * sort — compaction restores file SIZE; clustering is zOrderWrite's
+    * job and composes by running it instead). `maxFiles` caps the output
+    * count regardless of bytes (the "compact to at most N" form).
+    * Returns (filesIn, filesOut, totalBytes) so callers can gate the
+    * I/O claim. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 128L << 20,
+              maxFiles: Option[Int] = None): (Long, Long, Long) = {
+    require(targetBytes >= (1L << 20),
+      s"targetBytes >= 1 MiB, got $targetBytes")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val bySize = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    val nOut = maxFiles.fold(bySize)(m => math.min(bySize, m.toLong)).toInt
+    spark.read.parquet(inPath)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length.toLong, outFiles.toLong, totalBytes)
+  }
 }

@@ -464,6 +464,24 @@ object RelationalQueries {
       graft.operators.Diff.snapshotDiff(o, nw, Seq("o_orderkey"),
         Seq("o_orderstatus", "o_totalprice"))}),
 
+    // Z4: small-file compaction driver-gated — orders written as 64
+    // deliberately tiny files, compacted by input-bytes sizing; the row
+    // set must survive identically (twin = plain projection) and
+    // `files_compacted` asserts the rewrite actually collapsed the file
+    // count (≤ 1/8 of the input files), so a sizing regression flips
+    // the column and hash-reds the gate.
+    "z4_compact" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val frag = java.nio.file.Files.createTempDirectory("z4_frag").toString
+      o.repartition(64).write.mode("overwrite").parquet(frag)
+      val out = java.nio.file.Files.createTempDirectory("z4_out").toString
+      val (nIn, nOut, _) = graft.operators.Layout.compact(s, frag, out,
+        targetBytes = 1L << 20, maxFiles = Some(8))
+      s.read.parquet(out)
+        .select(col("o_orderkey"),
+          (floor(col("o_totalprice") * 100 + 0.5) / 100.0).as("total"))
+        .withColumn("files_compacted", lit(nOut * 8 <= nIn))}),
+
     // U3: intersect / except set operators.
     "u3_intersect_except" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1458,6 +1476,13 @@ object RelationalQueries {
         |       min(v) AS min_str, max(v) AS max_str,
         |       sum(len(v))::BIGINT AS sum_len
         |FROM m GROUP BY 1""".stripMargin,
+
+    // the z4 twin is the plain projection — compaction must not touch
+    // one row; the file-count claim rides the constant files_compacted
+    "z4_compact" ->
+      """SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100.0 AS total,
+        |       true AS files_compacted
+        |FROM orders""".stripMargin,
 
     // the u4 twin replays the derived new version and the full-outer
     // classification with null-safe (IS DISTINCT FROM) comparisons

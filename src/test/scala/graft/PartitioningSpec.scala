@@ -128,4 +128,29 @@ class PartitioningSpec extends SparkSpec {
     n0 shouldBe 0L
     empty.count() shouldBe 0L
   }
+
+  "Layout.compact" should "collapse a fragmented directory without touching a row" in {
+    val frag = Files.createTempDirectory("frag").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("compacted").toFile.getAbsolutePath
+    val df = (1 to 5000).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    df.repartition(40).write.mode("overwrite").parquet(frag)
+    val (nIn, nOut, bytes) = graft.operators.Layout.compact(
+      spark, frag, out, targetBytes = 1L << 20)
+    nIn shouldBe 40L
+    nOut shouldBe 1L // 5k tiny rows fit one 1 MiB target file
+    bytes should be > 0L
+    spark.read.parquet(out).as[(Long, String)].collect().sortBy(_._1) shouldBe
+      (1 to 5000).map(i => (i.toLong, s"p$i"))
+  }
+
+  it should "honor the maxFiles cap" in {
+    val frag = Files.createTempDirectory("frag2").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("compacted2").toFile.getAbsolutePath
+    (1 to 1000).map(i => (i.toLong, "x" * 2000)).toDF("id", "payload")
+      .repartition(30).write.mode("overwrite").parquet(frag)
+    // tiny target would want many output files; the cap wins
+    val (_, nOut, _) = graft.operators.Layout.compact(
+      spark, frag, out, targetBytes = 1L << 20, maxFiles = Some(2))
+    nOut should be <= 2L
+  }
 }
