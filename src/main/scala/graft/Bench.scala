@@ -39,10 +39,13 @@ object Bench {
       "j9_salted_join", "a13_cms_counts", "j10_bloom_semi",
       "a14_hdr_quantiles", "g2_pagerank", "z1_zorder", "a15_cms_heavy",
       "a16_kmv_setops", "g3_triangles", "z3_manifest_prune",
-      "g4_cube", "u3_unpivot", "w4_lag_lead"),
+      "g4_cube", "u3_unpivot", "w4_lag_lead", "j11_star_join",
+      "t5_grouped_topk", "a17_profile_num", "a17b_profile_str",
+      "a18_psi_drift", "u4_snapshot_diff", "z4_compact"),
     "features" -> Seq(
       "f3_bin", "f4_entropy", "f8_flow_words", "x2_quality", "x3_langid",
-      "c2_gopher_rules", "x18_c4_filter", "x22_normalize"),
+      "c2_gopher_rules", "x18_c4_filter", "x22_normalize",
+      "f15_sql_surface"),
     "textops" -> Seq(
       "x27_chunk_overlap", "x28_pmi_collocations",
       "x11b_pack_concat", "x12_class_balance", "x13_top_ngrams",
@@ -63,10 +66,11 @@ object Bench {
       "v14_dim_stats", "v15_l2_normalize"),
     "pq" -> Seq(
       "v8b_pq_train", "v8_pq_encode", "v9_pq_adc", "v11_ivfpq",
-      "v11b_ivfpq_indexed", "v12_ann_recall"),
+      "v11b_ivfpq_indexed", "v12_ann_recall", "v16_sq8_encode",
+      "v17_sq8_adc"),
     "semantic" -> Seq("v10_semantic_dedup", "c1_curation"),
     "media" -> Seq("m4_png_stats", "m5_resize_stats", "m6_jpeg_stats",
-      "m7_avi_frames", "m8_wav_resample"),
+      "m7_avi_frames", "m8_wav_resample", "m9_image_dhash"),
     "pipeline" -> Seq(
       "pipeline_events_first", "pipe_events_fixedmodel", "pipeline_events",
       "pipeline_events_approx", "pe_stage_cuts", "pe_stage_featurize",

@@ -683,6 +683,70 @@ object RelationalQueries {
         .start().awaitTermination()
       s.read.parquet(out)}),
 
+    // ST9: STREAMING drift monitoring — a18's PSI run per tumbling
+    // window as a real streaming job: the reference distribution (bins
+    // from the pre-Jan-20 slice's bounds, per-bin counts) is a bounded
+    // batch pre-pass; the stream then only carries (window, bin) counts
+    // through windowedEventStats state, and the per-window PSI terms are
+    // a batch projection over the drained closed windows (densified to
+    // all 10 bins via explode — a missing bin IS drift and must surface
+    // with the half-count smoothing, not vanish). The twin replays the
+    // reference build, st3's closed-window rule, and the term math.
+    "st9_stream_psi" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def withTs(df: org.apache.spark.sql.DataFrame) =
+        rawSchema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+        }
+      val split = lit("2024-01-20").cast("timestamp")
+      // bounded reference pre-pass: bounds + ≤10 per-bin counts
+      val batch = withTs(s.read.parquet(s"$dir/events.parquet"))
+        .where(col("value").isNotNull)
+      val refSlice = batch.where(col("ts") < split)
+      val br = refSlice.agg(min(col("value")), max(col("value"))).head()
+      val (lo, hi) = (br.getDouble(0), br.getDouble(1))
+      val w10 = (hi - lo) / 10
+      def binOf(v: org.apache.spark.sql.Column) = least(lit(9),
+        greatest(lit(0), floor((v - lit(lo)) / lit(w10)).cast("int")))
+      val refCounts = refSlice.groupBy(binOf(col("value")).as("bin"))
+        .agg(count(lit(1)).as("n_ref"))
+      val nRef = refSlice.count().toDouble
+      // the stream: per-(window, bin) counts in streaming state
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = withTs(raw).where(col("value").isNotNull)
+      val agg = graft.streaming.StreamingScore.windowedEventStats(
+        ev, col("ts"), binOf(col("value")), lit(0L))
+      val out = java.nio.file.Files.createTempDirectory("st9_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("st9_ckpt").toString
+      agg.select(col("window.start").cast("long").as("w_start"),
+          col("key").cast("int").as("bin"), col("n_events"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      // batch projection over the drained stream: densify to 10 bins,
+      // per-window totals, smoothed PSI term per (window, bin)
+      val counts = s.read.parquet(out)
+        .select(col("w_start"), col("bin"), col("n_events").as("n_cur"))
+      val tot = counts.groupBy("w_start")
+        .agg(sum(col("n_cur")).cast("double").as("n_win"))
+      val dense = counts.select("w_start").distinct()
+        .withColumn("bin", explode(sequence(lit(0), lit(9))))
+      val full = dense.join(counts, Seq("w_start", "bin"), "left")
+        .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+        .join(tot, "w_start")
+        .join(broadcast(refCounts), Seq("bin"), "left")
+        .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      val p = greatest(col("n_ref").cast("double"), lit(0.5)) / lit(nRef)
+      val q = greatest(col("n_cur").cast("double"), lit(0.5)) / col("n_win")
+      full.select(col("w_start"), col("bin"), col("n_cur"),
+        (floor((p - q) * log(p / q) * 1000000 + lit(0.5)) / 1000000.0)
+          .as("psi_term"))}),
+
     // ST4: streaming SESSIONIZATION behind the driver's oracle — the
     // built-in session_window (variable-length state, unlike st3's fixed
     // tumbling windows) as a real append-mode streaming job. A session's
@@ -1609,6 +1673,42 @@ object RelationalQueries {
         |       min(us) AS first_us, max(us) AS last_us
         |FROM s, mx GROUP BY key, session_seq, mus
         |HAVING max(us) + 21600000000 <= mus""".stripMargin,
+
+    // the st9 twin: rebuild the reference bins, replay st3's
+    // closed-window rule, densify every closed window to all 10 bins,
+    // and apply the smoothed micro-rounded term math
+    "st9_stream_psi" ->
+      """WITH e AS (SELECT ts, value FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(value) AS lo, max(value) AS hi FROM e
+        |      WHERE ts < TIMESTAMP '2024-01-20'),
+        |r AS (SELECT least(9, greatest(0,
+        |               floor((value - lo) / ((hi - lo) / 10))))::INT AS bin,
+        |             count(*) AS n_ref
+        |      FROM e, b WHERE ts < TIMESTAMP '2024-01-20' GROUP BY 1),
+        |nr AS (SELECT sum(n_ref)::DOUBLE AS nref FROM r),
+        |mx AS (SELECT max(ts) AS mts FROM e),
+        |cnt AS (SELECT date_trunc('hour', ts) AS ws,
+        |               least(9, greatest(0,
+        |                 floor((value - lo) / ((hi - lo) / 10))))::INT AS bin,
+        |               count(*) AS n_cur
+        |        FROM e, b GROUP BY 1, 2),
+        |closed AS (SELECT DISTINCT ws FROM cnt, mx
+        |           WHERE ws + INTERVAL 1 HOUR <= mts),
+        |tot AS (SELECT ws, sum(n_cur)::DOUBLE AS n_win FROM cnt GROUP BY 1),
+        |dense AS (SELECT ws, g.bin FROM closed,
+        |          (SELECT unnest(generate_series(0, 9))::INT AS bin) g),
+        |f AS (SELECT d.ws, d.bin, coalesce(c.n_cur, 0)::BIGINT AS n_cur,
+        |             coalesce(r.n_ref, 0)::BIGINT AS n_ref
+        |      FROM dense d
+        |      LEFT JOIN cnt c ON d.ws = c.ws AND d.bin = c.bin
+        |      LEFT JOIN r ON d.bin = r.bin)
+        |SELECT epoch(f.ws)::BIGINT AS w_start, f.bin, f.n_cur,
+        |  floor(((greatest(f.n_ref, 0.5) / nref)
+        |         - (greatest(f.n_cur, 0.5) / t.n_win))
+        |        * ln((greatest(f.n_ref, 0.5) / nref)
+        |             / (greatest(f.n_cur, 0.5) / t.n_win))
+        |        * 1000000 + 0.5) / 1000000.0 AS psi_term
+        |FROM f JOIN tot t ON f.ws = t.ws, nr""".stripMargin,
 
     // the st3 twin: same tumbling windows + integer cent sums, keeping
     // only windows CLOSED at the final watermark (= max ts, delay 0) —
