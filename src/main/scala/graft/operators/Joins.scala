@@ -126,4 +126,35 @@ object Joins {
       .where(col(start) <= col(ts) && col(ts) < col(end))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join (interval × interval, the temporal-join
+    * workhorse: sessions × incidents, downtimes × deploys) as a bucketed
+    * equi join. Naively this is an inequality join — a nested-loop cross
+    * at scale. Here BOTH sides explode onto fixed-width buckets and join
+    * on the bucket plus the half-open overlap residual
+    * (`lStart < rEnd && rStart < lEnd`). An overlapping pair co-occupies
+    * every bucket its intersection spans, so to emit each pair EXACTLY
+    * once — with no distinct pass over the (huge) pair stream — a row is
+    * kept only in the bucket containing `greatest(lStart, rStart)`, the
+    * intersection's first instant, which lies in exactly one bucket.
+    * `bucketWidthMicros` trades explode duplication against residual
+    * selectivity — set it near the typical interval length. Inverted or
+    * empty intervals (end <= start) are dropped before the explode on
+    * both sides. Output: all left columns then all right columns. */
+  def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
+                          right: DataFrame, rStart: String, rEnd: String,
+                          bucketWidthMicros: Long): DataFrame = {
+    val w = bucketWidthMicros
+    def micros(c: String) = unix_micros(col(c).cast("timestamp_ltz"))
+    def burst(df: DataFrame, s: String, e: String) =
+      df.where(col(e) > col(s))
+        .withColumn("__bucket",
+          explode(sequence(floor(micros(s) / w), floor((micros(e) - 1) / w))))
+    val l = burst(left, lStart, lEnd)
+    val r = burst(right, rStart, rEnd)
+    l.join(r, Seq("__bucket"))
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        floor(greatest(micros(lStart), micros(rStart)) / w) === col("__bucket"))
+      .drop("__bucket")
+  }
 }

@@ -1001,6 +1001,35 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           (floor((sum(floor(col("o_totalprice") * 100)) / 100.0) * 100 + 0.5) / 100.0).as("total"))}),
 
+    // J12: interval-OVERLAP join (interval × interval — the temporal
+    // join j8 stops short of) through the bucketed equi path with the
+    // exactly-once rule: a pair is emitted only in the bucket holding
+    // greatest(start_a, start_b), so no distinct pass over the pair
+    // stream. Intervals derive from events deterministically (every 17th
+    // event opens a 3 h window, every 23rd a 2 h one); the twin is the
+    // plain inequality join, so the gate proves the bucketing loses and
+    // duplicates nothing.
+    "j12_interval_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ts = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000"))
+        case _ => col("ts").cast("timestamp")
+      }
+      val base = ev.select(col("event_id"), ts.as("t"))
+      val l = base.where(col("event_id") % 17 === 0)
+        .select(col("event_id").as("l_id"), col("t").as("l_start"),
+          (col("t") + expr("INTERVAL 3 HOURS")).as("l_end"))
+      val r = base.where(col("event_id") % 23 === 0)
+        .select(col("event_id").as("r_id"), col("t").as("r_start"),
+          (col("t") + expr("INTERVAL 2 HOURS")).as("r_end"))
+      graft.operators.Joins.intervalOverlapJoin(
+        l, "l_start", "l_end", r, "r_start", "r_end",
+        bucketWidthMicros = 3600L * 1000000)
+        .groupBy(col("l_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(col("r_id")).as("sum_rid"))}),
+
     // J6: as-of style join expressed with window over a union (latest order
     // per customer at a cutoff date) — composition of built-ins.
     "j6_latest_per_key" -> ((s, dir) => {
@@ -1777,6 +1806,21 @@ object RelationalQueries {
 
     "j8_range_join" -> RangeJoinOracle,
     "j8b_range_join_bucketed" -> RangeJoinOracle, // identical semantics
+
+    // the j12 twin is the PLAIN inequality overlap join — the bucketed
+    // path must lose and duplicate nothing
+    "j12_interval_overlap" ->
+      """WITH l AS (
+        |  SELECT event_id AS l_id, ts AS l_start,
+        |         ts + INTERVAL 3 HOUR AS l_end
+        |  FROM events WHERE event_id % 17 = 0),
+        |r AS (
+        |  SELECT event_id AS r_id, ts AS r_start,
+        |         ts + INTERVAL 2 HOUR AS r_end
+        |  FROM events WHERE event_id % 23 = 0)
+        |SELECT l_id, count(*) AS n_overlaps, sum(r_id)::BIGINT AS sum_rid
+        |FROM l JOIN r ON l_start < r_end AND r_start < l_end
+        |GROUP BY 1""".stripMargin,
 
     "j6_latest_per_key" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate

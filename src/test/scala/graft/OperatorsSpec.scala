@@ -1648,6 +1648,47 @@ class OperatorsSpec extends SparkSpec {
     got("t") shouldBe (("t", 3L, 1L, 2L, Some("xy"), Some("z"), Some(3L)))
   }
 
+  // --- interval overlap join ------------------------------------------------
+
+  "Joins.intervalOverlapJoin" should "emit each overlapping pair exactly once across buckets" in {
+    import graft.operators.Joins
+    def iv(rows: Seq[(Long, Long, Long)], p: String) =
+      rows.toDF(s"${p}_id", "s_us", "e_us")
+        .select(col(s"${p}_id"), timestamp_micros(col("s_us")).as(s"${p}_start"),
+          timestamp_micros(col("e_us")).as(s"${p}_end"))
+    // bucket width 10; left interval [5, 95) spans 10 buckets and overlaps
+    // both rights; [100, 110) touches r2 only at its exclusive end → no match
+    val l = iv(Seq((1L, 5L, 95L), (2L, 100L, 110L)), "l")
+    val r = iv(Seq((10L, 0L, 12L), (20L, 90L, 100L)), "r")
+    val got = Joins.intervalOverlapJoin(l, "l_start", "l_end",
+        r, "r_start", "r_end", bucketWidthMicros = 10L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
+    got shouldBe Seq((1L, 10L), (1L, 20L)) // exactly once each, no (2, 20)
+  }
+
+  it should "match a brute-force inequality join on random intervals and drop inverted ones" in {
+    import graft.operators.Joins
+    val rng = new scala.util.Random(7)
+    def mk(n: Int, p: String) = (1 to n).map { i =>
+      val s = rng.nextInt(1000).toLong
+      // every 7th interval inverted/empty: must vanish, not explode
+      val e = if (i % 7 == 0) s - rng.nextInt(3) else s + 1 + rng.nextInt(40)
+      (i.toLong, s, e)
+    }.toDF(s"${p}_id", "s_us", "e_us")
+      .select(col(s"${p}_id"), timestamp_micros(col("s_us")).as(s"${p}_start"),
+        timestamp_micros(col("e_us")).as(s"${p}_end"))
+    val l = mk(80, "l")
+    val r = mk(60, "r")
+    val got = Joins.intervalOverlapJoin(l, "l_start", "l_end",
+        r, "r_start", "r_end", bucketWidthMicros = 16L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
+    val brute = l.where(col("l_end") > col("l_start"))
+      .join(r.where(col("r_end") > col("r_start")),
+        col("l_start") < col("r_end") && col("r_start") < col("l_end"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
+    got shouldBe brute
+  }
+
   "Diff.snapshotDiff" should "classify added/removed/changed with null-safe columns" in {
     import graft.operators.Diff
     val old = Seq((1L, Some("a"), Some(1.0)), (2L, Some("b"), Some(2.0)),

@@ -58,6 +58,17 @@ def kind(dtype):
 
 def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
+    # Large-replica twins (v10/v4c at 30x+) spill gigabytes; default spill
+    # lands in ./.tmp on whatever partition the repo sits on and the
+    # default memory cap fights any still-running JVM. Both opt-in via env
+    # so the sf0.01 driver-faithful path stays byte-identical.
+    tmp = os.environ.get("GRAFT_DUCKDB_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
