@@ -747,6 +747,36 @@ object RelationalQueries {
         (floor((p - q) * log(p / q) * 1000000 + lit(0.5)) / 1000000.0)
           .as("psi_term"))}),
 
+    // ST10: SLIDING windows (each event in windowLen/slide overlapping
+    // windows — the semantics st3's tumbling case never exercises, and
+    // the state-store shape is different: len/slide concurrent open
+    // windows per key). 2-hour windows sliding by 1 hour over cent-exact
+    // sums; closed-window emission as in st3. The twin doubles every
+    // event into its two covering window starts.
+    "st10_stream_sliding" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = (rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }).withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      val agg = graft.streaming.StreamingScore.windowedEventStats(
+        ev, col("ts"), col("event_type"), col("cents"),
+        windowLen = "2 hours", slide = Some("1 hour"))
+      val out = java.nio.file.Files.createTempDirectory("st10_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("st10_ckpt").toString
+      agg.select(col("window.start").cast("long").as("w_start"),
+          col("key").as("event_type"), col("n_events"),
+          col("agg_sum").as("cents"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(out)}),
+
     // ST4: streaming SESSIONIZATION behind the driver's oracle — the
     // built-in session_window (variable-length state, unlike st3's fixed
     // tumbling windows) as a real append-mode streaming job. A session's
@@ -1738,6 +1768,22 @@ object RelationalQueries {
         |             / (greatest(f.n_cur, 0.5) / t.n_win))
         |        * 1000000 + 0.5) / 1000000.0 AS psi_term
         |FROM f JOIN tot t ON f.ws = t.ws, nr""".stripMargin,
+
+    // the st10 twin: every event belongs to the two 2-hour windows
+    // starting at its hour and the hour before; closed-window rule as st3
+    "st10_stream_sliding" ->
+      """WITH e AS (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+        |         event_type,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |mx AS (SELECT max(ts) AS mts FROM events)
+        |SELECT epoch(ws)::BIGINT AS w_start, event_type,
+        |       count(*) AS n_events, (sum(c))::BIGINT AS cents
+        |FROM e, mx
+        |GROUP BY ws, event_type, mts
+        |HAVING ws + INTERVAL 2 HOUR <= mts""".stripMargin,
 
     // the st3 twin: same tumbling windows + integer cent sums, keeping
     // only windows CLOSED at the final watermark (= max ts, delay 0) —

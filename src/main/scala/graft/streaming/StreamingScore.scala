@@ -51,11 +51,18 @@ object StreamingScore {
     * where a double sum is not — same discipline as the batch gates. */
   def windowedEventStats(events: DataFrame, ts: Column, key: Column,
                          agg: Column, windowLen: String = "1 hour",
-                         watermark: String = "0 seconds"): DataFrame =
+                         watermark: String = "0 seconds",
+                         slide: Option[String] = None): DataFrame =
     events
       .withColumn("__ts", ts)
       .withWatermark("__ts", watermark)
-      .groupBy(window(col("__ts"), windowLen).as("window"), key.as("key"))
+      .groupBy(
+        slide.fold(window(col("__ts"), windowLen))(s =>
+          // sliding windows: each event lands in len/slide open windows,
+          // state scales by the same factor; emission rule is unchanged
+          // (a window emits when the watermark passes its end)
+          window(col("__ts"), windowLen, s)).as("window"),
+        key.as("key"))
       .agg(count(lit(1)).as("n_events"), sum(agg).as("agg_sum"))
 
   /** Gap-based sessionization (built-in session_window): one row per
