@@ -34,7 +34,7 @@ object RelationalQueries {
       |         make_timestamp(y + 1, 1, 1, 0, 0, 0) AS pe
       |  FROM (SELECT unnest(generate_series(1995, 2000)) AS y))
       |SELECT period, count(*) AS n_orders,
-      |       floor((sum(floor(o_totalprice * 100)) / 100.0) * 100 + 0.5) / 100.0 AS total
+      |       floor((sum((floor(o_totalprice * 100))::BIGINT) / 100.0) * 100 + 0.5) / 100.0 AS total
       |FROM orders JOIN periods
       |  ON o_orderdate >= ps AND o_orderdate < pe
       |GROUP BY 1""".stripMargin
@@ -1097,7 +1097,7 @@ object RelationalQueries {
 
     "j1_equi_join" ->
       """SELECT n_name, count(*) AS order_cnt,
-        |       floor((sum(floor(o_totalprice * 100)) / 100.0) * 100 + 0.5) / 100.0 AS total_price
+        |       floor((sum((floor(o_totalprice * 100))::BIGINT) / 100.0) * 100 + 0.5) / 100.0 AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
@@ -1126,9 +1126,9 @@ object RelationalQueries {
     "a3_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
         |       floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty,
-        |       floor((sum(floor(l_extendedprice * 100)) / 100.0) * 100 + 0.5) / 100.0 AS sum_base_price,
-        |       floor((sum(floor(l_extendedprice * (1 - l_discount) * 100)) / 100.0) * 100 + 0.5) / 100.0 AS sum_disc_price,
-        |       floor((sum(floor(l_discount * 1000000)) / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS avg_disc,
+        |       floor((sum((floor(l_extendedprice * 100))::BIGINT) / 100.0) * 100 + 0.5) / 100.0 AS sum_base_price,
+        |       floor((sum((floor(l_extendedprice * (1 - l_discount) * 100))::BIGINT) / 100.0) * 100 + 0.5) / 100.0 AS sum_disc_price,
+        |       floor((sum((floor(l_discount * 1000000))::BIGINT) / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
@@ -1159,7 +1159,7 @@ object RelationalQueries {
 
     "j11_star_join" ->
       """SELECT n_name, count(*)::BIGINT AS n_items,
-        |       floor((sum(floor(l_extendedprice * (1 - l_discount) * 100))
+        |       floor((sum((floor(l_extendedprice * (1 - l_discount) * 100))::BIGINT)
         |              / 100.0) * 100 + 0.5) / 100.0 AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -1503,7 +1503,7 @@ object RelationalQueries {
     "d5_date_trunc" ->
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
         |       count(*) AS n,
-        |       floor((sum(floor(o_totalprice * 100)) / 100.0) * 100 + 0.5) / 100.0 AS total
+        |       floor((sum((floor(o_totalprice * 100))::BIGINT) / 100.0) * 100 + 0.5) / 100.0 AS total
         |FROM orders GROUP BY 1""".stripMargin,
 
     "t1_topk" ->
@@ -1581,7 +1581,7 @@ object RelationalQueries {
         |       count(DISTINCT v)::BIGINT AS n_distinct,
         |       min(floor(v * 1000000 + 0.5))::BIGINT AS min_micro,
         |       max(floor(v * 1000000 + 0.5))::BIGINT AS max_micro,
-        |       sum(floor(v * 1000000 + 0.5))::BIGINT AS sum_micro
+        |       sum((floor(v * 1000000 + 0.5))::BIGINT)::BIGINT AS sum_micro
         |FROM m GROUP BY 1""".stripMargin,
 
     "a17b_profile_str" ->

@@ -270,7 +270,7 @@ object VectorQueries {
   private def pqUpdateSql(assign: String): String =
     s"""SELECT sub, code, list(m ORDER BY pos) AS cw FROM (
        |    SELECT a.sub, a.code, i - 1 AS pos,
-       |      floor(sum(floor(s.sv[i] * 1000000000 + 0.5)) / count(*) + 0.5) / 1000000000.0 AS m
+       |      floor(sum((floor(s.sv[i] * 1000000000 + 0.5))::BIGINT) / count(*) + 0.5) / 1000000000.0 AS m
        |    FROM $assign a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub,
        |         LATERAL (SELECT unnest(generate_series(1, len(s.sv))) AS i)
        |    GROUP BY 1, 2, 3)
@@ -380,7 +380,7 @@ object VectorQueries {
       def updateSql(assign: String) =
         s"""SELECT centroid_id, list(m ORDER BY pos) AS cent FROM (
            |    SELECT centroid_id, i - 1 AS pos,
-           |      floor(sum(floor(e[i] * 1000000000 + 0.5)) / count(*) + 0.5) / 1000000000.0 AS m
+           |      floor(sum((floor(e[i] * 1000000000 + 0.5))::BIGINT) / count(*) + 0.5) / 1000000000.0 AS m
            |    FROM $assign a JOIN v USING (vec_id),
            |         LATERAL (SELECT unnest(generate_series(1, len(e))) AS i)
            |    GROUP BY 1, 2)
@@ -447,7 +447,7 @@ object VectorQueries {
       def updateSql(assign: String) =
         s"""SELECT centroid_id, list(m ORDER BY pos) AS cent FROM (
            |    SELECT centroid_id, i - 1 AS pos,
-           |      floor(sum(floor(e[i] * 1000000000 + 0.5)) / count(*) + 0.5) / 1000000000.0 AS m
+           |      floor(sum((floor(e[i] * 1000000000 + 0.5))::BIGINT) / count(*) + 0.5) / 1000000000.0 AS m
            |    FROM $assign a JOIN v USING (vec_id),
            |         LATERAL (SELECT unnest(generate_series(1, len(e))) AS i)
            |    GROUP BY 1, 2)
@@ -572,7 +572,7 @@ object VectorQueries {
       def updateSql(assign: String) =
         s"""SELECT centroid_id, list(m ORDER BY pos) AS cent FROM (
            |    SELECT centroid_id, i - 1 AS pos,
-           |      floor(sum(floor(e[i] * 1000000000 + 0.5)) / count(*) + 0.5) / 1000000000.0 AS m
+           |      floor(sum((floor(e[i] * 1000000000 + 0.5))::BIGINT) / count(*) + 0.5) / 1000000000.0 AS m
            |    FROM $assign a JOIN v USING (vec_id),
            |         LATERAL (SELECT unnest(generate_series(1, len(e))) AS i)
            |    GROUP BY 1, 2)
