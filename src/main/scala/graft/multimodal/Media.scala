@@ -111,6 +111,8 @@ object Media {
 
     def isJpeg(b: Array[Byte]): Boolean =
       b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+    def isGif(b: Array[Byte]): Boolean = Gif.isGif(b)
   }
 
   object HeaderDecoder extends MediaDecoder {
@@ -159,6 +161,8 @@ object Media {
           else if (isJpeg(b)) Jpeg.dimensions(b).map { case (w, h, _) => (w, h, 1) }
             .getOrElse((-1, -1, -1))
           else if (Avi.isAvi(b)) Avi.dimensions(b).getOrElse((-1, -1, -1))
+          else if (isGif(b)) Gif.dimensions(b).map { case (w, h) => (w, h, 1) }
+            .getOrElse((-1, -1, -1))
           else (-1, -1, -1)
         MediaFeatures(r.id, r.mime, b.length.toLong, h, w, ht, fr)
       }
@@ -377,6 +381,24 @@ object Media {
         }
       }
 
+    /** (n, sum, min, max) over the palette-mapped RGB channel bytes of a
+      * decodable GIF ([[Gif.decodePixels]]: full LZW + color-table decode,
+      * pure JVM). Interlaced or truncated payloads yield None. */
+    private def gifStats(b: Array[Byte]): Option[(Long, Long, Long, Long)] =
+      Gif.decodePixels(b).flatMap { case (_, _, pix) =>
+        if (pix.length == 0) None
+        else {
+          var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          var k = 0
+          while (k < pix.length) {
+            val v = (pix(k) & 0xff).toLong
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            k += 1
+          }
+          Some((pix.length.toLong, sum, mn, mx))
+        }
+      }
+
     /** (n, sum, min, max) over signed 16-bit PCM samples; None unless the
       * fmt chunk declares integer PCM at 16 bits. Same untrusted-size
       * discipline as [[HeaderDecoder.wavInfo]]. */
@@ -421,6 +443,7 @@ object Media {
           else if (isBmp(b)) bmpStats(b)
           else if (isWav(b)) wavStats(b)
           else if (isJpeg(b)) jpegStats(b)
+          else if (isGif(b)) gifStats(b)
           else None
         st.map { case (n, sum, mn, mx) =>
           MediaStats(r.id, r.mime, n, sum.toDouble / n, mn, mx)

@@ -122,8 +122,41 @@ object MultimodalQueries {
     // closed form; equality proves the full decode + downsample +
     // gradient chain, not just a checksum.
     "m9_image_dhash" -> ((s, dir) =>
-      Media.imageDHash(mediaPng(s, dir)))
+      Media.imageDHash(mediaPng(s, dir))),
+
+    // M10: REAL GIF decode — the fixture LZW-compresses known palette
+    // indices (run lengths 1-3, so dictionary matches and the KwKwK case
+    // occur) behind a 256-entry color table, and the decoder must walk
+    // the container, rebuild the LZW dictionary code-for-code, and map
+    // indices through the palette; the oracle recomputes the exact RGB
+    // channel aggregates from the closed form. This is the full GIF
+    // codec path: sub-blocks, variable-width codes, palette mapping.
+    "m10_gif_stats" -> ((s, dir) =>
+      Media.extractStats(mediaGif(s, dir)).toDF()
+        .select(col("id"), col("mime"), col("n_samples"),
+          col("mean_val"), col("min_val"), col("max_val")))
   )
+
+  /** The m10 fixture: doc_id % 3 == 0 → 256-color GIF, width 3 + n%14,
+    * height 1 + id%9, run length 1 + id%3; pixel j's palette index is
+    * (id·43 + (j/run)·17) % 256 and palette entry i is
+    * ((i·3+1)%256, (i·5+2)%256, (i·7+3)%256). */
+  private def mediaGif(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val palette = Array.tabulate(256)(i =>
+      (((i * 3 + 1) % 256) << 16) | (((i * 5 + 2) % 256) << 8) |
+        ((i * 7 + 3) % 256))
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, n) =>
+        val w = (3 + n % 14).toInt; val h = (1 + id % 9).toInt
+        val run = (1 + id % 3).toInt
+        val idx = Array.tabulate[Byte](w * h)(j =>
+          ((id * 43 + (j / run).toLong * 17) % 256).toByte)
+        MediaRecord(id, "image/gif",
+          graft.multimodal.Gif.encode(w, h, palette, idx))
+      }
+  }
 
   /** The m4 fixture: doc_id % 3 == 1 → 8-bit RGB PNG, width 3 + n%13,
     * height 2 + id%9, channel byte j = (id·29 + j·11) % 256. */
@@ -407,6 +440,27 @@ object MultimodalQueries {
         |           ELSE 0 END)::BIGINT AS dhash_hi,
         |  sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
         |           ELSE 0 END)::BIGINT AS dhash_lo
-        |FROM bits GROUP BY id""".stripMargin
+        |FROM bits GROUP BY id""".stripMargin,
+
+    // the m10 twin recomputes every palette index from the fixture closed
+    // form and maps it through the three channel formulas — equality
+    // proves the LZW dictionary rebuild + palette mapping recovered
+    // exactly the indices that were compressed
+    "m10_gif_stats" ->
+      """WITH m AS (SELECT doc_id AS id, 3 + n_chars % 14 AS w,
+        |                  1 + doc_id % 9 AS h, 1 + doc_id % 3 AS run
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT id, w, h,
+        |              (id * 43 + (j.j // run) * 17) % 256 AS idx
+        |       FROM m,
+        |       LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS j) j),
+        |ch AS (SELECT id, w, h,
+        |              unnest([(idx * 3 + 1) % 256, (idx * 5 + 2) % 256,
+        |                      (idx * 7 + 3) % 256]) AS v
+        |       FROM px)
+        |SELECT id, 'image/gif' AS mime, (w * h * 3)::BIGINT AS n_samples,
+        |       sum(v)::DOUBLE / count(*) AS mean_val,
+        |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+        |FROM ch GROUP BY id, w, h""".stripMargin
   )
 }
