@@ -401,4 +401,36 @@ object Quantization {
       .select(col("query_id"), col("cand_id"),
         (col("s_int").cast("double") / 1000000.0).as("adist"), col("rank"))
   }
+
+  /** ADC + exact re-rank (the IVFADC+R refinement pattern, Jégou et al.
+    * 2011 §V): take a `shortlist` of (query_id, cand_id) pairs from an
+    * approximate search run with k = R (R a few × the final k), recompute
+    * EXACT squared L2 on just those pairs, and keep the exact top-k. At
+    * scale the exact pass touches |Q|·R candidate vectors, not the
+    * corpus: the id-pair shortlist broadcasts against the corpus scan
+    * (one pass, no shuffle of the vectors), and the query vectors — by
+    * construction far fewer — broadcast onto the result. Approximation
+    * error then bounds which candidates SURVIVE to the shortlist, never
+    * their final order. Same 6-dp micro-unit determinism as the ADC
+    * stages. */
+  def adcRerank(shortlist: DataFrame, queries: DataFrame, corpus: DataFrame,
+                k: Int,
+                qId: String = "vec_id", qVec: String = "embedding",
+                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).cast("long").as("query_id"),
+      asDouble(col(qVec)).as("qv"))
+    val c = corpus.select(col(cId).cast("long").as("cand_id"),
+      asDouble(col(cVec)).as("cv"))
+    val pairs = shortlist.select("query_id", "cand_id")
+    val exact = c.join(broadcast(pairs), "cand_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        floor(round6(l2sq(col("qv"), col("cv"))) * 1000000 + 0.5)
+          .cast("long").as("d_int"))
+    val w = Window.partitionBy("query_id").orderBy(asc("d_int"), asc("cand_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"),
+        (col("d_int").cast("double") / 1000000.0).as("dist"), col("rank"))
+  }
 }

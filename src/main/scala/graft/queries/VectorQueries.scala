@@ -230,6 +230,23 @@ object VectorQueries {
         k = 5)
       Similarity.annRecallAtK(approx, exact, k = 5)}),
 
+    // V18: ADC shortlist + exact re-rank (IVFADC+R) — the v11 search run
+    // wide (k=20) to build a candidate shortlist, then exact squared-L2
+    // recomputed on just those |Q|·20 pairs and re-ranked to top-5. The
+    // exact pass joins the broadcast id-pair shortlist against the
+    // corpus scan — approximation decides who survives to the
+    // shortlist, exact distance decides the final order.
+    "v18_adc_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 8)
+      val resid = Quantization.ivfResiduals(emb, cents)
+      val cb = Quantization.seedCodebooks(resid.where(col("vec_id") >= 8),
+        numSub = 4, subDim = 16, k = 8, id = "vec_id", vec = "rv")
+      val shortlist = Quantization.ivfPqTopK(emb.where(col("vec_id") < 10),
+        emb, cents, cb, numSub = 4, subDim = 16, k = 20, nProbe = 2)
+      Quantization.adcRerank(shortlist, emb.where(col("vec_id") < 10), emb,
+        k = 5)}),
+
     // V13: Johnson–Lindenstrauss random projection 64 → 8 dims, exploded
     // to (vec_id, j, y) scalar rows for the hash compare. Map-only —
     // the pre-shuffle shrink step for every downstream ANN stage.
@@ -627,6 +644,28 @@ object VectorQueries {
     "v11_ivfpq" -> v11Sql,
     "v11b_ivfpq_indexed" -> v11Sql,
     "v12_ann_recall" -> v12Sql,
+
+    // v11's adc CTE ranked wide (20), then exact L2 on the shortlist
+    // pairs only, re-ranked to 5 — the same double-floor micro-unit form
+    // as the engine's round6 → ×1e6 integer
+    "v18_adc_rerank" ->
+      s"""WITH $v11Ctes,
+         |shortlist AS (
+         |  SELECT query_id, cand_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY s_int, cand_id) AS rank FROM adc)
+         |  WHERE rank <= 20),
+         |exact AS (
+         |  SELECT s.query_id, s.cand_id,
+         |    floor((floor((${l2Sql("q.e", "c.e")}) * 1000000 + 0.5) / 1000000.0)
+         |          * 1000000 + 0.5)::BIGINT AS d_int
+         |  FROM shortlist s JOIN v q ON q.vec_id = s.query_id
+         |       JOIN v c ON c.vec_id = s.cand_id)
+         |SELECT query_id, cand_id, (d_int::DOUBLE / 1000000.0) AS dist,
+         |       rank::INT AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY d_int, cand_id) AS rank FROM exact)
+         |WHERE rank <= 5""".stripMargin,
 
     // the same LCG closed form as the LSH plane twins, j*64+d mixing
     "v13_random_project" ->

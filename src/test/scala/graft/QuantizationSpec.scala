@@ -314,4 +314,30 @@ class QuantizationSpec extends SparkSpec {
     // never a shuffle of the code rows against the distance table
     plan should include("BroadcastHashJoin")
   }
+
+  "Quantization.adcRerank" should "order the shortlist by exact distance" in {
+    // shortlist deliberately in the WRONG (approximate) order: exact L2
+    // from query (0,0) ranks 30 < 10 < 20
+    val corpus = vecs(10L -> Seq(3.0, 0.0), 20L -> Seq(5.0, 0.0),
+      30L -> Seq(1.0, 0.0), 40L -> Seq(0.1, 0.0))
+    val queries = vecs(1L -> Seq(0.0, 0.0))
+    val shortlist = Seq((1L, 10L), (1L, 20L), (1L, 30L))
+      .toDF("query_id", "cand_id")
+    val got = Quantization.adcRerank(shortlist, queries, corpus, k = 2)
+      .select("query_id", "cand_id", "dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // 40 is NOT in the shortlist, so it cannot appear however close it is
+    got.map(_._2).toSeq shouldBe Seq(30L, 10L)
+    got.map(_._3).toSeq shouldBe Seq(1.0, 9.0)
+  }
+
+  it should "broadcast the shortlist against the corpus scan" in {
+    val corpus = vecs((0L to 50L).map(i => i -> Seq(i.toDouble, 0.0)): _*)
+    val queries = vecs(1L -> Seq(0.0, 0.0))
+    val shortlist = Seq((1L, 10L), (1L, 20L)).toDF("query_id", "cand_id")
+    val plan = Quantization.adcRerank(shortlist, queries, corpus, k = 2)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
 }
