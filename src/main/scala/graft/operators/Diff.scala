@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot reconciliation — the CDC/audit primitive for pipeline
@@ -47,5 +48,75 @@ object Diff {
         coalesce(col(s"o_$k"), col(s"n_$k")).as(k)) ++
         Seq(col("status"), col("changed_cols")): _*)
     if (includeUnchanged) out else out.where(col("status") =!= "unchanged")
+  }
+
+  /** ANSI-MERGE semantics as one declarative plan: given a `source` with
+    * the SAME schema as `target`, per target key —
+    * matched + `deleteWhen`  → row removed;
+    * matched + `updateWhen`  → non-key columns replaced by the source's;
+    * matched + neither       → row kept as-is;
+    * unmatched source + `insertWhen` → row inserted;
+    * unmatched target        → row kept.
+    * Conditions evaluate over the SOURCE row (the Delta-style subset);
+    * omitted conditions default to update-always / delete-never /
+    * insert-always, and a condition evaluating to null counts as false
+    * (SQL three-valued semantics). `guardUniqueSource` enforces the
+    * standard's multiple-matched-rows error lazily and distributed: a
+    * window count over the source key feeds `raise_error`, so a
+    * duplicate-key source fails the job instead of silently picking a
+    * winner.
+    *
+    * Plan shape: ONE full-outer shuffle join on the key; everything else
+    * is map-side projection + filter. A full-outer join cannot broadcast,
+    * so MERGE is honestly a shuffle-by-key operator — at 100 TB the win
+    * is upstream file pruning (only rewrite partitions the source keys
+    * touch, the [[graft.streaming.MergeSink]] bucket strategy), not a
+    * different join. */
+  def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
+                updateWhen: Option[Column] = None,
+                deleteWhen: Option[Column] = None,
+                insertWhen: Option[Column] = None,
+                guardUniqueSource: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    require(target.columns.toSet == source.columns.toSet,
+      s"mergeInto needs matching schemas: ${target.columns.mkString(",")} vs " +
+        source.columns.mkString(","))
+    val dataCols = target.columns.filterNot(keys.contains).toSeq
+    def flag(c: Option[Column], dflt: Boolean): Column =
+      coalesce(c.getOrElse(lit(dflt)), lit(false))
+    // evaluate the conditions BEFORE renaming, so callers write them over
+    // plain source column names
+    val guarded = if (!guardUniqueSource) source else {
+      val w = Window.partitionBy(keys.map(col): _*)
+      // raise_error rides the condition columns (one of the three is
+      // evaluated on every source-row path), so the guard cannot be
+      // pruned away and fires exactly when a duplicate key is TOUCHED
+      source.withColumn("__cnt", count(lit(1)).over(w))
+    }
+    def withGuard(c: Column): Column =
+      if (!guardUniqueSource) c
+      else when(col("__cnt") > 1,
+        raise_error(concat(lit("mergeInto: multiple source rows match key ("),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*), lit(")")))
+          .cast("boolean")).otherwise(c)
+    val s = guarded
+      .withColumn("__upd", withGuard(flag(updateWhen, dflt = true)))
+      .withColumn("__del", withGuard(flag(deleteWhen, dflt = false)))
+      .withColumn("__ins", withGuard(flag(insertWhen, dflt = true)))
+      .select((keys.map(col) ++ dataCols.map(c => col(c).as(s"__s_$c")) ++
+        Seq(col("__upd"), col("__del"), col("__ins"),
+          lit(true).as("__sp"))): _*)
+    val t = target.withColumn("__tp", lit(true))
+    val joined = t.join(s, keys, "full_outer")
+    val matched = col("__tp").isNotNull && col("__sp").isNotNull
+    joined
+      .where((col("__sp").isNull) ||                       // target-only
+        (col("__tp").isNull && col("__ins")) ||            // insert
+        (matched && !col("__del")))                        // keep / update
+      .select(keys.map(col) ++ dataCols.map { c =>
+        when(col("__tp").isNull, col(s"__s_$c"))           // inserted row
+          .when(matched && col("__upd"), col(s"__s_$c"))   // updated row
+          .otherwise(col(c)).as(c)
+      }: _*)
   }
 }

@@ -464,6 +464,27 @@ object RelationalQueries {
       graft.operators.Diff.snapshotDiff(o, nw, Seq("o_orderkey"),
         Seq("o_orderstatus", "o_totalprice"))}),
 
+    // U5: batch MERGE (upsert + delete) — ANSI MERGE semantics as one
+    // full-outer join plan: the source updates %13 keys (price +5,
+    // status 'U'), deletes %97 keys, and inserts %31 rows cloned to
+    // fresh keys; delete wins over update on the overlap (%1261). The
+    // twin replays the same three branches with anti/semi joins.
+    "u5_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val maxk = o.agg(max(col("o_orderkey").cast("long"))).head().getLong(0)
+      val k = col("o_orderkey")
+      val src = o.where(k % 13 === 0 || k % 97 === 0)
+        .select(k.as("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 5.0).as("o_totalprice"))
+        .union(o.where(k % 31 === 0)
+          .select((k + maxk).as("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")))
+      graft.operators.Diff.mergeInto(o, src, Seq("o_orderkey"),
+          deleteWhen = Some(col("o_orderkey") % 97 === 0))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (floor(col("o_totalprice") * 100 + 0.5) / 100.0).as("total"))}),
+
     // Z4: small-file compaction driver-gated — orders written as 64
     // deliberately tiny files, compacted by input-bytes sizing; the row
     // set must survive identically (twin = plain projection) and
@@ -1638,6 +1659,31 @@ object RelationalQueries {
         |  FROM o FULL OUTER JOIN nw n ON o.o_orderkey = n.o_orderkey)
         |SELECT o_orderkey, status, changed_cols FROM j
         |WHERE status <> 'unchanged'""".stripMargin,
+
+    // the u5 twin replays MERGE's three branches: kept targets (anti
+    // join), matched survivors taking source values (delete filtered
+    // first, so delete wins the %1261 overlap), and unmatched inserts
+    "u5_merge" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                  o_totalprice AS tp FROM orders),
+        |mk AS (SELECT max(k) AS m FROM o),
+        |src AS (
+        |  SELECT k, 'U' AS st, tp + 5.0 AS tp FROM o
+        |  WHERE k % 13 = 0 OR k % 97 = 0
+        |  UNION ALL
+        |  SELECT k + m, st, tp FROM o, mk WHERE k % 31 = 0),
+        |merged AS (
+        |  SELECT o.k, o.st, o.tp FROM o
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.k = o.k)
+        |  UNION ALL
+        |  SELECT s.k, s.st, s.tp FROM src s JOIN o ON o.k = s.k
+        |  WHERE s.k % 97 <> 0
+        |  UNION ALL
+        |  SELECT s.k, s.st, s.tp FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.k = s.k))
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |       floor(tp * 100 + 0.5) / 100.0 AS total
+        |FROM merged""".stripMargin,
 
     // the a18 twin replays the reference-bound bins, the half-count
     // smoothing, and the micro-rounded ln term

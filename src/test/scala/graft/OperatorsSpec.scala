@@ -1717,6 +1717,53 @@ class OperatorsSpec extends SparkSpec {
     all shouldBe Set((1L, "changed", "s,v"), (2L, "unchanged", ""))
   }
 
+  "Diff.mergeInto" should "update, delete, insert, and keep per MERGE semantics" in {
+    import graft.operators.Diff
+    val target = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0)).toDF("k", "s", "v")
+    val source = Seq((2L, "B", 2.5),  // matched → update
+      (3L, "x", 0.0),                 // matched + deleteWhen → delete
+      (5L, "e", 5.0),                 // unmatched → insert
+      (6L, "skip", 6.0))              // unmatched + !insertWhen → dropped
+      .toDF("k", "s", "v")
+    val got = Diff.mergeInto(target, source, Seq("k"),
+        deleteWhen = Some(col("s") === "x"),
+        insertWhen = Some(col("s") =!= "skip"))
+      .as[(Long, String, Double)].collect().toSet
+    got shouldBe Set((1L, "a", 1.0), (2L, "B", 2.5), (4L, "d", 4.0),
+      (5L, "e", 5.0))
+  }
+
+  it should "honor updateWhen and treat null conditions as false" in {
+    import graft.operators.Diff
+    val target = Seq((1L, Some("a"), 1.0), (2L, Some("b"), 2.0))
+      .toDF("k", "s", "v")
+    val source = Seq((1L, Some("A"), 1.5), (2L, Option.empty[String], 9.0))
+      .toDF("k", "s", "v")
+    // updateWhen = s IS NOT NULL evaluates null-ish only via the col;
+    // row 2's condition (s = 'A') is NULL → false → row kept as-is
+    val got = Diff.mergeInto(target, source, Seq("k"),
+        updateWhen = Some(col("s") === "A"))
+      .as[(Long, Option[String], Double)].collect().toSet
+    got shouldBe Set((1L, Some("A"), 1.5), (2L, Some("b"), 2.0))
+  }
+
+  it should "raise on duplicate source keys when guarded" in {
+    import graft.operators.Diff
+    val target = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
+    val dup = Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("k", "s", "v")
+    val ex = intercept[Exception] {
+      Diff.mergeInto(target, dup, Seq("k"), guardUniqueSource = true)
+        .collect()
+    }
+    ex.getMessage should include("multiple source rows")
+    // and a unique source passes untouched with the guard on
+    val ok = Diff.mergeInto(target, Seq((1L, "z", 3.0)).toDF("k", "s", "v"),
+        Seq("k"), guardUniqueSource = true)
+      .as[(Long, String, Double)].collect().toSet
+    ok shouldBe Set((1L, "z", 3.0))
+  }
+
   "Profile.psiDrift" should "measure zero drift on identical halves and flag a shift" in {
     import graft.operators.Profile
     // identical distributions ref/cur → every p == q → every term 0
