@@ -132,4 +132,51 @@ object Graph {
     tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Fixed-iteration synchronous label propagation (Raghavan et al. 2007,
+    * the standard community detector for link-graph curation) made fully
+    * deterministic: label_0(v) = v, and each round every node takes the
+    * MOST FREQUENT label among its neighbors, ties broken by the LOWEST
+    * label — so any engine replays the same labels bit-for-bit (the
+    * classic formulation's random tie-break cannot sit behind a hash
+    * oracle). Isolated nodes and nodes whose neighbors vanish keep their
+    * previous label. Fixed rounds rather than convergence: synchronous
+    * LPA can 2-cycle on bipartite structure, so a fixed-round result is
+    * the only replayable contract.
+    *
+    * Scale shape: per round ONE shuffle join of the undirected edge frame
+    * against the |V|-row label frame plus two map-side-combined
+    * aggregations — the neighbor-label count, then a max(struct(count,
+    * −label)) argmax that avoids any window over the node set. Edges are
+    * checkpointed once; the per-round label frame is checkpointed so plan
+    * depth stays constant. Nothing is collected. */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations in [1,50], got $iterations")
+    val und = edges
+      .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"))
+      .union(edges.select(col("dst").cast("long").as("a"),
+        col("src").cast("long").as("b"))
+        .where(col("a") =!= col("b")))
+      .distinct()
+      .localCheckpoint(false)
+    val nodes = und.select(col("a").as("node")).distinct().localCheckpoint(false)
+    var lbl = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      val pick = und
+        .join(lbl.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("new_label"))
+      lbl = lbl.join(pick, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(false)
+    }
+    lbl
+  }
 }

@@ -325,6 +325,21 @@ object RelationalQueries {
         .union(pairs.select((col("su") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
       graft.operators.Graph.pageRank(edges, iterations = 3)}),
 
+    // G5: deterministic label propagation (3 synchronous rounds,
+    // neighbor-mode labels, min-label tie-break) over the same trade
+    // bipartite graph as g2 — the community detector for link-graph
+    // curation. The twin unrolls the identical three rounds with
+    // windowed argmax picks.
+    "g5_label_prop" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").where(col("l_linenumber") === 1),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
+        .distinct()
+      val edges = pairs.select((col("c") * 2).as("src"),
+        (col("su") * 2 + 1).as("dst"))
+      graft.operators.Graph.labelPropagation(edges, iterations = 3)}),
+
     // G3: per-node triangle counts (degree-oriented wedge join — the
     // clustering-coefficient numerator) over the consecutive-event user
     // graph: an edge joins the users of adjacent event_ids, giving a
@@ -1356,6 +1371,44 @@ object RelationalQueries {
         |SELECT o_orderkey, x, y, TRUE AS files_pruned
         |FROM b
         |WHERE x BETWEEN 100 AND 300 AND y BETWEEN 9500 AND 10000""".stripMargin,
+
+    // the g5 twin unrolls the three synchronous LPA rounds; each pick is
+    // a windowed argmax (count DESC, label ASC) over the neighbor-label
+    // counts, and absent picks keep the previous label
+    "g5_label_prop" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS su
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |            WHERE l_linenumber = 1),
+        |und AS (SELECT 2 * c AS a, 2 * su + 1 AS b FROM e0
+        |        UNION
+        |        SELECT 2 * su + 1 AS a, 2 * c AS b FROM e0),
+        |nodes AS (SELECT DISTINCT a AS node FROM und),
+        |l0 AS (SELECT node, node AS label FROM nodes),
+        |p1 AS (SELECT a AS node, label FROM (
+        |         SELECT u.a, l.label, count(*) AS c,
+        |                row_number() OVER (PARTITION BY u.a
+        |                  ORDER BY count(*) DESC, l.label ASC) AS rn
+        |         FROM und u JOIN l0 l ON l.node = u.b
+        |         GROUP BY u.a, l.label) WHERE rn = 1),
+        |l1 AS (SELECT l0.node, coalesce(p1.label, l0.label) AS label
+        |       FROM l0 LEFT JOIN p1 ON p1.node = l0.node),
+        |p2 AS (SELECT a AS node, label FROM (
+        |         SELECT u.a, l.label, count(*) AS c,
+        |                row_number() OVER (PARTITION BY u.a
+        |                  ORDER BY count(*) DESC, l.label ASC) AS rn
+        |         FROM und u JOIN l1 l ON l.node = u.b
+        |         GROUP BY u.a, l.label) WHERE rn = 1),
+        |l2 AS (SELECT l1.node, coalesce(p2.label, l1.label) AS label
+        |       FROM l1 LEFT JOIN p2 ON p2.node = l1.node),
+        |p3 AS (SELECT a AS node, label FROM (
+        |         SELECT u.a, l.label, count(*) AS c,
+        |                row_number() OVER (PARTITION BY u.a
+        |                  ORDER BY count(*) DESC, l.label ASC) AS rn
+        |         FROM und u JOIN l2 l ON l.node = u.b
+        |         GROUP BY u.a, l.label) WHERE rn = 1),
+        |l3 AS (SELECT l2.node, coalesce(p3.label, l2.label) AS label
+        |       FROM l2 LEFT JOIN p3 ON p3.node = l2.node)
+        |SELECT node, label FROM l3""".stripMargin,
 
     // the g3 twin counts each triangle ONCE via the canonical a<b<c
     // 3-way self-join — per-node attribution is orientation-independent,

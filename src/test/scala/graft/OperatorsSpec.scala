@@ -1432,6 +1432,40 @@ class OperatorsSpec extends SparkSpec {
     run(edges.repartition(1)) shouldBe run(edges.repartition(32))
   }
 
+  "Graph.labelPropagation" should "converge a two-community barbell deterministically" in {
+    import graft.operators.Graph
+    // two triangles {1,2,3} and {7,8,9} joined by bridge 3—7: the two
+    // communities settle on their own labels (1 and 3) — the bridge is
+    // outvoted by the within-triangle majority on both sides
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 7L),
+      (7L, 8L), (7L, 9L), (8L, 9L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    got.keySet shouldBe Set(1L, 2L, 3L, 7L, 8L, 9L)
+    // round-by-round hand replay (mode over neighbors, ties → min):
+    // l1 = (1→2, 2→1, 3→1, 7→3, 8→7, 9→7)
+    // l2 = (1→1, 2→1, 3→1, 7→7, 8→3, 9→3)
+    // l3 = (1→1, 2→1, 3→1, 7→3, 8→3, 9→3)
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 3L, 8L -> 3L,
+      9L -> 3L)
+  }
+
+  it should "break label-frequency ties on the lowest label and be partitioning-invariant" in {
+    import graft.operators.Graph
+    // node 5 sees labels {1, 9} once each after round 1 → picks 1
+    val edges = Seq((5L, 1L), (5L, 9L)).toDF("src", "dst")
+    val r1 = Graph.labelPropagation(edges, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    r1(5L) shouldBe 1L
+    val rnd = new scala.util.Random(11)
+    val big = (1 to 400).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.labelPropagation(df, iterations = 3)
+        .as[(Long, Long)].collect().toMap
+    run(big.repartition(1)) shouldBe run(big.repartition(32))
+  }
+
   "Graph.triangleCounts" should "count known triangles once, per node" in {
     import graft.operators.Graph
     // K4 minus edge (1,4): triangles {1,2,3} and {2,3,4}
