@@ -42,7 +42,7 @@ object Bench {
       "g4_cube", "u3_unpivot", "w4_lag_lead", "j11_star_join",
       "t5_grouped_topk", "a17_profile_num", "a17b_profile_str",
       "a18_psi_drift", "u4_snapshot_diff", "z4_compact",
-      "j12_interval_overlap", "u5_merge", "g5_label_prop"),
+      "j12_interval_overlap", "u5_merge", "g5_label_prop", "w5_funnel"),
     "features" -> Seq(
       "f3_bin", "f4_entropy", "f8_flow_words", "x2_quality", "x3_langid",
       "c2_gopher_rules", "x18_c4_filter", "x22_normalize",

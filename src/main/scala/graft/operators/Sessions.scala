@@ -55,4 +55,49 @@ object Sessions {
       .agg(count(lit(1)).as("n_events"),
         min(unix_micros(ts.cast("timestamp_ltz"))).as("first_us"),
         max(unix_micros(ts.cast("timestamp_ltz"))).as("last_us"))
+
+  /** Ordered funnel matching (the MATCH_RECOGNIZE-lite every analytics
+    * stack ships): per key, the earliest event satisfying step 0, then
+    * the earliest step-1 event STRICTLY after it, and so on — the greedy
+    * leftmost match, which is the standard funnel semantics and the only
+    * deterministic one (strict `>` also stops one event from satisfying
+    * two steps at the same instant). Returns one row per key that
+    * reached step 0: `depth` (1..n steps completed) and `t_<name>` epoch
+    * micros per step, null where the funnel stalled.
+    *
+    * Shape: one filtered map-side projection evaluates every step
+    * predicate in a single pass over the events; each step is then a
+    * min-aggregation shuffled on the key joined against the previous
+    * frontier — n aggregations and n−1 equi joins ALL keyed the same, so
+    * AQE reuses the exchange and nothing is ever collected or sorted
+    * globally. Greedy-leftmost is provably optimal for reach (if any
+    * assignment completes k steps, the greedy one does), so no
+    * backtracking pass exists to pay for. */
+  def funnel(events: DataFrame, key: Column, ts: Column,
+             steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.map(_._1).distinct.size == steps.size,
+      s"duplicate step names in ${steps.map(_._1).mkString(",")}")
+    val ev = events.select(
+      (key.as("key") +: unix_micros(ts.cast("timestamp")).as("us") +:
+        steps.zipWithIndex.map { case ((_, p), i) => p.as(s"__s$i") }): _*)
+    val stage0 = ev.where(col("__s0")).groupBy("key")
+      .agg(min("us").as("t0"))
+    val stages = steps.indices.drop(1).scanLeft(stage0) { (prev, i) =>
+      ev.where(col(s"__s$i"))
+        .join(prev.select(col("key"), col(s"t${i - 1}")), "key")
+        .where(col("us") > col(s"t${i - 1}"))
+        .groupBy("key").agg(min("us").as(s"t$i"))
+    }
+    val joined = stages.tail.foldLeft(stage0) { (acc, st) =>
+      acc.join(st.select(col("key"), st.columns.filter(_ != "key").map(col).head),
+        Seq("key"), "left")
+    }
+    val depth = steps.indices.map(i =>
+      when(col(s"t$i").isNotNull, 1).otherwise(0)).reduce(_ + _)
+    joined.select(
+      (col("key") +: depth.cast("int").as("depth") +:
+        steps.zipWithIndex.map { case ((n, _), i) =>
+          col(s"t$i").as(s"t_$n") }): _*)
+  }
 }

@@ -635,6 +635,19 @@ object RelationalQueries {
           coalesce(lead(col("us"), 1).over(w) - col("us"), lit(-1L)).as("next_gap_us"),
           ntile(4).over(w).cast("long").as("quartile"))}),
 
+    // W5: ordered funnel matching (greedy-leftmost view → click →
+    // purchase per user) — per step the earliest qualifying event
+    // strictly after the previous stage; one row per user who started
+    // the funnel, with completion depth and stage epoch-micros.
+    "w5_funnel" -> ((s, dir) =>
+      graft.operators.Sessions.funnel(
+        t(s, dir, "events").where(col("user_id").isNotNull),
+        col("user_id"), col("ts"),
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+        .withColumnRenamed("key", "user_id")),
+
     // G1: grouping sets via rollup (beyond-reference completeness).
     "g1_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -1783,6 +1796,25 @@ object RelationalQueries {
         |       (ntile(4) OVER w)::BIGINT AS quartile
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+
+    // the w5 twin replays the greedy-leftmost stage chain: each stage is
+    // the min event time strictly after the previous stage's time
+    "w5_funnel" ->
+      """WITH ev AS (SELECT user_id AS k, epoch_us(ts)::BIGINT AS us,
+        |                   event_type FROM events
+        |            WHERE user_id IS NOT NULL),
+        |s0 AS (SELECT k, min(us) AS t0 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.k, min(us) AS t1 FROM ev e JOIN s0 ON s0.k = e.k
+        |       WHERE event_type = 'click' AND us > t0 GROUP BY 1),
+        |s2 AS (SELECT e.k, min(us) AS t2 FROM ev e JOIN s1 ON s1.k = e.k
+        |       WHERE event_type = 'purchase' AND us > t1 GROUP BY 1)
+        |SELECT s0.k AS user_id,
+        |       (1 + CASE WHEN s1.k IS NULL THEN 0 ELSE 1 END
+        |          + CASE WHEN s2.k IS NULL THEN 0 ELSE 1 END)::INT AS depth,
+        |       s0.t0::BIGINT AS t_view, s1.t1::BIGINT AS t_click,
+        |       s2.t2::BIGINT AS t_purchase
+        |FROM s0 LEFT JOIN s1 ON s1.k = s0.k LEFT JOIN s2 ON s2.k = s0.k""".stripMargin,
 
     "j7_asof_join" ->
       """SELECT a.event_id, a.user_id, m.marker_id

@@ -1432,6 +1432,45 @@ class OperatorsSpec extends SparkSpec {
     run(edges.repartition(1)) shouldBe run(edges.repartition(32))
   }
 
+  "Sessions.funnel" should "match stages greedily in strict time order" in {
+    import graft.operators.Sessions
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1 completes: view@1, click@5 (the @0 click is BEFORE the
+      // view and must not count), purchase@9
+      (1L, t(0), "click"), (1L, t(1), "view"), (1L, t(5), "click"),
+      (1L, t(9), "purchase"),
+      // user 2 stalls at depth 2: purchase@3 precedes its click@4
+      (2L, t(2), "view"), (2L, t(3), "purchase"), (2L, t(4), "click"),
+      // user 3 never views → excluded entirely
+      (3L, t(1), "click"), (3L, t(2), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Sessions.funnel(ev, col("user_id"), col("ts"),
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+      .as[(Long, Int, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    got.keySet shouldBe Set(1L, 2L)
+    got(1L) shouldBe ((1L, 3, Some(1000000L), Some(5000000L), Some(9000000L)))
+    got(2L) shouldBe ((2L, 2, Some(2000000L), Some(4000000L), None))
+  }
+
+  it should "refuse same-instant double-matching (strict >)" in {
+    import graft.operators.Sessions
+    import java.sql.Timestamp
+    // view and click at the SAME instant: click is not after view
+    val ev = Seq((1L, new Timestamp(5000L), "view"),
+      (1L, new Timestamp(5000L), "click")).toDF("user_id", "ts", "event_type")
+    val got = Sessions.funnel(ev, col("user_id"), col("ts"),
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click")))
+      .as[(Long, Int, Option[Long], Option[Long])].collect()
+    got.length shouldBe 1
+    got.head._2 shouldBe 1 // depth 1: the funnel stalls at view
+  }
+
   "Graph.labelPropagation" should "converge a two-community barbell deterministically" in {
     import graft.operators.Graph
     // two triangles {1,2,3} and {7,8,9} joined by bridge 3—7: the two
