@@ -867,6 +867,32 @@ object RelationalQueries {
     // batch interval join — which is the twin. Completes the streaming
     // ladder: st1 stateless, st2 custom state, st3 fixed windows,
     // st4 session windows, st5 two-sided join state.
+    // ST11: stream-STATIC enrichment join — the dimension-lookup shape
+    // every streaming pipeline needs (the static side is re-read and
+    // broadcast per micro-batch; stateless, append-legal, no watermark).
+    // The twin is the plain batch join: the streaming form changes WHEN
+    // the dimension is read, never the result.
+    "st11_stream_static" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val dim = Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val joined = ev.join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("n_name"),
+          col("event_type"))
+      val out = java.nio.file.Files.createTempDirectory("st11_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("st11_ckpt").toString
+      joined.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(out)}),
+
     "st5_stream_join" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
@@ -1349,6 +1375,14 @@ object RelationalQueries {
         | AND m.event_id % 10 = 0
         | AND m.ts >= e.ts - INTERVAL 1 HOUR
         | AND m.ts <= e.ts""".stripMargin,
+
+    // the st11 twin is the plain dimension join — stream-static joins
+    // change WHEN the dim is read (per micro-batch), never the result
+    "st11_stream_static" ->
+      """SELECT e.event_id, e.user_id, n.n_name, e.event_type
+        |FROM events e
+        |JOIN customer c ON c.c_custkey = e.user_id
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey""".stripMargin,
 
     // the z1 twin replays the Morton interleave term by term — integer
     // floor-div/mod/multiply only
