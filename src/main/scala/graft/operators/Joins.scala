@@ -19,7 +19,9 @@ object Joins {
     * inclusive, and the tiebreak rule is unchanged).
     * When two right rows can share (keys, rightTs), pass `rightTiebreak`
     * (greatest wins) — without it the winner among exact-timestamp ties is
-    * partitioning-dependent.
+    * partitioning-dependent. `toleranceMicros` bounds how STALE a match
+    * may be (pandas merge_asof's tolerance): a left row whose nearest
+    * in-direction right row is further than the tolerance drops.
     *
     * Shape — merge, not join: both sides union into one stream tagged by
     * side, each key partition is sorted once by (ts, side, tiebreak), and
@@ -36,7 +38,8 @@ object Joins {
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                rightTiebreak: Option[String] = None,
-               forward: Boolean = false): DataFrame = {
+               forward: Boolean = false,
+               toleranceMicros: Option[Long] = None): DataFrame = {
     val leftPayload = left.columns.filterNot(keys.contains).toSeq
     val rightPayload = right.columns
       .filterNot(c => keys.contains(c) || c == rightTs).toSeq
@@ -82,11 +85,41 @@ object Joins {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("__side").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rSide.unionByName(lSide)
-      .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1 && col("__match").isNotNull)
-      .select(keys.map(col) ++ leftPayload.map(col) ++
-        rightPayload.map(c => col(s"__match.$c").as(c)): _*)
+    val union = rSide.unionByName(lSide)
+    toleranceMicros match {
+      case None =>
+        union
+          .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
+          .where(col("__side") === 1 && col("__match").isNotNull)
+          .select(keys.map(col) ++ leftPayload.map(col) ++
+            rightPayload.map(c => col(s"__match.$c").as(c)): _*)
+      case Some(tol) =>
+        // tolerance: the carried match must lie within `tol` of the left
+        // row's instant. The carry keeps the NEAREST right row in the
+        // match direction, so if that one is out of tolerance every
+        // other candidate is further away — one filter, no re-search.
+        // Units: micros for timestamp columns, the column's own units
+        // for numeric ts columns.
+        require(tol >= 0, s"toleranceMicros must be >= 0, got $tol")
+        val tsv = left.schema(leftTs).dataType match {
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType =>
+            unix_micros(col("__ts").cast("timestamp_ltz"))
+          case _ => col("__ts").cast("long")
+        }
+        val diff =
+          if (forward) col("__mts") - col("__tsv")
+          else col("__tsv") - col("__mts")
+        union
+          .withColumn("__tsv", tsv)
+          .withColumn("__rtsv", when(col("__side") === 0, col("__tsv")))
+          .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
+          .withColumn("__mts", last(col("__rtsv"), ignoreNulls = true).over(w))
+          .where(col("__side") === 1 && col("__match").isNotNull &&
+            diff <= tol)
+          .select(keys.map(col) ++ leftPayload.map(col) ++
+            rightPayload.map(c => col(s"__match.$c").as(c)): _*)
+    }
   }
 
   /** Range (interval-containment) join as a bucketed EQUI join — the scale

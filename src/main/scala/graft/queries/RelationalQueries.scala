@@ -691,6 +691,22 @@ object RelationalQueries {
         rightTiebreak = Some("marker_id"))
         .select(col("event_id"), col("user_id"), col("marker_id"))}),
 
+    // J7d: as-of join with a STALENESS TOLERANCE (merge_asof tolerance):
+    // same match rule as j7, but a marker more than 30 minutes older
+    // than the event no longer qualifies — the carry already holds the
+    // nearest marker, so tolerance is one filter, never a re-search.
+    "j7d_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val markers = ev.where(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("marker_id"))
+      graft.operators.Joins.asOfJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        markers, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightTiebreak = Some("marker_id"),
+        toleranceMicros = Some(30L * 60 * 1000000))
+        .select(col("event_id"), col("user_id"), col("marker_id"))}),
+
     // W3: batch sessionization (gaps-and-islands) — per-user sessions with
     // a 6-hour gap rule, summarized per session. The batch twin of the
     // streaming session_window path.
@@ -1856,6 +1872,19 @@ object RelationalQueries {
         |ASOF JOIN (SELECT user_id, ts, max(event_id) AS marker_id
         |           FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2) m
         |  ON a.user_id = m.user_id AND a.ts >= m.ts""".stripMargin,
+
+    // the j7d twin bounds the candidate window to the tolerance and
+    // ranks: the nearest (then max-id) marker within 30 minutes
+    "j7d_asof_tolerance" ->
+      """WITH m AS (SELECT user_id, ts, max(event_id) AS marker_id
+        |           FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2)
+        |SELECT event_id, user_id, marker_id FROM (
+        |  SELECT a.event_id, a.user_id, m.marker_id,
+        |         row_number() OVER (PARTITION BY a.event_id
+        |           ORDER BY m.ts DESC, m.marker_id DESC) AS rn
+        |  FROM events a JOIN m ON m.user_id = a.user_id
+        |    AND m.ts <= a.ts AND m.ts >= a.ts - INTERVAL 30 MINUTE)
+        |WHERE rn = 1""".stripMargin,
 
     "w3_sessionize" ->
       """WITH e AS (

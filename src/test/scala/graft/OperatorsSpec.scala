@@ -698,6 +698,32 @@ class OperatorsSpec extends SparkSpec {
     fwd shouldBe Map(1L -> 105.0, 2L -> 105.0, 4L -> 50.0)
   }
 
+  it should "drop matches staler than the tolerance, both directions" in {
+    import graft.operators.Joins
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val quotes = Seq(("A", t(0), 100.0), ("A", t(10), 105.0), ("B", t(5), 50.0))
+      .toDF("sym", "qts", "px")
+    val trades = Seq((1L, "A", t(4)), (2L, "A", t(10)), (3L, "A", t(30)),
+      (5L, "B", t(6))).toDF("tid", "sym", "tts")
+    // 5-minute tolerance: trade 3 (nearest quote 20 min old) drops;
+    // trade 1 (4 min) and exact hits stay
+    val tol = Joins.asOfJoin(trades, quotes, Seq("sym"), "tts", "qts",
+        toleranceMicros = Some(5L * 60 * 1000000))
+      .select(col("tid"), col("px")).as[(Long, Double)].collect().toMap
+    tol shouldBe Map(1L -> 100.0, 2L -> 105.0, 5L -> 50.0)
+    // boundary is inclusive: exactly-tolerance-old still matches
+    val edge = Joins.asOfJoin(trades, quotes, Seq("sym"), "tts", "qts",
+        toleranceMicros = Some(4L * 60 * 1000000))
+      .select(col("tid"), col("px")).as[(Long, Double)].collect().toMap
+    edge.keySet should contain(1L)
+    // forward: trade 1 (next quote 6 min ahead) drops at 5 min tolerance
+    val fwdTol = Joins.asOfJoin(trades, quotes, Seq("sym"), "tts", "qts",
+        forward = true, toleranceMicros = Some(5L * 60 * 1000000))
+      .select(col("tid"), col("px")).as[(Long, Double)].collect().toMap
+    fwdTol shouldBe Map(2L -> 105.0)
+  }
+
   "Scoring.score" should "gate the doc-mix broadcast hint on estimated size" in {
     import graft.ml.TopicModel
     import graft.operators.Scoring
