@@ -26,6 +26,9 @@ class PlanAuditSpec extends SparkSpec {
                           // bucket-pruned scan + broadcast equi join
     "v12_ann_recall", // exact ground-truth side = v2's bounded broadcast
                       // cross (10 queries); the recall joins are equi
+    "v18_adc_rerank", // embeds v11's search (same 8-centroid assignment
+                      // cross); the re-rank itself is broadcast EQUI
+                      // joins on cand_id/query_id only
     "x21_temperature_mix", // |classes|-row frame × its broadcast ONE-row
                            // normalizer sum — the scalar-subquery shape
     "a13_cms_counts", // per-type sketch rows × broadcast 10-probe frame —
