@@ -42,7 +42,8 @@ object Bench {
       "g4_cube", "u3_unpivot", "w4_lag_lead", "j11_star_join",
       "t5_grouped_topk", "a17_profile_num", "a17b_profile_str",
       "a18_psi_drift", "u4_snapshot_diff", "z4_compact",
-      "j12_interval_overlap", "u5_merge", "g5_label_prop", "w5_funnel"),
+      "j12_interval_overlap", "u5_merge", "g5_label_prop", "w5_funnel",
+      "u6_scd2", "j7d_asof_tolerance"),
     "features" -> Seq(
       "f3_bin", "f4_entropy", "f8_flow_words", "x2_quality", "x3_langid",
       "c2_gopher_rules", "x18_c4_filter", "x22_normalize",
@@ -68,11 +69,11 @@ object Bench {
     "pq" -> Seq(
       "v8b_pq_train", "v8_pq_encode", "v9_pq_adc", "v11_ivfpq",
       "v11b_ivfpq_indexed", "v12_ann_recall", "v16_sq8_encode",
-      "v17_sq8_adc", "v18_adc_rerank"),
+      "v17_sq8_adc", "v18_adc_rerank", "v19_binary_hamming"),
     "semantic" -> Seq("v10_semantic_dedup", "c1_curation"),
     "media" -> Seq("m4_png_stats", "m5_resize_stats", "m6_jpeg_stats",
       "m7_avi_frames", "m8_wav_resample", "m9_image_dhash",
-      "m10_gif_stats"),
+      "m10_gif_stats", "m11_gif_frames"),
     "pipeline" -> Seq(
       "pipeline_events_first", "pipe_events_fixedmodel", "pipeline_events",
       "pipeline_events_approx", "pe_stage_cuts", "pe_stage_featurize",

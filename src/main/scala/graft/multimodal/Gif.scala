@@ -44,9 +44,18 @@ object Gif {
     * entries (2..256 of them — padded up to the next power of two in the
     * file); every index must be < palette.length. */
   def encode(width: Int, height: Int, palette: Array[Int],
-             indices: Array[Byte]): Array[Byte] = {
-    require(width > 0 && height > 0 && width * height == indices.length,
-      s"geometry $width x $height != ${indices.length} indices")
+             indices: Array[Byte]): Array[Byte] =
+    encodeFrames(width, height, palette, Seq(indices))
+
+  /** A spec-valid ANIMATED GIF89a: one image block per frame, every
+    * frame full-screen at (0,0) sharing the global color table (the
+    * replace-disposal subset — exactly what [[decodeFrames]] accepts). */
+  def encodeFrames(width: Int, height: Int, palette: Array[Int],
+                   frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    frames.foreach(f => require(width > 0 && height > 0 &&
+      width * height == f.length,
+      s"geometry $width x $height != ${f.length} indices"))
     require(palette.length >= 2 && palette.length <= 256,
       s"palette size ${palette.length} outside 2..256")
     // GCT size field stores bits-1 where the table has 2^bits entries
@@ -65,11 +74,13 @@ object Gif {
       w8(rgb >> 16); w8(rgb >> 8); w8(rgb)
       i += 1
     }
-    w8(0x2c); w16(0); w16(0); w16(width); w16(height); w8(0) // image desc
     val minCode = math.max(2, bits)
-    w8(minCode)
-    out.write(lzwCompress(indices, minCode))
-    w8(0)    // block terminator
+    frames.foreach { indices =>
+      w8(0x2c); w16(0); w16(0); w16(width); w16(height); w8(0) // image desc
+      w8(minCode)
+      out.write(lzwCompress(indices, minCode))
+      w8(0) // block terminator
+    }
     w8(0x3b) // trailer
     out.toByteArray
   }
@@ -131,12 +142,26 @@ object Gif {
 
   // ---- decoder -----------------------------------------------------------
 
-  /** Full decode of the FIRST image: (width, height, packed RGB raster,
-    * height*width*3 bytes). Extensions (0x21) are skipped; a local color
-    * table overrides the global one; interlaced images and any truncated
-    * or out-of-spec stream yield None — loud, never a fake. */
-  def decodePixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  /** Full decode of the first frame: (width, height, packed RGB raster,
+    * height*width*3 bytes). See [[decodeFrames]] for the accepted
+    * subset and refusal rules. */
+  def decodePixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeFrames(b).map { case (w, h, fs) => (w, h, fs.head) }
+
+  /** EVERY frame of a (possibly animated) GIF as palette-mapped RGB
+    * rasters. Accepted subset: all frames full-screen at (0, 0) — the
+    * replace-disposal form [[encodeFrames]] writes; partial frames would
+    * need disposal-method compositing (a silently-wrong decode, so they
+    * refuse instead). Extensions (0x21) are skipped; a local color table
+    * overrides the global one per frame; interlaced frames and any
+    * truncated or out-of-spec stream (including a missing trailer) yield
+    * None — loud, never a fake. The LZW dictionary resets per frame
+    * (each image block carries its own code stream, per spec). */
+  def decodeFrames(b: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
     if (!isGif(b)) return None
+    val sw = le16(b, 6); val sh = le16(b, 8)
+    if (sw <= 0 || sh <= 0) return None
+    if (sw.toLong * sh * 3 > Int.MaxValue - 8) return None
     val packed = b(10) & 0xff
     var pos = 13
     var palette: Array[Int] = null
@@ -145,7 +170,7 @@ object Gif {
       if (pos + 3 * n > b.length) return None
       palette = readPalette(b, pos, n); pos += 3 * n
     }
-    // walk blocks to the first image descriptor
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     while (pos < b.length) {
       (b(pos) & 0xff) match {
         case 0x21 => // extension: label byte, then sub-blocks to a 0 byte
@@ -159,10 +184,11 @@ object Gif {
           pos += 1
         case 0x2c =>
           if (pos + 10 > b.length) return None
+          val left = le16(b, pos + 1); val top = le16(b, pos + 3)
           val w = le16(b, pos + 5); val h = le16(b, pos + 7)
           val ip = b(pos + 9) & 0xff
           pos += 10
-          if (w <= 0 || h <= 0) return None
+          if (left != 0 || top != 0 || w != sw || h != sh) return None
           if ((ip & 0x40) != 0) return None // interlaced: out of scope
           var pal = palette
           if ((ip & 0x80) != 0) {
@@ -174,26 +200,58 @@ object Gif {
           if (pos >= b.length) return None
           val minCode = b(pos) & 0xff; pos += 1
           if (minCode < 2 || minCode > 11) return None
-          if (w.toLong * h * 3 > Int.MaxValue - 8) return None
-          return lzwDecompress(b, pos, minCode, w * h).flatMap { idx =>
-            val out = new Array[Byte](w * h * 3)
-            var i = 0
-            while (i < idx.length) {
-              val e = idx(i) & 0xff
-              if (e >= pal.length) return None
-              val rgb = pal(e)
-              out(i * 3) = (rgb >> 16).toByte
-              out(i * 3 + 1) = (rgb >> 8).toByte
-              out(i * 3 + 2) = rgb.toByte
-              i += 1
-            }
-            Some((w, h, out))
+          lzwDecompress(b, pos, minCode, w * h) match {
+            case None => return None
+            case Some((idx, end)) =>
+              val out = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < idx.length) {
+                val e = idx(i) & 0xff
+                if (e >= pal.length) return None
+                val rgb = pal(e)
+                out(i * 3) = (rgb >> 16).toByte
+                out(i * 3 + 1) = (rgb >> 8).toByte
+                out(i * 3 + 2) = rgb.toByte
+                i += 1
+              }
+              frames += out
+              pos = end
           }
-        case 0x3b => return None // trailer before any image
-        case _ => return None    // out-of-spec block
+        case 0x3b => // trailer
+          return if (frames.nonEmpty) Some((sw, sh, frames.toSeq)) else None
+        case _ => return None // out-of-spec block
       }
     }
-    None
+    None // ran off the end without a trailer
+  }
+
+  /** Per-sampled-frame RGB channel statistics over animated GIFs — the
+    * [[Avi.frameStats]] shape for the GIF container: every `every`-th
+    * frame of each clip contributes (id, frame_idx, n_samples, mean,
+    * min, max) over its palette-mapped channel bytes. Batched
+    * mapPartitions decode; undecodable payloads contribute nothing. */
+  def frameStats(media: org.apache.spark.sql.Dataset[Media.MediaRecord],
+                 every: Int): org.apache.spark.sql.DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { rec =>
+      decodeFrames(rec.bytes).toSeq.flatMap { case (_, _, frames) =>
+        (0 until frames.size by every).map { fi =>
+          val pix = frames(fi)
+          var sum = 0L; var mn = 255L; var mx = 0L
+          var i = 0
+          while (i < pix.length) {
+            val v = pix(i) & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          (rec.id, fi, pix.length.toLong, sum.toDouble / pix.length, mn, mx)
+        }
+      }
+    }).toDF("id", "frame_idx", "n_samples", "mean_val", "min_val", "max_val")
   }
 
   private def readPalette(b: Array[Byte], off: Int, n: Int): Array[Int] =
@@ -206,9 +264,11 @@ object Gif {
     * stream at `pos`. The dictionary stores (prefixCode, tailByte) pairs
     * and strings materialize by walking prefix chains — O(output), no
     * per-entry string copies. None on truncation, a code beyond the next
-    * free slot, or a pixel count mismatch. */
+    * free slot, or a pixel count mismatch. Returns the pixels plus the
+    * offset just past the stream's 0-terminator, so a multi-frame walk
+    * can continue at the next block. */
   private def lzwDecompress(b: Array[Byte], pos0: Int, minCode: Int,
-                            expected: Int): Option[Array[Byte]] = {
+                            expected: Int): Option[(Array[Byte], Int)] = {
     val clear = 1 << minCode; val eoi = clear + 1
     val prefix = new Array[Int](4096); val tail = new Array[Byte](4096)
     val length = new Array[Int](4096)
@@ -250,7 +310,18 @@ object Gif {
       if (code == clear) {
         next = eoi + 1; codeSize = minCode + 1; prev = -1
       } else if (code == eoi) {
-        return if (outLen == expected) Some(out) else None
+        if (outLen != expected) return None
+        // drain the remaining sub-blocks to the 0 terminator so the
+        // caller can resume at the next container block
+        var p = blockEnd
+        var done = false
+        while (!done) {
+          if (p >= b.length) return None
+          val n = b(p) & 0xff
+          p += 1
+          if (n == 0) done = true else p += n
+        }
+        return Some((out, p))
       } else if (prev == -1) {
         if (code >= clear) return None
         if (!writeString(code)) return None

@@ -50,6 +50,63 @@ object Diff {
     if (includeUnchanged) out else out.where(col("status") =!= "unchanged")
   }
 
+  /** SCD Type 2 (slowly-changing-dimension versioning — the warehouse
+    * pattern behind every `valid_from`/`valid_to` dimension table): fold
+    * a new snapshot into a versioned dimension at one effective instant.
+    * Per key — compare-change → the current row CLOSES (valid_to_us =
+    * effectiveUs, is_current = false) and a new open version inserts;
+    * new key → a new open version; unchanged / absent-from-snapshot →
+    * untouched (absence is not a delete: snapshots are additive here).
+    * Comparison is null-safe per column (`<=>`), the snapshotDiff rule.
+    *
+    * Dimension schema contract: `keys ++ compare ++ (valid_from_us,
+    * valid_to_us, is_current)` with micros BIGINTs and a null
+    * valid_to_us on open rows. `changes` carries `keys ++ compare`.
+    *
+    * Plan shape: history rows pass through untouched; ONE shuffle join
+    * (current ⋈ snapshot, full-outer on the key) classifies everything
+    * else, and each joined row emits its 1-2 output versions through a
+    * filtered array-explode — never a second pass over the join. At
+    * 100 TB the win is the same as MERGE's: prune to partitions the
+    * snapshot keys touch before this plan sees them. */
+  def scdApply(dim: DataFrame, changes: DataFrame, keys: Seq[String],
+               compare: Seq[String], effectiveUs: Long): DataFrame = {
+    require(keys.nonEmpty && compare.nonEmpty,
+      "scdApply needs key and compare columns")
+    val meta = Seq("valid_from_us", "valid_to_us", "is_current")
+    require(meta.forall(dim.columns.contains),
+      s"dim must carry ${meta.mkString(", ")}")
+    val hist = dim.where(!col("is_current"))
+    val cur = dim.where(col("is_current"))
+      .withColumn("__cp", lit(true))
+    val ch = changes.select(
+      (keys.map(col) ++ compare.map(c => col(c).as(s"__n_$c")) :+
+        lit(true).as("__np")): _*)
+    val joined = cur.join(ch, keys, "full_outer")
+    val matched = col("__cp").isNotNull && col("__np").isNotNull
+    val changed = matched &&
+      compare.map(c => !(col(c) <=> col(s"__n_$c"))).reduce(_ || _)
+    val newKey = col("__cp").isNull
+    def version(vals: String => Column, from: Column, to: Column,
+                current: Column) =
+      struct((keys.map(col) ++ compare.map(c => vals(c).as(c)) ++
+        Seq(from.as("valid_from_us"), to.as("valid_to_us"),
+          current.as("is_current"))): _*)
+    val keep = when(col("__np").isNull || (matched && !changed),
+      version(col, col("valid_from_us"), col("valid_to_us"),
+        col("is_current")))
+    val closed = when(changed,
+      version(col, col("valid_from_us"), lit(effectiveUs), lit(false)))
+    val opened = when(changed || newKey,
+      version(c => col(s"__n_$c"), lit(effectiveUs),
+        lit(null).cast("long"), lit(true)))
+    val out = joined
+      .select(explode(filter(array(keep, closed, opened),
+        v => v.isNotNull)).as("v"))
+      .select((keys ++ compare ++ meta).map(c => col(s"v.$c").as(c)): _*)
+    hist.select((keys ++ compare ++ meta).map(col): _*).unionByName(out)
+  }
+
   /** ANSI-MERGE semantics as one declarative plan: given a `source` with
     * the SAME schema as `target`, per target key —
     * matched + `deleteWhen`  → row removed;

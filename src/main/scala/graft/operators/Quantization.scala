@@ -402,6 +402,56 @@ object Quantization {
         (col("s_int").cast("double") / 1000000.0).as("adist"), col("rank"))
   }
 
+  /** Binary (sign-bit) quantization: dimension i contributes bit i iff
+    * e[i] > 0 — 64 float64 dims become 8 bytes, the narrowest index tier
+    * below SQ8 (LLM-embedding search stacks ship exactly this as the
+    * first-pass filter; Hamming distance on sign bits tracks cosine on
+    * zero-centered embeddings). The code is emitted as two unsigned
+    * 32-bit HALVES (hi = bits 32.., lo = bits ..31, the m9 dHash
+    * convention) so bit 63 never touches the sign bit of a BIGINT in
+    * either engine. One map-side pass, no shuffle. */
+  def binaryQuantize(corpus: DataFrame,
+                     cId: String = "vec_id", cVec: String = "embedding")
+      : DataFrame = {
+    // SQL form: the Scala shiftleft() wrapper only takes a literal shift,
+    // but the underlying expression shifts by any integer expression
+    def half(base: Int): Column = expr(
+      s"""aggregate(sequence($base, ${base + 31}), 0L, (acc, i) ->
+         |  acc + IF(element_at(cast(`$cVec` as array<double>),
+         |             cast(i + 1 as int)) > 0D,
+         |           shiftleft(1L, cast(i - $base as int)), 0L))""".stripMargin)
+    corpus.select(col(cId).cast("long").as("vec_id"),
+      half(32).as("hi"), half(0).as("lo"))
+  }
+
+  /** Hamming top-k over binary codes: distance = popcount(q ^ c) summed
+    * over the two halves, ties to the lower cand_id. The query side is a
+    * broadcast handful against the narrow (vec_id, hi, lo) code scan —
+    * the same bounded-cross shape as the brute-force cosine baseline,
+    * but over 8-byte codes instead of 512-byte vectors, and the distance
+    * is two XOR+popcount ops inside whole-stage codegen. The window
+    * prunes through WindowGroupLimit, so only ~k rows per query survive
+    * each partition. */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                  qId: String = "vec_id", qVec: String = "embedding",
+                  cId: String = "vec_id", cVec: String = "embedding")
+      : DataFrame = {
+    val q = binaryQuantize(queries, qId, qVec)
+      .select(col("vec_id").as("query_id"), col("hi").as("qhi"),
+        col("lo").as("qlo"))
+    val c = binaryQuantize(corpus, cId, cVec)
+      .select(col("vec_id").as("cand_id"), col("hi"), col("lo"))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        (expr("bit_count(hi ^ qhi)") + expr("bit_count(lo ^ qlo)"))
+          .cast("long").as("hamming"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("hamming"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("hamming"), col("rank"))
+  }
+
   /** ADC + exact re-rank (the IVFADC+R refinement pattern, Jégou et al.
     * 2011 §V): take a `shortlist` of (query_id, cand_id) pairs from an
     * approximate search run with k = R (R a few × the final k), recompute

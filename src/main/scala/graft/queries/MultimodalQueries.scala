@@ -134,8 +134,37 @@ object MultimodalQueries {
     "m10_gif_stats" -> ((s, dir) =>
       Media.extractStats(mediaGif(s, dir)).toDF()
         .select(col("id"), col("mime"), col("n_samples"),
-          col("mean_val"), col("min_val"), col("max_val")))
+          col("mean_val"), col("min_val"), col("max_val"))),
+
+    // M11: ANIMATED GIF decode + frame sampling — each fixture doc is a
+    // multi-frame GIF whose every frame re-enters the LZW decoder with a
+    // fresh dictionary; the container walk must chain image blocks
+    // through each stream's terminator, and every-2nd-frame sampling
+    // must reproduce the oracle's per-frame channel stats exactly (the
+    // AVI gate's shape for the GIF container).
+    "m11_gif_frames" -> ((s, dir) =>
+      graft.multimodal.Gif.frameStats(mediaGifAnim(s, dir), every = 2))
   )
+
+  /** The m11 fixture: doc_id % 3 == 1 → animated 256-color GIF, width
+    * 3 + n%14, height 1 + id%7, 2 + id%5 frames; frame f's pixel j has
+    * palette index (id·47 + f·23 + j·17) % 256, same palette as m10. */
+  private def mediaGifAnim(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val palette = Array.tabulate(256)(i =>
+      (((i * 3 + 1) % 256) << 16) | (((i * 5 + 2) % 256) << 8) |
+        ((i * 7 + 3) % 256))
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, n) =>
+        val w = (3 + n % 14).toInt; val h = (1 + id % 7).toInt
+        val nf = (2 + id % 5).toInt
+        val frames = (0 until nf).map(f => Array.tabulate[Byte](w * h)(j =>
+          ((id * 47 + f.toLong * 23 + j.toLong * 17) % 256).toByte))
+        MediaRecord(id, "image/gif",
+          graft.multimodal.Gif.encodeFrames(w, h, palette, frames))
+      }
+  }
 
   /** The m10 fixture: doc_id % 3 == 0 → 256-color GIF, width 3 + n%14,
     * height 1 + id%9, run length 1 + id%3; pixel j's palette index is
@@ -461,6 +490,30 @@ object MultimodalQueries {
         |SELECT id, 'image/gif' AS mime, (w * h * 3)::BIGINT AS n_samples,
         |       sum(v)::DOUBLE / count(*) AS mean_val,
         |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
-        |FROM ch GROUP BY id, w, h""".stripMargin
+        |FROM ch GROUP BY id, w, h""".stripMargin,
+
+    // the m11 twin recomputes every sampled frame's palette indices and
+    // channel values from the fixture closed form — equality proves the
+    // multi-image container walk, the per-frame LZW dictionary reset,
+    // and the every-2nd-frame stride end to end
+    "m11_gif_frames" ->
+      """WITH m AS (SELECT doc_id AS id, 3 + n_chars % 14 AS w,
+        |                  1 + doc_id % 7 AS h, 2 + doc_id % 5 AS nf
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |f AS (SELECT id, w, h,
+        |             unnest(generate_series(0, nf - 1, 2)) AS fi
+        |      FROM m),
+        |px AS (SELECT id, fi, w, h,
+        |              (id * 47 + fi * 23 + j.j * 17) % 256 AS idx
+        |       FROM f,
+        |       LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS j) j),
+        |ch AS (SELECT id, fi, w, h,
+        |              unnest([(idx * 3 + 1) % 256, (idx * 5 + 2) % 256,
+        |                      (idx * 7 + 3) % 256]) AS v
+        |       FROM px)
+        |SELECT id, fi::INT AS frame_idx, (w * h * 3)::BIGINT AS n_samples,
+        |       sum(v)::DOUBLE / count(*) AS mean_val,
+        |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+        |FROM ch GROUP BY id, fi, w, h""".stripMargin
   )
 }

@@ -500,6 +500,35 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_orderstatus"),
           (floor(col("o_totalprice") * 100 + 0.5) / 100.0).as("total"))}),
 
+    // U6: SCD Type 2 versioning — a customer dimension with history
+    // rows folds in a snapshot that changes %7 balances, repeats %13
+    // rows verbatim (must stay untouched), and adds %11 clones under
+    // fresh keys; changed keys close their current version at the
+    // effective instant and open a new one, history passes through.
+    "u6_scd2" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_cents"),
+        col("c_mktsegment").as("seg"))
+      val maxk = c.agg(max(col("c_custkey"))).head().getLong(0)
+      val k = col("c_custkey")
+      val hist = c.where(k % 19 === 0).select(k,
+        (col("bal_cents") - 100).as("bal_cents"), col("seg"),
+        lit(0L).as("valid_from_us"), lit(500000L).as("valid_to_us"),
+        lit(false).as("is_current"))
+      val cur = c.select(k, col("bal_cents"), col("seg"),
+        when(k % 19 === 0, lit(500000L)).otherwise(lit(0L))
+          .as("valid_from_us"),
+        lit(null).cast("long").as("valid_to_us"), lit(true).as("is_current"))
+      val ch = c.where(k % 7 === 0)
+        .select(k, (col("bal_cents") + 250).as("bal_cents"), col("seg"))
+        .union(c.where(k % 13 === 0 && k % 7 =!= 0)
+          .select(k, col("bal_cents"), col("seg")))
+        .union(c.where(k % 11 === 0)
+          .select((k + maxk).as("c_custkey"), col("bal_cents"), col("seg")))
+      graft.operators.Diff.scdApply(hist.unionByName(cur), ch,
+        Seq("c_custkey"), Seq("bal_cents", "seg"), effectiveUs = 1000000L)}),
+
     // Z4: small-file compaction driver-gated — orders written as 64
     // deliberately tiny files, compacted by input-bytes sizing; the row
     // set must survive identically (twin = plain projection) and
@@ -1775,6 +1804,47 @@ object RelationalQueries {
         |  FROM o FULL OUTER JOIN nw n ON o.o_orderkey = n.o_orderkey)
         |SELECT o_orderkey, status, changed_cols FROM j
         |WHERE status <> 'unchanged'""".stripMargin,
+
+    // the u6 twin replays SCD2's branches: history passthrough, kept
+    // currents (unmatched or value-identical), closed-at-effective rows,
+    // and opened versions for changes + fresh keys
+    "u6_scd2" ->
+      """WITH c AS (SELECT c_custkey AS k,
+        |                  (floor(c_acctbal * 100 + 0.5))::BIGINT AS bal,
+        |                  c_mktsegment AS seg FROM customer),
+        |mk AS (SELECT max(k) AS m FROM c),
+        |hist AS (SELECT k, bal - 100 AS bal, seg, 0::BIGINT AS vf,
+        |                500000::BIGINT AS vt, false AS cur
+        |         FROM c WHERE k % 19 = 0),
+        |curr AS (SELECT k, bal, seg,
+        |                (CASE WHEN k % 19 = 0 THEN 500000 ELSE 0 END)::BIGINT AS vf,
+        |                NULL::BIGINT AS vt, true AS cur FROM c),
+        |ch AS (SELECT k, bal + 250 AS bal, seg FROM c WHERE k % 7 = 0
+        |       UNION ALL
+        |       SELECT k, bal, seg FROM c WHERE k % 13 = 0 AND k % 7 <> 0
+        |       UNION ALL
+        |       SELECT k + m, bal, seg FROM c, mk WHERE k % 11 = 0),
+        |j AS (SELECT curr.k AS ck, ch.k AS nk, curr.bal AS cb,
+        |             curr.seg AS cs, curr.vf AS vf, ch.bal AS nb,
+        |             ch.seg AS ns
+        |      FROM curr FULL OUTER JOIN ch ON ch.k = curr.k),
+        |out AS (
+        |  SELECT k, bal, seg, vf, vt, cur FROM hist
+        |  UNION ALL
+        |  SELECT ck, cb, cs, vf, NULL::BIGINT, true FROM j
+        |  WHERE ck IS NOT NULL AND (nk IS NULL OR
+        |        (cb IS NOT DISTINCT FROM nb AND cs IS NOT DISTINCT FROM ns))
+        |  UNION ALL
+        |  SELECT ck, cb, cs, vf, 1000000::BIGINT, false FROM j
+        |  WHERE ck IS NOT NULL AND nk IS NOT NULL AND
+        |        (cb IS DISTINCT FROM nb OR cs IS DISTINCT FROM ns)
+        |  UNION ALL
+        |  SELECT nk, nb, ns, 1000000::BIGINT, NULL::BIGINT, true FROM j
+        |  WHERE nk IS NOT NULL AND (ck IS NULL OR
+        |        cb IS DISTINCT FROM nb OR cs IS DISTINCT FROM ns))
+        |SELECT k AS c_custkey, bal AS bal_cents, seg,
+        |       vf AS valid_from_us, vt AS valid_to_us, cur AS is_current
+        |FROM out""".stripMargin,
 
     // the u5 twin replays MERGE's three branches: kept targets (anti
     // join), matched survivors taking source values (delete filtered

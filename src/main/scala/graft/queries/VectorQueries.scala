@@ -247,6 +247,15 @@ object VectorQueries {
       Quantization.adcRerank(shortlist, emb.where(col("vec_id") < 10), emb,
         k = 5)}),
 
+    // V19: binary (sign-bit) quantization + Hamming top-k — the 8-byte
+    // index tier below SQ8: 64 dims → two unsigned 32-bit code halves
+    // (bit 63 never touches a BIGINT sign bit in either engine),
+    // distance = two XOR+popcounts in whole-stage codegen over the
+    // narrow code scan.
+    "v19_binary_hamming" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Quantization.hammingTopK(emb.where(col("vec_id") < 10), emb, k = 5)}),
+
     // V13: Johnson–Lindenstrauss random projection 64 → 8 dims, exploded
     // to (vec_id, j, y) scalar rows for the hash compare. Map-only —
     // the pre-shuffle shrink step for every downstream ANN stage.
@@ -666,6 +675,28 @@ object VectorQueries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY d_int, cand_id) AS rank FROM exact)
          |WHERE rank <= 5""".stripMargin,
+
+    // the v19 twin rebuilds the sign-bit halves with list arithmetic and
+    // replays XOR+popcount — integer-exact end to end
+    "v19_binary_hamming" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c AS (SELECT vec_id,
+        |        list_sum(list_transform(generate_series(0, 31),
+        |          i -> CASE WHEN e[i + 1] > 0 THEN (1::BIGINT << i)
+        |               ELSE 0 END))::BIGINT AS lo,
+        |        list_sum(list_transform(generate_series(32, 63),
+        |          i -> CASE WHEN e[i + 1] > 0 THEN (1::BIGINT << (i - 32))
+        |               ELSE 0 END))::BIGINT AS hi
+        |      FROM v),
+        |d AS (SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+        |        (bit_count(xor(q.lo, x.lo))
+        |         + bit_count(xor(q.hi, x.hi)))::BIGINT AS hamming
+        |      FROM c q JOIN c x ON x.vec_id != q.vec_id
+        |      WHERE q.vec_id < 10)
+        |SELECT query_id, cand_id, hamming, rank::INT AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY hamming, cand_id) AS rank FROM d)
+        |WHERE rank <= 5""".stripMargin,
 
     // the same LCG closed form as the LSH plane twins, j*64+d mixing
     "v13_random_project" ->

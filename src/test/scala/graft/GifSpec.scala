@@ -110,6 +110,29 @@ class GifSpec extends AnyFlatSpec with Matchers {
     (rgb2(3) & 0xff) shouldBe 0
   }
 
+  it should "round-trip animated multi-frame GIFs with per-frame LZW resets" in {
+    val frames = (0 until 5).map(f =>
+      Array.tabulate[Byte](7 * 4)(j => ((f * 23 + j * 17) % 256).toByte))
+    val bytes = Gif.encodeFrames(7, 4, gray, frames)
+    val Some((w, h, got)) = Gif.decodeFrames(bytes)
+    (w, h) shouldBe ((7, 4))
+    got.size shouldBe 5
+    got.zip(frames).foreach { case (rgb, idx) =>
+      idx.indices.foreach { j =>
+        (rgb(j * 3) & 0xff) shouldBe (idx(j) & 0xff) // gray palette
+      }
+    }
+    // decodePixels = first frame
+    Gif.decodePixels(bytes).map(_._3.toSeq) shouldBe Some(got.head.toSeq)
+    // a partial (non-full-screen) frame refuses: compositing semantics
+    // are out of scope and a silently-wrong decode would poison stats
+    val single = Gif.encode(7, 4, gray, frames.head)
+    val idOff = 13 + 768
+    val shrunk = single.clone()
+    shrunk(idOff + 5) = 6 // width 6 != screen 7
+    Gif.decodeFrames(shrunk) shouldBe None
+  }
+
   it should "be detected by the header decoder with correct dimensions" in {
     val bytes = Gif.encode(17, 5, gray,
       Array.tabulate[Byte](85)(j => (j % 9).toByte))

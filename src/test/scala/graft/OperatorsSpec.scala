@@ -1863,6 +1863,42 @@ class OperatorsSpec extends SparkSpec {
     ok shouldBe Set((1L, "z", 3.0))
   }
 
+  "Diff.scdApply" should "close changed versions, open new ones, and pass history through" in {
+    import graft.operators.Diff
+    val dim = Seq(
+      // key 1: history row + current
+      (1L, 10L, false, 0L, Some(50L)),
+      (1L, 11L, true, 50L, Option.empty[Long]),
+      // key 2: current only, will be unchanged in the snapshot
+      (2L, 20L, true, 0L, Option.empty[Long]),
+      // key 3: current only, absent from the snapshot → untouched
+      (3L, 30L, true, 0L, Option.empty[Long]))
+      .toDF("k", "bal", "is_current", "valid_from_us", "valid_to_us")
+    val changes = Seq((1L, 12L), (2L, 20L), (9L, 90L)).toDF("k", "bal")
+    val got = Diff.scdApply(dim, changes, Seq("k"), Seq("bal"),
+        effectiveUs = 100L)
+      .select("k", "bal", "valid_from_us", "valid_to_us", "is_current")
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect().toSet
+    got shouldBe Set(
+      (1L, 10L, 0L, Some(50L), false),   // history untouched
+      (1L, 11L, 50L, Some(100L), false), // closed at the effective instant
+      (1L, 12L, 100L, None, true),       // new open version
+      (2L, 20L, 0L, None, true),         // unchanged
+      (3L, 30L, 0L, None, true),         // absent from snapshot: kept
+      (9L, 90L, 100L, None, true))       // brand-new key
+  }
+
+  it should "treat null-to-value compare transitions as changes (null-safe)" in {
+    import graft.operators.Diff
+    val dim = Seq((1L, Option.empty[Long], true, 0L, Option.empty[Long]))
+      .toDF("k", "bal", "is_current", "valid_from_us", "valid_to_us")
+    val changes = Seq((1L, Some(5L))).toDF("k", "bal")
+    val got = Diff.scdApply(dim, changes, Seq("k"), Seq("bal"), 7L)
+      .select("k", "bal", "valid_to_us", "is_current")
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect().toSet
+    got shouldBe Set((1L, None, Some(7L), false), (1L, Some(5L), None, true))
+  }
+
   "Profile.psiDrift" should "measure zero drift on identical halves and flag a shift" in {
     import graft.operators.Profile
     // identical distributions ref/cur → every p == q → every term 0

@@ -29,6 +29,8 @@ class PlanAuditSpec extends SparkSpec {
     "v18_adc_rerank", // embeds v11's search (same 8-centroid assignment
                       // cross); the re-rank itself is broadcast EQUI
                       // joins on cand_id/query_id only
+    "v19_binary_hamming", // v2's bounded broadcast-cross shape over
+                          // 8-byte codes (10 queries × code scan)
     "x21_temperature_mix", // |classes|-row frame × its broadcast ONE-row
                            // normalizer sum — the scalar-subquery shape
     "a13_cms_counts", // per-type sketch rows × broadcast 10-probe frame —

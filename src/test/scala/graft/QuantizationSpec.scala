@@ -315,6 +315,33 @@ class QuantizationSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  "Quantization.binaryQuantize" should "set bit i of the halves iff dim i is positive" in {
+    // dims 0, 33, 63 positive; 31 negative; zero stays 0
+    val e = Array.fill(64)(0.0)
+    e(0) = 0.5; e(33) = 1.0; e(63) = 2.0; e(31) = -1.0
+    val got = Quantization.binaryQuantize(vecs(1L -> e.toSeq))
+      .as[(Long, Long, Long)].collect().head
+    got._2 shouldBe ((1L << 1) | (1L << 31)) // hi: bits 33-32=1, 63-32=31
+    got._3 shouldBe 1L                       // lo: bit 0
+  }
+
+  "Quantization.hammingTopK" should "rank by popcount distance with id ties" in {
+    def v(bits: Seq[Int]) = (0 until 64).map(i =>
+      if (bits.contains(i)) 1.0 else -1.0)
+    val corpus = vecs(
+      1L -> v(Seq(0, 5, 40)),       // the query
+      2L -> v(Seq(0, 5, 40)),       // dist 0
+      3L -> v(Seq(0, 5)),           // dist 1
+      4L -> v(Seq(0, 5, 40, 63)),   // dist 1 — tie with 3, loses on id
+      5L -> v(Seq(7)))              // far
+    val got = Quantization.hammingTopK(
+        corpus.where(col("vec_id") === 1L), corpus, k = 3)
+      .select("cand_id", "hamming", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    got.map(_._1).toSeq shouldBe Seq(2L, 3L, 4L)
+    got.map(_._2).toSeq shouldBe Seq(0L, 1L, 1L)
+  }
+
   "Quantization.adcRerank" should "order the shortlist by exact distance" in {
     // shortlist deliberately in the WRONG (approximate) order: exact L2
     // from query (0,0) ranks 30 < 10 < 20
