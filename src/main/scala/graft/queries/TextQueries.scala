@@ -568,7 +568,27 @@ object TextQueries {
     // features per row; no explode, no join).
     "x30_quality_classifier" -> ((s, dir) =>
       graft.operators.Corpus.linearQualityScores(
-        t(s, dir, "documents"), col("doc_id"), col("text")))
+        t(s, dir, "documents"), col("doc_id"), col("text"))),
+
+    // X31: unigram-LM tokenizer SEED VOCABULARY (SentencePiece's
+    // substring-count initialization): all chars + top-20 multi-char
+    // substrings with integer micro log-probs — the bounded model
+    // object; one substring-explode aggregation + TakeOrdered.
+    "x31_unigram_vocab" -> ((s, dir) =>
+      graft.operators.Unigram.buildVocab(t(s, dir, "documents"),
+        col("text"), topMulti = 20, maxPieceLen = 4)),
+
+    // X32: unigram-LM Viterbi ENCODING with the x31 vocabulary — per-doc
+    // word/piece counts + total NLL in exact micro-units. The twin
+    // replays the whole DP with 64·s − np key packing (≤16-char words on
+    // both sides — the packing bound; the operator itself is unbounded).
+    "x32_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.Unigram.collectVocab(
+        graft.operators.Unigram.buildVocab(docs, col("text"),
+          topMulti = 20, maxPieceLen = 4))
+      graft.operators.Unigram.encode(docs, col("doc_id"), col("text"),
+        vocab, maxPieceLen = 4, maxWordLen = 16)})
   )
 
   /** Injected tails for the C4 gate, shared verbatim with the oracle
@@ -1670,6 +1690,87 @@ object TextQueries {
          |  floor(1.0 / (1.0 + exp(-(s_micro::DOUBLE / (n_feats * 1000000.0))))
          |        * 1000000 + 0.5) / 1000000.0 AS prob,
          |  s_micro >= 0 AS keep
-         |FROM a WHERE n_feats > 0""".stripMargin
+         |FROM a WHERE n_feats > 0""".stripMargin,
+
+    // the x31 twin replays substring counting, the char/top-20 split
+    // with its (cnt desc, piece) tiebreak, and the rounded ln
+    "x31_unigram_vocab" ->
+      s"""WITH $unigramVocabCtes
+         |SELECT piece, cnt, lp_micro FROM uv""".stripMargin,
+
+    // the x32 twin replays the Viterbi DP itself: 16 unrolled positions,
+    // candidates from the 4 piece lengths, k = 64·s − np packed argmax
+    // (max score, then fewest pieces), unpack, per-doc aggregation
+    "x32_unigram_encode" ->
+      s"""WITH $unigramVocabCtes${unigramDpCtes(16, 4)},
+         |udw AS (
+         |  SELECT doc_id, t.tok AS word
+         |  FROM toks, LATERAL (SELECT unnest(tk) AS tok) t
+         |  WHERE len(t.tok) <= 16)
+         |SELECT doc_id, count(*)::BIGINT AS n_words,
+         |       sum(np)::BIGINT AS n_pieces, sum(nll)::BIGINT AS nll_micro
+         |FROM udw JOIN useg USING (word) GROUP BY 1""".stripMargin
   )
+
+  /** Shared unigram-vocab CTE block: word counts → weighted substring
+    * counts → all chars + top-20 multis → integer micro log-probs.
+    * Mirrors [[graft.operators.Unigram.buildVocab]]. */
+  private lazy val unigramVocabCtes: String =
+    raw"""$toksSql,
+       |uwc AS MATERIALIZED (
+       |  SELECT w.tok AS word, count(*) AS cnt
+       |  FROM toks, LATERAL (SELECT unnest(tk) AS tok) w GROUP BY 1),
+       |usub AS MATERIALIZED (
+       |  SELECT substr(word, s, l) AS piece, sum(cnt)::BIGINT AS cnt
+       |  FROM uwc,
+       |       LATERAL (SELECT unnest(generate_series(1, len(word))) AS s),
+       |       LATERAL (SELECT unnest(generate_series(1,
+       |                  least(4, len(word) - s + 1))) AS l)
+       |  GROUP BY 1),
+       |uvc AS (
+       |  SELECT piece, cnt FROM usub WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM usub WHERE len(piece) > 1
+       |    ORDER BY cnt DESC, piece LIMIT 20)),
+       |utot AS (SELECT sum(cnt)::BIGINT AS n FROM uvc),
+       |uv AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |         floor(ln(cnt::DOUBLE / n) * 1000000 + 0.5)::BIGINT AS lp_micro
+       |  FROM uvc, utot)""".stripMargin
+
+  /** The x32 Viterbi chain: dp_i = packed argmax over piece lengths,
+    * k = 64·s − np (max score then fewest pieces; exact for np < 64 —
+    * the ≤16-char word filter), then unpack and finalize per word.
+    * Mirrors [[graft.operators.Unigram.viterbiSegment]]. */
+  private def unigramDpCtes(maxLen: Int, maxPieceLen: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s""",
+      |uw AS MATERIALIZED (SELECT word FROM uwc WHERE len(word) <= $maxLen),
+      |dp0 AS (SELECT word, 0::BIGINT AS k FROM uw)""".stripMargin)
+    for (i <- 1 to maxLen) {
+      val branches = (1 to math.min(maxPieceLen, i)).map { l =>
+        s"""SELECT d.word, d.k + 64 * v.lp_micro - 1 AS k
+           |    FROM dp${i - l} d JOIN uv v
+           |      ON v.piece = substr(d.word, ${i - l + 1}, $l)
+           |    WHERE len(d.word) >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      sb.append(s""",
+        |dp$i AS MATERIALIZED (
+        |  SELECT word, max(k) AS k FROM (
+        |    $branches
+        |  ) GROUP BY 1)""".stripMargin)
+    }
+    val fins = (1 to maxLen)
+      .map(i => s"SELECT word, k FROM dp$i WHERE len(word) = $i")
+      .mkString("\n  UNION ALL\n  ")
+    sb.append(s""",
+      |ufin AS (
+      |  $fins),
+      |useg AS MATERIALIZED (
+      |  SELECT word, ((-k) % 64 + 64) % 64 AS np,
+      |         -((k + ((-k) % 64 + 64) % 64) // 64) AS nll
+      |  FROM ufin)""".stripMargin)
+    sb.toString
+  }
 }
