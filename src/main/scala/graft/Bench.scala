@@ -43,7 +43,8 @@ object Bench {
       "t5_grouped_topk", "a17_profile_num", "a17b_profile_str",
       "a18_psi_drift", "u4_snapshot_diff", "z4_compact",
       "j12_interval_overlap", "u5_merge", "g5_label_prop", "w5_funnel",
-      "u6_scd2", "j7d_asof_tolerance"),
+      "u6_scd2", "j7d_asof_tolerance", "z5_partition_prune",
+      "o1_orc_roundtrip"),
     "features" -> Seq(
       "f3_bin", "f4_entropy", "f8_flow_words", "x2_quality", "x3_langid",
       "c2_gopher_rules", "x18_c4_filter", "x22_normalize",
@@ -52,7 +53,8 @@ object Bench {
       "x27_chunk_overlap", "x28_pmi_collocations",
       "x11b_pack_concat", "x12_class_balance", "x13_top_ngrams",
       "x14_mixture", "x21_temperature_mix", "x23_shuffle_shards",
-      "x24_pseudonymize", "x17_dsir_select"),
+      "x24_pseudonymize", "x17_dsir_select", "x29_weighted_sample",
+      "x30_quality_classifier", "x31_unigram_vocab", "x32_unigram_encode"),
     "dedup" -> Seq(
       "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
       "d6_near_dup_clusters", "d7_dup_spans", "w3_sessionize"),
@@ -65,7 +67,7 @@ object Bench {
     "vector" -> Seq(
       "v1_norm", "v2_cosine_topk", "v3_ivf_assign", "v4b_cell_near_dup",
       "v4c_scaled_cells", "v6b_lsh_scaled", "v7_kmeans", "v13_random_project",
-      "v14_dim_stats", "v15_l2_normalize"),
+      "v14_dim_stats", "v15_l2_normalize", "v20_gram", "v21_pca_project"),
     "pq" -> Seq(
       "v8b_pq_train", "v8_pq_encode", "v9_pq_adc", "v11_ivfpq",
       "v11b_ivfpq_indexed", "v12_ann_recall", "v16_sq8_encode",

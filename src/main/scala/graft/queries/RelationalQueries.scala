@@ -419,6 +419,44 @@ object RelationalQueries {
       scan.select("o_orderkey", "x", "y")
         .withColumn("files_pruned", lit(nSel * 2 <= nTot))}),
 
+    // Z5: HIVE-PARTITIONED write + partition-PRUNED read — the
+    // directory-level skip z2/z3 (file-level stats) complement: the
+    // write lays o_orderstatus out as partition directories and the
+    // predicate becomes a PartitionFilter, so non-matching partitions
+    // are never opened (files_pruned asserts it — 3 statuses, ≥ 2/3 of
+    // files skipped). At 100 TB this is the first-line scan reducer for
+    // every date/source-partitioned corpus.
+    "z5_partition_prune" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val path = java.nio.file.Files.createTempDirectory("z5_part").toString
+      o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+      val r = s.read.parquet(path)
+      val nTot = r.select(input_file_name()).distinct.count()
+      val sel = r.where(col("o_orderstatus") === "F")
+      val nSel = sel.select(input_file_name()).distinct.count()
+      sel.select(col("o_orderkey"), col("cents"))
+        .withColumn("files_pruned", lit(nSel * 3 <= nTot * 2))}),
+
+    // O1: ORC source/sink round-trip — the second columnar format the
+    // engine speaks natively (Spark's built-in ORC datasource): write,
+    // read back with a pushed-down predicate, aggregate in exact
+    // integers. The twin runs the same query over the parquet table —
+    // the format must change nothing.
+    "o1_orc_roundtrip" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      val path = java.nio.file.Files.createTempDirectory("o1_orc").toString
+      li.write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .where(col("l_quantity") > 25)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .as("cents"))}),
+
     // A17: table profiling — the ANALYZE-stats layer: four numeric
     // columns melt to narrow (col_name, v) rows and ONE hash aggregation
     // computes rows/nulls/exact-ndv/min/max/sum-in-micros for all of
@@ -1520,6 +1558,23 @@ object RelationalQueries {
         |SELECT o_orderkey, x, y, TRUE AS files_pruned
         |FROM b
         |WHERE x BETWEEN 100 AND 300 AND y BETWEEN 9500 AND 10000""".stripMargin,
+
+    // the z5 twin: partition layout must not change one row; the ≥2/3
+    // directory skip replays as literal TRUE
+    "z5_partition_prune" ->
+      """SELECT o_orderkey,
+        |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |       TRUE AS files_pruned
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    // the o1 twin: same filter + integer aggregates over the parquet
+    // table — the ORC round-trip must be value-transparent
+    "o1_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty,
+        |       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |         ::BIGINT AS cents
+        |FROM lineitem WHERE l_quantity > 25 GROUP BY 1""".stripMargin,
 
     // the g5 twin unrolls the three synchronous LPA rounds; each pick is
     // a windowed argmax (count DESC, label ASC) over the neighbor-label
