@@ -60,7 +60,7 @@ object Bench {
       "d6_near_dup_clusters", "d7_dup_spans", "w3_sessionize"),
     "dedup2" -> Seq(
       "d8_retain_best", "d9_simhash_pairs", "d10_incremental_lsh", "d11_edit_pairs",
-      "d12_prefix_jaccard",
+      "d12_prefix_jaccard", "x33_tfidf_cosine",
       "x7b_fuzzy_decontaminate", "x15_cluster_split", "x16_lm_score",
       "x19_span_removal", "x20_line_dedup"),
     "bpe" -> Seq("x25_bpe_train", "x26_bpe_encode"),

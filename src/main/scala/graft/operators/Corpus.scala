@@ -395,6 +395,56 @@ object Corpus {
   /** Union of two perspectives of the same events (e.g. a flow contributes
     * a document for both endpoint IPs — reference FlowPreLDA.scala:139).
     * Union BEFORE the aggregation so a single shuffle builds both. */
+  /** TF-IDF-weighted cosine all-pairs similarity over word n-gram terms
+    * (the WEIGHTED upgrade of [[Dedup.ngramJaccardPairs]]'s set Jaccard;
+    * the inverted-index all-pairs shape of Bayardo et al., WWW 2007):
+    * term weight m = ⌊tf·ln(N/df)·10⁶ + 0.5⌋ in exact integer micro-units,
+    * so dot products and squared norms are partition-order-free integer
+    * sums; cosine = num / (√‖a‖²·√‖b‖²) is three IEEE ops both engines
+    * replay identically, thresholded UNROUNDED and emitted 6-dp-rounded.
+    *
+    * Scale shape: narrow (doc, term, m) rows; candidate pairs come from
+    * ONE equi self-join on the term key (never a cross product), with the
+    * standard df-cut dropping terms in more than `maxDf` docs — hot terms
+    * are the quadratic fan-out risk AND carry near-zero idf; norms are
+    * computed from the FILTERED vectors so numerator and denominator see
+    * the same term set. Long-exactness bound: Σ m² per doc must stay
+    * below 2⁶³ — m ≤ tf·ln(N)·10⁶, comfortable for real corpora where
+    * n-gram tf is near 1 (a doc repeating one 3-gram 10⁵ times would
+    * need the df-cut it would also deserve). */
+  def tfidfCosinePairs(docs: DataFrame, id: Column, text: Column, n: Int,
+                       threshold: Double, maxDf: Long = 1000): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val nDocs = docs.count()
+    val tf = docs.select(id.cast("long").as("doc_id"),
+        explode(graft.functions.ShingleHash.shingle_hashes_all(text, n))
+          .as("sh"))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // feeds df counts AND the weighted vectors
+    val dfq = tf.groupBy("sh").agg(count(lit(1)).as("df"))
+    val weighted = tf.join(dfq, "sh").where(col("df") <= maxDf)
+      .select(col("doc_id"), col("sh"),
+        floor(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1000000
+          + 0.5).cast("long").as("m"))
+      .localCheckpoint(false) // feeds norms AND both join sides
+    val norms = weighted.groupBy("doc_id")
+      .agg(sum(col("m") * col("m")).as("n2"))
+    val num = weighted.as("a")
+      .join(weighted.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.m") * col("b.m")).as("num"))
+    val cos = col("num").cast("double") /
+      (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double")))
+    num
+      .join(norms.select(col("doc_id").as("id_a"), col("n2").as("n2_a")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("n2").as("n2_b")), "id_b")
+      .where(cos >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (floor(cos * 1000000 + 0.5) / 1000000.0).as("cosine"))
+  }
+
   /** fastText-style LINEAR quality classifier scoring (Joulin et al.
     * 2016; the model-based quality filter of CCNet / GPT-3-style
     * curation): hashed unigram+bigram features over `numBuckets`

@@ -578,6 +578,15 @@ object TextQueries {
       graft.operators.Unigram.buildVocab(t(s, dir, "documents"),
         col("text"), topMulti = 20, maxPieceLen = 4)),
 
+    // X33: TF-IDF-weighted cosine all-pairs similarity over 3-gram terms
+    // — the weighted upgrade of d2's set Jaccard (Bayardo-style
+    // inverted-index join, integer micro weights, df-cut). Dot products
+    // and norms are exact integer sums; one cosine per candidate pair.
+    "x33_tfidf_cosine" -> ((s, dir) =>
+      graft.operators.Corpus.tfidfCosinePairs(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, threshold = 0.5)),
+
     // X32: unigram-LM Viterbi ENCODING with the x31 vocabulary — per-doc
     // word/piece counts + total NLL in exact micro-units. The twin
     // replays the whole DP with 64·s − np key packing (≤16-char words on
@@ -1691,6 +1700,38 @@ object TextQueries {
          |        * 1000000 + 0.5) / 1000000.0 AS prob,
          |  s_micro >= 0 AS keep
          |FROM a WHERE n_feats > 0""".stripMargin,
+
+    // the x33 twin replays term hashing, tf/df, the micro weights, the
+    // integer dot/norm sums, and the identical 3-IEEE-op cosine
+    "x33_tfidf_cosine" ->
+      raw"""WITH $toksSql,
+         |tng AS (
+         |  SELECT doc_id,
+         |    ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS sh
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i)
+         |  WHERE len(tk) >= 3),
+         |tfq AS MATERIALIZED (
+         |  SELECT doc_id, sh, count(*)::BIGINT AS tf FROM tng GROUP BY 1, 2),
+         |dfq AS (SELECT sh, count(*)::BIGINT AS df FROM tfq GROUP BY 1),
+         |nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |wv AS MATERIALIZED (
+         |  SELECT doc_id, sh,
+         |    floor(tf * ln(n::DOUBLE / df) * 1000000 + 0.5)::BIGINT AS m
+         |  FROM tfq JOIN dfq USING (sh), nd WHERE df <= 1000),
+         |n2 AS (SELECT doc_id, sum(m * m)::BIGINT AS n2 FROM wv GROUP BY 1),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         sum(a.m * b.m)::BIGINT AS num
+         |  FROM wv a JOIN wv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  floor((num::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)))
+         |        * 1000000 + 0.5) / 1000000.0 AS cosine
+         |FROM pr
+         |JOIN n2 na ON na.doc_id = id_a
+         |JOIN n2 nb ON nb.doc_id = id_b
+         |WHERE num::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))
+         |      >= 0.5""".stripMargin,
 
     // the x31 twin replays substring counting, the char/top-20 split
     // with its (cnt desc, piece) tiebreak, and the rounded ln

@@ -1975,6 +1975,48 @@ class OperatorsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq shouldBe Seq(3L)
   }
 
+  "Corpus.tfidfCosinePairs" should
+      "match a brute-force weighted cosine and honor threshold and df-cut" in {
+    import spark.implicits._
+    import graft.functions.PolyHash
+    val rows = Seq(
+      (1L, "red fox jumps over the lazy fence"),
+      (2L, "red fox jumps over the lazy wall"), // shares 4 of its 5 3-grams
+      (3L, "blue bird sings at dawn"))
+    val docs = rows.toDF("id", "txt")
+    // brute force in Scala with the same integer-micro contract
+    def grams(t: String) = t.split("\\s+").filter(_.nonEmpty)
+      .sliding(3).map(_.mkString(" ")).toSeq.map(g => PolyHash.hash(g, 31L))
+    val tf = rows.map { case (i, t) =>
+      i -> grams(t).groupBy(identity).view.mapValues(_.size.toLong).toMap }
+    val dfm = tf.flatMap(_._2.keys).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toDouble
+    val w = tf.map { case (i, m) =>
+      i -> m.map { case (g, c) =>
+        g -> math.floor(c * math.log(n / dfm(g)) * 1000000 + 0.5).toLong }
+    }.toMap
+    def cos(a: Long, b: Long): Double = {
+      val sh = w(a).keySet intersect w(b).keySet
+      val num = sh.toSeq.map(g => w(a)(g) * w(b)(g)).sum.toDouble
+      val na = math.sqrt(w(a).values.map(v => v * v).sum.toDouble)
+      val nb = math.sqrt(w(b).values.map(v => v * v).sum.toDouble)
+      if (na == 0 || nb == 0) 0.0 else num / (na * nb)
+    }
+    val expected = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      c = cos(a, b) if c >= 0.3
+    } yield (a, b, math.floor(c * 1000000 + 0.5) / 1000000.0)).toSet
+    val got = graft.operators.Corpus.tfidfCosinePairs(
+        docs, col("id"), col("txt"), n = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    got shouldBe expected
+    got.map(p => (p._1, p._2)) shouldBe Set((1L, 2L)) // 3 is unrelated
+    // a df-cut at 1 drops the shared grams (df 2) — no pair survives
+    graft.operators.Corpus.tfidfCosinePairs(
+      docs, col("id"), col("txt"), n = 3, threshold = 0.3, maxDf = 1)
+      .count() shouldBe 0L
+  }
+
   "Corpus.linearQualityScores" should
       "pool hashed unigram+bigram weights into an integer-exact logit" in {
     import spark.implicits._
