@@ -272,8 +272,11 @@ object Media {
       val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
       val interlace = b(28) & 0xff
       if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+      // scanline channels: palette images (type 3) carry ONE index byte
+      // per pixel on the wire; the palette expansion to RGB happens after
+      // reconstruction
       val channels = colorType match {
-        case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+        case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4
         case _ => return None
       }
       // Long geometry guard (same discipline as bmpStats): the inflated
@@ -282,9 +285,13 @@ object Media {
       val rowBytesL = w.toLong * channels
       val totalL = (1L + rowBytesL) * h
       if (totalL > Int.MaxValue - 8) return None
+      // palette output triples the pixel bytes — guard the expansion too
+      if (colorType == 3 && rowBytesL * h > (Int.MaxValue - 8) / 3) return None
       val rowBytes = rowBytesL.toInt
       val raw = new Array[Byte](totalL.toInt)
-      // inflate the concatenated IDAT chunks straight into `raw`
+      // inflate the concatenated IDAT chunks straight into `raw`;
+      // palette images must present a well-formed PLTE before use
+      var plte: Array[Byte] = null
       val inf = new java.util.zip.Inflater()
       try {
         var produced = 0
@@ -296,7 +303,10 @@ object Media {
           val len = be32(b, oi); val typ = tag(b, oi + 4)
           if (len < 0 || o + 12L + len > b.length) bad = true
           else {
-            if (typ == "IDAT") {
+            if (typ == "PLTE") {
+              if (len == 0 || len % 3 != 0 || len > 768) bad = true
+              else plte = java.util.Arrays.copyOfRange(b, oi + 8, oi + 8 + len)
+            } else if (typ == "IDAT") {
               inf.setInput(b, oi + 8, len)
               try {
                 while (!inf.needsInput && !inf.finished && produced < raw.length)
@@ -342,7 +352,22 @@ object Media {
         System.arraycopy(raw, r * (1 + rowBytes) + 1, pix, r * rowBytes, rowBytes)
         r += 1
       }
-      Some((w, h, channels, pix))
+      if (colorType != 3) return Some((w, h, channels, pix))
+      // palette expansion: every index byte must resolve (an index past
+      // the PLTE is corrupt — loud None, never a clamped fake pixel)
+      if (plte == null) return None
+      val entries = plte.length / 3
+      val rgb = new Array[Byte](pix.length * 3)
+      var i = 0
+      while (i < pix.length) {
+        val idx = pix(i) & 0xff
+        if (idx >= entries) return None
+        rgb(i * 3) = plte(idx * 3)
+        rgb(i * 3 + 1) = plte(idx * 3 + 1)
+        rgb(i * 3 + 2) = plte(idx * 3 + 2)
+        i += 1
+      }
+      Some((w, h, 3, rgb))
     }
 
     /** (n, sum, min, max) over the pixel channel bytes of a decodable
@@ -522,13 +547,20 @@ object Media {
     * are FILTERED with type `row % 5` — so any image of height ≥ 5
     * genuinely exercises all five filter reconstructions — then
     * DEFLATE-compressed into a single IDAT with real CRC32s.
-    * `colorType`: 0 gray, 2 RGB (default), 4 gray+alpha, 6 RGBA — the
-    * bytes-per-pixel used by Sub/Average/Paeth reconstruction follows
-    * it, so non-RGB types exercise the bpp-dependent filter paths. */
+    * `colorType`: 0 gray, 2 RGB (default), 3 palette (requires
+    * `palette` — RGB triplets, f(j) yields INDEX bytes), 4 gray+alpha,
+    * 6 RGBA — the bytes-per-pixel used by Sub/Average/Paeth
+    * reconstruction follows it, so non-RGB types exercise the
+    * bpp-dependent filter paths. */
   def pngBytesPixels(width: Int, height: Int, f: Int => Int,
-                     colorType: Int = 2): Array[Byte] = {
+                     colorType: Int = 2,
+                     palette: Array[Byte] = null): Array[Byte] = {
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case 3 =>
+        require(palette != null && palette.nonEmpty && palette.length % 3 == 0,
+          "palette fixture needs RGB-triplet palette bytes")
+        1
       case _ => throw new IllegalArgumentException(
         s"unsupported fixture color type $colorType")
     }
@@ -586,6 +618,7 @@ object Media {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Bytes.PngSig)
     out.write(chunk("IHDR", ihdr.array()))
+    if (colorType == 3) out.write(chunk("PLTE", palette))
     out.write(chunk("IDAT", idat))
     out.write(chunk("IEND", Array.emptyByteArray))
     out.toByteArray

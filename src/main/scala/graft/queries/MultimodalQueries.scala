@@ -69,6 +69,15 @@ object MultimodalQueries {
         .select(col("id"), col("mime"), col("n_samples"),
           col("mean_val"), col("min_val"), col("max_val"))),
 
+    // M12: PALETTE PNG decode (color type 3) — index scanlines through
+    // the same 5-filter reconstruction, then PLTE expansion to RGB; the
+    // fixture's palette AND index map are closed forms the oracle
+    // recomputes without materializing either.
+    "m12_png_palette" -> ((s, dir) =>
+      Media.extractStats(mediaPngPalette(s, dir)).toDF()
+        .select(col("id"), col("mime"), col("n_samples"),
+          col("mean_val"), col("min_val"), col("max_val"))),
+
     // M6: REAL baseline JPEG decode — the fixture encodes block-constant
     // images (gray, and gray-valued RGB at 4:2:0 with restart markers)
     // with unit quantization tables, the one JPEG family that round-trips
@@ -197,6 +206,26 @@ object MultimodalQueries {
         MediaRecord(id, "image/png",
           Media.pngBytesPixels((3 + n % 13).toInt, (2 + id % 9).toInt,
             j => ((id * 29 + j.toLong * 11) % 256).toInt))
+      }
+  }
+
+  /** The m12 fixture: doc_id % 3 == 0 → palette PNG with
+    * p = 2 + id % 7 entries; pixel j indexes (id·7 + j·5) % p, palette
+    * entry k channel c is (id·13 + k·17 + c·29) % 256. */
+  private def mediaPngPalette(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, n) =>
+        val p = (2 + id % 7).toInt
+        val palette = Array.tabulate[Byte](p * 3) { i =>
+          val k = i / 3; val c = i % 3
+          ((id * 13 + k * 17 + c * 29) % 256).toByte
+        }
+        MediaRecord(id, "image/png",
+          Media.pngBytesPixels((3 + n % 13).toInt, (2 + id % 9).toInt,
+            j => ((id * 7 + j.toLong * 5) % p).toInt,
+            colorType = 3, palette = palette))
       }
   }
 
@@ -395,6 +424,25 @@ object MultimodalQueries {
          |       sum(v)::DOUBLE / count(*) AS mean_val,
          |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
          |FROM pvals GROUP BY id, mime, cnt""".stripMargin,
+
+    // the m12 twin: decoded RGB byte for pixel j channel c is
+    // (id·13 + ((id·7 + j·5) % p)·17 + c·29) % 256 — palette indirection
+    // composed in closed form, neither table materialized
+    "m12_png_palette" ->
+      s"""WITH m AS (SELECT doc_id AS id, n_chars AS n FROM documents
+         |           WHERE doc_id % 3 = 0),
+         |geo AS (SELECT id, 'image/png' AS mime,
+         |               (3 + n % 13) * (2 + id % 9) AS npix,
+         |               2 + id % 7 AS p FROM m),
+         |pv AS (SELECT id, mime, npix,
+         |         (id * 13 + ((id * 7 + j.j * 5) % p) * 17 + c.c * 29) % 256 AS v
+         |       FROM geo,
+         |       LATERAL (SELECT unnest(generate_series(0, npix - 1)) AS j) j,
+         |       LATERAL (SELECT unnest(generate_series(0, 2)) AS c) c)
+         |SELECT id, mime, (npix * 3)::BIGINT AS n_samples,
+         |       sum(v)::DOUBLE / count(*) AS mean_val,
+         |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+         |FROM pv GROUP BY id, mime, npix""".stripMargin,
 
     // the m6 twin recomputes the block-constant JPEG samples from the
     // fixture closed form: block b of image id is (id·37 + b·23) % 256,

@@ -168,6 +168,31 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  it should "decode palette PNGs through PLTE expansion" in {
+    val palette = Array[Byte](10, 20, 30, 100, (200 & 0xff).toByte, 50, 0, 1, 2)
+    val w = 4; val h = 6 // 6 rows: every filter type occurs
+    val idx = (j: Int) => (j * 2 + 1) % 3
+    val png = Media.pngBytesPixels(w, h, idx, colorType = 3, palette = palette)
+    val got = Media.SampleStatsDecoder.pngPixels(png).get
+    got._1 shouldBe w; got._2 shouldBe h; got._3 shouldBe 3
+    val expected = (0 until w * h).flatMap { j =>
+      val k = idx(j); Seq(palette(k * 3), palette(k * 3 + 1), palette(k * 3 + 2))
+    }
+    got._4.toSeq shouldBe expected
+  }
+
+  it should "refuse palette images with out-of-range indexes or no PLTE" in {
+    val palette = Array[Byte](1, 2, 3, 4, 5, 6) // 2 entries
+    val bad = Media.pngBytesPixels(3, 3, _ => 2, colorType = 3,
+      palette = palette) // index 2 >= 2 entries
+    Media.SampleStatsDecoder.pngPixels(bad) shouldBe None
+    // strip the PLTE chunk: sig(8) + IHDR(25) then PLTE(12+6)
+    val ok = Media.pngBytesPixels(3, 3, _ => 1, colorType = 3,
+      palette = palette)
+    val noPlte = ok.take(33) ++ ok.drop(33 + 12 + 6)
+    Media.SampleStatsDecoder.pngPixels(noPlte) shouldBe None
+  }
+
   it should "emit no row for payloads it cannot truly decode" in {
     val full = Media.pngBytesPixels(6, 6, j => j)
     val recs = Seq(
