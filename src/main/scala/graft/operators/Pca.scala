@@ -30,14 +30,38 @@ object Pca {
     * shuffle is partitions × cells, never corpus-sized. */
   def gramMicro(df: DataFrame, vec: Column, dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    val entries = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+    // Stage the vector into its OWN projection first: the lambdas below
+    // reference it 2 times per cell, and an inlined non-attribute child
+    // (e.g. the float→double cast every caller passes) would re-evaluate
+    // per reference — measured 11 s for 20k×64 vectors vs 1.4 s staged
+    // (the v15 lesson). CollapseProject keeps multiply-referenced
+    // non-cheap aliases staged.
+    val v = col("__v")
+    val prods = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
       transform(sequence(i, lit(dim - 1)), j =>
-        struct(i.as("i"), j.as("j"),
-          floor(element_at(vec, i + 1) * element_at(vec, j + 1)
-            * 1000000 + 0.5).cast("long").as("p")))))
-    df.select(explode(entries).as("e"))
-      .groupBy(col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("e.p")).as("s_micro"))
+        floor(element_at(v, i + 1) * element_at(v, j + 1) * 1000000 + 0.5)
+          .cast("long"))))
+    // cells aggregate on the PACKED upper-triangle position (primitive
+    // long array through posexplode — no per-cell struct allocation);
+    // (i, j) re-attach from a bounded broadcast mapping after the agg
+    val agg = df.select(vec.as("__v"))
+      .select(posexplode(prods).as(Seq("pidx", "p")))
+      .groupBy("pidx").agg(count(lit(1)).as("n"), sum("p").as("s_micro"))
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val rows = (for { i <- 0 until dim; j <- i until dim } yield {
+      val pidx = i * dim - i * (i - 1) / 2 + (j - i)
+      org.apache.spark.sql.Row(pidx, i.toLong, j.toLong)
+    }).asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pidx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    agg.join(broadcast(spark.createDataFrame(rows, schema)), "pidx")
+      .select(col("i"), col("j"), col("n"), col("s_micro"))
   }
 
   /** Dominant component via `iters` fixed power-iteration steps — the
@@ -84,12 +108,15 @@ object Pca {
     * cross-engine fold-order contract), 6-dp-rounded. Map-only. */
   def projectMicro(df: DataFrame, id: Column, vec: Column,
                    componentMicro: Array[Long]): DataFrame = {
+    // staged for the same reason as [[gramMicro]]: the fold references
+    // the vector once per dimension
     val dot = componentMicro.zipWithIndex.foldLeft(lit(0.0)) {
       case (acc, (w, i)) =>
-        acc + element_at(vec, i + 1) * lit(w / 1000000.0)
+        acc + element_at(col("__v"), i + 1) * lit(w / 1000000.0)
     }
-    df.select(id.as("vec_id"),
-      (floor(dot * 1000000 + 0.5) / 1000000.0).as("proj"))
+    df.select(id.as("vec_id"), vec.as("__v"))
+      .select(col("vec_id"),
+        (floor(dot * 1000000 + 0.5) / 1000000.0).as("proj"))
   }
 
   /** A trained PCA model: per-dimension means, orthonormal components
@@ -104,15 +131,18 @@ object Pca {
     def transform(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
       require(k >= 1 && k <= components.length,
         s"k must be in [1, ${components.length}], got $k")
+      // staged so the k·dim element_at references read an attribute, not
+      // a re-evaluated child (see gramMicro)
       val cols = (0 until k).map { c =>
         val comp = components(c)
         val dot = comp.zipWithIndex.foldLeft(lit(0.0)) {
           case (acc, (w, i)) =>
-            acc + (element_at(vec, i + 1) - lit(mean(i))) * lit(w)
+            acc + (element_at(col("__v"), i + 1) - lit(mean(i))) * lit(w)
         }
         dot.as(s"pc$c")
       }
-      df.select(id.as("vec_id") +: cols: _*)
+      df.select(id.as("vec_id"), vec.as("__v"))
+        .select(col("vec_id") +: cols: _*)
     }
   }
 

@@ -1128,6 +1128,65 @@ object RelationalQueries {
         .start().awaitTermination()
       s.read.parquet(out)}),
 
+    // ST13: stream-stream LEFT OUTER interval join — the attribution
+    // shape (purchase ⟕ preceding click within 1 h, same user) with the
+    // semantic st5's inner join never exercises: a NULL-padded left row
+    // may only emit once the watermark proves no match can still arrive
+    // (left state evicted), and rows still in state when the stream
+    // drains NEVER emit outer results. Three time-ranged staged files →
+    // three real micro-batches; the eviction watermark of the LAST
+    // batch is the max event time seen through batch 2 (wm delay 0,
+    // millis-truncated), so the twin replays: all matches + unmatched
+    // purchases strictly older than that instant.
+    "st13_stream_left_outer" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val tsc = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000"))
+        case _ => col("ts").cast("timestamp")
+      }
+      val ev = ev0.select(tsc.as("ts"), col("event_id"), col("user_id"),
+          col("event_type"))
+        .where(col("user_id").isNotNull)
+      val s1 = lit("2024-01-11 00:00:00").cast("timestamp")
+      val s2 = lit("2024-01-21 00:00:00").cast("timestamp")
+      val staged = java.nio.file.Files.createTempDirectory("st13_in")
+      def stage(df: org.apache.spark.sql.DataFrame, name: String,
+                modMs: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("st13_tmp").toString
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = staged.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        require(dst.toFile.setLastModified(modMs),
+          s"st13: cannot set staged-file mtime on $dst")
+      }
+      stage(ev.where(col("ts") < s1), "a.parquet", 1700000000000L)
+      stage(ev.where(col("ts") >= s1 && col("ts") < s2), "b.parquet",
+        1700000060000L)
+      stage(ev.where(col("ts") >= s2), "c.parquet", 1700000120000L)
+      val schema = s.read.parquet(staged.toString).schema
+      def src() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val purchases = src().where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = src().where(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      val joined = graft.streaming.StreamingScore.streamIntervalJoin(
+        purchases, clicks, key = "user_id", leftTs = "p_ts",
+        rightTs = "c_ts", joinType = "leftOuter")
+      val out = java.nio.file.Files.createTempDirectory("st13_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("st13_ckpt").toString
+      joined.select(col("p_id"), col("user_id"), col("c_id"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(out)}),
+
     // ST12: WATERMARK-BOUNDED streaming deduplication
     // (dropDuplicatesWithinWatermark, SPARK-42931) — the at-least-once
     // ingestion cleaner: exactly-once keys with state that EXPIRES at
@@ -2202,6 +2261,33 @@ object RelationalQueries {
         |FROM kept, wmf
         |GROUP BY ws, event_type, wf
         |HAVING ws + INTERVAL 1 HOUR <= wf""".stripMargin,
+
+    // the st13 twin: every match (inner results emit as they pair), plus
+    // NULL-padded purchases whose match window is provably closed — p_ts
+    // strictly below the final global watermark (min of the two sides'
+    // millis-truncated max event times; the AvailableNow drain runs a
+    // final eviction batch at that watermark, st3's closed-window rule)
+    "st13_stream_left_outer" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |c AS (
+        |  SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
+        |  WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |wm AS (SELECT least(
+        |  (SELECT date_trunc('millisecond', max(p_ts)) FROM p),
+        |  (SELECT date_trunc('millisecond', max(c_ts)) FROM c)) AS w),
+        |m AS (
+        |  SELECT p.p_id, p.user_id, c.c_id
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts),
+        |um AS (
+        |  SELECT p.p_id, p.user_id, NULL::BIGINT AS c_id
+        |  FROM p, wm
+        |  WHERE p.p_ts < w AND NOT EXISTS (
+        |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |      AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts))
+        |SELECT * FROM m UNION ALL SELECT * FROM um""".stripMargin,
 
     // the st12 twin: every duplicate falls inside the 90-day guarantee
     // window, so the drained stream must be exactly one row per event_id

@@ -113,7 +113,8 @@ object StreamingScore {
   def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
                          leftTs: String, rightTs: String,
                          lookback: String = "1 hour",
-                         watermark: String = "0 seconds"): DataFrame = {
+                         watermark: String = "0 seconds",
+                         joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark).alias("l")
     val r = right
       .withColumnRenamed(key, "__rkey")
@@ -121,7 +122,8 @@ object StreamingScore {
     l.join(r,
       col(s"l.$key") === col("r.__rkey") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lookback") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+        col(s"r.$rightTs") <= col(s"l.$leftTs"),
+      joinType)
       .drop("__rkey")
   }
 
