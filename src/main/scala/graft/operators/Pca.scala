@@ -127,17 +127,27 @@ object Pca {
     require(components.length == eigenvalues.length)
 
     /** Map-only projection onto the top-k components: one literal-array
-      * dot fold per component over the CENTERED vector, all codegen. */
-    def transform(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
+      * dot fold per component over the CENTERED vector, all codegen.
+      * `whiten = true` scales each component by 1/√λ so the output has
+      * unit variance per dimension (PCA whitening — the decorrelated
+      * standardized features quantizers and distance metrics prefer);
+      * components with λ ≤ 0 (numerically degenerate directions) refuse
+      * loudly rather than divide by ~0. */
+    def transform(df: DataFrame, id: Column, vec: Column, k: Int,
+                  whiten: Boolean = false): DataFrame = {
       require(k >= 1 && k <= components.length,
         s"k must be in [1, ${components.length}], got $k")
+      if (whiten) require(eigenvalues.take(k).forall(_ > 1e-12),
+        "whitening needs strictly positive eigenvalues for the kept " +
+          s"components; got ${eigenvalues.take(k).mkString(",")}")
       // staged so the k·dim element_at references read an attribute, not
       // a re-evaluated child (see gramMicro)
       val cols = (0 until k).map { c =>
+        val scale = if (whiten) 1.0 / math.sqrt(eigenvalues(c)) else 1.0
         val comp = components(c)
         val dot = comp.zipWithIndex.foldLeft(lit(0.0)) {
           case (acc, (w, i)) =>
-            acc + (element_at(col("__v"), i + 1) - lit(mean(i))) * lit(w)
+            acc + (element_at(col("__v"), i + 1) - lit(mean(i))) * lit(w * scale)
         }
         dot.as(s"pc$c")
       }

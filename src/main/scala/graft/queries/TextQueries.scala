@@ -587,6 +587,26 @@ object TextQueries {
         t(s, dir, "documents"), col("doc_id"), col("text"),
         n = 3, threshold = 0.5)),
 
+    // X34: unigram-LM TRAINING properties, driver-gated (the LDA
+    // determinism-gate pattern): two same-input Viterbi-EM trainings
+    // must be bit-identical, and the corpus NLL must be non-increasing
+    // across rounds 0→1→2 (the hard-EM guarantee). The gate emits the
+    // two booleans — scale-invariant, so the twin is literal TRUEs at
+    // any replica factor; a regression turns a constant FALSE.
+    "x34_unigram_em" -> ((s, dir) => {
+      import graft.operators.Unigram
+      val docs = t(s, dir, "documents")
+      val nlls = (0 to 2).map { r =>
+        Unigram.corpusNll(docs, col("doc_id"), col("text"),
+          Unigram.trainViterbiEm(docs, col("text"), topMulti = 20,
+            maxPieceLen = 4, rounds = r))
+      }
+      val v1 = Unigram.trainViterbiEm(docs, col("text"), 20, 4, rounds = 2)
+      val v2 = Unigram.trainViterbiEm(docs, col("text"), 20, 4, rounds = 2)
+      s.range(1).select(
+        lit(v1.toSeq == v2.toSeq).as("runs_identical"),
+        lit(nlls(0) >= nlls(1) && nlls(1) >= nlls(2)).as("nll_monotone"))}),
+
     // X32: unigram-LM Viterbi ENCODING with the x31 vocabulary — per-doc
     // word/piece counts + total NLL in exact micro-units. The twin
     // replays the whole DP with 64·s − np key packing (≤16-char words on
@@ -1732,6 +1752,10 @@ object TextQueries {
          |JOIN n2 nb ON nb.doc_id = id_b
          |WHERE num::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))
          |      >= 0.5""".stripMargin,
+
+    // the x34 twin: the training properties are scale-invariant booleans
+    "x34_unigram_em" ->
+      "SELECT TRUE AS runs_identical, TRUE AS nll_monotone",
 
     // the x31 twin replays substring counting, the char/top-20 split
     // with its (cnt desc, piece) tiebreak, and the rounded ln

@@ -106,6 +106,21 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  it should "whiten projections to unit per-component variance" in {
+    val df = planted(200)
+    val m = Pca.fit(df, col("embedding"), dim = 4, k = 2)
+    val w = m.transform(df, col("vec_id"), col("embedding"), k = 2,
+      whiten = true).as[(Long, Double, Double)].collect()
+    def popVar(xs: Array[Double]): Double = {
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }
+    // fit's covariance is the population covariance of these same rows
+    // (up to the 1e-6 fixed-point Gram), so whitened variance ≈ 1
+    popVar(w.map(_._2)) shouldBe 1.0 +- 1e-3
+    popVar(w.map(_._3)) shouldBe 1.0 +- 1e-3
+  }
+
   "PcaModel.transform" should "project centered vectors onto the top components" in {
     val df = planted(50)
     val m = Pca.fit(df, col("embedding"), dim = 4, k = 2)
