@@ -54,7 +54,8 @@ object Bench {
       "x11b_pack_concat", "x12_class_balance", "x13_top_ngrams",
       "x14_mixture", "x21_temperature_mix", "x23_shuffle_shards",
       "x24_pseudonymize", "x17_dsir_select", "x29_weighted_sample",
-      "x30_quality_classifier", "x31_unigram_vocab", "x32_unigram_encode"),
+      "x30_quality_classifier", "x31_unigram_vocab", "x32_unigram_encode",
+      "x35_html_strip"),
     "dedup" -> Seq(
       "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
       "d6_near_dup_clusters", "d7_dup_spans", "w3_sessionize"),

@@ -445,6 +445,28 @@ object Corpus {
         (floor(cos * 1000000 + 0.5) / 1000000.0).as("cosine"))
   }
 
+  /** HTML → text extraction (the first step of every web-crawl curation
+    * pipeline, C4/CCNet §preprocessing): drop script/style blocks
+    * wholesale, strip remaining tags to spaces, decode the six common
+    * entities (&amp; LAST, so "&amp;lt;" decodes once, not twice),
+    * collapse whitespace. Pure column expressions — map-only, zero
+    * shuffle, whole-stage codegen. Patterns are Java↔RE2-portable (the
+    * x9 PII discipline): no backreferences (script and style are two
+    * passes), non-greedy + (?is) only. */
+  def stripHtml(docs: DataFrame, id: Column, html: Column): DataFrame = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    docs.select(id.cast("long").as("doc_id"), clean.as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+  }
+
   /** fastText-style LINEAR quality classifier scoring (Joulin et al.
     * 2016; the model-based quality filter of CCNet / GPT-3-style
     * curation): hashed unigram+bigram features over `numBuckets`

@@ -587,6 +587,23 @@ object TextQueries {
         t(s, dir, "documents"), col("doc_id"), col("text"),
         n = 3, threshold = 0.5)),
 
+    // X35: HTML → text extraction — each doc wrapped in a deterministic
+    // page (script/style blocks, nested tags, the six entities; the
+    // injection is shared VERBATIM with the twin, C4Injections-style),
+    // then stripped back. Map-only regex chain, Java↔RE2-portable.
+    "x35_html_strip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1; " +
+          "if (x &lt; 2) { x = 3; }</script><style>.c { color: red; }" +
+          "</style></head><body><h1>Title "),
+        col("doc_id").cast("string"),
+        lit("</h1><p class=\"main\">"), col("text"),
+        lit("</p><div>Tom &amp; Jerry &lt;3 &quot;quotes&quot;" +
+          " &nbsp; end</div></body></html>"))
+      graft.operators.Corpus.stripHtml(
+        t(s, dir, "documents").select(col("doc_id"), html.as("html")),
+        col("doc_id"), col("html"))}),
+
     // X34: unigram-LM TRAINING properties, driver-gated (the LDA
     // determinism-gate pattern): two same-input Viterbi-EM trainings
     // must be bit-identical, and the corpus NLL must be non-increasing
@@ -1756,6 +1773,33 @@ object TextQueries {
     // the x34 twin: the training properties are scale-invariant booleans
     "x34_unigram_em" ->
       "SELECT TRUE AS runs_identical, TRUE AS nll_monotone",
+
+    // the x35 twin rebuilds the same page and replays the strip chain
+    // (RE2 flags via the 4th arg; g on every replace)
+    "x35_html_strip" ->
+      raw"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<html><head><script type="text/javascript">var x = 1; if (x &lt; 2) { x = 3; }</script><style>.c { color: red; }</style></head><body><h1>Title '
+         |    || doc_id::VARCHAR || '</h1><p class="main">' || text
+         |    || '</p><div>Tom &amp; Jerry &lt;3 &quot;quotes&quot; &nbsp; end</div></body></html>'
+         |      AS html
+         |  FROM documents),
+         |c1 AS (SELECT doc_id, regexp_replace(html,
+         |         '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+         |c2 AS (SELECT doc_id, regexp_replace(t,
+         |         '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM c1),
+         |c3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
+         |       FROM c2),
+         |c4 AS (SELECT doc_id,
+         |         replace(replace(replace(replace(replace(replace(t,
+         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |           '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+         |       FROM c3)
+         |SELECT doc_id,
+         |       trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text,
+         |       len(trim(regexp_replace(t, '\s+', ' ', 'g')))::BIGINT
+         |         AS n_chars_clean
+         |FROM c4""".stripMargin,
 
     // the x31 twin replays substring counting, the char/top-20 split
     // with its (cnt desc, piece) tiebreak, and the rounded ln

@@ -2017,6 +2017,18 @@ class OperatorsSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  "Corpus.stripHtml" should "drop script/style, strip tags, decode entities once" in {
+    import spark.implicits._
+    val html = "<html><script>if (1 &lt; 2) { x(); }</script>" +
+      "<style>.a{}</style><p>A &amp;lt; B &nbsp;&quot;q&quot;" +
+      "<br/>tail   spaces</p></html>"
+    val got = Corpus.stripHtml(Seq((1L, html)).toDF("id", "h"),
+      col("id"), col("h")).as[(Long, String, Long)].head()
+    // "&amp;lt;" decodes to the literal "&lt;" (amp last), not "<"
+    got._2 shouldBe "A &lt; B \"q\" tail spaces"
+    got._3 shouldBe got._2.length.toLong
+  }
+
   "Corpus.linearQualityScores" should
       "pool hashed unigram+bigram weights into an integer-exact logit" in {
     import spark.implicits._
