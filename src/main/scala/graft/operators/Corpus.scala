@@ -445,6 +445,37 @@ object Corpus {
         (floor(cos * 1000000 + 0.5) / 1000000.0).as("cosine"))
   }
 
+  /** DEFLATE compression-ratio quality signal (Gopher §A2.2 used it;
+    * near-duplicate boilerplate and low-entropy spam compress far below
+    * natural prose, random noise barely compresses): per doc,
+    * compressed_len / raw_len in 1e-6 fixed point over UTF-8 bytes,
+    * level-6 zlib. No SQL twin exists (DuckDB has no deflate), so this
+    * ships spec-locked with pinned golden ratios — the honest gate-less
+    * operator, stated as such. mapPartitions with ONE shared Deflater
+    * per partition (reset between docs — allocation-free hot loop). */
+  def compressionRatios(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(id.cast("long").as("doc_id"), text.as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        it.map { case (docId, t) =>
+          val raw = if (t == null) Array.emptyByteArray
+            else t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset()
+          defl.setInput(raw)
+          defl.finish()
+          var comp = 0L
+          while (!defl.finished) comp += defl.deflate(buf)
+          val ratio = if (raw.isEmpty) 0L
+            else math.floor(comp.toDouble / raw.length * 1000000 + 0.5).toLong
+          (docId, raw.length.toLong, comp, ratio)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_compressed", "ratio_micro")
+  }
+
   /** HTML → text extraction (the first step of every web-crawl curation
     * pipeline, C4/CCNet §preprocessing): drop script/style blocks
     * wholesale, strip remaining tags to spaces, decode the six common

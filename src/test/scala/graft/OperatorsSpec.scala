@@ -2017,6 +2017,47 @@ class OperatorsSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  "Corpus.compressionRatios" should
+      "rank repetitive text below prose below noise, deterministically" in {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam " * 200),                       // hyper-compressible
+      (2L, ("the quick brown fox jumps over the lazy dog; " +
+        "pack my box with five dozen liquor jugs. ") * 40), // prose-ish
+      (3L, (0 until 3000).map(i =>                          // hash noise
+        Integer.toString((i * 2654435761L % 1099511627776L).toInt, 36))
+        .mkString(" ")))
+      .toDF("id", "txt")
+    val got = Corpus.compressionRatios(docs, col("id"), col("txt"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    got(1L)._4 should be < got(2L)._4
+    got(2L)._4 should be < got(3L)._4
+    got(1L)._4 should be < 50000L   // ~x1000 repetition compresses > 20x
+    got(3L)._4 should be > 400000L  // noise stays above 40%
+    // deterministic and exact: same input -> identical quadruples
+    val again = Corpus.compressionRatios(docs, col("id"), col("txt"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    again shouldBe got
+    // ratio is the documented fixed-point of the two integer columns
+    val (_, nb, nc, rm) = got(2L)
+    rm shouldBe math.floor(nc.toDouble / nb * 1000000 + 0.5).toLong
+  }
+
+  "Sampling.uniformHash" should "produce 3-dp-uniform draws over sequential keys" in {
+    import spark.implicits._
+    val df = (0L until 100000L).toDF("id")
+    val u = Sampling.uniformHash(col("id"), "spec")
+    val got = df.select(avg(u).as("mean"),
+        stddev_pop(u).as("sd"),
+        sum(when(u <= 0 || u > 1, 1).otherwise(0)).as("oob"),
+        (count(when(u < 0.1, 1)) / count(lit(1))).as("low_decile"))
+      .as[(Double, Double, Long, Double)].head()
+    got._1 shouldBe 0.5 +- 0.005
+    got._2 shouldBe 0.288675 +- 0.003 // 1/sqrt(12)
+    got._3 shouldBe 0L
+    got._4 shouldBe 0.1 +- 0.005
+  }
+
   "Corpus.stripHtml" should "drop script/style, strip tags, decode entities once" in {
     import spark.implicits._
     val html = "<html><script>if (1 &lt; 2) { x(); }</script>" +
