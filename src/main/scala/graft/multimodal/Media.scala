@@ -9,12 +9,12 @@ import org.apache.spark.sql.functions._
   * Media travels as an opaque `binary` column plus typed metadata — the
   * schema, partitioning, and batch shapes are real and tested. Header
   * metadata ([[HeaderDecoder]]) and payload decode ([[SampleStatsDecoder]]:
-  * 24-bit BMP pixels, 16-bit PCM WAV samples, 8-bit PNG pixels via
-  * `java.util.zip.Inflater` + the spec's five scanline filters, and
-  * baseline JPEG via the pure-JVM [[Jpeg]] codec) are real parsing with
-  * no codec library; only formats still genuinely out of pure-JVM reach
-  * here (MP3, progressive JPEG, interlaced/16-bit PNG) stay loudly
-  * stubbed.
+  * 24-bit BMP pixels, 16-bit PCM WAV samples, PNG pixels at every legal
+  * depth/type/interlace combination via `java.util.zip.Inflater` + the
+  * spec's five scanline filters + Adam7 pass reassembly, and baseline
+  * JPEG via the pure-JVM [[Jpeg]] codec) are real parsing with no codec
+  * library; only formats still genuinely out of pure-JVM reach here
+  * (MP3, progressive JPEG) stay loudly stubbed.
   *
   * Ingestion paths:
   *  - real files: `spark.read.format("binaryFile")` (path, length, content)
@@ -181,14 +181,15 @@ object Media {
   /** SAMPLE DECODER — real pure-JVM decode, no codec library needed:
     * 24-bit BI_RGB BMP pixel bytes (honoring the 4-byte row stride —
     * padding bytes are NOT samples), 16-bit PCM WAV samples from the
-    * data chunk, and 8-bit-depth non-interlaced PNG pixels (IDAT is raw
-    * DEFLATE — `java.util.zip.Inflater` + the five scanline filters of
-    * the PNG spec §9 are the whole codec), and baseline JPEG pixels via
-    * the pure-JVM [[Jpeg]] codec (Huffman + IDCT + YCbCr). The integer
-    * sum is exact, so `mean = sum.toDouble / n` is one deterministic IEEE
-    * division — an oracle computing the same sum reproduces it
-    * bit-for-bit. Formats still outside pure-JVM reach (MP3, progressive
-    * JPEG, 16-bit/interlaced PNG, ...) yield no stats row:
+    * data chunk, and PNG pixels at every legal depth (1/2/4/8/16), color
+    * type, and interlace mode (IDAT is raw DEFLATE —
+    * `java.util.zip.Inflater` + the five scanline filters of the PNG
+    * spec §9 + Adam7 pass reassembly are the whole codec), and baseline
+    * JPEG pixels via the pure-JVM [[Jpeg]] codec (Huffman + IDCT +
+    * YCbCr). The integer sum is exact, so `mean = sum.toDouble / n` is
+    * one deterministic IEEE division — an oracle computing the same sum
+    * reproduces it bit-for-bit. Formats still outside pure-JVM reach
+    * (MP3, progressive JPEG, ...) yield no stats row:
     * [[HeaderDecoder]] still covers their metadata, and a silent fake
     * would poison quality filters. */
   object SampleStatsDecoder extends MediaStatsDecoder {
@@ -255,39 +256,73 @@ object Media {
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
 
-    /** Packed pixel bytes of an 8-bit-depth non-interlaced PNG, color
-      * types 0/2/4/6 (gray / RGB / gray+alpha / RGBA). The IDAT payload
-      * is a zlib stream — pure-JVM decodable with
-      * `java.util.zip.Inflater`; each inflated scanline is one filter
-      * byte plus `width·channels` filtered bytes, undone per spec §9
-      * (None, Sub, Up, Average, Paeth) against the reconstructed previous
-      * row, then packed (filter bytes dropped) into raster order. None
-      * for any geometry/stream the payload can't actually back:
-      * truncated or over-long IDAT, unknown filter, 16-bit or interlaced
-      * images (those are the genuinely-codec-shaped cases, kept loud).
+    /** Adam7 pass origins and strides (PNG spec §8.2): pass p covers
+      * pixels (x0 + i·dx, y0 + j·dy); a pass whose sub-image is empty
+      * contributes no scanlines at all (not even filter bytes). */
+    private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    /** Packed 8-bit pixel samples of a PNG — every legal IHDR combination
+      * (spec §11.2.2): color types 0/2/3/4/6, bit depths 1/2/4/8/16 where
+      * the type allows them, sequential AND Adam7-interlaced. The IDAT
+      * payload is a zlib stream — pure-JVM decodable with
+      * `java.util.zip.Inflater`; each inflated scanline (per interlace
+      * pass, each pass its own sub-image) is one filter byte plus
+      * `ceil(passWidth·channels·depth/8)` filtered bytes, undone per
+      * spec §9 (None, Sub, Up, Average, Paeth) against the reconstructed
+      * previous row OF THE SAME PASS, then unpacked to 8-bit samples in
+      * full-raster order: 16-bit samples keep their most-significant
+      * byte (libpng's strip-16 reduction); sub-byte gray samples scale
+      * by 255/(2^d−1) (exact bit replication); sub-byte palette INDEXES
+      * stay raw and expand through PLTE afterwards. None for any
+      * geometry/stream the payload can't actually back: truncated or
+      * over-long IDAT, unknown filter, illegal depth/type combination.
       * Returns (width, height, channels, pixels). */
     def pngPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
       if (b.length < 33) return None // sig + complete IHDR chunk
       val w = be32(b, 16); val h = be32(b, 20)
       val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
       val interlace = b(28) & 0xff
-      if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
-      // scanline channels: palette images (type 3) carry ONE index byte
-      // per pixel on the wire; the palette expansion to RGB happens after
-      // reconstruction
+      if (w <= 0 || h <= 0 || (interlace != 0 && interlace != 1)) return None
+      // scanline channels: palette images (type 3) carry ONE index
+      // sample per pixel on the wire; the palette expansion to RGB
+      // happens after reconstruction
       val channels = colorType match {
         case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4
         case _ => return None
       }
+      val depthOk = colorType match {
+        case 0 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+          bitDepth == 8 || bitDepth == 16
+        case 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+          bitDepth == 8
+        case _ => bitDepth == 8 || bitDepth == 16
+      }
+      if (!depthOk) return None
+      val passes: Array[(Int, Int, Int, Int)] =
+        if (interlace == 0) Array((0, 0, 1, 1)) else Adam7
+      def passW(p: (Int, Int, Int, Int)): Int =
+        if (w > p._1) (w - p._1 + p._3 - 1) / p._3 else 0
+      def passH(p: (Int, Int, Int, Int)): Int =
+        if (h > p._2) (h - p._2 + p._4 - 1) / p._4 else 0
+      def rowBytesOf(pw: Int): Long =
+        (pw.toLong * channels * bitDepth + 7) / 8
       // Long geometry guard (same discipline as bmpStats): the inflated
-      // image must fit one JVM array, and a header promising more is not
-      // a decodable payload
-      val rowBytesL = w.toLong * channels
-      val totalL = (1L + rowBytesL) * h
-      if (totalL > Int.MaxValue - 8) return None
+      // stream and the unpacked 8-bit output must each fit one JVM
+      // array, and a header promising more is not a decodable payload
+      var totalL = 0L
+      var pi = 0
+      while (pi < passes.length) {
+        val pw = passW(passes(pi)); val ph = passH(passes(pi))
+        if (pw > 0 && ph > 0) totalL += (1L + rowBytesOf(pw)) * ph
+        pi += 1
+      }
+      val outL = w.toLong * h * channels
+      if (totalL <= 0 || totalL > Int.MaxValue - 8) return None
+      if (outL > Int.MaxValue - 8) return None
       // palette output triples the pixel bytes — guard the expansion too
-      if (colorType == 3 && rowBytesL * h > (Int.MaxValue - 8) / 3) return None
-      val rowBytes = rowBytesL.toInt
+      if (colorType == 3 && outL > (Int.MaxValue - 8) / 3) return None
       val raw = new Array[Byte](totalL.toInt)
       // inflate the concatenated IDAT chunks straight into `raw`;
       // palette images must present a well-formed PLTE before use
@@ -320,37 +355,69 @@ object Media {
         }
         if (bad || produced != raw.length) return None
       } finally inf.end()
-      // undo the scanline filters in place: raw becomes recon row by row
-      val bpp = channels // 8-bit depth: one byte per channel
-      var r = 0
-      while (r < h) {
-        val base = r * (1 + rowBytes)
-        val filter = raw(base) & 0xff
-        if (filter > 4) return None
-        val prev = base - (1 + rowBytes)
-        var k = 0
-        while (k < rowBytes) {
-          val x = raw(base + 1 + k) & 0xff
-          val a = if (k >= bpp) raw(base + 1 + k - bpp) & 0xff else 0
-          val u = if (r > 0) raw(prev + 1 + k) & 0xff else 0
-          val c = if (r > 0 && k >= bpp) raw(prev + 1 + k - bpp) & 0xff else 0
-          val recon = filter match {
-            case 0 => x
-            case 1 => x + a
-            case 2 => x + u
-            case 3 => x + (a + u) / 2
-            case 4 => x + paeth(a, u, c)
+      // per-pass: undo the scanline filters in place (against the same
+      // pass's previous row), then unpack samples to 8-bit in raster order
+      val bpp = math.max(1, channels * bitDepth / 8)
+      val scale = // exact bit-replication factor for sub-byte gray
+        if (colorType == 0 && bitDepth < 8) 255 / ((1 << bitDepth) - 1)
+        else 1
+      val pix = new Array[Byte](outL.toInt)
+      var off = 0
+      pi = 0
+      while (pi < passes.length) {
+        val (x0, y0, dx, dy) = passes(pi)
+        val pw = passW(passes(pi)); val ph = passH(passes(pi))
+        if (pw > 0 && ph > 0) {
+          val rowBytes = rowBytesOf(pw).toInt
+          var r = 0
+          while (r < ph) {
+            val base = off + r * (1 + rowBytes)
+            val filter = raw(base) & 0xff
+            if (filter > 4) return None
+            val prev = base - (1 + rowBytes)
+            var k = 0
+            while (k < rowBytes) {
+              val x = raw(base + 1 + k) & 0xff
+              val a = if (k >= bpp) raw(base + 1 + k - bpp) & 0xff else 0
+              val u = if (r > 0) raw(prev + 1 + k) & 0xff else 0
+              val c =
+                if (r > 0 && k >= bpp) raw(prev + 1 + k - bpp) & 0xff else 0
+              val recon = filter match {
+                case 0 => x
+                case 1 => x + a
+                case 2 => x + u
+                case 3 => x + (a + u) / 2
+                case 4 => x + paeth(a, u, c)
+              }
+              raw(base + 1 + k) = (recon & 0xff).toByte
+              k += 1
+            }
+            // unpack this sub-scanline's samples into the full raster
+            val y = y0 + r * dy
+            var px = 0
+            while (px < pw) {
+              val outBase = (y * w + (x0 + px * dx)) * channels
+              var ch = 0
+              while (ch < channels) {
+                val sIdx = px * channels + ch
+                val v = bitDepth match {
+                  case 8 => raw(base + 1 + sIdx) & 0xff
+                  case 16 => raw(base + 1 + sIdx * 2) & 0xff // MSB keep
+                  case d => // big-endian bit packing within each byte
+                    val bit = sIdx * d
+                    ((raw(base + 1 + (bit >> 3)) & 0xff)
+                      >> (8 - d - (bit & 7))) & ((1 << d) - 1)
+                }
+                pix(outBase + ch) = (v * scale).toByte
+                ch += 1
+              }
+              px += 1
+            }
+            r += 1
           }
-          raw(base + 1 + k) = (recon & 0xff).toByte
-          k += 1
+          off += ph * (1 + rowBytes)
         }
-        r += 1
-      }
-      val pix = new Array[Byte](rowBytes * h)
-      r = 0
-      while (r < h) {
-        System.arraycopy(raw, r * (1 + rowBytes) + 1, pix, r * rowBytes, rowBytes)
-        r += 1
+        pi += 1
       }
       if (colorType != 3) return Some((w, h, channels, pix))
       // palette expansion: every index byte must resolve (an index past
@@ -542,19 +609,25 @@ object Media {
     out.array()
   }
 
-  /** A complete, spec-valid 8-bit PNG whose raw pixel channel byte
-    * `j` (row-major, filter bytes excluded) is `f(j) & 0xff`: scanlines
-    * are FILTERED with type `row % 5` — so any image of height ≥ 5
+  /** A complete, spec-valid PNG whose raw pixel SAMPLE `j` (row-major,
+    * one entry per channel per pixel, filter bytes excluded) is `f(j)`
+    * masked to the bit depth: scanlines are FILTERED with type
+    * `row % 5` within their (sub-)image — so any image of height ≥ 5
     * genuinely exercises all five filter reconstructions — then
     * DEFLATE-compressed into a single IDAT with real CRC32s.
     * `colorType`: 0 gray, 2 RGB (default), 3 palette (requires
-    * `palette` — RGB triplets, f(j) yields INDEX bytes), 4 gray+alpha,
+    * `palette` — RGB triplets, f(j) yields INDEX values), 4 gray+alpha,
     * 6 RGBA — the bytes-per-pixel used by Sub/Average/Paeth
     * reconstruction follows it, so non-RGB types exercise the
-    * bpp-dependent filter paths. */
+    * bpp-dependent filter paths. `bitDepth` 1/2/4 (big-endian packed,
+    * gray or palette only), 8, or 16 (big-endian, f(j) is the full
+    * 16-bit sample); `interlaced` writes the seven Adam7 passes, each
+    * pass filtered independently per spec §8.2. */
   def pngBytesPixels(width: Int, height: Int, f: Int => Int,
                      colorType: Int = 2,
-                     palette: Array[Byte] = null): Array[Byte] = {
+                     palette: Array[Byte] = null,
+                     bitDepth: Int = 8,
+                     interlaced: Boolean = false): Array[Byte] = {
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
       case 3 =>
@@ -564,38 +637,86 @@ object Media {
       case _ => throw new IllegalArgumentException(
         s"unsupported fixture color type $colorType")
     }
-    val rowBytes = width * channels
+    require(bitDepth == 8 || bitDepth == 16 ||
+      ((bitDepth == 1 || bitDepth == 2 || bitDepth == 4) &&
+        (colorType == 0 || colorType == 3)),
+      s"illegal fixture depth/type combination $bitDepth/$colorType")
+    require(!(colorType == 3 && bitDepth == 16),
+      "palette images cap at depth 8")
+    val mask = if (bitDepth == 16) 0xffff else (1 << bitDepth) - 1
     def paeth(a: Int, b: Int, c: Int): Int = {
       val p = a + b - c
       val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
-    def recon(r: Int, k: Int): Int =
-      if (r < 0 || k < 0) 0 else f(r * rowBytes + k) & 0xff
-    val filtered = new Array[Byte]((1 + rowBytes) * height)
-    var r = 0
-    while (r < height) {
-      val ft = r % 5
-      val base = r * (1 + rowBytes)
-      filtered(base) = ft.toByte
-      var k = 0
-      while (k < rowBytes) {
-        val x = recon(r, k)
-        val a = recon(r, k - channels)
-        val u = recon(r - 1, k)
-        val c = recon(r - 1, k - channels)
-        val v = ft match {
-          case 0 => x
-          case 1 => x - a
-          case 2 => x - u
-          case 3 => x - (a + u) / 2
-          case 4 => x - paeth(a, u, c)
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlaced) Array(
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      else Array((0, 0, 1, 1))
+    val bpp = math.max(1, channels * bitDepth / 8)
+    val filteredOut = new java.io.ByteArrayOutputStream()
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val rowBytes = ((pw.toLong * channels * bitDepth + 7) / 8).toInt
+        // pack this pass's sample grid into raw scanline bytes first —
+        // the filters operate on PACKED bytes per spec §9
+        val packed = Array.ofDim[Byte](ph, rowBytes)
+        var r = 0
+        while (r < ph) {
+          var px = 0
+          while (px < pw) {
+            var ch = 0
+            while (ch < channels) {
+              val j = (((y0 + r * dy) * width) + (x0 + px * dx)) * channels + ch
+              val v = f(j) & mask
+              val sIdx = px * channels + ch
+              bitDepth match {
+                case 8 => packed(r)(sIdx) = v.toByte
+                case 16 =>
+                  packed(r)(sIdx * 2) = (v >> 8).toByte
+                  packed(r)(sIdx * 2 + 1) = (v & 0xff).toByte
+                case d =>
+                  val bit = sIdx * d
+                  val sh = 8 - d - (bit & 7)
+                  packed(r)(bit >> 3) =
+                    ((packed(r)(bit >> 3) & 0xff) | (v << sh)).toByte
+              }
+              ch += 1
+            }
+            px += 1
+          }
+          r += 1
         }
-        filtered(base + 1 + k) = (v & 0xff).toByte
-        k += 1
+        r = 0
+        while (r < ph) {
+          val ft = r % 5
+          val row = new Array[Byte](1 + rowBytes)
+          row(0) = ft.toByte
+          var k = 0
+          while (k < rowBytes) {
+            val x = packed(r)(k) & 0xff
+            val a = if (k >= bpp) packed(r)(k - bpp) & 0xff else 0
+            val u = if (r > 0) packed(r - 1)(k) & 0xff else 0
+            val c = if (r > 0 && k >= bpp) packed(r - 1)(k - bpp) & 0xff else 0
+            val v = ft match {
+              case 0 => x
+              case 1 => x - a
+              case 2 => x - u
+              case 3 => x - (a + u) / 2
+              case 4 => x - paeth(a, u, c)
+            }
+            row(1 + k) = (v & 0xff).toByte
+            k += 1
+          }
+          filteredOut.write(row)
+          r += 1
+        }
       }
-      r += 1
     }
+    val filtered = filteredOut.toByteArray
     val defl = new java.util.zip.Deflater()
     defl.setInput(filtered); defl.finish()
     val comp = new java.io.ByteArrayOutputStream()
@@ -613,8 +734,9 @@ object Media {
     }
     val ihdr = java.nio.ByteBuffer.allocate(13)
     ihdr.putInt(width).putInt(height)
-    ihdr.put(8.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte)
+    ihdr.put(bitDepth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte)
+      .put(if (interlaced) 1.toByte else 0.toByte)
     val out = new java.io.ByteArrayOutputStream()
     out.write(Bytes.PngSig)
     out.write(chunk("IHDR", ihdr.array()))

@@ -181,6 +181,96 @@ class MediaSpec extends SparkSpec {
     got._4.toSeq shouldBe expected
   }
 
+  it should "decode 16-bit PNGs keeping the most-significant byte" in {
+    // libpng strip-16 reduction: sample j = f(j) >> 8. Values span the
+    // full 16-bit range so a low-byte mixup cannot pass by accident.
+    for ((ct, ch) <- Seq(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)) {
+      val w = 5; val h = 7; val n = w * h * ch
+      val f = (j: Int) => (j * 4099 + 17) % 65536
+      val png = Media.pngBytesPixels(w, h, f, colorType = ct, bitDepth = 16)
+      val got = Media.SampleStatsDecoder.pngPixels(png).get
+      withClue(s"colorType $ct:") {
+        got._1 shouldBe w; got._2 shouldBe h; got._3 shouldBe ch
+        got._4.map(_ & 0xff).toSeq shouldBe (0 until n).map(f(_) >> 8)
+      }
+    }
+  }
+
+  it should "decode sub-byte gray depths with exact bit replication" in {
+    // scale = 255/(2^d - 1): d=1 -> 255, d=2 -> 85, d=4 -> 17. Width 13
+    // leaves a partial final packed byte at d=2/4 (13·d not a multiple
+    // of 8), pinning the bit-packing boundary.
+    for (d <- Seq(1, 2, 4)) {
+      val w = 13; val h = 6; val mask = (1 << d) - 1
+      val scale = 255 / mask
+      val f = (j: Int) => (j * 3 + 1) & mask
+      val png = Media.pngBytesPixels(w, h, f, colorType = 0, bitDepth = d)
+      val got = Media.SampleStatsDecoder.pngPixels(png).get
+      withClue(s"depth $d:") {
+        got._3 shouldBe 1
+        got._4.map(_ & 0xff).toSeq shouldBe (0 until w * h).map(f(_) * scale)
+      }
+    }
+  }
+
+  it should "decode sub-byte palette indexes raw through PLTE" in {
+    // indexes are NOT bit-replicated — a depth-2 index 3 must hit PLTE
+    // entry 3, not entry 255
+    val palette = Array[Byte](10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42)
+    val w = 9; val h = 6
+    val idx = (j: Int) => (j * 2 + 1) % 4
+    val png = Media.pngBytesPixels(w, h, idx, colorType = 3,
+      palette = palette, bitDepth = 2)
+    val got = Media.SampleStatsDecoder.pngPixels(png).get
+    got._3 shouldBe 3
+    val expected = (0 until w * h).flatMap { j =>
+      val k = idx(j); Seq(palette(k * 3), palette(k * 3 + 1), palette(k * 3 + 2))
+    }
+    got._4.toSeq shouldBe expected
+  }
+
+  it should "reassemble Adam7-interlaced PNGs identically to sequential" in {
+    // geometries straddling the 8x8 Adam7 tile: partial passes, empty
+    // passes (w or h < the pass origin), and the degenerate 1x1
+    for ((w, h) <- Seq(13 -> 11, 8 -> 8, 5 -> 3, 2 -> 9, 1 -> 1, 16 -> 4)) {
+      val f = (j: Int) => (j * 37 + 11) % 256
+      val seqPng = Media.pngBytesPixels(w, h, f)
+      val intPng = Media.pngBytesPixels(w, h, f, interlaced = true)
+      val a = Media.SampleStatsDecoder.pngPixels(seqPng).get
+      val b = Media.SampleStatsDecoder.pngPixels(intPng).get
+      withClue(s"${w}x$h:") {
+        b._1 shouldBe a._1; b._2 shouldBe a._2; b._3 shouldBe a._3
+        b._4.toSeq shouldBe a._4.toSeq
+      }
+    }
+  }
+
+  it should "decode interlaced 16-bit and interlaced sub-byte palette PNGs" in {
+    // the two reductions compose with pass reassembly
+    val f16 = (j: Int) => (j * 2999 + 5) % 65536
+    val p16 = Media.pngBytesPixels(11, 9, f16, colorType = 2,
+      bitDepth = 16, interlaced = true)
+    val g16 = Media.SampleStatsDecoder.pngPixels(p16).get
+    g16._4.map(_ & 0xff).toSeq shouldBe (0 until 11 * 9 * 3).map(f16(_) >> 8)
+
+    val palette = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    val idx = (j: Int) => j % 3
+    val pp = Media.pngBytesPixels(10, 7, idx, colorType = 3,
+      palette = palette, bitDepth = 4, interlaced = true)
+    val gp = Media.SampleStatsDecoder.pngPixels(pp).get
+    gp._4.toSeq shouldBe (0 until 10 * 7).flatMap { j =>
+      val k = idx(j); Seq(palette(k * 3), palette(k * 3 + 1), palette(k * 3 + 2))
+    }
+  }
+
+  it should "refuse illegal depth/type combinations and unknown interlace" in {
+    val ok = Media.pngBytesPixels(4, 4, j => j % 256)
+    val badDepth = ok.clone(); badDepth(24) = 2 // depth 2 RGB: illegal
+    Media.SampleStatsDecoder.pngPixels(badDepth) shouldBe None
+    val badInterlace = ok.clone(); badInterlace(28) = 7
+    Media.SampleStatsDecoder.pngPixels(badInterlace) shouldBe None
+  }
+
   it should "refuse palette images with out-of-range indexes or no PLTE" in {
     val palette = Array[Byte](1, 2, 3, 4, 5, 6) // 2 entries
     val bad = Media.pngBytesPixels(3, 3, _ => 2, colorType = 3,
