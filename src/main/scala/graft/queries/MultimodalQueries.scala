@@ -78,6 +78,25 @@ object MultimodalQueries {
         .select(col("id"), col("mime"), col("n_samples"),
           col("mean_val"), col("min_val"), col("max_val"))),
 
+    // M13: Adam7-INTERLACED PNG decode, gated POSITION-SENSITIVELY —
+    // sum/min/max stats cannot catch a pass-reassembly bug that permutes
+    // pixels (the value multiset survives), so this gate hashes the
+    // decoded raster through dHash (m9's gradient fingerprint): any
+    // misplaced pixel on the 9×8 sample grid flips gradient bits. The
+    // twin replays the hash from the raster closed form, which interlace
+    // must not disturb.
+    "m13_png_interlaced" -> ((s, dir) =>
+      Media.imageDHash(mediaPngInterlaced(s, dir))),
+
+    // M14: deep/narrow PNG sample reductions — interlaced 16-bit RGB
+    // (strip to the most-significant byte, libpng convention) and
+    // depth-4 gray (exact ×17 bit replication); the oracle recomputes
+    // both reductions in closed form.
+    "m14_png_deep" -> ((s, dir) =>
+      Media.extractStats(mediaPngDeep(s, dir)).toDF()
+        .select(col("id"), col("mime"), col("n_samples"),
+          col("mean_val"), col("min_val"), col("max_val"))),
+
     // M6: REAL baseline JPEG decode — the fixture encodes block-constant
     // images (gray, and gray-valued RGB at 4:2:0 with restart markers)
     // with unit quantization tables, the one JPEG family that round-trips
@@ -226,6 +245,44 @@ object MultimodalQueries {
           Media.pngBytesPixels((3 + n % 13).toInt, (2 + id % 9).toInt,
             j => ((id * 7 + j.toLong * 5) % p).toInt,
             colorType = 3, palette = palette))
+      }
+  }
+
+  /** The m13 fixture: doc_id % 3 == 2 → Adam7-INTERLACED 8-bit RGB PNG
+    * with the same sample closed form as m4 — interlace changes only the
+    * wire layout, never the raster values, so the oracle predicts decoded
+    * sample j without modeling the passes. */
+  private def mediaPngInterlaced(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, n) =>
+        MediaRecord(id, "image/png",
+          Media.pngBytesPixels((3 + n % 13).toInt, (2 + id % 9).toInt,
+            j => ((id * 29 + j.toLong * 11) % 256).toInt, interlaced = true))
+      }
+  }
+
+  /** The m14 fixture: doc_id % 3 == 2 → even ids are INTERLACED 16-BIT
+    * RGB (decoded sample = 16-bit value >> 8, libpng strip-16), odd ids
+    * are depth-4 GRAY (decoded sample = 4-bit value × 17, exact bit
+    * replication) — both reductions as pure closed forms of (id, j). */
+  private def mediaPngDeep(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, n) =>
+        val w = (3 + n % 13).toInt; val h = (2 + id % 9).toInt
+        if (id % 2 == 0)
+          MediaRecord(id, "image/png",
+            Media.pngBytesPixels(w, h,
+              j => ((id * 97 + j.toLong * 4099) % 65536).toInt,
+              bitDepth = 16, interlaced = true))
+        else
+          MediaRecord(id, "image/png",
+            Media.pngBytesPixels(w, h,
+              j => ((id * 29 + j.toLong * 11) % 16).toInt,
+              colorType = 0, bitDepth = 4))
       }
   }
 
@@ -443,6 +500,58 @@ object MultimodalQueries {
          |       sum(v)::DOUBLE / count(*) AS mean_val,
          |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
          |FROM pv GROUP BY id, mime, npix""".stripMargin,
+
+    // the m13 twin is m9's dHash replay over the doc_id % 3 = 2 family —
+    // identical raster closed form; equality proves Adam7 reassembly put
+    // every sampled pixel at its correct raster position
+    "m13_png_interlaced" ->
+      """WITH m AS (SELECT doc_id AS id, (3 + n_chars % 13)::BIGINT AS w,
+        |                  (2 + doc_id % 9)::BIGINT AS h
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |g AS (SELECT id, y2.y AS y, x2.x AS x,
+        |             (((y2.y * h) // 8) * w + (x2.x * w) // 9) * 3 AS p
+        |      FROM m,
+        |      LATERAL (SELECT unnest(generate_series(0, 7)) AS y) y2,
+        |      LATERAL (SELECT unnest(generate_series(0, 8)) AS x) x2),
+        |gray AS (SELECT id, y, x,
+        |                (((id * 29 + p * 11) % 256)
+        |                 + ((id * 29 + (p + 1) * 11) % 256)
+        |                 + ((id * 29 + (p + 2) * 11) % 256)) // 3 AS gv
+        |         FROM g),
+        |bits AS (SELECT a.id, a.y * 8 + a.x AS k,
+        |                CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit
+        |         FROM gray a JOIN gray b
+        |           ON a.id = b.id AND a.y = b.y AND b.x = a.x + 1
+        |         WHERE a.x < 8)
+        |SELECT id,
+        |  sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+        |           ELSE 0 END)::BIGINT AS dhash_hi,
+        |  sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+        |           ELSE 0 END)::BIGINT AS dhash_lo
+        |FROM bits GROUP BY id""".stripMargin,
+
+    // the m14 twin replays both sample reductions in closed form: even
+    // ids' decoded 16-bit sample is its value // 256 (MSB strip), odd
+    // ids' depth-4 gray sample is its 4-bit value × 17 (bit replication)
+    "m14_png_deep" ->
+      """WITH m AS (SELECT doc_id AS id, n_chars AS n FROM documents
+        |           WHERE doc_id % 3 = 2),
+        |geo AS (SELECT id, (3 + n % 13) * (2 + id % 9) AS npix FROM m),
+        |deep AS (SELECT id, 'image/png' AS mime, npix * 3 AS cnt,
+        |                ((id * 97 + j.j * 4099) % 65536) // 256 AS v
+        |         FROM geo,
+        |         LATERAL (SELECT unnest(generate_series(0, npix * 3 - 1)) AS j) j
+        |         WHERE id % 2 = 0),
+        |gry AS (SELECT id, 'image/png' AS mime, npix AS cnt,
+        |               ((id * 29 + j.j * 11) % 16) * 17 AS v
+        |        FROM geo,
+        |        LATERAL (SELECT unnest(generate_series(0, npix - 1)) AS j) j
+        |        WHERE id % 2 = 1),
+        |allv AS (SELECT * FROM deep UNION ALL SELECT * FROM gry)
+        |SELECT id, mime, cnt::BIGINT AS n_samples,
+        |       sum(v)::DOUBLE / count(*) AS mean_val,
+        |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+        |FROM allv GROUP BY id, mime, cnt""".stripMargin,
 
     // the m6 twin recomputes the block-constant JPEG samples from the
     // fixture closed form: block b of image id is (id·37 + b·23) % 256,
