@@ -11,10 +11,9 @@ import scala.collection.mutable
   * round-trip tests drive every decoder path with genuinely compressed
   * streams.
   *
-  * Deliberately out of pure-JVM scope, refused loudly with `None` (same
-  * de-scope ledger as progressive JPEG in [[Jpeg]]): interlaced images
-  * (GIF spec §20 four-pass row order) — the fixture generator never emits
-  * them and a silent wrong-order decode would poison image stats.
+  * Interlaced images (GIF spec appendix E four-pass row order) decode
+  * through a stored-row → raster-row remap after LZW; the encoder's
+  * `interlaced` mode writes the same schedule so round trips cover it.
   *
   * Reference behavior context: the reference engine (oni-ml) has no
   * multimodal path at all; this extends the engine for binary-column
@@ -47,11 +46,27 @@ object Gif {
              indices: Array[Byte]): Array[Byte] =
     encodeFrames(width, height, palette, Seq(indices))
 
+  /** GIF interlace row schedule (spec appendix E): the raster rows in
+    * the order their scanlines are stored — pass 1 every 8th from 0,
+    * pass 2 every 8th from 4, pass 3 every 4th from 2, pass 4 odd rows. */
+  private def interlaceOrder(height: Int): Array[Int] = {
+    val order = new Array[Int](height)
+    var k = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var r = start
+      while (r < height) { order(k) = r; k += 1; r += step }
+    }
+    order
+  }
+
   /** A spec-valid ANIMATED GIF89a: one image block per frame, every
     * frame full-screen at (0,0) sharing the global color table (the
-    * replace-disposal subset — exactly what [[decodeFrames]] accepts). */
+    * replace-disposal subset — exactly what [[decodeFrames]] accepts).
+    * `interlaced` stores each frame's rows in the 4-pass interlace
+    * schedule and sets the descriptor flag. */
   def encodeFrames(width: Int, height: Int, palette: Array[Int],
-                   frames: Seq[Array[Byte]]): Array[Byte] = {
+                   frames: Seq[Array[Byte]],
+                   interlaced: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "need at least one frame")
     frames.foreach(f => require(width > 0 && height > 0 &&
       width * height == f.length,
@@ -76,9 +91,22 @@ object Gif {
     }
     val minCode = math.max(2, bits)
     frames.foreach { indices =>
-      w8(0x2c); w16(0); w16(0); w16(width); w16(height); w8(0) // image desc
+      w8(0x2c); w16(0); w16(0); w16(width); w16(height)
+      w8(if (interlaced) 0x40 else 0) // image descriptor flags
       w8(minCode)
-      out.write(lzwCompress(indices, minCode))
+      val stored =
+        if (!interlaced) indices
+        else {
+          val s = new Array[Byte](indices.length)
+          val order = interlaceOrder(height)
+          var k = 0
+          while (k < height) {
+            System.arraycopy(indices, order(k) * width, s, k * width, width)
+            k += 1
+          }
+          s
+        }
+      out.write(lzwCompress(stored, minCode))
       w8(0) // block terminator
     }
     w8(0x3b) // trailer
@@ -153,8 +181,9 @@ object Gif {
     * replace-disposal form [[encodeFrames]] writes; partial frames would
     * need disposal-method compositing (a silently-wrong decode, so they
     * refuse instead). Extensions (0x21) are skipped; a local color table
-    * overrides the global one per frame; interlaced frames and any
-    * truncated or out-of-spec stream (including a missing trailer) yield
+    * overrides the global one per frame; interlaced frames deinterlace
+    * through the 4-pass row remap; any truncated or out-of-spec stream
+    * (including a missing trailer) yields
     * None — loud, never a fake. The LZW dictionary resets per frame
     * (each image block carries its own code stream, per spec). */
   def decodeFrames(b: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
@@ -189,7 +218,7 @@ object Gif {
           val ip = b(pos + 9) & 0xff
           pos += 10
           if (left != 0 || top != 0 || w != sw || h != sh) return None
-          if ((ip & 0x40) != 0) return None // interlaced: out of scope
+          val interlaced = (ip & 0x40) != 0
           var pal = palette
           if ((ip & 0x80) != 0) {
             val n = 1 << ((ip & 0x07) + 1)
@@ -202,7 +231,21 @@ object Gif {
           if (minCode < 2 || minCode > 11) return None
           lzwDecompress(b, pos, minCode, w * h) match {
             case None => return None
-            case Some((idx, end)) =>
+            case Some((idx0, end)) =>
+              // interlaced frames store scanlines in the 4-pass schedule;
+              // map stored row k back to raster row order(k)
+              val idx =
+                if (!interlaced) idx0
+                else {
+                  val d = new Array[Byte](idx0.length)
+                  val order = interlaceOrder(h)
+                  var k = 0
+                  while (k < h) {
+                    System.arraycopy(idx0, k * w, d, order(k) * w, w)
+                    k += 1
+                  }
+                  d
+                }
               val out = new Array[Byte](w * h * 3)
               var i = 0
               while (i < idx.length) {

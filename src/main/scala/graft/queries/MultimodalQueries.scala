@@ -190,7 +190,10 @@ object MultimodalQueries {
         val frames = (0 until nf).map(f => Array.tabulate[Byte](w * h)(j =>
           ((id * 47 + f.toLong * 23 + j.toLong * 17) % 256).toByte))
         MediaRecord(id, "image/gif",
-          graft.multimodal.Gif.encodeFrames(w, h, palette, frames))
+          // even ids store frames INTERLACED (4-pass row schedule) — the
+          // deinterlace remap must reproduce the same raster values
+          graft.multimodal.Gif.encodeFrames(w, h, palette, frames,
+            interlaced = id % 2 == 0))
       }
   }
 

@@ -75,7 +75,7 @@ class GifSpec extends AnyFlatSpec with Matchers {
     roundTrip(300, 300, gray, runs)
   }
 
-  it should "refuse truncated, interlaced, and non-GIF payloads" in {
+  it should "refuse truncated and non-GIF payloads" in {
     val good = Gif.encode(10, 10, gray,
       Array.tabulate[Byte](100)(j => (j % 256).toByte))
     Gif.decodePixels(good).isDefined shouldBe true
@@ -83,13 +83,55 @@ class GifSpec extends AnyFlatSpec with Matchers {
     Gif.decodePixels(good.take(12)) shouldBe None
     Gif.decodePixels("GIF89a but not really".getBytes("US-ASCII")) shouldBe None
     Gif.decodePixels(Array[Byte](1, 2, 3)) shouldBe None
-    // flip the interlace bit in the image descriptor (offset: 13 header+GCT
-    // is 13 + 768; descriptor packed byte is +9 into the 0x2C block)
-    val interlaced = good.clone()
+  }
+
+  it should "decode interlaced images identically to sequential" in {
+    // heights straddling the 4 interlace passes: h < 2 (pass 1 only),
+    // h = 3 (passes 1/3/4), h = 5 (all but a second pass-1 row), big
+    for ((w, h) <- Seq(10 -> 10, 4 -> 1, 3 -> 2, 5 -> 3, 7 -> 5, 6 -> 16)) {
+      val idx = Array.tabulate[Byte](w * h)(j => ((j * 7 + 3) % 256).toByte)
+      val seqOut = Gif.decodePixels(Gif.encode(w, h, gray, idx)).get
+      val intOut = Gif.decodePixels(
+        Gif.encodeFrames(w, h, gray, Seq(idx), interlaced = true)).get
+      withClue(s"${w}x$h:") { intOut._3.toSeq shouldBe seqOut._3.toSeq }
+    }
+  }
+
+  it should "apply the 4-pass row remap, not just accept the flag" in {
+    // flip the interlace bit on SEQUENTIALLY-stored data: the decoder
+    // must treat stored row k as raster row order(k) — a decoder that
+    // ignores the flag would return the rows unmoved
+    val w = 3; val h = 8
+    val idx = Array.tabulate[Byte](w * h)(j => (j / w).toByte) // row number
+    val good = Gif.encode(w, h, gray, idx)
+    val flipped = good.clone()
     val idOff = 13 + 768
-    interlaced(idOff) shouldBe 0x2c.toByte
-    interlaced(idOff + 9) = (interlaced(idOff + 9) | 0x40).toByte
-    Gif.decodePixels(interlaced) shouldBe None
+    flipped(idOff) shouldBe 0x2c.toByte
+    flipped(idOff + 9) = (flipped(idOff + 9) | 0x40).toByte
+    val got = Gif.decodePixels(flipped).get
+    // h=8 schedule: pass1 row 0, pass2 row 4, pass3 rows 2,6, pass4 odd
+    val order = Seq(0, 4, 2, 6, 1, 3, 5, 7)
+    val rasterRowValue = Array.ofDim[Int](h)
+    order.zipWithIndex.foreach { case (raster, stored) =>
+      rasterRowValue(raster) = stored
+    }
+    val gotRows = (0 until h).map(r => got._3(r * w * 3) & 0xff)
+    gotRows shouldBe (0 until h).map(rasterRowValue)
+  }
+
+  it should "round-trip interlaced animated frames" in {
+    val w = 5; val h = 9
+    val frames = (0 until 3).map(f =>
+      Array.tabulate[Byte](w * h)(j => ((f * 41 + j * 13) % 256).toByte))
+    val bytes = Gif.encodeFrames(w, h, gray, frames, interlaced = true)
+    val (gw, gh, got) = Gif.decodeFrames(bytes).get
+    gw shouldBe w; gh shouldBe h; got.size shouldBe 3
+    for (f <- 0 until 3) {
+      val expect = frames(f).map { b =>
+        val rgb = gray(b & 0xff); Seq((rgb >> 16).toByte, (rgb >> 8).toByte, rgb.toByte)
+      }.flatten.toSeq
+      withClue(s"frame $f:") { got(f).toSeq shouldBe expect }
+    }
   }
 
   it should "skip extension blocks and honor a local color table" in {
