@@ -1,15 +1,19 @@
 package graft.multimodal
 
-/** Pure-JVM baseline JPEG (ITU-T T.81) codec — encoder + decoder, no
-  * external codec library.
+/** Pure-JVM JPEG (ITU-T T.81) codec — encoder + decoder, no external
+  * codec library.
   *
-  * Closes the last loudly-stubbed media family (COVERAGE.md "De-scoped"
+  * Closes the loudly-stubbed media family (COVERAGE.md "De-scoped"
   * note): the reference treats media as opaque bytes, but a multimodal
   * training pipeline at 100 TB needs real JPEG decode for quality
-  * filtering and resize normalization. Scope is BASELINE sequential DCT
-  * (SOF0/SOF1): 8-bit samples, Huffman entropy coding, 1 or 3
-  * components, sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), restart
-  * markers. Progressive (SOF2), arithmetic coding, 12-bit, and
+  * filtering and resize normalization. Scope is sequential DCT
+  * (SOF0/SOF1) AND progressive DCT (SOF2): 8-bit samples, Huffman
+  * entropy coding, 1 or 3 components, sampling factors 1–2
+  * (4:4:4 / 4:2:2 / 4:2:0), restart markers; progressive covers
+  * spectral selection, successive approximation (DC and AC refinement
+  * scans), and EOBn end-of-band runs, with a matching progressive
+  * ENCODER (per-scan optimal Huffman tables per Annex K.2) so round
+  * trips drive every decode path. Arithmetic coding, 12-bit, and
   * hierarchical modes return None — same loud-drop convention as the
   * PNG/BMP/WAV decoders; a silent fake would poison quality filters.
   *
@@ -286,7 +290,15 @@ object Jpeg {
                 lumaQuant: Array[Int] = UnitQuant,
                 chromaQuant: Array[Int] = UnitQuant,
                 subsample420: Boolean = false,
-                restartInterval: Int = 0): Array[Byte] = {
+                restartInterval: Int = 0): Array[Byte] =
+    encodeBaseline(width, height,
+      rgbEncComps(width, height, rgb, subsample420),
+      Array(lumaQuant, chromaQuant), restartInterval)
+
+  /** RGB → YCbCr component planes (shared by the baseline and
+    * progressive encoders). */
+  private def rgbEncComps(width: Int, height: Int, rgb: Array[Byte],
+                          subsample420: Boolean): Array[EncComp] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     require(rgb.length == width * height * 3,
       s"expected ${width * height * 3} rgb bytes, got ${rgb.length}")
@@ -325,12 +337,10 @@ object Jpeg {
         (down(cb), down(cr))
       }
     val (hy, vy) = if (subsample420) (2, 2) else (1, 1)
-    val comps = Array(
+    Array(
       EncComp(1, hy, vy, 0, DcLumaEnc, AcLumaEnc, yPlane),
       EncComp(2, 1, 1, 1, DcChromaEnc, AcChromaEnc, cbP),
       EncComp(3, 1, 1, 1, DcChromaEnc, AcChromaEnc, crP))
-    encodeBaseline(width, height, comps,
-      Array(lumaQuant, chromaQuant), restartInterval)
   }
 
   private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
@@ -467,6 +477,362 @@ object Jpeg {
     out.toByteArray
   }
 
+  // ---- progressive encoder -------------------------------------------------
+
+  /** Annex K.2 optimal Huffman code-length derivation (the classic
+    * libjpeg shape): pairwise merge of the two least-frequent symbols
+    * with chained length increments, 16-bit limiting per K.3, and a
+    * reserved 257th pseudo-symbol claiming the all-ones code so no real
+    * symbol receives it. Returns (bits — count of codes per length 1..16
+    * at index len-1, vals — symbols in canonical order). */
+  private def genOptimalTable(freqIn: Array[Int]): (Array[Int], Array[Int]) = {
+    val freq = new Array[Long](257)
+    var i = 0
+    while (i < 256) { freq(i) = freqIn(i).toLong; i += 1 }
+    freq(256) = 1
+    val codesize = new Array[Int](257)
+    val others = Array.fill(257)(-1)
+    var merging = true
+    while (merging) {
+      var c1 = -1; var v = Long.MaxValue
+      i = 0
+      while (i <= 256) { if (freq(i) > 0 && freq(i) <= v) { v = freq(i); c1 = i }; i += 1 }
+      var c2 = -1; v = Long.MaxValue
+      i = 0
+      while (i <= 256) {
+        if (freq(i) > 0 && freq(i) <= v && i != c1) { v = freq(i); c2 = i }
+        i += 1
+      }
+      if (c2 < 0) merging = false
+      else {
+        freq(c1) += freq(c2); freq(c2) = 0
+        codesize(c1) += 1
+        var t = c1
+        while (others(t) >= 0) { t = others(t); codesize(t) += 1 }
+        others(t) = c2
+        codesize(c2) += 1
+        t = c2
+        while (others(t) >= 0) { t = others(t); codesize(t) += 1 }
+      }
+    }
+    val counts = new Array[Int](33)
+    i = 0
+    while (i <= 256) {
+      if (codesize(i) > 0) {
+        if (codesize(i) > 32) fail()
+        counts(codesize(i)) += 1
+      }
+      i += 1
+    }
+    var l = 32
+    while (l > 16) { // K.3: push over-long codes up into shorter slots
+      while (counts(l) > 0) {
+        var j = l - 2
+        while (counts(j) == 0) j -= 1
+        counts(l) -= 2; counts(l - 1) += 1
+        counts(j + 1) += 2; counts(j) -= 1
+      }
+      l -= 1
+    }
+    while (counts(l) == 0) l -= 1
+    counts(l) -= 1 // drop the reserved all-ones code
+    val bits = Array.tabulate(16)(k => counts(k + 1))
+    val vals = (0 until 256).filter(codesize(_) > 0)
+      .sortBy(s => (codesize(s), s)).toArray
+    (bits, vals)
+  }
+
+  /** Where a progressive scan's symbols and raw bits go: a counting pass
+    * first (to build per-scan optimal tables), then the emitting pass. */
+  private trait ProgSink {
+    def sym(slot: Int, s: Int): Unit
+    def bitsOut(v: Int, n: Int): Unit
+  }
+
+  /** One progressive scan over the quantized blocks — the exact dual of
+    * the decoder's [[decodeProgScan]]: DC first/refine (interleaved MCU
+    * order when several components share the scan), AC first with EOBn
+    * end-of-band runs, AC successive-approximation refinement with
+    * buffered correction bits (T.81 G.1.2.3 / figure G.7 flow). Runs
+    * identically for the counting and emitting sinks. */
+  private def runProgScan(width: Int, height: Int, comps: Array[EncComp],
+                          blocks: Array[Array[Array[Int]]], bwPad: Array[Int],
+                          mcusX: Int, mcusY: Int, hMax: Int, vMax: Int,
+                          sel: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+                          sink: ProgSink): Unit = {
+    val dcPred = new Array[Int](comps.length)
+    var eobrun = 0
+    val beBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def slotOf(ci: Int): Int = if (ci == 0) 0 else 1
+    def flushEob(slot: Int): Unit = if (eobrun > 0) {
+      var n = 0
+      while ((eobrun >> (n + 1)) != 0) n += 1
+      sink.sym(slot, n << 4)
+      if (n > 0) sink.bitsOut(eobrun - (1 << n), n)
+      beBits.foreach(sink.bitsOut(_, 1)); beBits.clear()
+      eobrun = 0
+    }
+    def realGrid(ci: Int): (Int, Int) = {
+      val c = comps(ci)
+      val cw = (width * c.hSamp + hMax - 1) / hMax
+      val ch = (height * c.vSamp + vMax - 1) / vMax
+      ((cw + 7) / 8, (ch + 7) / 8)
+    }
+    def dcFirst(ci: Int, blk: Array[Int]): Unit = {
+      val v = blk(0) >> al // arithmetic shift: the DC point transform
+      val diff = v - dcPred(ci); dcPred(ci) = v
+      val cat = category(diff)
+      sink.sym(slotOf(ci), cat)
+      if (cat > 0)
+        sink.bitsOut(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+    }
+    def dcRefine(blk: Array[Int]): Unit = sink.bitsOut((blk(0) >> al) & 1, 1)
+    def acFirst(ci: Int, blk: Array[Int]): Unit = {
+      val slot = slotOf(ci)
+      var k = ss; var run = 0
+      while (k <= se) {
+        val v = blk(ZigZag(k))
+        val t = if (v >= 0) v >> al else -((-v) >> al) // AC point transform
+        if (t == 0) run += 1
+        else {
+          flushEob(slot)
+          while (run > 15) { sink.sym(slot, 0xf0); run -= 16 }
+          val cat = category(t)
+          sink.sym(slot, (run << 4) | cat)
+          sink.bitsOut(if (t >= 0) t else t + (1 << cat) - 1, cat)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { eobrun += 1; if (eobrun == 0x7fff) flushEob(slot) }
+    }
+    def acRefine(ci: Int, blk: Array[Int]): Unit = {
+      val slot = slotOf(ci)
+      val ts = new Array[Int](se + 1)
+      var eobPos = ss - 1
+      var k = ss
+      while (k <= se) {
+        val v = blk(ZigZag(k))
+        val t = (if (v < 0) -v else v) >> al
+        ts(k) = t
+        if (t == 1) eobPos = k // newly-significant coefficients only
+        k += 1
+      }
+      val brBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var r = 0
+      k = ss
+      while (k <= se) {
+        val t = ts(k)
+        if (t == 0) r += 1
+        else {
+          // ZRLs only when another new coefficient still follows —
+          // otherwise the trailing run folds into the EOB
+          while (r > 15 && k <= eobPos) {
+            flushEob(slot)
+            sink.sym(slot, 0xf0); r -= 16
+            brBits.foreach(sink.bitsOut(_, 1)); brBits.clear()
+          }
+          if (t > 1) brBits += (t & 1) // old coefficient: correction bit
+          else { // newly significant: run/1 + sign, then buffered bits
+            flushEob(slot)
+            sink.sym(slot, (r << 4) | 1)
+            sink.bitsOut(if (blk(ZigZag(k)) < 0) 0 else 1, 1)
+            brBits.foreach(sink.bitsOut(_, 1)); brBits.clear()
+            r = 0
+          }
+        }
+        k += 1
+      }
+      if (r > 0 || brBits.nonEmpty) { // block ends in an EOB
+        eobrun += 1
+        beBits ++= brBits
+        if (eobrun == 0x7fff || beBits.length > 900) flushEob(slot)
+      }
+    }
+
+    if (ss == 0) {
+      if (sel.length > 1) { // interleaved MCU order over the padded grid
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            var i = 0
+            while (i < sel.length) {
+              val ci = sel(i); val c = comps(ci)
+              var by = 0
+              while (by < c.vSamp) {
+                var bx = 0
+                while (bx < c.hSamp) {
+                  val blk = blocks(ci)(
+                    (my * c.vSamp + by) * bwPad(ci) + mx * c.hSamp + bx)
+                  if (ah == 0) dcFirst(ci, blk) else dcRefine(blk)
+                  bx += 1
+                }
+                by += 1
+              }
+              i += 1
+            }
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        val ci = sel(0)
+        val (w2, h2) = realGrid(ci)
+        var by = 0
+        while (by < h2) {
+          var bx = 0
+          while (bx < w2) {
+            val blk = blocks(ci)(by * bwPad(ci) + bx)
+            if (ah == 0) dcFirst(ci, blk) else dcRefine(blk)
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    } else {
+      val ci = sel(0)
+      val (w2, h2) = realGrid(ci)
+      var by = 0
+      while (by < h2) {
+        var bx = 0
+        while (bx < w2) {
+          val blk = blocks(ci)(by * bwPad(ci) + bx)
+          if (ah == 0) acFirst(ci, blk) else acRefine(ci, blk)
+          bx += 1
+        }
+        by += 1
+      }
+      flushEob(slotOf(ci)) // a scan never leaves an open end-of-band run
+    }
+  }
+
+  /** Encode a grayscale progressive (SOF2) JPEG with the full scan
+    * script: DC first at Al=1 → AC bands 1-5 and 6-63 at Al=1 → DC
+    * refinement → AC refinements. Same pixel semantics as
+    * [[encodeGray]] — identical quantized coefficients, different wire
+    * order — so both decode to identical pixels. */
+  def encodeProgressiveGray(width: Int, height: Int, pixels: Array[Byte],
+                            quant: Array[Int] = UnitQuant): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(pixels.length == width * height,
+      s"expected ${width * height} gray pixels, got ${pixels.length}")
+    val plane = Plane(width, height,
+      Array.tabulate(width * height)(i => pixels(i) & 0xff))
+    encodeProgressiveImpl(width, height,
+      Array(EncComp(1, 1, 1, 0, DcLumaEnc, AcLumaEnc, plane)), Array(quant))
+  }
+
+  /** Encode an RGB (YCbCr) progressive (SOF2) JPEG — the color and
+    * subsampling semantics of [[encodeRgb]] with the progressive scan
+    * script of [[encodeProgressiveGray]]. */
+  def encodeProgressiveRgb(width: Int, height: Int, rgb: Array[Byte],
+                           lumaQuant: Array[Int] = UnitQuant,
+                           chromaQuant: Array[Int] = UnitQuant,
+                           subsample420: Boolean = false): Array[Byte] =
+    encodeProgressiveImpl(width, height,
+      rgbEncComps(width, height, rgb, subsample420),
+      Array(lumaQuant, chromaQuant))
+
+  private def encodeProgressiveImpl(width: Int, height: Int,
+                                    comps: Array[EncComp],
+                                    quants: Array[Array[Int]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    marker(out, 0xd8)
+    marker(out, 0xe0); writeU16(out, 16)
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0)
+    writeU16(out, 1); writeU16(out, 1); out.write(0); out.write(0)
+    quants.zipWithIndex.foreach { case (q, id) =>
+      marker(out, 0xdb); writeU16(out, 67); out.write(id)
+      var k = 0
+      while (k < 64) { out.write(q(ZigZag(k)) & 0xff); k += 1 }
+    }
+    marker(out, 0xc2) // SOF2
+    writeU16(out, 8 + 3 * comps.length)
+    out.write(8); writeU16(out, height); writeU16(out, width)
+    out.write(comps.length)
+    comps.foreach { c =>
+      out.write(c.id); out.write((c.hSamp << 4) | c.vSamp); out.write(c.quantId)
+    }
+    val hMax = comps.map(_.hSamp).max; val vMax = comps.map(_.vSamp).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val bwPad = comps.map(c => mcusX * c.hSamp)
+    // quantize every block up front (the scans revisit them repeatedly)
+    val shifted = new Array[Double](64); val dct = new Array[Double](64)
+    val blocks: Array[Array[Array[Int]]] = comps.zipWithIndex.map { case (c, ci) =>
+      val q = quants(c.quantId)
+      val bw = bwPad(ci); val bh = mcusY * c.vSamp
+      Array.tabulate(bw * bh) { bi =>
+        val bx = bi % bw; val by = bi / bw
+        var k = 0
+        while (k < 64) {
+          shifted(k) = c.plane.at(bx * 8 + k % 8, by * 8 + k / 8) - 128.0
+          k += 1
+        }
+        fdct(shifted, dct)
+        Array.tabulate(64)(k2 => Math.round(dct(k2) / q(k2)).toInt)
+      }
+    }
+    val all = comps.indices.toArray
+    val script: Seq[(Array[Int], Int, Int, Int, Int)] =
+      Seq((all, 0, 0, 0, 1)) ++
+        comps.indices.flatMap(ci =>
+          Seq((Array(ci), 1, 5, 0, 1), (Array(ci), 6, 63, 0, 1))) ++
+        Seq((all, 0, 0, 1, 0)) ++
+        comps.indices.flatMap(ci =>
+          Seq((Array(ci), 1, 5, 1, 0), (Array(ci), 6, 63, 1, 0)))
+    def slotOf(ci: Int): Int = if (ci == 0) 0 else 1
+    script.foreach { case (sel, ss, se, ah, al) =>
+      val isDcRefine = ss == 0 && ah > 0
+      var encTables: Array[Array[(Int, Int)]] = null
+      if (!isDcRefine) { // counting pass → per-scan optimal tables + DHT
+        val freqs = Array.fill(2)(new Array[Int](256))
+        runProgScan(width, height, comps, blocks, bwPad, mcusX, mcusY,
+          hMax, vMax, sel, ss, se, ah, al, new ProgSink {
+            def sym(slot: Int, s: Int): Unit = freqs(slot)(s) += 1
+            def bitsOut(v: Int, n: Int): Unit = ()
+          })
+        encTables = Array.ofDim[Array[(Int, Int)]](2)
+        val clazz = if (ss == 0) 0 else 1
+        var slot = 0
+        while (slot < 2) {
+          if (freqs(slot).exists(_ > 0)) {
+            val (bits, vals) = genOptimalTable(freqs(slot))
+            marker(out, 0xc4); writeU16(out, 19 + vals.length)
+            out.write((clazz << 4) | slot)
+            bits.foreach(out.write); vals.foreach(out.write)
+            encTables(slot) = buildEncodeTable(bits, vals)
+          }
+          slot += 1
+        }
+      }
+      marker(out, 0xda); writeU16(out, 6 + 2 * sel.length)
+      out.write(sel.length)
+      sel.foreach { ci =>
+        val slot = slotOf(ci)
+        out.write(comps(ci).id)
+        out.write(if (ss == 0) (if (ah == 0) slot << 4 else 0) else slot)
+      }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+      val bw = new BitWriter(out)
+      val tables = encTables
+      runProgScan(width, height, comps, blocks, bwPad, mcusX, mcusY,
+        hMax, vMax, sel, ss, se, ah, al, new ProgSink {
+          def sym(slot: Int, s: Int): Unit = {
+            val e = tables(slot)(s)
+            if (e == null) fail()
+            bw.put(e._1, e._2)
+          }
+          def bitsOut(v: Int, n: Int): Unit = bw.put(v, n)
+        })
+      bw.align()
+    }
+    marker(out, 0xd9)
+    out.toByteArray
+  }
+
   // ---- decoder ------------------------------------------------------------
 
   private final class Malformed extends RuntimeException(null, null, false, false)
@@ -582,10 +948,11 @@ object Jpeg {
 
   /** Full baseline decode: (width, height, channels, pixels) with pixels
     * row-major — interleaved RGB for 3-component images, single bytes
-    * for grayscale. None for anything that is not a well-formed baseline
-    * sequential Huffman JPEG this decoder fully understands (progressive,
-    * arithmetic, 12-bit, >2 sampling factors, truncation, stray markers):
-    * loud-drop, never a partial decode. */
+    * for grayscale. None for anything that is not a well-formed
+    * sequential (SOF0/SOF1) or progressive (SOF2) Huffman JPEG this
+    * decoder fully understands (arithmetic, 12-bit, >2 sampling
+    * factors, truncation, stray markers): loud-drop, never a partial
+    * decode. */
   def decodePixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
     try decodeOrThrow(b) catch {
       case _: Malformed | _: ArrayIndexOutOfBoundsException => None
@@ -600,6 +967,13 @@ object Jpeg {
     var comps: Array[DecComp] = null
     var width = 0; var height = 0
     var restartInterval = 0
+    // progressive (SOF2) state: per-component coefficient planes filled
+    // across scans, reconstructed at EOI
+    var progressive = false
+    var sawScan = false
+    var coefPlanes: Array[Array[Int]] = null // per comp: padded blocks × 64
+    var bwPad: Array[Int] = null             // padded block-grid width
+    var mcusX = 0; var mcusY = 0; var hMax = 0; var vMax = 0
     var pos = 2
     def u8(): Int = { if (pos >= bytes.length) fail(); val v = bytes(pos) & 0xff; pos += 1; v }
     def u16(): Int = { val hi = u8(); (hi << 8) | u8() }
@@ -609,7 +983,10 @@ object Jpeg {
       var m = u8()
       while (m == 0xff) m = u8() // fill bytes before a marker are legal
       m match {
-        case 0xd9 => return None // EOI before any scan
+        case 0xd9 => // EOI: progressive images reconstruct here
+          if (!progressive || !sawScan) return None
+          return reconstructProgressive(width, height, comps, quants,
+            coefPlanes, bwPad, mcusX, mcusY)
         case 0xdb => // DQT
           val end = { val len = u16(); pos + len - 2 }
           while (pos < end) {
@@ -636,7 +1013,8 @@ object Jpeg {
         case 0xdd => // DRI
           if (u16() != 4) fail()
           restartInterval = u16()
-        case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 sequential, SOF2 progressive
+          progressive = m == 0xc2
           val end = { val len = u16(); pos + len - 2 }
           if (u8() != 8) return None // 12-bit: out of scope
           height = u16(); width = u16()
@@ -649,25 +1027,63 @@ object Jpeg {
             c
           }
           if (pos != end) fail()
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // progressive / lossless / arithmetic: out of scope
-        case 0xda => // SOS — baseline: single scan, then done
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // lossless / arithmetic / hierarchical: out of scope
+        case 0xda => // SOS — baseline: single scan; progressive: one of many
           if (comps == null) fail()
           val end = { val len = u16(); pos + len - 2 }
           val ns = u8()
-          if (ns != comps.length) return None // non-interleaved scans: out of scope
+          if (!progressive) {
+            if (ns != comps.length) return None // non-interleaved: out of scope
+            var i = 0
+            while (i < ns) {
+              val id = u8(); val tt = u8()
+              val c = comps.find(_.id == id).getOrElse(fail())
+              c.dcId = tt >> 4; c.acId = tt & 0xf
+              i += 1
+            }
+            if (u8() != 0 || u8() != 63) return None // spectral selection
+            u8() // Ah/Al
+            if (pos != end) fail()
+            return decodeScan(bytes, pos, width, height, comps, quants,
+              dcTables, acTables, restartInterval)
+          }
+          // progressive scan header
+          if (ns < 1 || ns > comps.length) fail()
+          val sel = new Array[Int](ns)
           var i = 0
           while (i < ns) {
             val id = u8(); val tt = u8()
-            val c = comps.find(_.id == id).getOrElse(fail())
-            c.dcId = tt >> 4; c.acId = tt & 0xf
+            val ci = comps.indexWhere(_.id == id)
+            if (ci < 0) fail()
+            comps(ci).dcId = tt >> 4; comps(ci).acId = tt & 0xf
+            sel(i) = ci
             i += 1
           }
-          if (u8() != 0 || u8() != 63) return None // spectral selection
-          u8() // Ah/Al
+          val ss = u8(); val se = u8()
+          val ahal = u8(); val ah = ahal >> 4; val al = ahal & 0xf
           if (pos != end) fail()
-          return decodeScan(bytes, pos, width, height, comps, quants,
-            dcTables, acTables, restartInterval)
+          if (ss == 0) { if (se != 0) fail() }
+          else if (ns != 1 || se < ss || se > 63) fail()
+          if (al > 13 || ah > 13 || (ah != 0 && ah != al + 1)) fail()
+          if (coefPlanes == null) { // first scan: size the coefficient state
+            hMax = comps.map(_.hSamp).max; vMax = comps.map(_.vSamp).max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            if (width.toLong * height * comps.length > Int.MaxValue - 8) return None
+            bwPad = comps.map(c => mcusX * c.hSamp)
+            coefPlanes = comps.map { c =>
+              val n = mcusX.toLong * c.hSamp * mcusY * c.vSamp * 64
+              if (n > Int.MaxValue - 8) return None
+              new Array[Int](n.toInt)
+            }
+          }
+          val br = new BitReader(bytes, pos)
+          decodeProgScan(br, width, height, comps, sel, coefPlanes, bwPad,
+            mcusX, mcusY, hMax, vMax, dcTables, acTables,
+            ss, se, ah, al, restartInterval)
+          pos = br.pos
+          sawScan = true
         case x if x >= 0xe0 && x <= 0xef => { val len = u16(); pos += len - 2 } // APPn
         case 0xfe => { val len = u16(); pos += len - 2 } // COM
         case _ => return None // anything else: not a payload we decode
@@ -762,7 +1178,16 @@ object Jpeg {
       }
       my += 1
     }
-    // assemble output: upsample (nearest) + color transform
+    assemble(width, height, comps, planes, planeW)
+  }
+
+  /** Upsample (nearest) + YCbCr→RGB color transform of decoded planes —
+    * shared by the baseline streaming path and the progressive
+    * end-of-image reconstruction. */
+  private def assemble(width: Int, height: Int, comps: Array[DecComp],
+                       planes: Array[Array[Int]],
+                       planeW: Array[Int]): Option[(Int, Int, Int, Array[Byte])] = {
+    val hMax = comps.map(_.hSamp).max; val vMax = comps.map(_.vSamp).max
     val nc = comps.length
     val out = new Array[Byte](width * height * nc)
     if (nc == 1) {
@@ -796,5 +1221,226 @@ object Jpeg {
       }
     }
     Some((width, height, nc, out))
+  }
+
+  /** Real block-grid dims of component `c` for NON-interleaved scans
+    * (T.81 A.2.2): blocks over ceil(width·h/hMax) × ceil(height·v/vMax)
+    * samples — smaller than the MCU-padded grid the coefficients are
+    * stored in. */
+  private def compBlocks(width: Int, height: Int, c: DecComp,
+                         hMax: Int, vMax: Int): (Int, Int) = {
+    val cw = (width * c.hSamp + hMax - 1) / hMax
+    val ch = (height * c.vSamp + vMax - 1) / vMax
+    ((cw + 7) / 8, (ch + 7) / 8)
+  }
+
+  /** One progressive scan (T.81 G.2): DC or AC band, first pass or
+    * successive-approximation refinement, into the persistent
+    * coefficient planes. DC scans may interleave several components in
+    * MCU order; AC scans are single-component over the real block grid.
+    * Coefficient values carry their final (already shifted) magnitude —
+    * reconstruction just dequantizes and inverse-transforms. */
+  private def decodeProgScan(br: BitReader, width: Int, height: Int,
+                             comps: Array[DecComp], sel: Array[Int],
+                             coefPlanes: Array[Array[Int]], bwPad: Array[Int],
+                             mcusX: Int, mcusY: Int, hMax: Int, vMax: Int,
+                             dcTables: Array[HuffTable], acTables: Array[HuffTable],
+                             ss: Int, se: Int, ah: Int, al: Int,
+                             restartInterval: Int): Unit = {
+    val dcPred = new Array[Int](comps.length)
+    var eobrun = 0
+    var rstCount = 0
+    var unit = 0 // MCUs (interleaved) or blocks (single-component)
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        br.restart(rstCount % 8); rstCount += 1
+        java.util.Arrays.fill(dcPred, 0); eobrun = 0
+      }
+
+    def dcFirst(ci: Int, off: Int): Unit = {
+      val t = dcTables(comps(ci).dcId); if (t == null) fail()
+      val cat = br.decode(t)
+      if (cat > 11) fail()
+      dcPred(ci) += extend(br.bits(cat), cat)
+      coefPlanes(ci)(off) = dcPred(ci) << al
+    }
+    def dcRefine(ci: Int, off: Int): Unit =
+      if (br.bit() != 0) coefPlanes(ci)(off) |= 1 << al
+
+    def acFirst(ci: Int, off: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      val t = acTables(comps(ci).acId); if (t == null) fail()
+      val cf = coefPlanes(ci)
+      var k = ss
+      while (k <= se) {
+        val rs = br.decode(t)
+        val r = rs >> 4; val s = rs & 0xf
+        if (s == 0) {
+          if (r < 15) { // EOBn: run of (1<<r)+bits(r) all-done blocks
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.bits(r)
+            return
+          }
+          k += 16 // ZRL
+        } else {
+          k += r
+          if (k > se) fail()
+          cf(off + ZigZag(k)) = extend(br.bits(s), s) << al
+          k += 1
+        }
+      }
+    }
+    def acRefine(ci: Int, off: Int): Unit = {
+      val bit = 1 << al
+      val cf = coefPlanes(ci)
+      def correct(k: Int): Unit = {
+        val p = off + ZigZag(k)
+        if (br.bit() != 0 && (cf(p) & bit) == 0)
+          cf(p) += (if (cf(p) > 0) bit else -bit)
+      }
+      if (eobrun > 0) {
+        eobrun -= 1
+        var k = ss
+        while (k <= se) { if (cf(off + ZigZag(k)) != 0) correct(k); k += 1 }
+        return
+      }
+      val t = acTables(comps(ci).acId); if (t == null) fail()
+      var k = ss
+      while (k <= se) {
+        val rs = br.decode(t)
+        var r = rs >> 4; val s0 = rs & 0xf
+        var newVal = 0
+        if (s0 == 0) {
+          if (r < 15) { // EOBn: correction bits still follow for this block
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.bits(r)
+            r = 64 // no placement: drain the band reading correction bits
+          } // r == 15: ZRL — skip 16 zero-history coefficients
+        } else {
+          if (s0 != 1) fail() // refinement introduces only ±1<<Al
+          newVal = if (br.bit() != 0) bit else -bit
+        }
+        var done = false
+        while (k <= se && !done) {
+          val p = off + ZigZag(k)
+          if (cf(p) != 0) correct(k)
+          else {
+            if (r == 0) {
+              if (newVal != 0) cf(p) = newVal
+              done = true
+            } else r -= 1
+          }
+          k += 1
+        }
+      }
+    }
+
+    if (ss == 0) { // DC scan
+      if (sel.length > 1) {
+        // interleaved MCU order over the padded grid
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            var i = 0
+            while (i < sel.length) {
+              val ci = sel(i); val c = comps(ci)
+              var by = 0
+              while (by < c.vSamp) {
+                var bx = 0
+                while (bx < c.hSamp) {
+                  val off = ((my * c.vSamp + by) * bwPad(ci) +
+                    mx * c.hSamp + bx) * 64
+                  if (ah == 0) dcFirst(ci, off) else dcRefine(ci, off)
+                  bx += 1
+                }
+                by += 1
+              }
+              i += 1
+            }
+            unit += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else { // single-component DC scan: real block grid
+        val ci = sel(0)
+        val (w2, h2) = compBlocks(width, height, comps(ci), hMax, vMax)
+        var by = 0
+        while (by < h2) {
+          var bx = 0
+          while (bx < w2) {
+            maybeRestart()
+            val off = (by * bwPad(ci) + bx) * 64
+            if (ah == 0) dcFirst(ci, off) else dcRefine(ci, off)
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    } else { // AC scan: always one component, real block grid
+      val ci = sel(0)
+      val (w2, h2) = compBlocks(width, height, comps(ci), hMax, vMax)
+      var by = 0
+      while (by < h2) {
+        var bx = 0
+        while (bx < w2) {
+          maybeRestart()
+          val off = (by * bwPad(ci) + bx) * 64
+          if (ah == 0) acFirst(ci, off) else acRefine(ci, off)
+          unit += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+  }
+
+  /** Final progressive reconstruction at EOI: dequantize every stored
+    * coefficient block, IDCT, clamp into planes, then the shared
+    * upsample + color transform. */
+  private def reconstructProgressive(width: Int, height: Int,
+                                     comps: Array[DecComp],
+                                     quants: Array[Array[Int]],
+                                     coefPlanes: Array[Array[Int]],
+                                     bwPad: Array[Int],
+                                     mcusX: Int, mcusY: Int): Option[(Int, Int, Int, Array[Byte])] = {
+    comps.foreach(c => if (quants(c.quantId) == null) return None)
+    val planes = comps.zipWithIndex.map { case (c, ci) =>
+      new Array[Int](bwPad(ci) * 8 * mcusY * c.vSamp * 8)
+    }
+    val planeW = comps.zipWithIndex.map { case (_, ci) => bwPad(ci) * 8 }
+    val coefs = new Array[Double](64); val block = new Array[Double](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = quants(c.quantId)
+      val cf = coefPlanes(ci)
+      val bw = bwPad(ci); val bh = mcusY * c.vSamp
+      val pw = planeW(ci)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val off = (by * bw + bx) * 64
+          var k = 0
+          while (k < 64) { coefs(k) = cf(off + k).toDouble * q(k); k += 1 }
+          idct(coefs, block)
+          val px0 = bx * 8; val py0 = by * 8
+          k = 0
+          while (k < 64) {
+            val v = clamp8(Math.round(block(k) + 128.0).toInt)
+            planes(ci)((py0 + k / 8) * pw + px0 + k % 8) = v
+            k += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    assemble(width, height, comps, planes, planeW)
   }
 }

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * 24-bit BMP pixels, 16-bit PCM WAV samples, PNG pixels at every legal
   * depth/type/interlace combination via `java.util.zip.Inflater` + the
   * spec's five scanline filters + Adam7 pass reassembly, and baseline
-  * JPEG via the pure-JVM [[Jpeg]] codec) are real parsing with no codec
-  * library; only formats still genuinely out of pure-JVM reach here
-  * (MP3, progressive JPEG) stay loudly stubbed.
+  * JPEG — baseline AND progressive — via the pure-JVM [[Jpeg]] codec)
+  * are real parsing with no codec library; only formats still genuinely
+  * out of pure-JVM reach here (MP3/AAC audio, compressed video) stay
+  * loudly stubbed.
   *
   * Ingestion paths:
   *  - real files: `spark.read.format("binaryFile")` (path, length, content)
@@ -184,12 +185,12 @@ object Media {
     * data chunk, and PNG pixels at every legal depth (1/2/4/8/16), color
     * type, and interlace mode (IDAT is raw DEFLATE —
     * `java.util.zip.Inflater` + the five scanline filters of the PNG
-    * spec §9 + Adam7 pass reassembly are the whole codec), and baseline
-    * JPEG pixels via the pure-JVM [[Jpeg]] codec (Huffman + IDCT +
-    * YCbCr). The integer sum is exact, so `mean = sum.toDouble / n` is
-    * one deterministic IEEE division — an oracle computing the same sum
-    * reproduces it bit-for-bit. Formats still outside pure-JVM reach
-    * (MP3, progressive JPEG, ...) yield no stats row:
+    * spec §9 + Adam7 pass reassembly are the whole codec), and JPEG
+    * pixels — baseline and progressive — via the pure-JVM [[Jpeg]]
+    * codec (Huffman + IDCT + YCbCr). The integer sum is exact, so
+    * `mean = sum.toDouble / n` is one deterministic IEEE division — an
+    * oracle computing the same sum reproduces it bit-for-bit. Formats
+    * still outside pure-JVM reach (MP3/AAC, ...) yield no stats row:
     * [[HeaderDecoder]] still covers their metadata, and a silent fake
     * would poison quality filters. */
   object SampleStatsDecoder extends MediaStatsDecoder {
@@ -455,9 +456,10 @@ object Media {
       }
 
     /** (n, sum, min, max) over the decoded pixel channel bytes of a
-      * baseline JPEG ([[Jpeg.decodePixels]]: full Huffman + IDCT +
-      * YCbCr→RGB decode, pure JVM). Non-baseline payloads (progressive,
-      * arithmetic, 12-bit) yield None — loud, never a fake. */
+      * baseline or progressive JPEG ([[Jpeg.decodePixels]]: full
+      * Huffman + IDCT + YCbCr→RGB decode, pure JVM). Payloads outside
+      * that scope (arithmetic, 12-bit, hierarchical) yield None — loud,
+      * never a fake. */
     private def jpegStats(b: Array[Byte]): Option[(Long, Long, Long, Long)] =
       Jpeg.decodePixels(b).flatMap { case (_, _, _, pix) =>
         if (pix.length == 0) None

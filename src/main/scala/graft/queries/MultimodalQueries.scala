@@ -110,6 +110,18 @@ object MultimodalQueries {
         .select(col("id"), col("mime"), col("n_samples"),
           col("mean_val"), col("min_val"), col("max_val"))),
 
+    // M15: PROGRESSIVE JPEG decode (SOF2) — m6's bit-exact block-constant
+    // family shipped through the multi-scan wire format: interleaved DC
+    // first + refinement, per-component AC spectral bands at two
+    // successive-approximation precisions, EOBn runs, per-scan optimal
+    // Huffman tables. The oracle predicts the decoded samples in the
+    // same closed form as m6; equality proves the whole progressive
+    // coefficient-accumulation path.
+    "m15_jpeg_progressive" -> ((s, dir) =>
+      Media.extractStats(mediaJpegProgressive(s, dir)).toDF()
+        .select(col("id"), col("mime"), col("n_samples"),
+          col("mean_val"), col("min_val"), col("max_val"))),
+
     // M7: REAL AVI video decode + frame sampling — each fixture doc
     // becomes an uncompressed-DIB AVI clip whose every frame byte is a
     // closed-form function of (doc_id, frame, offset); the container
@@ -294,6 +306,38 @@ object MultimodalQueries {
     * (w = 8·(1+n%3), h = 8·(1+id%4), restart interval id%5); even ids →
     * gray-valued RGB at 4:2:0 (w = 16·(1+n%2), h = 16·(1+id%3), restart
     * interval id%4). Unit quant tables make both bit-exact. */
+  /** The m15 fixture: m6's block-constant family (block b of image id
+    * valued (id·53 + b·19) % 256, unit quant — the bit-exact JPEG
+    * subset) encoded PROGRESSIVELY: SOF2, spectral-selection bands,
+    * successive-approximation DC/AC refinement scans, per-scan optimal
+    * Huffman tables. Odd ids gray, even ids gray-valued RGB at 4:2:0. */
+  private def mediaJpegProgressive(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, n) =>
+        def v(b: Int): Int = ((id * 53 + b.toLong * 19) % 256).toInt
+        if (id % 2 == 1) {
+          val w = 8 * (1 + n % 3).toInt; val h = 8 * (1 + id % 4).toInt
+          val bw = w / 8
+          val pix = Array.tabulate[Byte](w * h) { i =>
+            val x = i % w; val y = i / w
+            v((y / 8) * bw + x / 8).toByte
+          }
+          MediaRecord(id, "image/jpeg", Jpeg.encodeProgressiveGray(w, h, pix))
+        } else {
+          val w = 16 * (1 + n % 2).toInt; val h = 16 * (1 + id % 3).toInt
+          val bw = w / 8
+          val rgb = Array.tabulate[Byte](w * h * 3) { i =>
+            val p = i / 3; val x = p % w; val y = p / w
+            v((y / 8) * bw + x / 8).toByte
+          }
+          MediaRecord(id, "image/jpeg",
+            Jpeg.encodeProgressiveRgb(w, h, rgb, subsample420 = true))
+        }
+      }
+  }
+
   private def mediaJpeg(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 2)
@@ -573,6 +617,28 @@ object MultimodalQueries {
          |        FROM m),
          |blocks AS (
          |  SELECT id, w, h, ch, (id * 37 + b.b * 23) % 256 AS v
+         |  FROM geo,
+         |  LATERAL (SELECT unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS b) b)
+         |SELECT id, 'image/jpeg' AS mime, (w * h * ch)::BIGINT AS n_samples,
+         |       (sum(v) * 64 * ch)::DOUBLE / (w * h * ch) AS mean_val,
+         |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+         |FROM blocks GROUP BY id, w, h, ch""".stripMargin,
+
+    // the m15 twin is m6's closed form with the m15 block values —
+    // progressive changes the wire order of the coefficients, never the
+    // reconstructed samples
+    "m15_jpeg_progressive" ->
+      s"""WITH m AS (SELECT doc_id AS id, n_chars AS n FROM documents
+         |           WHERE doc_id % 3 = 2),
+         |geo AS (SELECT id,
+         |          CASE WHEN id % 2 = 1 THEN 8 * (1 + n % 3)
+         |               ELSE 16 * (1 + n % 2) END AS w,
+         |          CASE WHEN id % 2 = 1 THEN 8 * (1 + id % 4)
+         |               ELSE 16 * (1 + id % 3) END AS h,
+         |          CASE WHEN id % 2 = 1 THEN 1 ELSE 3 END AS ch
+         |        FROM m),
+         |blocks AS (
+         |  SELECT id, w, h, ch, (id * 53 + b.b * 19) % 256 AS v
          |  FROM geo,
          |  LATERAL (SELECT unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS b) b)
          |SELECT id, 'image/jpeg' AS mime, (w * h * ch)::BIGINT AS n_samples,

@@ -129,14 +129,101 @@ class JpegSpec extends AnyFlatSpec with Matchers {
     Jpeg.decodePixels(good.take(30)) shouldBe None
     Jpeg.decodePixels(Array[Byte]()) shouldBe None
     Jpeg.decodePixels("not a jpeg".getBytes("UTF-8")) shouldBe None
-    // flip SOF0 to SOF2 (progressive): loud None, not a wrong decode
+    // flip SOF0 to SOF2 on a BASELINE body: the single full-band scan is
+    // malformed as a progressive scan header (Ss=0 demands Se=0) — loud
+    // None, never a wrong decode
     val prog = good.clone()
     val sofAt = prog.indices.find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     Jpeg.decodePixels(prog) shouldBe None
-    // but dimensions still reports progressive geometry (header-only)
+    // but dimensions still reports the geometry (header-only)
     Jpeg.dimensions(prog) shouldBe Some((16, 16, 1))
+  }
+
+  "progressive" should "round-trip block-constant images bit-exactly at unit quant" in {
+    for (bw <- 1 to 6; bh <- 1 to 6) {
+      val w = bw * 8; val h = bh * 8
+      val pix = grayBlocks(w, h, b => (b * 23 + bw * 7 + bh * 3 + 1) % 256)
+      val dec = Jpeg.decodePixels(Jpeg.encodeProgressiveGray(w, h, pix))
+      withClue(s"${w}x$h: ") {
+        dec.map { case (dw, dh, ch, p) => (dw, dh, ch, p.toSeq) } shouldBe
+          Some((w, h, 1, pix.toSeq))
+      }
+    }
+  }
+
+  it should "decode identically to baseline on arbitrary images" in {
+    // the scan script re-orders the SAME quantized coefficients, so the
+    // progressive decode must equal the baseline decode bit-for-bit —
+    // any slip in spectral bands, EOB runs, or refinement breaks this
+    var seed = 98765L
+    def nxt(): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % 256).toInt
+    }
+    for ((w, h) <- Seq(8 -> 8, 24 -> 16, 17 -> 9, 40 -> 33, 7 -> 5)) {
+      val gray = Array.fill[Byte](w * h)(nxt().toByte)
+      val a = Jpeg.decodePixels(Jpeg.encodeGray(w, h, gray)).get
+      val b = Jpeg.decodePixels(Jpeg.encodeProgressiveGray(w, h, gray)).get
+      withClue(s"gray ${w}x$h: ") { b._4.toSeq shouldBe a._4.toSeq }
+      val rgb = Array.fill[Byte](w * h * 3)(nxt().toByte)
+      val c = Jpeg.decodePixels(Jpeg.encodeRgb(w, h, rgb)).get
+      val d = Jpeg.decodePixels(Jpeg.encodeProgressiveRgb(w, h, rgb)).get
+      withClue(s"rgb ${w}x$h: ") { d._4.toSeq shouldBe c._4.toSeq }
+    }
+  }
+
+  it should "match baseline under 4:2:0 subsampling and standard tables" in {
+    // 4:2:0 makes the chroma real block grid smaller than the padded
+    // grid (non-interleaved AC scans vs interleaved DC), and quality-85
+    // tables zero out most high frequencies — long EOBn runs
+    var seed = 4242L
+    def nxt(): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % 256).toInt
+    }
+    val lq = Jpeg.scaledQuant(Jpeg.StdLumaQuant, 85)
+    val cq = Jpeg.scaledQuant(Jpeg.StdChromaQuant, 85)
+    for ((w, h) <- Seq(32 -> 32, 33 -> 17, 48 -> 40)) {
+      // smooth gradient: heavy quantization leaves sparse coefficients
+      val rgb = Array.tabulate[Byte](w * h * 3) { i =>
+        val p = i / 3; ((p % w) * 3 + (p / w) * 2 + i % 3 * 40).toByte
+      }
+      val a = Jpeg.decodePixels(Jpeg.encodeRgb(w, h, rgb, lq, cq,
+        subsample420 = true)).get
+      val b = Jpeg.decodePixels(Jpeg.encodeProgressiveRgb(w, h, rgb, lq, cq,
+        subsample420 = true)).get
+      withClue(s"${w}x$h smooth: ") { b._4.toSeq shouldBe a._4.toSeq }
+      val noisy = Array.fill[Byte](w * h * 3)(nxt().toByte)
+      val c = Jpeg.decodePixels(Jpeg.encodeRgb(w, h, noisy, lq, cq,
+        subsample420 = true)).get
+      val d = Jpeg.decodePixels(Jpeg.encodeProgressiveRgb(w, h, noisy, lq, cq,
+        subsample420 = true)).get
+      withClue(s"${w}x$h noisy: ") { d._4.toSeq shouldBe c._4.toSeq }
+    }
+  }
+
+  it should "drive multi-block EOBn runs on near-constant content" in {
+    // a constant image leaves only DC: every AC scan is one scan-length
+    // EOBn run, so the decoder's (1<<r)+bits(r) run arithmetic is live
+    val w = 128; val h = 64
+    val pix = Array.fill[Byte](w * h)(90.toByte)
+    val enc = Jpeg.encodeProgressiveGray(w, h, pix)
+    val dec = Jpeg.decodePixels(enc).get
+    dec._4.toSeq shouldBe pix.toSeq
+    // and it must compress far below one byte per pixel to prove the
+    // runs actually collapsed (not per-block EOB0s)
+    enc.length should be < (w * h / 8)
+  }
+
+  it should "refuse truncated progressive streams loudly" in {
+    val rgb = Array.tabulate[Byte](24 * 24 * 3)(i => (i * 11 % 256).toByte)
+    val good = Jpeg.encodeProgressiveRgb(24, 24, rgb)
+    Jpeg.decodePixels(good) should not be None
+    Jpeg.decodePixels(good.take(good.length - 5)) shouldBe None
+    Jpeg.decodePixels(good.take(good.length / 2)) shouldBe None
+    Jpeg.dimensions(good) shouldBe Some((24, 24, 3))
   }
 
   "dimensions" should "report SOF geometry without entropy decode" in {
