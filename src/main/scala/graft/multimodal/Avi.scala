@@ -2,15 +2,16 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 
-/** Pure-JVM RIFF/AVI container codec for UNCOMPRESSED 24-bit DIB frames
-  * — the video leg of the multimodal column surface (PNG/BMP/JPEG images
-  * in [[Media]]/[[Jpeg]], PCM WAV audio in [[Media]], AVI video here).
+/** Pure-JVM RIFF/AVI container codec — the video leg of the multimodal
+  * column surface (PNG/BMP/JPEG images in [[Media]]/[[Jpeg]], PCM WAV
+  * audio in [[Media]], AVI video here).
   *
-  * Scope mirrors the repo's media policy: the CONTAINER and the one
-  * frame codec that is exactly decodable in pure JVM ('DIB ' fourcc —
-  * each '00db' chunk is a BMP pixel array: bottom-up BGR rows, 4-byte
-  * stride). Compressed fourccs (MJPG, H.264, …) yield None from the
-  * sample-level paths — loud drop, never a fake decode — while
+  * Scope mirrors the repo's media policy: the CONTAINER plus the two
+  * frame codecs exactly decodable in pure JVM — 'DIB ' (each '00db'
+  * chunk is a BMP pixel array: bottom-up BGR rows, 4-byte stride) and
+  * 'MJPG' Motion JPEG (each '00dc' chunk is a complete JPEG image run
+  * through the [[Jpeg]] codec). Other fourccs (H.264, …) yield None
+  * from the sample-level paths — loud drop, never a fake decode — while
   * [[dimensions]] still reports container geometry for any spec-valid
   * AVI. Frame SAMPLING (every k-th frame of a clip, the standard
   * video-to-training-examples step) is a row-multiplication operator
@@ -66,36 +67,78 @@ object Avi {
       }
       out
     }
+    encodeContainer(width, height, frames.map(dib), fps,
+      handler = "DIB ", compression = 0, chunkTag = "00db", frameBytes)
+  }
 
+  /** Build a Motion-JPEG AVI: raster-order (top-down) BGR frames, each
+    * height·width·3 bytes, individually compressed with the pure-JVM
+    * [[Jpeg]] encoder into '00dc' chunks (fccHandler 'MJPG',
+    * biCompression 'MJPG'). `quality` < 100 uses the Annex K tables at
+    * that IJG quality; 100 keeps unit quantization (bit-exact for
+    * block-constant gray-valued frames — the oracle-checkable family). */
+  def encodeMjpg(width: Int, height: Int, frames: Seq[Array[Byte]],
+                 fps: Int = 25, quality: Int = 100): Array[Byte] = {
+    require(width > 0 && height > 0, s"dims must be positive: $width x $height")
+    require(fps > 0, s"fps must be positive, got $fps")
+    frames.foreach(f => require(f.length == width * height * 3,
+      s"frame must be ${width * height * 3} bytes, got ${f.length}"))
+    val (lq, cq) =
+      if (quality >= 100) (Jpeg.UnitQuant, Jpeg.UnitQuant)
+      else (Jpeg.scaledQuant(Jpeg.StdLumaQuant, quality),
+        Jpeg.scaledQuant(Jpeg.StdChromaQuant, quality))
+    val payloads = frames.map { bgr =>
+      val rgb = bgr.clone()
+      var i = 0
+      while (i < rgb.length) { // frame contract is BGR; JPEG wants RGB
+        val b0 = rgb(i); rgb(i) = rgb(i + 2); rgb(i + 2) = b0
+        i += 3
+      }
+      Jpeg.encodeRgb(width, height, rgb, lq, cq)
+    }
+    // 'MJPG' fourcc little-endian in biCompression
+    val mjpg = ('M' << 0) | ('J' << 8) | ('P' << 16) | ('G' << 24)
+    encodeContainer(width, height, payloads, fps,
+      handler = "MJPG", compression = mjpg, chunkTag = "00dc",
+      suggestedBuf = payloads.map(_.length).max)
+  }
+
+  private def encodeContainer(width: Int, height: Int,
+                              payloads: Seq[Array[Byte]], fps: Int,
+                              handler: String, compression: Int,
+                              chunkTag: String,
+                              suggestedBuf: Int): Array[Byte] = {
+    val frameBytes = suggestedBuf
     val out = new java.io.ByteArrayOutputStream()
     // ---- hdrl
     val hdrl = new java.io.ByteArrayOutputStream()
     wTag(hdrl, "hdrl")
     wTag(hdrl, "avih"); w32(hdrl, 56)
     w32(hdrl, 1000000 / fps); w32(hdrl, frameBytes * fps); w32(hdrl, 0)
-    w32(hdrl, 0); w32(hdrl, frames.size); w32(hdrl, 0); w32(hdrl, 1)
+    w32(hdrl, 0); w32(hdrl, payloads.size); w32(hdrl, 0); w32(hdrl, 1)
     w32(hdrl, frameBytes); w32(hdrl, width); w32(hdrl, height)
     (0 until 4).foreach(_ => w32(hdrl, 0))
     // strl list
     val strl = new java.io.ByteArrayOutputStream()
     wTag(strl, "strl")
     wTag(strl, "strh"); w32(strl, 56)
-    wTag(strl, "vids"); wTag(strl, "DIB ")
+    wTag(strl, "vids"); wTag(strl, handler)
     w32(strl, 0); w16(strl, 0); w16(strl, 0); w32(strl, 0)
     w32(strl, 1); w32(strl, fps) // scale/rate
-    w32(strl, 0); w32(strl, frames.size); w32(strl, frameBytes)
+    w32(strl, 0); w32(strl, payloads.size); w32(strl, frameBytes)
     w32(strl, -1); w32(strl, 0)
     w16(strl, 0); w16(strl, 0); w16(strl, width); w16(strl, height)
     wTag(strl, "strf"); w32(strl, 40)
     w32(strl, 40); w32(strl, width); w32(strl, height); w16(strl, 1)
-    w16(strl, 24); w32(strl, 0); w32(strl, frameBytes)
+    w16(strl, 24); w32(strl, compression); w32(strl, frameBytes)
     w32(strl, 0); w32(strl, 0); w32(strl, 0); w32(strl, 0)
     wTag(hdrl, "LIST"); w32(hdrl, strl.size()); hdrl.write(strl.toByteArray)
     // ---- movi
     val movi = new java.io.ByteArrayOutputStream()
     wTag(movi, "movi")
-    frames.foreach { f =>
-      wTag(movi, "00db"); w32(movi, frameBytes); movi.write(dib(f))
+    payloads.foreach { p =>
+      wTag(movi, chunkTag); w32(movi, p.length); movi.write(p)
+      if ((p.length & 1) == 1) movi.write(0) // word alignment pad
     }
     // ---- riff shell
     val body = new java.io.ByteArrayOutputStream()
@@ -119,23 +162,44 @@ object Avi {
     * (a silent partial clip would poison frame sampling). */
   def framePixels(b: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] =
     walk(b).flatMap { case (w, h, n, handler, chunks) =>
-      // the video stream's strh fccHandler must declare uncompressed DIB:
-      // a compressed clip (MJPG/H.264/…) whose '00dc' chunks happen to be
-      // >= stride*height would otherwise "decode" as garbage rasters
-      if (!handler.contains("DIB ")) None
-      else if (chunks.size != n) None
-      else {
-        val st = stride(w)
-        if (chunks.exists(_.length < st * h)) None
-        else Some((w, h, chunks.map { dibData =>
-          val out = new Array[Byte](w * h * 3)
-          var y = 0
-          while (y < h) {
-            System.arraycopy(dibData, (h - 1 - y) * st, out, y * w * 3, w * 3)
-            y += 1
+      if (chunks.size != n) None
+      else handler match {
+        // uncompressed DIB: bottom-up stride-padded BGR rows
+        case Some("DIB ") =>
+          val st = stride(w)
+          if (chunks.exists(_.length < st * h)) None
+          else Some((w, h, chunks.map { dibData =>
+            val out = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              System.arraycopy(dibData, (h - 1 - y) * st, out, y * w * 3, w * 3)
+              y += 1
+            }
+            out
+          }))
+        // Motion JPEG: each '00dc' chunk is a complete JPEG image the
+        // pure-JVM [[Jpeg]] codec decodes; every frame must decode to
+        // the container's exact 3-channel geometry (a silent partial or
+        // mis-sized clip would poison frame sampling). Decoded RGB is
+        // swapped to BGR so all handlers share one frame contract.
+        case Some("MJPG") =>
+          val out = Seq.newBuilder[Array[Byte]]
+          var ok = true
+          chunks.foreach { jpg =>
+            if (ok) Jpeg.decodePixels(jpg) match {
+              case Some((fw, fh, 3, pix)) if fw == w && fh == h =>
+                var i = 0
+                while (i < pix.length) { // RGB → BGR in place
+                  val r = pix(i); pix(i) = pix(i + 2); pix(i + 2) = r
+                  i += 3
+                }
+                out += pix
+              case _ => ok = false
+            }
           }
-          out
-        }))
+          if (ok) Some((w, h, out.result())) else None
+        // anything else (H.264, …) stays loudly undecodable
+        case _ => None
       }
     }
 

@@ -132,6 +132,14 @@ object MultimodalQueries {
     "m7_avi_frames" -> ((s, dir) =>
       graft.multimodal.Avi.frameStats(mediaAvi(s, dir), every = 2)),
 
+    // M16: MOTION-JPEG video decode — every sampled '00dc' chunk is a
+    // complete JPEG the pure-JVM codec decodes (container walk → per-
+    // frame JPEG → stats); the gray-valued block-constant fixture makes
+    // the lossy codec bit-exact, so the oracle recomputes the sampled
+    // per-frame aggregates in closed form.
+    "m16_avi_mjpg" -> ((s, dir) =>
+      graft.multimodal.Avi.frameStats(mediaAviMjpg(s, dir), every = 2)),
+
     // M8: REAL audio resample — 1-2 channel PCM WAVs decoded, decimated
     // 4× and mixed down to mono (floor-div channel mean), re-encoded,
     // and the RESAMPLED bytes re-decoded for their stats. The oracle
@@ -370,6 +378,29 @@ object MultimodalQueries {
   /** The m7 fixture: doc_id % 3 == 2 → uncompressed-DIB AVI, width
     * 3 + n%5, height 1 + id%4, 2 + id%7 frames; frame f's raster byte j
     * = (id·41 + f·19 + j·7) % 256. */
+  /** The m16 fixture: doc_id % 3 == 2 → MOTION-JPEG AVI, w = 8·(1+n%2),
+    * h = 8·(1+id%2), 2 + id%5 frames; frame f's 8×8 block b holds
+    * (id·59 + f·29 + b·13) % 256 in all three channels — gray-valued
+    * block-constant at unit quant, the bit-exact JPEG family, so the
+    * oracle predicts the decoded MJPG samples exactly. */
+  private def mediaAviMjpg(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, n) =>
+        val w = 8 * (1 + n % 2).toInt; val h = 8 * (1 + id % 2).toInt
+        val nf = (2 + id % 5).toInt
+        val bw = w / 8
+        val frames = (0 until nf).map(f => Array.tabulate[Byte](w * h * 3) { i =>
+          val p = i / 3; val x = p % w; val y = p / w
+          val b = (y / 8) * bw + x / 8
+          ((id * 59 + f.toLong * 29 + b.toLong * 13) % 256).toByte
+        })
+        MediaRecord(id, "video/avi",
+          graft.multimodal.Avi.encodeMjpg(w, h, frames))
+      }
+  }
+
   private def mediaAvi(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 2)
@@ -463,6 +494,29 @@ object MultimodalQueries {
         |      FROM s)
         |SELECT id, frame_idx::INT AS frame_idx, max(n)::BIGINT AS n_samples,
         |       sum(v)::DOUBLE / max(n) AS mean_val,
+        |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+        |FROM v GROUP BY 1, 2""".stripMargin,
+
+    // the m16 twin replays the sampled MJPG frame stats from the
+    // block-constant closed form: each 8×8 block contributes 64 samples
+    // per channel, and the gray-valued family decodes bit-exactly
+    "m16_avi_mjpg" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, 8 * (1 + n_chars % 2) AS w,
+        |         8 * (1 + doc_id % 2) AS h, 2 + doc_id % 5 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT id, w, h,
+        |             unnest(generate_series(0, nf - 1, 2)) AS frame_idx
+        |      FROM m),
+        |b AS (SELECT id, frame_idx, w, h,
+        |             unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS b
+        |      FROM f),
+        |v AS (SELECT id, frame_idx, w, h,
+        |             (id * 59 + frame_idx * 29 + b * 13) % 256 AS v
+        |      FROM b)
+        |SELECT id, frame_idx::INT AS frame_idx,
+        |       max(w * h * 3)::BIGINT AS n_samples,
+        |       (sum(v) * 64 * 3)::DOUBLE / max(w * h * 3) AS mean_val,
         |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
         |FROM v GROUP BY 1, 2""".stripMargin,
 

@@ -357,19 +357,66 @@ class MediaSpec extends SparkSpec {
     Avi.framePixels(Array[Byte](1, 2, 3)) shouldBe None
   }
 
-  it should "refuse compressed fourccs even when chunk sizes fit the DIB geometry" in {
+  it should "refuse mismatched fourccs even when chunk sizes fit the DIB geometry" in {
     import graft.multimodal.Avi
     // patch the strh fccHandler ('DIB ' at strh+12: tag, size, 'vids')
-    // to MJPG: the chunks still hold >= stride·height bytes, so without
-    // the handler check they would "decode" as garbage rasters
+    // to MJPG: the chunks hold raw DIB bytes, not JPEG streams, so the
+    // MJPG path must refuse them (and without the handler dispatch they
+    // would "decode" as garbage rasters); an unknown fourcc refuses too
     val ok = Avi.encode(4, 3, Seq(Array.fill[Byte](36)(7)))
     val strh = ok.indexOfSlice("strh".getBytes("US-ASCII"))
     strh should be > 0
     val mjpg = ok.clone()
     System.arraycopy("MJPG".getBytes("US-ASCII"), 0, mjpg, strh + 12, 4)
     Avi.framePixels(mjpg) shouldBe None
+    val h264 = ok.clone()
+    System.arraycopy("H264".getBytes("US-ASCII"), 0, h264, strh + 12, 4)
+    Avi.framePixels(h264) shouldBe None
     // container geometry stays readable — dimensions() is header-only
     Avi.dimensions(mjpg) shouldBe Some((4, 3, 1))
+  }
+
+  it should "round-trip Motion-JPEG clips bit-exactly on the block-constant family" in {
+    import graft.multimodal.Avi
+    // gray-valued (B=G=R) block-constant frames at unit quant are the
+    // bit-exact JPEG family, so MJPG round trips EXACTLY: frame f's 8×8
+    // block b holds value (f·31 + b·17 + 5) % 256 in all three channels
+    val w = 16; val h = 24 // 2×3 blocks per frame
+    val frames = (0 until 4).map { f =>
+      Array.tabulate[Byte](w * h * 3) { i =>
+        val p = i / 3; val x = p % w; val y = p / w
+        val b = (y / 8) * (w / 8) + x / 8
+        ((f * 31 + b * 17 + 5) % 256).toByte
+      }
+    }
+    val avi = Avi.encodeMjpg(w, h, frames)
+    Avi.dimensions(avi) shouldBe Some((w, h, 4))
+    val (gw, gh, got) = Avi.framePixels(avi).get
+    gw shouldBe w; gh shouldBe h; got.size shouldBe 4
+    for (f <- 0 until 4)
+      withClue(s"frame $f:") { got(f).toSeq shouldBe frames(f).toSeq }
+  }
+
+  it should "decode lossy MJPG within a bounded error and refuse wrong-geometry frames" in {
+    import graft.multimodal.Avi
+    val w = 16; val h = 16
+    val frames = Seq(Array.tabulate[Byte](w * h * 3)(i => ((i * 7) % 256).toByte))
+    val lossy = Avi.encodeMjpg(w, h, frames, quality = 85)
+    val (_, _, got) = Avi.framePixels(lossy).get
+    val maxErr = got.head.zip(frames.head)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    maxErr should be <= 64 // standard tables at q85 on noisy content
+    // a frame whose JPEG dims disagree with the container: loud None.
+    // patch the avih width (data offset +32) so container ≠ frame geometry
+    val wrongDims = Avi.encodeMjpg(w, h, frames)
+    val avih = wrongDims.indexOfSlice("avih".getBytes("US-ASCII"))
+    avih should be > 0
+    wrongDims(avih + 8 + 32) = (w + 8).toByte // little-endian low byte
+    Avi.dimensions(wrongDims) shouldBe Some((w + 8, h, 1))
+    Avi.framePixels(wrongDims) shouldBe None
+    // and truncation mid-chunk refuses rather than yielding a short clip
+    val good = Avi.encodeMjpg(w, h, frames)
+    Avi.framePixels(good.take(good.length - 6)) shouldBe None
   }
 
   "Avi.frameStats" should "sample every k-th frame with exact stats" in {
