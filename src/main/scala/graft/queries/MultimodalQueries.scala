@@ -110,6 +110,15 @@ object MultimodalQueries {
         .select(col("id"), col("mime"), col("n_samples"),
           col("mean_val"), col("min_val"), col("max_val"))),
 
+    // X36: WARC web-archive source (Common Crawl shape: per-record gzip
+    // members) — record walk, WARC header parse, HTTP response split,
+    // UTF-8 body text. The fixture builds each doc's archive from pure
+    // functions of its columns (a warcinfo record the extractor must
+    // skip + 1..3 responses), so the oracle regenerates every output row
+    // verbatim.
+    "x36_warc_extract" -> ((s, dir) =>
+      graft.sources.Warc.extractResponses(mediaWarc(s, dir))),
+
     // M15: PROGRESSIVE JPEG decode (SOF2) — m6's bit-exact block-constant
     // family shipped through the multi-scan wire format: interleaved DC
     // first + refinement, per-component AC spectral bands at two
@@ -314,6 +323,28 @@ object MultimodalQueries {
     * (w = 8·(1+n%3), h = 8·(1+id%4), restart interval id%5); even ids →
     * gray-valued RGB at 4:2:0 (w = 16·(1+n%2), h = 16·(1+id%3), restart
     * interval id%4). Unit quant tables make both bit-exact. */
+  /** The x36 fixture: doc_id % 3 == 0 → per-record-gzipped WARC with a
+    * warcinfo record plus 1 + (id/3)%3 HTTP responses; response r's URI is
+    * http://ex.test/id/r, status 200 + 100·(r%2), body
+    * "doc <id> rec <r> :: <text>". */
+  private def mediaWarc(s: SparkSession, dir: String) = {
+    import s.implicits._
+    import graft.sources.Warc
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val nr = (1 + (id / 3) % 3).toInt
+        val recs = Warc.record("warcinfo", "",
+          "software: graft-fixture\r\n".getBytes("US-ASCII")) +:
+          (0 until nr).map { r =>
+            Warc.record("response", s"http://ex.test/$id/$r",
+              Warc.httpResponse(200 + 100 * (r % 2), "text/plain",
+                s"doc $id rec $r :: $text".getBytes("UTF-8")))
+          }
+        MediaRecord(id, "application/warc", Warc.encodeGz(recs))
+      }
+  }
+
   /** The m15 fixture: m6's block-constant family (block b of image id
     * valued (id·53 + b·19) % 256, unit quant — the bit-exact JPEG
     * subset) encoded PROGRESSIVELY: SOF2, spectral-selection bands,
@@ -677,6 +708,23 @@ object MultimodalQueries {
          |       (sum(v) * 64 * ch)::DOUBLE / (w * h * ch) AS mean_val,
          |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
          |FROM blocks GROUP BY id, w, h, ch""".stripMargin,
+
+    // the x36 twin regenerates every response row from the fixture's
+    // pure functions — uri, status, content type, and the exact body
+    // string; the warcinfo record must yield no row, and rec_idx counts
+    // it (responses start at 1)
+    "x36_warc_extract" ->
+      s"""WITH m AS (SELECT doc_id AS id, text, 1 + (doc_id // 3) % 3 AS nr
+         |           FROM documents WHERE doc_id % 3 = 0),
+         |r AS (SELECT id, text,
+         |             unnest(generate_series(0, nr - 1)) AS r
+         |      FROM m)
+         |SELECT id, (r + 1)::INT AS rec_idx,
+         |       'http://ex.test/' || id || '/' || r AS target_uri,
+         |       (200 + 100 * (r % 2))::INT AS http_status,
+         |       'text/plain' AS content_type,
+         |       'doc ' || id || ' rec ' || r || ' :: ' || text AS body_text
+         |FROM r""".stripMargin,
 
     // the m15 twin is m6's closed form with the m15 block values —
     // progressive changes the wire order of the coefficients, never the

@@ -1,0 +1,204 @@
+package graft.sources
+
+import graft.multimodal.Media
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Pure-JVM WARC (ISO 28500) web-archive source — the step-0 ingestion
+  * format of web-crawl training corpora (Common Crawl ships WARC). The
+  * reference engine has no web-crawl path at all; this extends the
+  * engine for crawl preprocessing: WARC record walk → HTTP response
+  * split → body text, feeding the existing curation chain
+  * (`Corpus.stripHtml` → C4/Gopher rules → dedup).
+  *
+  * Scope: WARC/1.0 and /1.1, plain AND per-record-gzipped (the Common
+  * Crawl convention: each record is its own gzip member, members
+  * concatenated — `java.util.zip.GZIPInputStream` reads multi-member
+  * streams natively). Record headers are parsed for WARC-Type,
+  * WARC-Target-URI, and the mandatory Content-Length; `response`
+  * records additionally split their HTTP payload into status, headers,
+  * and body. Malformed input (bad version line, missing Content-Length,
+  * truncated payload, missing record separator) refuses the WHOLE blob
+  * with None — the repo's loud-drop rule: a silently-partial crawl file
+  * would poison corpus statistics.
+  *
+  * Like the media decoders, ingestion is `binaryFile`-shaped: one
+  * (id, bytes) row per archive file, decoded in batched mapPartitions —
+  * map-only, scan-bound, no shuffle; at 100 TB the parallelism is the
+  * file count and Spark's split planning, exactly like the reference's
+  * text loaders.
+  */
+object Warc {
+
+  /** One parsed record: `httpStatus`/`contentType`/`body` are filled
+    * for `response` records (status -1 and empty body otherwise). */
+  final case class WarcRecord(recIdx: Int, warcType: String,
+                              targetUri: String, httpStatus: Int,
+                              contentType: String, body: Array[Byte])
+
+  private val Crlf = "\r\n"
+
+  // ---- encoder (fixtures + round-trip tests) ------------------------------
+
+  /** A complete HTTP response payload for a `response` record. */
+  def httpResponse(status: Int, contentType: String,
+                   body: Array[Byte]): Array[Byte] = {
+    val head = s"HTTP/1.1 $status OK$Crlf" +
+      s"Content-Type: $contentType$Crlf" +
+      s"Content-Length: ${body.length}$Crlf$Crlf"
+    head.getBytes("US-ASCII") ++ body
+  }
+
+  /** One spec-valid WARC record: version line, named headers, the
+    * mandatory Content-Length, blank line, payload, record separator. */
+  def record(warcType: String, targetUri: String,
+             payload: Array[Byte]): Array[Byte] = {
+    val uriLine =
+      if (targetUri.isEmpty) "" else s"WARC-Target-URI: $targetUri$Crlf"
+    val head = s"WARC/1.0$Crlf" +
+      s"WARC-Type: $warcType$Crlf" +
+      uriLine +
+      s"WARC-Record-ID: <urn:uuid:fixture-${warcType.length}-${payload.length}>$Crlf" +
+      s"Content-Length: ${payload.length}$Crlf$Crlf"
+    head.getBytes("US-ASCII") ++ payload ++ (Crlf + Crlf).getBytes("US-ASCII")
+  }
+
+  /** Concatenate records into a plain WARC file. */
+  def encode(records: Seq[Array[Byte]]): Array[Byte] =
+    records.foldLeft(Array.emptyByteArray)(_ ++ _)
+
+  /** The Common Crawl layout: each record its own gzip member,
+    * members concatenated. */
+  def encodeGz(records: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(r); gz.finish()
+    }
+    out.toByteArray
+  }
+
+  // ---- decoder -------------------------------------------------------------
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Inflate a (possibly multi-member) gzip stream; None on any
+    * corruption — never a partial inflate. */
+  private def gunzipAll(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream(b.length * 4)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+
+  /** All records of a WARC blob (plain or gzipped), or None if ANY
+    * record is malformed. */
+  def parse(bytes: Array[Byte]): Option[Seq[WarcRecord]] = {
+    val b = if (isGzip(bytes)) gunzipAll(bytes).getOrElse(return None)
+            else bytes
+    val records = Seq.newBuilder[WarcRecord]
+    var pos = 0
+    var idx = 0
+    def line(from: Int): Option[(String, Int)] = {
+      var i = from
+      while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+      if (i + 1 >= b.length) None
+      else Some((new String(b, from, i - from, "US-ASCII"), i + 2))
+    }
+    while (pos < b.length) {
+      // version line
+      val (ver, afterVer) = line(pos).getOrElse(return None)
+      if (ver != "WARC/1.0" && ver != "WARC/1.1") return None
+      // named headers to the blank line
+      var warcType = ""; var uri = ""; var contentLength = -1L
+      var p = afterVer
+      var headersDone = false
+      while (!headersDone) {
+        val (l, next) = line(p).getOrElse(return None)
+        p = next
+        if (l.isEmpty) headersDone = true
+        else {
+          val colon = l.indexOf(':')
+          if (colon < 0) return None
+          val name = l.substring(0, colon).trim.toLowerCase
+          val value = l.substring(colon + 1).trim
+          name match {
+            case "warc-type" => warcType = value
+            case "warc-target-uri" => uri = value
+            case "content-length" =>
+              contentLength = try value.toLong catch {
+                case _: NumberFormatException => return None
+              }
+            case _ => // WARC-Date, WARC-Record-ID, …: carried, not needed
+          }
+        }
+      }
+      if (contentLength < 0 || warcType.isEmpty) return None
+      if (p + contentLength + 4 > b.length) return None // payload + sep
+      val payload =
+        java.util.Arrays.copyOfRange(b, p, (p + contentLength).toInt)
+      p = (p + contentLength).toInt
+      // mandatory two-CRLF record separator
+      if (!(b(p) == '\r' && b(p + 1) == '\n' &&
+            b(p + 2) == '\r' && b(p + 3) == '\n')) return None
+      pos = p + 4
+      // HTTP split for response records
+      var status = -1; var cType = ""; var body = Array.emptyByteArray
+      if (warcType == "response") {
+        val sep = indexOfDoubleCrlf(payload)
+        if (sep < 0) return None
+        val head = new String(payload, 0, sep, "US-ASCII")
+        val lines = head.split(Crlf)
+        val parts = lines.head.split(" ")
+        if (parts.length < 2 || !parts(0).startsWith("HTTP/")) return None
+        status = try parts(1).toInt catch {
+          case _: NumberFormatException => return None
+        }
+        cType = lines.tail.collectFirst {
+          case l if l.toLowerCase.startsWith("content-type:") =>
+            l.substring(13).trim
+        }.getOrElse("")
+        body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
+      }
+      records += WarcRecord(idx, warcType, uri, status, cType, body)
+      idx += 1
+    }
+    Some(records.result())
+  }
+
+  private def indexOfDoubleCrlf(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  // ---- operators -----------------------------------------------------------
+
+  /** HTTP `response` records of each archive as rows: (id, rec_idx,
+    * target_uri, http_status, content_type, body_text) — batched
+    * mapPartitions decode, map-only; an undecodable archive contributes
+    * no rows (loud drop at the frame level: parse is all-or-nothing per
+    * blob). Body bytes are decoded as UTF-8 text — crawl curation is
+    * text-first; binary payloads survive as replacement-char text for
+    * the downstream language/quality filters to drop. */
+  def extractResponses(archives: Dataset[Media.MediaRecord]): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives.mapPartitions(_.flatMap { rec =>
+      parse(rec.bytes).toSeq.flatten.collect {
+        case r if r.warcType == "response" =>
+          (rec.id, r.recIdx, r.targetUri, r.httpStatus, r.contentType,
+            new String(r.body, java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }).toDF("id", "rec_idx", "target_uri", "http_status", "content_type",
+      "body_text")
+  }
+}

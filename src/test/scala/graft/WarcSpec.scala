@@ -1,0 +1,97 @@
+package graft
+
+import graft.multimodal.Media
+import graft.sources.Warc
+
+/** WARC web-archive source: record walk, HTTP split, gzip members,
+  * loud all-or-nothing refusal, and the Spark extraction operator. */
+class WarcSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def archive(): Array[Byte] = Warc.encode(Seq(
+    Warc.record("warcinfo", "", "software: fixture\r\n".getBytes("US-ASCII")),
+    Warc.record("request", "http://a.example/x",
+      "GET /x HTTP/1.1\r\nHost: a.example\r\n\r\n".getBytes("US-ASCII")),
+    Warc.record("response", "http://a.example/x",
+      Warc.httpResponse(200, "text/html; charset=utf-8",
+        "<html><body>alpha</body></html>".getBytes("UTF-8"))),
+    Warc.record("response", "http://a.example/y",
+      Warc.httpResponse(404, "text/plain", "gone".getBytes("UTF-8")))))
+
+  "Warc.parse" should "walk records and split HTTP responses" in {
+    val recs = Warc.parse(archive()).get
+    recs.map(_.warcType) shouldBe Seq("warcinfo", "request", "response", "response")
+    recs.map(_.recIdx) shouldBe Seq(0, 1, 2, 3)
+    val r2 = recs(2)
+    r2.targetUri shouldBe "http://a.example/x"
+    r2.httpStatus shouldBe 200
+    r2.contentType shouldBe "text/html; charset=utf-8"
+    new String(r2.body, "UTF-8") shouldBe "<html><body>alpha</body></html>"
+    recs(3).httpStatus shouldBe 404
+    new String(recs(3).body, "UTF-8") shouldBe "gone"
+    // non-response records carry no HTTP fields
+    recs(0).httpStatus shouldBe -1
+    recs(1).body.length shouldBe 0
+  }
+
+  it should "read per-record gzip members identically to plain" in {
+    val plain = Warc.parse(archive()).get
+    val gz = Warc.encodeGz(Seq(
+      Warc.record("warcinfo", "", "software: fixture\r\n".getBytes("US-ASCII")),
+      Warc.record("request", "http://a.example/x",
+        "GET /x HTTP/1.1\r\nHost: a.example\r\n\r\n".getBytes("US-ASCII")),
+      Warc.record("response", "http://a.example/x",
+        Warc.httpResponse(200, "text/html; charset=utf-8",
+          "<html><body>alpha</body></html>".getBytes("UTF-8"))),
+      Warc.record("response", "http://a.example/y",
+        Warc.httpResponse(404, "text/plain", "gone".getBytes("UTF-8")))))
+    gz.length should not be 0
+    (gz(0) & 0xff) shouldBe 0x1f // really gzip on the wire
+    val got = Warc.parse(gz).get
+    got.map(_.warcType) shouldBe plain.map(_.warcType)
+    got.map(r => new String(r.body, "UTF-8")) shouldBe
+      plain.map(r => new String(r.body, "UTF-8"))
+  }
+
+  it should "refuse malformed archives wholesale, never partially" in {
+    val good = archive()
+    Warc.parse(good).isDefined shouldBe true
+    // truncation inside the last payload: the WHOLE blob refuses, even
+    // though three records parse cleanly before the damage
+    Warc.parse(good.take(good.length - 8)) shouldBe None
+    // bad version line
+    val badVer = good.clone(); badVer(5) = '9'.toByte
+    Warc.parse(badVer) shouldBe None
+    // missing Content-Length
+    val noLen = Warc.record("response", "http://a/x",
+      Warc.httpResponse(200, "t", "b".getBytes))
+    val stripped = new String(noLen, "US-ASCII")
+      .replaceAll("Content-Length: \\d+\r\n", "")
+    Warc.parse(stripped.getBytes("US-ASCII")) shouldBe None
+    // corrupted gzip member
+    val gz = Warc.encodeGz(Seq(Warc.record("warcinfo", "", "a\r\n".getBytes)))
+    gz(gz.length - 3) = (gz(gz.length - 3) ^ 0x55).toByte
+    Warc.parse(gz) shouldBe None
+    // response payload without an HTTP header split
+    val noHttp = Warc.record("response", "http://a/x", "nope".getBytes)
+    Warc.parse(noHttp) shouldBe None
+  }
+
+  "extractResponses" should "emit one row per HTTP response, dropping bad archives" in {
+    val rows = Warc.extractResponses(Seq(
+      Media.MediaRecord(1L, "application/warc", archive()),
+      Media.MediaRecord(2L, "application/warc", Warc.encodeGz(Seq(
+        Warc.record("response", "http://b.example/z",
+          Warc.httpResponse(301, "text/plain", "moved".getBytes("UTF-8")))))),
+      Media.MediaRecord(3L, "application/warc", "not a warc".getBytes))
+      .toDS()).collect()
+    rows.map(_.getLong(0)).sorted shouldBe Seq(1L, 1L, 2L)
+    val r = rows.filter(_.getLong(0) == 2L).head
+    r.getString(2) shouldBe "http://b.example/z"
+    r.getInt(3) shouldBe 301
+    r.getString(5) shouldBe "moved"
+    // request/warcinfo records of archive 1 contribute no rows
+    rows.filter(_.getLong(0) == 1L).map(_.getInt(1)).sorted shouldBe Seq(2, 3)
+  }
+}
