@@ -44,7 +44,7 @@ object Bench {
       "a18_psi_drift", "u4_snapshot_diff", "z4_compact",
       "j12_interval_overlap", "u5_merge", "g5_label_prop", "w5_funnel",
       "u6_scd2", "j7d_asof_tolerance", "z5_partition_prune",
-      "o1_orc_roundtrip"),
+      "o1_orc_roundtrip", "o2_jsonl_roundtrip"),
     "features" -> Seq(
       "f3_bin", "f4_entropy", "f8_flow_words", "x2_quality", "x3_langid",
       "c2_gopher_rules", "x18_c4_filter", "x22_normalize",

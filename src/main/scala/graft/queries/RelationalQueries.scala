@@ -457,6 +457,32 @@ object RelationalQueries {
           sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
             .as("cents"))}),
 
+    // O2: gzipped-JSONL source/sink round-trip — the interchange format
+    // training corpora actually ship (.jsonl.gz): write with gzip
+    // compression, read back with an EXPLICIT schema (schema inference
+    // is a second full scan — never at 100 TB), aggregate in exact
+    // integers precomputed BEFORE the text round-trip so no float ever
+    // crosses the decimal boundary. Twin = the same query over parquet.
+    "o2_jsonl_roundtrip" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      val path = java.nio.file.Files.createTempDirectory("o2_jsonl").toString
+      li.write.mode("overwrite").option("compression", "gzip").json(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_returnflag",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("qty",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType)))
+      s.read.schema(schema).json(path)
+        .where(col("qty") > 25)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty"),
+          sum(col("cents")).as("cents"))}),
+
     // A17: table profiling — the ANALYZE-stats layer: four numeric
     // columns melt to narrow (col_name, v) rows and ONE hash aggregation
     // computes rows/nulls/exact-ndv/min/max/sum-in-micros for all of
@@ -1629,6 +1655,15 @@ object RelationalQueries {
     // the o1 twin: same filter + integer aggregates over the parquet
     // table — the ORC round-trip must be value-transparent
     "o1_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty,
+        |       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |         ::BIGINT AS cents
+        |FROM lineitem WHERE l_quantity > 25 GROUP BY 1""".stripMargin,
+
+    // the o2 twin: the JSONL round-trip must change nothing — all
+    // aggregated values are integers fixed before the text crossing
+    "o2_jsonl_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,
         |       sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty,
         |       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
