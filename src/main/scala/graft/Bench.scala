@@ -44,11 +44,11 @@ object Bench {
       "a18_psi_drift", "u4_snapshot_diff", "z4_compact",
       "j12_interval_overlap", "u5_merge", "g5_label_prop", "w5_funnel",
       "u6_scd2", "j7d_asof_tolerance", "z5_partition_prune",
-      "o1_orc_roundtrip", "o2_jsonl_roundtrip"),
+      "o1_orc_roundtrip", "o2_jsonl_roundtrip", "g6_recursive_reach"),
     "features" -> Seq(
       "f3_bin", "f4_entropy", "f8_flow_words", "x2_quality", "x3_langid",
       "c2_gopher_rules", "x18_c4_filter", "x22_normalize",
-      "f15_sql_surface"),
+      "f15_sql_surface", "f16_variant"),
     "textops" -> Seq(
       "x27_chunk_overlap", "x28_pmi_collocations",
       "x11b_pack_concat", "x12_class_balance", "x13_top_ngrams",

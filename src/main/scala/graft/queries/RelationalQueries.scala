@@ -767,6 +767,60 @@ object RelationalQueries {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("gmask"), col("cnt"))),
 
+    // G6: RECURSIVE CTE (Spark 4 WITH RECURSIVE, the SQL-standard
+    // iterate-to-fixpoint surface) — min-hop reachability from nation 0
+    // over the distinct customer→supplier trade edges, depth-bounded so
+    // the UNION ALL path multiset is finite. Both engines run the SAME
+    // standard SQL; the group-by collapses the path multiset to
+    // (node, min_hops), so semantics — not iteration order — are gated.
+    // (d6/g2 build iterative closures as DataFrame loops with
+    // checkpointed lineage — the 100 TB shape; this gates the declared
+    // in-engine recursion the reference's users would reach for first.)
+    "g6_recursive_reach" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g6_orders")
+      t(s, dir, "customer").createOrReplaceTempView("g6_customer")
+      t(s, dir, "lineitem").createOrReplaceTempView("g6_lineitem")
+      t(s, dir, "supplier").createOrReplaceTempView("g6_supplier")
+      s.sql("""WITH RECURSIVE e AS (
+              |  SELECT DISTINCT c.c_nationkey AS a, su.s_nationkey AS b
+              |  FROM g6_orders o
+              |  JOIN g6_customer c ON o.o_custkey = c.c_custkey
+              |  JOIN g6_lineitem l ON l.l_orderkey = o.o_orderkey
+              |  JOIN g6_supplier su ON su.s_suppkey = l.l_suppkey
+              |  WHERE l.l_linenumber = 1),
+              |reach(n, hops) AS (
+              |  SELECT CAST(0 AS BIGINT) AS n, 0 AS hops
+              |  UNION ALL
+              |  SELECT e.b, r.hops + 1
+              |  FROM reach r JOIN e ON e.a = r.n WHERE r.hops < 3)
+              |SELECT n, CAST(min(hops) AS INT) AS min_hops
+              |FROM reach GROUP BY n""".stripMargin)
+    }),
+
+    // F16: VARIANT semi-structured type (Spark 4 parse_json/variant_get
+    // — the open-format binary JSON the lakehouse world standardized
+    // on): a nested object/array document built in closed form around
+    // each event's raw props JSON, parsed ONCE to VARIANT, then typed
+    // path extraction. The twin replays the same paths with DuckDB's
+    // JSON operators over the same constructed text — the binary
+    // variant encoding must be value-transparent.
+    "f16_variant" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("f16_events")
+      s.sql("""SELECT event_id,
+              |  variant_get(v, '$.u.id', 'bigint') AS uid,
+              |  variant_get(v, '$.u.t', 'string') AS etype,
+              |  variant_get(v, '$.m[1]', 'bigint') AS m1,
+              |  variant_get(v, '$.p.k', 'bigint') AS k
+              |FROM (SELECT event_id,
+              |        parse_json(concat('{"u":{"id":',
+              |          CAST(user_id AS STRING),
+              |          ',"t":"', event_type, '"},"m":[',
+              |          CAST(event_id % 7 AS STRING), ',',
+              |          CAST(event_id % 11 AS STRING), '],"p":',
+              |          props, '}')) AS v
+              |      FROM f16_events)""".stripMargin)
+    }),
+
     // J7: true as-of join — each event matched to the latest "marker"
     // event (same user, marker ts <= event ts). Oracle: DuckDB's native
     // ASOF JOIN.
@@ -1660,6 +1714,39 @@ object RelationalQueries {
         |       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
         |         ::BIGINT AS cents
         |FROM lineitem WHERE l_quantity > 25 GROUP BY 1""".stripMargin,
+
+    // the g6 twin is the IDENTICAL standard SQL — DuckDB's native
+    // recursive CTE over the same edge derivation
+    "g6_recursive_reach" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT c.c_nationkey AS a, su.s_nationkey AS b
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier su ON su.s_suppkey = l.l_suppkey
+        |  WHERE l.l_linenumber = 1),
+        |reach(n, hops) AS (
+        |  SELECT CAST(0 AS BIGINT) AS n, 0 AS hops
+        |  UNION ALL
+        |  SELECT e.b, r.hops + 1
+        |  FROM reach r JOIN e ON e.a = r.n WHERE r.hops < 3)
+        |SELECT n, CAST(min(hops) AS INT) AS min_hops
+        |FROM reach GROUP BY n""".stripMargin,
+
+    // the f16 twin replays the same constructed document and paths with
+    // DuckDB's JSON operators — text-level JSON vs Spark's binary
+    // VARIANT must agree on every typed value
+    "f16_variant" ->
+      """SELECT event_id,
+        |  json_extract(j, '$.u.id')::BIGINT AS uid,
+        |  json_extract_string(j, '$.u.t') AS etype,
+        |  json_extract(j, '$.m[1]')::BIGINT AS m1,
+        |  json_extract(j, '$.p.k')::BIGINT AS k
+        |FROM (SELECT event_id,
+        |        '{"u":{"id":' || user_id || ',"t":"' || event_type ||
+        |        '"},"m":[' || (event_id % 7) || ',' || (event_id % 11) ||
+        |        '],"p":' || props || '}' AS j
+        |      FROM events) t""".stripMargin,
 
     // the o2 twin: the JSONL round-trip must change nothing — all
     // aggregated values are integers fixed before the text crossing
