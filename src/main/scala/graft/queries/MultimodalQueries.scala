@@ -119,6 +119,27 @@ object MultimodalQueries {
     "x36_warc_extract" -> ((s, dir) =>
       graft.sources.Warc.extractResponses(mediaWarc(s, dir))),
 
+    // X37: WARC through the DataSource V2 connector — the x36 fixture
+    // materialized as one archive FILE per doc, then read back with
+    // spark.read.format("warc") (partition-per-file planning, pruned
+    // columns, warc_type filter pushed into the record walk). Same twin
+    // row shape as x36 minus the id column (the connector surfaces the
+    // archive's own fields; target_uri is the key).
+    "x37_warc_datasource" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("x37").toString
+      mediaWarc(s, dir).foreachPartition {
+        (it: Iterator[MediaRecord]) => it.foreach { rec =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, s"${rec.id}.warc.gz"), rec.bytes)
+        }
+      }
+      s.read.format("warc").load(tmp)
+        .where(col("warc_type") === "response")
+        .select(col("rec_idx"), col("target_uri"), col("http_status"),
+          col("content_type"), col("body_text"))
+    }),
+
     // M15: PROGRESSIVE JPEG decode (SOF2) — m6's bit-exact block-constant
     // family shipped through the multi-scan wire format: interleaved DC
     // first + refinement, per-component AC spectral bands at two
@@ -720,6 +741,21 @@ object MultimodalQueries {
          |             unnest(generate_series(0, nr - 1)) AS r
          |      FROM m)
          |SELECT id, (r + 1)::INT AS rec_idx,
+         |       'http://ex.test/' || id || '/' || r AS target_uri,
+         |       (200 + 100 * (r % 2))::INT AS http_status,
+         |       'text/plain' AS content_type,
+         |       'doc ' || id || ' rec ' || r || ' :: ' || text AS body_text
+         |FROM r""".stripMargin,
+
+    // the x37 twin is x36's row regeneration without the id column —
+    // the DSv2 path must surface exactly the archives' response records
+    "x37_warc_datasource" ->
+      s"""WITH m AS (SELECT doc_id AS id, text, 1 + (doc_id // 3) % 3 AS nr
+         |           FROM documents WHERE doc_id % 3 = 0),
+         |r AS (SELECT id, text,
+         |             unnest(generate_series(0, nr - 1)) AS r
+         |      FROM m)
+         |SELECT (r + 1)::INT AS rec_idx,
          |       'http://ex.test/' || id || '/' || r AS target_uri,
          |       (200 + 100 * (r % 2))::INT AS http_status,
          |       'text/plain' AS content_type,

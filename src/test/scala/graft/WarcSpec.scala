@@ -78,6 +78,58 @@ class WarcSpec extends SparkSpec {
     Warc.parse(noHttp) shouldBe None
   }
 
+  private def writeArchiveDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("warcds").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.warc"),
+      archive())
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.warc.gz"),
+      Warc.encodeGz(Seq(
+        Warc.record("response", "http://b.example/z",
+          Warc.httpResponse(301, "text/plain", "moved".getBytes("UTF-8"))))))
+    dir
+  }
+
+  "format(\"warc\")" should "read archive directories with one partition per file" in {
+    val dir = writeArchiveDir()
+    val df = spark.read.format("warc").load(dir)
+    df.rdd.getNumPartitions shouldBe 2
+    val rows = df.collect()
+    rows.length shouldBe 5 // 4 records in a.warc + 1 in b.warc.gz
+    val resp = df.where($"warc_type" === "response")
+      .select($"target_uri", $"http_status", $"body_text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(_._1)
+    resp shouldBe Array(
+      ("http://a.example/x", 200, "<html><body>alpha</body></html>"),
+      ("http://a.example/y", 404, "gone"),
+      ("http://b.example/z", 301, "moved"))
+  }
+
+  it should "prune columns and push the warc_type filter into the scan" in {
+    val dir = writeArchiveDir()
+    val df = spark.read.format("warc").load(dir)
+      .where($"warc_type" === "response").select($"target_uri")
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("WarcScan")
+    plan should include("columns=target_uri")    // body_text pruned away
+    plan should include("warc_type=response")    // filter pushed
+    // the pushed equality leaves no residual Filter operator
+    plan should not include "Filter ("
+    df.collect().map(_.getString(0)).sorted shouldBe Array(
+      "http://a.example/x", "http://a.example/y", "http://b.example/z")
+    // count() never touches bodies: schema collapses to zero data columns
+    spark.read.format("warc").load(dir).count() shouldBe 5L
+  }
+
+  it should "fail the task loudly on a malformed archive file" in {
+    val dir = java.nio.file.Files.createTempDirectory("warcbad").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.warc"),
+      "WARC/9.9\r\nnope".getBytes("US-ASCII"))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("warc").load(dir).collect()
+    }
+    e.getMessage should include("malformed WARC archive")
+  }
+
   "extractResponses" should "emit one row per HTTP response, dropping bad archives" in {
     val rows = Warc.extractResponses(Seq(
       Media.MediaRecord(1L, "application/warc", archive()),
