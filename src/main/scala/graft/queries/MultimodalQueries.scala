@@ -348,6 +348,10 @@ object MultimodalQueries {
     * warcinfo record plus 1 + (id/3)%3 HTTP responses; response r's URI is
     * http://ex.test/id/r, status 200 + 100·(r%2), body
     * "doc <id> rec <r> :: <text>". */
+  /** The x36/x37/st14 fixture, shared with the streaming gate. */
+  private[queries] def warcFixture(s: SparkSession, dir: String) =
+    mediaWarc(s, dir)
+
   private def mediaWarc(s: SparkSession, dir: String) = {
     import s.implicits._
     import graft.sources.Warc

@@ -1035,6 +1035,41 @@ object RelationalQueries {
     // broadcast per micro-batch; stateless, append-legal, no watermark).
     // The twin is the plain batch join: the streaming form changes WHEN
     // the dimension is read, never the result.
+    // ST14: STREAMING ingestion through the custom DSv2 connector —
+    // crawl archives land as whole files, so the warc source's
+    // MicroBatchStream offsets over the sorted file list and each drop
+    // becomes its own micro-batch. Three staged drops (drop index
+    // prefixes keep arrivals lexicographically increasing, the
+    // documented contract); the drained memory sink must equal the
+    // batch read of the same fixture — streaming changes WHEN archives
+    // are read, never what they contain.
+    "st14_stream_warc" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col => c}
+      val tmp = java.nio.file.Files.createTempDirectory("st14").toString
+      val recs = graft.queries.MultimodalQueries.warcFixture(s, dir)
+        .collect() // bounded: one small archive per fixture doc
+      def drop(n: Int, p: graft.multimodal.Media.MediaRecord => Boolean): Unit =
+        recs.filter(p).foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, f"$n%d_${r.id}%08d.warc.gz"),
+            r.bytes)
+        }
+      drop(0, _.id % 9 == 0)
+      val q = s.readStream.format("warc").load(tmp)
+        .where(c("warc_type") === "response")
+        .select(c("rec_idx"), c("target_uri"), c("http_status"),
+          c("content_type"), c("body_text"))
+        .writeStream.format("memory").queryName("st14_sink")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      drop(1, _.id % 9 == 3)
+      q.processAllAvailable()
+      drop(2, r => r.id % 9 != 0 && r.id % 9 != 3)
+      q.processAllAvailable()
+      q.stop()
+      s.table("st14_sink")
+    }),
+
     "st11_stream_static" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
@@ -1657,6 +1692,21 @@ object RelationalQueries {
 
     // the st11 twin is the plain dimension join — stream-static joins
     // change WHEN the dim is read (per micro-batch), never the result
+    // the st14 twin is x37's row regeneration — the staged streaming
+    // read must surface exactly the batch fixture's response records
+    "st14_stream_warc" ->
+      s"""WITH m AS (SELECT doc_id AS id, text, 1 + (doc_id // 3) % 3 AS nr
+         |           FROM documents WHERE doc_id % 3 = 0),
+         |r AS (SELECT id, text,
+         |             unnest(generate_series(0, nr - 1)) AS r
+         |      FROM m)
+         |SELECT (r + 1)::INT AS rec_idx,
+         |       'http://ex.test/' || id || '/' || r AS target_uri,
+         |       (200 + 100 * (r % 2))::INT AS http_status,
+         |       'text/plain' AS content_type,
+         |       'doc ' || id || ' rec ' || r || ' :: ' || text AS body_text
+         |FROM r""".stripMargin,
+
     "st11_stream_static" ->
       """SELECT e.event_id, e.user_id, n.n_name, e.event_type
         |FROM events e

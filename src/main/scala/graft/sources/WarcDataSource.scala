@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
 import org.apache.spark.sql.types._
@@ -66,7 +67,8 @@ private class WarcTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"warc:$path"
   override def schema(): StructType = WarcDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(path)
 }
@@ -117,6 +119,50 @@ private class WarcScan(path: String, required: StructType,
       WarcInputPartition(f.getAbsolutePath): InputPartition)
   }
 
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required, typeFilter)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WarcMicroBatchStream(path, required, typeFilter)
+}
+
+/** File-arrival streaming over an archive directory — crawl drops land
+  * as whole files, so the stream's offset IS the length of the
+  * lexicographically-sorted file list and each micro-batch covers the
+  * newly-arrived suffix, one partition per file (the batch grain).
+  * CONTRACT (documented, like the built-in file source's assumptions):
+  * arrivals are append-only and lexicographically increasing — a file
+  * sorting before an already-committed one would silently shift the
+  * prefix, so [[planInputPartitions]] re-checks the slice bounds and
+  * fails loudly if the directory shrank. */
+private class WarcMicroBatchStream(path: String, required: StructType,
+                                   typeFilter: Option[String])
+    extends MicroBatchStream {
+  private def listSorted(): Array[String] = {
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".")
+        && !f.getName.startsWith("_"))
+      .map(_.getAbsolutePath).sorted
+  }
+  private case class WarcOffset(n: Int) extends Offset {
+    override def json(): String = n.toString
+  }
+  override def initialOffset(): Offset = WarcOffset(0)
+  override def latestOffset(): Offset = WarcOffset(listSorted().length)
+  override def deserializeOffset(json: String): Offset =
+    WarcOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WarcOffset].n
+    val e = end.asInstanceOf[WarcOffset].n
+    val files = listSorted()
+    if (files.length < e) throw new IllegalStateException(
+      s"warc stream: directory shrank below committed offset $e " +
+        s"(${files.length} files) — arrivals must be append-only")
+    files.slice(s, e).map(f => WarcInputPartition(f): InputPartition)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required, typeFilter)
 }

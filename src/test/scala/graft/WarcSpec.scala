@@ -120,6 +120,32 @@ class WarcSpec extends SparkSpec {
     spark.read.format("warc").load(dir).count() shouldBe 5L
   }
 
+  it should "stream file arrivals as incremental micro-batches" in {
+    val dir = java.nio.file.Files.createTempDirectory("warcstream").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.warc"),
+      archive())
+    val q = spark.readStream.format("warc").load(dir)
+      .where($"warc_type" === "response")
+      .select($"target_uri", $"http_status")
+      .writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table("warc_stream").collect()
+      b1.map(_.getString(0)).sorted shouldBe
+        Array("http://a.example/x", "http://a.example/y")
+      // a later lexicographic arrival becomes its own micro-batch
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.warc.gz"),
+        Warc.encodeGz(Seq(Warc.record("response", "http://b.example/z",
+          Warc.httpResponse(301, "text/plain", "moved".getBytes("UTF-8"))))))
+      q.processAllAvailable()
+      val b2 = spark.table("warc_stream").collect()
+      b2.map(_.getString(0)).sorted shouldBe Array(
+        "http://a.example/x", "http://a.example/y", "http://b.example/z")
+      b2.find(_.getString(0).endsWith("/z")).get.getInt(1) shouldBe 301
+    } finally q.stop()
+  }
+
   it should "fail the task loudly on a malformed archive file" in {
     val dir = java.nio.file.Files.createTempDirectory("warcbad").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.warc"),
