@@ -182,13 +182,40 @@ object Warc {
 
   // ---- operators -----------------------------------------------------------
 
+  private val CharsetRe =
+    java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*[\"']?([\\w.:-]+)")
+
+  /** Body bytes → UTF-8 text with real-crawl charset semantics: the
+    * HTTP Content-Type `charset=` parameter wins; an HTML
+    * `<meta ... charset=...>` in the first 1024 bytes (the HTML5
+    * sniffing window) is the fallback; otherwise UTF-8. Unknown or
+    * unsupported charset names fall back to UTF-8 rather than dropping
+    * the page — a mislabeled charset yields replacement characters the
+    * downstream language/quality filters catch, while a drop would
+    * silently bias the corpus against older encodings. */
+  def decodeBody(contentType: String, body: Array[Byte]): String = {
+    def named(src: String): Option[java.nio.charset.Charset] = {
+      val m = CharsetRe.matcher(src)
+      if (!m.find()) None
+      else try Some(java.nio.charset.Charset.forName(m.group(1)))
+      catch { case _: Exception => None }
+    }
+    val cs = named(contentType).orElse {
+      val head = new String(body, 0, math.min(1024, body.length),
+        java.nio.charset.StandardCharsets.ISO_8859_1) // byte-transparent
+      named(head)
+    }.getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+    new String(body, cs)
+  }
+
   /** HTTP `response` records of each archive as rows: (id, rec_idx,
     * target_uri, http_status, content_type, body_text) — batched
     * mapPartitions decode, map-only; an undecodable archive contributes
     * no rows (loud drop at the frame level: parse is all-or-nothing per
-    * blob). Body bytes are decoded as UTF-8 text — crawl curation is
-    * text-first; binary payloads survive as replacement-char text for
-    * the downstream language/quality filters to drop. */
+    * blob). Body bytes decode via [[decodeBody]]'s charset rules and
+    * land as UTF-8 text — crawl curation is text-first; binary payloads
+    * survive as replacement-char text for the downstream
+    * language/quality filters to drop. */
   def extractResponses(archives: Dataset[Media.MediaRecord]): DataFrame = {
     val spark = archives.sparkSession
     import spark.implicits._
@@ -196,7 +223,7 @@ object Warc {
       parse(rec.bytes).toSeq.flatten.collect {
         case r if r.warcType == "response" =>
           (rec.id, r.recIdx, r.targetUri, r.httpStatus, r.contentType,
-            new String(r.body, java.nio.charset.StandardCharsets.UTF_8))
+            decodeBody(r.contentType, r.body))
       }
     }).toDF("id", "rec_idx", "target_uri", "http_status", "content_type",
       "body_text")

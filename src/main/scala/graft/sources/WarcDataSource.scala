@@ -206,8 +206,8 @@ private class WarcPartitionReader(file: String, required: StructType,
       case "http_status" => (r: Warc.WarcRecord) => r.httpStatus
       case "content_type" =>
         (r: Warc.WarcRecord) => UTF8String.fromString(r.contentType)
-      case "body_text" => (r: Warc.WarcRecord) =>
-        UTF8String.fromBytes(r.body) // body IS UTF-8 text per the operator
+      case "body_text" => (r: Warc.WarcRecord) => UTF8String.fromString(
+        Warc.decodeBody(r.contentType, r.body)) // charset-aware transcode
       case other => throw new IllegalArgumentException(
         s"unknown warc column $other")
     }

@@ -156,6 +156,42 @@ class WarcSpec extends SparkSpec {
     e.getMessage should include("malformed WARC archive")
   }
 
+  "decodeBody" should "honor HTTP charset, meta fallback, and UTF-8 default" in {
+    val latin = "café crème".getBytes("windows-1252")
+    // HTTP header charset wins
+    Warc.decodeBody("text/html; charset=windows-1252", latin) shouldBe
+      "café crème"
+    // meta tag in the first 1024 bytes is the fallback
+    val metaPage = ("<html><head><meta charset=\"ISO-8859-1\"></head>" +
+      "<body>café</body></html>").getBytes("ISO-8859-1")
+    Warc.decodeBody("text/html", metaPage) should include("café")
+    // no charset anywhere: UTF-8
+    Warc.decodeBody("text/plain",
+      "é中文".getBytes("UTF-8")) shouldBe "é中文"
+    // unknown charset name falls back to UTF-8 instead of dropping
+    Warc.decodeBody("text/html; charset=not-a-charset",
+      "plain".getBytes("UTF-8")) shouldBe "plain"
+    // mislabeled bytes surface as replacement chars, never an exception
+    val garbled = Warc.decodeBody("text/plain; charset=utf-8", latin)
+    garbled should include("�")
+  }
+
+  it should "transcode identically through the operator and the connector" in {
+    val body = "naïve résumé".getBytes("windows-1252")
+    val arch = Warc.encode(Seq(Warc.record("response", "http://l.example/1",
+      Warc.httpResponse(200, "text/html; charset=windows-1252", body))))
+    val viaOp = Warc.extractResponses(
+      Seq(Media.MediaRecord(1L, "application/warc", arch)).toDS())
+      .select($"body_text").head().getString(0)
+    val dir = java.nio.file.Files.createTempDirectory("warccs").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "l.warc"), arch)
+    val viaDs = spark.read.format("warc").load(dir)
+      .where($"warc_type" === "response")
+      .select($"body_text").head().getString(0)
+    viaOp shouldBe "naïve résumé"
+    viaDs shouldBe viaOp
+  }
+
   "extractResponses" should "emit one row per HTTP response, dropping bad archives" in {
     val rows = Warc.extractResponses(Seq(
       Media.MediaRecord(1L, "application/warc", archive()),
