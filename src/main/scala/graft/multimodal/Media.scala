@@ -164,6 +164,10 @@ object Media {
           else if (Avi.isAvi(b)) Avi.dimensions(b).getOrElse((-1, -1, -1))
           else if (isGif(b)) Gif.dimensions(b).map { case (w, h) => (w, h, 1) }
             .getOrElse((-1, -1, -1))
+          else if (Flac.isFlac(b)) // (rate, channels, frames), WAV's shape
+            Flac.info(b).map { case (r2, c2, t2) =>
+              (r2, c2, math.min(t2, Int.MaxValue.toLong).toInt)
+            }.getOrElse((-1, -1, -1))
           else (-1, -1, -1)
         MediaFeatures(r.id, r.mime, b.length.toLong, h, w, ht, fr)
       }
@@ -530,6 +534,25 @@ object Media {
       }.filter(_._1 > 0)
     }
 
+    /** (n, sum, min, max) over decoded FLAC samples, all channels —
+      * FLAC is lossless, so these are the original PCM values exactly
+      * ([[Flac.decode]]: full rice/fixed/LPC/stereo-decorrelation
+      * decode with both CRCs verified; corrupt or out-of-scope streams
+      * yield None, never a partial clip). */
+    private def flacStats(b: Array[Byte]): Option[(Long, Long, Long, Long)] =
+      Flac.decode(b).flatMap { case (_, _, chans) =>
+        val n = chans.map(_.length.toLong).sum
+        if (n == 0) None
+        else {
+          var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          chans.foreach(_.foreach { s =>
+            val v = s.toLong
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          })
+          Some((n, sum, mn, mx))
+        }
+      }
+
     override def decodeStats(batch: Iterator[MediaRecord]): Iterator[MediaStats] =
       batch.flatMap { r =>
         val b = r.bytes
@@ -538,6 +561,7 @@ object Media {
           else if (isWav(b)) wavStats(b)
           else if (isJpeg(b)) jpegStats(b)
           else if (isGif(b)) gifStats(b)
+          else if (Flac.isFlac(b)) flacStats(b)
           else None
         st.map { case (n, sum, mn, mx) =>
           MediaStats(r.id, r.mime, n, sum.toDouble / n, mn, mx)

@@ -110,6 +110,17 @@ object MultimodalQueries {
         .select(col("id"), col("mime"), col("n_samples"),
           col("mean_val"), col("min_val"), col("max_val"))),
 
+    // M17: FLAC audio decode — the lossless speech-corpus format (rice
+    // residual partitions, fixed predictors, stereo decorrelation in
+    // all three encoder modes, multi-frame streams, both CRCs). Unlike
+    // the lossy JPEG gates no fixture construction is needed: FLAC's
+    // own guarantee is that decode reproduces the closed-form PCM
+    // bit-for-bit.
+    "m17_flac_stats" -> ((s, dir) =>
+      Media.extractStats(mediaFlac(s, dir)).toDF()
+        .select(col("id"), col("mime"), col("n_samples"),
+          col("mean_val"), col("min_val"), col("max_val"))),
+
     // X36: WARC web-archive source (Common Crawl shape: per-record gzip
     // members) — record walk, WARC header parse, HTTP response split,
     // UTF-8 body text. The fixture builds each doc's archive from pure
@@ -298,6 +309,34 @@ object MultimodalQueries {
           Media.pngBytesPixels((3 + n % 13).toInt, (2 + id % 9).toInt,
             j => ((id * 7 + j.toLong * 5) % p).toInt,
             colorType = 3, palette = palette))
+      }
+  }
+
+  /** The m17 fixture: doc_id % 3 == 1 → FLAC clip, 1 + id%2 channels,
+    * 100 + id%200 frames, channel c sample i =
+    * (id·17 + c·31 + i·13) % 4001 − 2000; blockSize 128 forces multiple
+    * FLAC frames; stereo clips rotate through the three decorrelation
+    * modes by (id/3)%3. FLAC is lossless, so the oracle predicts every
+    * decoded sample exactly. */
+  private def mediaFlac(s: SparkSession, dir: String) = {
+    import s.implicits._
+    import graft.multimodal.Flac
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val ch = (1 + id % 2).toInt
+        val nf = (100 + id % 200).toInt
+        val pcm = Array.tabulate(ch, nf)((c, i) =>
+          ((id * 17 + c * 31 + i.toLong * 13) % 4001).toInt - 2000)
+        val mode =
+          if (ch == 1) Flac.Mode.Independent
+          else ((id / 3) % 3) match {
+            case 0 => Flac.Mode.Independent
+            case 1 => Flac.Mode.MidSide
+            case _ => Flac.Mode.LeftSide
+          }
+        MediaRecord(id, "audio/flac",
+          Flac.encode(16000, pcm, blockSize = 128, mode = mode))
       }
   }
 
@@ -733,6 +772,22 @@ object MultimodalQueries {
          |       (sum(v) * 64 * ch)::DOUBLE / (w * h * ch) AS mean_val,
          |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
          |FROM blocks GROUP BY id, w, h, ch""".stripMargin,
+
+    // the m17 twin recomputes every decoded FLAC sample from the
+    // fixture closed form — lossless means exact equality, full stop
+    "m17_flac_stats" ->
+      """WITH m AS (SELECT doc_id AS id, 1 + doc_id % 2 AS ch,
+        |                  100 + doc_id % 200 AS nf
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |v AS (SELECT id, ch, nf,
+        |             (id * 17 + c.c * 31 + i.i * 13) % 4001 - 2000 AS v
+        |      FROM m,
+        |      LATERAL (SELECT unnest(generate_series(0, ch - 1)) AS c) c,
+        |      LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) i)
+        |SELECT id, 'audio/flac' AS mime, (ch * nf)::BIGINT AS n_samples,
+        |       sum(v)::DOUBLE / count(*) AS mean_val,
+        |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+        |FROM v GROUP BY id, ch, nf""".stripMargin,
 
     // the x36 twin regenerates every response row from the fixture's
     // pure functions — uri, status, content type, and the exact body
