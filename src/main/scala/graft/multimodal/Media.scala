@@ -876,6 +876,39 @@ object Media {
     })
   }
 
+  /** Lossless audio transcode between WAV and FLAC — the archival
+    * compression step of an audio-corpus pipeline (FLAC halves-or-better
+    * storage at zero information loss, so everything downstream is
+    * unchanged by construction). `toFlac = true` compresses PCM WAV
+    * clips; `false` expands FLAC back to WAV. Payloads that don't
+    * decode (or aren't 16-bit) contribute no row — loud drop, never a
+    * fake transcode. mapPartitions, map-only, scan-bound. */
+  def transcodeAudio(media: Dataset[MediaRecord],
+                     toFlac: Boolean = true): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { rec =>
+      if (toFlac)
+        wavPcm(rec.bytes).flatMap { case (rate, ch, samples) =>
+          val frames = samples.length / ch
+          if (frames == 0) None
+          else {
+            val planes = Array.tabulate(ch, frames)((c, f) =>
+              samples(f * ch + c).toInt)
+            Some(rec.copy(mime = "audio/flac",
+              bytes = Flac.encode(rate, planes)))
+          }
+        }
+      else
+        Flac.decode(rec.bytes).map { case (rate, ch, planes) =>
+          val frames = planes.head.length
+          rec.copy(mime = "audio/wav",
+            bytes = wavBytesPcm(rate, ch, frames,
+              i => planes(i % ch)(i / ch).toShort))
+        }
+    })
+  }
+
   /** Normalize any (id, mime, binary) projection into the media schema. */
   def asMedia(df: DataFrame, id: Column, mime: Column, bytes: Column): Dataset[MediaRecord] = {
     val spark = df.sparkSession

@@ -110,6 +110,18 @@ object MultimodalQueries {
         .select(col("id"), col("mime"), col("n_samples"),
           col("mean_val"), col("min_val"), col("max_val"))),
 
+    // M18: lossless audio transcode chain — WAV → FLAC (compress) →
+    // WAV (expand) → stats. Both codec directions run at gate scale and
+    // the closed form must survive the double crossing bit-for-bit;
+    // any loss anywhere in either codec breaks the hash.
+    "m18_audio_transcode" -> ((s, dir) =>
+      Media.extractStats(
+        Media.transcodeAudio(
+          Media.transcodeAudio(mediaWav(s, dir), toFlac = true),
+          toFlac = false)).toDF()
+        .select(col("id"), col("mime"), col("n_samples"),
+          col("mean_val"), col("min_val"), col("max_val"))),
+
     // M17: FLAC audio decode — the lossless speech-corpus format (rice
     // residual partitions, fixed predictors, stereo decorrelation in
     // all three encoder modes, multi-frame streams, both CRCs). Unlike
@@ -772,6 +784,21 @@ object MultimodalQueries {
          |       (sum(v) * 64 * ch)::DOUBLE / (w * h * ch) AS mean_val,
          |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
          |FROM blocks GROUP BY id, w, h, ch""".stripMargin,
+
+    // the m18 twin is the WAV fixture's closed form untouched — the
+    // WAV→FLAC→WAV double crossing must be the identity
+    "m18_audio_transcode" ->
+      """WITH m AS (SELECT doc_id AS id, 1 + doc_id % 2 AS ch,
+        |                  40 + doc_id % 60 AS nf
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |v AS (SELECT id, ch, nf,
+        |             (id * 17 + j.j * 13) % 4001 - 2000 AS v
+        |      FROM m,
+        |      LATERAL (SELECT unnest(generate_series(0, ch * nf - 1)) AS j) j)
+        |SELECT id, 'audio/wav' AS mime, (ch * nf)::BIGINT AS n_samples,
+        |       sum(v)::DOUBLE / count(*) AS mean_val,
+        |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+        |FROM v GROUP BY id, ch, nf""".stripMargin,
 
     // the m17 twin recomputes every decoded FLAC sample from the
     // fixture closed form — lossless means exact equality, full stop
