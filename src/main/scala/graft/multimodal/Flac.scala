@@ -16,11 +16,13 @@ package graft.multimodal
   * variable blocking) return None loudly.
   *
   * Encoder scope (fixtures + round-trip tests): fixed-blocksize frames,
-  * FIXED predictor of the best order 0-2 per subframe (or VERBATIM when
-  * rice would lose), independent / mid-side / left-side stereo modes,
-  * single-partition rice with escape fallback. Real compression with
-  * real rice codes, so round trips drive every decoder path with
-  * genuinely entropy-coded streams.
+  * per-subframe predictor search — best FIXED order 0-2, an order-8
+  * LPC candidate (autocorrelation → Levinson-Durbin → 12-bit quantized
+  * coefficients), VERBATIM when entropy coding would lose — each
+  * rice-planned with per-partition cost-optimal parameters (partition
+  * orders 0-6, 5-bit raw escape); independent / mid-side / left-side
+  * stereo modes. Real compression with real rice codes, so round trips
+  * drive every decoder path with genuinely entropy-coded streams.
   *
   * All structure here is from the public FLAC spec; like [[Jpeg]] and
   * [[Gif]], integer-exact end to end.
@@ -212,24 +214,17 @@ object Flac {
     }
 
   /** Best fixed order 0-2 by sum of |residual|; verbatim fallback. */
-  private def writeSubframe(bw: BitWriter, p: Array[Int], bps: Int): Unit = {
-    val bs = p.length
-    def residual(order: Int): Array[Long] = order match {
-      case 0 => p.map(_.toLong)
-      case 1 => Array.tabulate(bs - 1)(i => p(i + 1).toLong - p(i))
-      case 2 => Array.tabulate(bs - 2)(i =>
-        p(i + 2).toLong - 2L * p(i + 1) + p(i))
-    }
-    val candidates = (0 to math.min(2, bs - 1)).map(o => (o, residual(o)))
-    val (order, res) = candidates.minBy(_._2.map(math.abs).sum)
+  /** One residual rice plan: partition order + per-partition params. */
+  private final case class Part(param: Int, raw: Int, cost: Long) // raw>0 ⇒ escape
+  private final case class RicePlan(po: Int, parts: Array[Part], cost: Long)
 
-    // Rice planning, the real FLAC encoder shape: try every legal
-    // partition order (bs divisible, first partition covers the warmup),
-    // size each partition's parameter by exhaustive cost over 0..14 with
-    // the 5-bit raw escape as a 15th candidate, keep the cheapest plan.
-    // Per-partition parameters are what make mixed content compress —
-    // one outlier region no longer inflates every residual's width.
-    final case class Part(param: Int, raw: Int, cost: Long) // raw>0 ⇒ escape
+  /** Rice planning, the real FLAC encoder shape: try every legal
+    * partition order (bs divisible, first partition covers the warmup),
+    * size each partition's parameter by exhaustive cost over 0..14 with
+    * the 5-bit raw escape as a 15th candidate, keep the cheapest plan.
+    * Per-partition parameters are what make mixed content compress —
+    * one outlier region no longer inflates every residual's width. */
+  private def planRice(res: Array[Long], bs: Int, order: Int): Option[RicePlan] = {
     def planPartition(zs: Array[Long], signedMax: Int): Part = {
       var best = Part(0, 0, Long.MaxValue)
       var prm = 0
@@ -248,12 +243,10 @@ object Flac {
       best
     }
     val zig = res.map(zigzag)
-    val sMax = // bit length of the widest residual magnitude
+    val sMax =
       if (res.isEmpty) 0
       else 64 - java.lang.Long.numberOfLeadingZeros(zig.max)
-    var bestPo = -1
-    var bestParts: Array[Part] = null
-    var bestCost = Long.MaxValue
+    var best: Option[RicePlan] = None
     var po = 0
     while (po <= 6 && (1 << po) <= bs) {
       val parts = 1 << po
@@ -270,43 +263,150 @@ object Flac {
           idx += n
           pi += 1
         }
-        if (cost < bestCost) { bestCost = cost; bestPo = po; bestParts = plan }
+        if (best.forall(_.cost > cost)) best = Some(RicePlan(po, plan, cost))
       }
       po += 1
     }
-    if (bestPo < 0 || bestCost >= bs.toLong * bps) { // verbatim wins
+    best
+  }
+
+  private def emitResidual(bw: BitWriter, res: Array[Long], bs: Int,
+                           order: Int, plan: RicePlan): Unit = {
+    val zig = res.map(zigzag)
+    bw.bits(0, 2) // residual method: 4-bit rice
+    bw.bits(plan.po.toLong, 4)
+    val parts = 1 << plan.po
+    var pi = 0
+    var idx = 0
+    while (pi < parts) {
+      val n = (bs / parts) - (if (pi == 0) order else 0)
+      val part = plan.parts(pi)
+      if (part.raw > 0) { // 5-bit escape: raw signed residuals
+        bw.bits(0xf, 4); bw.bits(part.raw.toLong, 5)
+        var i = idx
+        while (i < idx + n) {
+          bw.bits(res(i) & ((1L << part.raw) - 1), part.raw); i += 1
+        }
+      } else {
+        bw.bits(part.param.toLong, 4)
+        var i = idx
+        while (i < idx + n) {
+          val z = zig(i)
+          bw.unary((z >>> part.param).toInt)
+          if (part.param > 0) bw.bits(z & ((1L << part.param) - 1), part.param)
+          i += 1
+        }
+      }
+      idx += n
+      pi += 1
+    }
+  }
+
+  /** LPC candidate: autocorrelation → Levinson-Durbin → coefficients
+    * quantized to 12-bit precision with a non-negative shift. The
+    * QUALITY of the floats affects only compression — the emitted
+    * stream carries the quantized integers, and encode and decode run
+    * the identical integer prediction, so round trips stay bit-exact
+    * regardless. Returns (order, precision, shift, coefs, residual). */
+  private def buildLpc(p: Array[Int]): Option[(Int, Int, Int, Array[Int], Array[Long])] = {
+    val n = p.length
+    val order = math.min(8, n - 1)
+    if (order < 1) return None
+    val ac = new Array[Double](order + 1)
+    var lag = 0
+    while (lag <= order) {
+      var s = 0.0
+      var i = lag
+      while (i < n) { s += p(i).toDouble * p(i - lag); i += 1 }
+      ac(lag) = s
+      lag += 1
+    }
+    if (ac(0) <= 0) return None // silence: constant/fixed handle it
+    val lpc = new Array[Double](order)
+    var err = ac(0)
+    var i = 0
+    while (i < order) {
+      var acc = ac(i + 1)
+      var j = 0
+      while (j < i) { acc -= lpc(j) * ac(i - j); j += 1 }
+      val k = acc / err
+      val prev = java.util.Arrays.copyOf(lpc, i)
+      j = 0
+      while (j < i) { lpc(j) = prev(j) - k * prev(i - 1 - j); j += 1 }
+      lpc(i) = k
+      err *= 1 - k * k
+      if (err <= 0 || err.isNaN) return None
+      i += 1
+    }
+    val prec = 12
+    val cmax = lpc.map(math.abs).max
+    if (!(cmax > 0) || cmax.isInfinite) return None
+    // shift so the largest |coef| fits prec-1 magnitude bits
+    var shift = prec - 2 - math.getExponent(cmax)
+    if (shift > 15) shift = 15
+    if (shift < 0) return None // wild predictor: not worth raw-coding
+    val q = lpc.map(c => math.round(c * (1L << shift)).toInt)
+    if (q.exists(c => c < -(1 << (prec - 1)) || c >= (1 << (prec - 1))))
+      return None
+    val res = new Array[Long](n - order)
+    i = order
+    while (i < n) {
+      var acc = 0L
+      var j = 0
+      while (j < order) { acc += q(j).toLong * p(i - 1 - j); j += 1 }
+      res(i - order) = p(i).toLong - (acc >> shift)
+      i += 1
+    }
+    Some((order, prec, shift, q, res))
+  }
+
+  /** Candidate search: best FIXED order 0-2 (by residual magnitude) and
+    * an order-8 LPC predictor, each rice-planned; the cheaper of the
+    * two emits unless VERBATIM beats both. Returns the choice made
+    * ("lpc"/"fixed"/"verbatim") so specs can pin predictor selection. */
+  private[graft] def writeSubframeForTest(p: Array[Int], bps: Int): String =
+    writeSubframe(new BitWriter, p, bps)
+
+  private def writeSubframe(bw: BitWriter, p: Array[Int], bps: Int): String = {
+    val bs = p.length
+    def residual(order: Int): Array[Long] = order match {
+      case 0 => p.map(_.toLong)
+      case 1 => Array.tabulate(bs - 1)(i => p(i + 1).toLong - p(i))
+      case 2 => Array.tabulate(bs - 2)(i =>
+        p(i + 2).toLong - 2L * p(i + 1) + p(i))
+    }
+    val candidates = (0 to math.min(2, bs - 1)).map(o => (o, residual(o)))
+    val (fOrder, fRes) = candidates.minBy(_._2.map(math.abs).sum)
+    val fixedPlan = planRice(fRes, bs, fOrder)
+      .map(pl => (pl, pl.cost + fOrder.toLong * bps + 8))
+    val lpcCand = buildLpc(p).flatMap { case (o, prec, shift, coefs, res) =>
+      planRice(res, bs, o).map { pl =>
+        ((o, prec, shift, coefs, res), pl,
+          pl.cost + o.toLong * bps + 4 + 5 + o.toLong * prec + 8)
+      }
+    }
+    val verbatimCost = bs.toLong * bps + 8
+    val fixedCost = fixedPlan.map(_._2).getOrElse(Long.MaxValue)
+    val lpcCost = lpcCand.map(_._3).getOrElse(Long.MaxValue)
+    if (verbatimCost <= fixedCost && verbatimCost <= lpcCost) {
       bw.bits(0, 1); bw.bits(1, 6); bw.bits(0, 1) // type=verbatim, no wasted
       p.foreach(s => bw.bits(s.toLong & ((1L << bps) - 1), bps))
+      "verbatim"
+    } else if (lpcCost < fixedCost) {
+      val ((o, prec, shift, coefs, res), pl, _) = lpcCand.get
+      bw.bits(0, 1); bw.bits(32L | (o - 1), 6); bw.bits(0, 1) // LPC(o)
+      (0 until o).foreach(i => bw.bits(p(i).toLong & ((1L << bps) - 1), bps))
+      bw.bits((prec - 1).toLong, 4)
+      bw.bits(shift.toLong, 5)
+      coefs.foreach(c => bw.bits(c.toLong & ((1L << prec) - 1), prec))
+      emitResidual(bw, res, bs, o, pl)
+      "lpc"
     } else {
-      bw.bits(0, 1); bw.bits(8L + order, 6); bw.bits(0, 1) // fixed(order)
-      (0 until order).foreach(i => bw.bits(p(i).toLong & ((1L << bps) - 1), bps))
-      bw.bits(0, 2) // residual method: 4-bit rice
-      bw.bits(bestPo.toLong, 4)
-      val parts = 1 << bestPo
-      var pi = 0
-      var idx = 0
-      while (pi < parts) {
-        val n = (bs / parts) - (if (pi == 0) order else 0)
-        val plan = bestParts(pi)
-        if (plan.raw > 0) { // 5-bit escape: raw signed residuals
-          bw.bits(0xf, 4); bw.bits(plan.raw.toLong, 5)
-          var i = idx
-          while (i < idx + n) {
-            bw.bits(res(i) & ((1L << plan.raw) - 1), plan.raw); i += 1
-          }
-        } else {
-          bw.bits(plan.param.toLong, 4)
-          var i = idx
-          while (i < idx + n) {
-            val z = zig(i)
-            bw.unary((z >>> plan.param).toInt)
-            if (plan.param > 0) bw.bits(z & ((1L << plan.param) - 1), plan.param)
-            i += 1
-          }
-        }
-        idx += n
-        pi += 1
-      }
+      bw.bits(0, 1); bw.bits(8L + fOrder, 6); bw.bits(0, 1) // fixed(order)
+      (0 until fOrder).foreach(i =>
+        bw.bits(p(i).toLong & ((1L << bps) - 1), bps))
+      emitResidual(bw, fRes, bs, fOrder, fixedPlan.get._1)
+      "fixed"
     }
   }
 

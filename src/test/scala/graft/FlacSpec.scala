@@ -61,6 +61,34 @@ class FlacSpec extends AnyFlatSpec with Matchers {
     Flac.decode(enc).get._3.head.toSeq shouldBe pcm.toSeq
   }
 
+  it should "pick LPC for resonant content and round-trip it" in {
+    // mid-frequency resonance s(i) ≈ 0.99·s(i-1) − 0.98·s(i-2) (poles
+    // at ±60°, far from every fixed predictor's (0/1/2-step) zeros),
+    // re-excited every 256 samples so it never decays to silence
+    val n = 4096
+    val s = new Array[Int](n)
+    s(0) = 9000; s(1) = 8000
+    for (i <- 2 until n) {
+      var v = Math.round(0.99 * s(i - 1) - 0.98 * s(i - 2)).toInt
+      if (i % 256 == 0) v += 7000
+      s(i) = math.max(-32000, math.min(32000, v))
+    }
+    Flac.writeSubframeForTest(s, 16) shouldBe "lpc"
+    // the whole stream (multi-frame, LPC subframes) must round-trip
+    val enc = Flac.encode(16000, Array(s), blockSize = 1024)
+    Flac.decode(enc).get._3.head.toSeq shouldBe s.toSeq
+    // and LPC must genuinely compress the oscillation
+    enc.length should be < (n * 2 / 3)
+    // sanity of the other choices on their home turf
+    Flac.writeSubframeForTest(Array.tabulate(512)(i => i % 1000), 16) shouldBe "fixed"
+    var seed = 3L
+    val noise = Array.fill(512) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % 65536 - 32768).toInt
+    }
+    Flac.writeSubframeForTest(noise, 16) shouldBe "verbatim"
+  }
+
   it should "really compress smooth content" in {
     val pcm = Array.tabulate(40000)(i => i % 2000 - 1000) // ramps
     val enc = Flac.encode(16000, Array(pcm))

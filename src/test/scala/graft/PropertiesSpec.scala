@@ -91,4 +91,27 @@ object PropertiesSpec extends Properties("graft") {
         Prop(st.head.mean_val == vals.sum.toDouble / vals.length) :| "mean")
     }
   }
+
+  // FLAC is lossless BY CONTRACT: any 16-bit PCM, any channel layout,
+  // any legal block size, any stereo mode must round-trip bit-exactly
+  property("flac round-trips arbitrary PCM losslessly") = {
+    import graft.multimodal.Flac
+    val pcmGen = for {
+      n <- Gen.choose(1, 400)
+      ch <- Gen.choose(1, 2)
+      blockSize <- Gen.oneOf(16, 64, 192, 4096)
+      mode <- if (ch == 2)
+        Gen.oneOf(Flac.Mode.Independent, Flac.Mode.MidSide, Flac.Mode.LeftSide)
+      else Gen.const(Flac.Mode.Independent)
+      chans <- Gen.listOfN(ch,
+        Gen.listOfN(n, Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt)))
+    } yield (chans.map(_.toArray).toArray, blockSize, mode)
+    forAll(pcmGen) { case (chans, blockSize, mode) =>
+      val dec = Flac.decode(Flac.encode(8000, chans, blockSize, mode))
+      Prop(dec.exists { case (_, gc, got) =>
+        gc == chans.length &&
+          chans.indices.forall(c => got(c).sameElements(chans(c)))
+      }) :| s"block=$blockSize mode=$mode n=${chans.head.length}"
+    }
+  }
 }
