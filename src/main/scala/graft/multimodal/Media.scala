@@ -9,13 +9,13 @@ import org.apache.spark.sql.functions._
   * Media travels as an opaque `binary` column plus typed metadata — the
   * schema, partitioning, and batch shapes are real and tested. Header
   * metadata ([[HeaderDecoder]]) and payload decode ([[SampleStatsDecoder]]:
-  * 24-bit BMP pixels, 16-bit PCM WAV samples, PNG pixels at every legal
-  * depth/type/interlace combination via `java.util.zip.Inflater` + the
-  * spec's five scanline filters + Adam7 pass reassembly, and baseline
-  * JPEG — baseline AND progressive — via the pure-JVM [[Jpeg]] codec)
-  * are real parsing with no codec library; only formats still genuinely
-  * out of pure-JVM reach here (MP3/AAC audio, compressed video) stay
-  * loudly stubbed.
+  * 24-bit BMP pixels, 16-bit PCM WAV samples, lossless [[Flac]] audio,
+  * PNG pixels at every legal depth/type/interlace combination via
+  * `java.util.zip.Inflater` + the spec's five scanline filters + Adam7
+  * pass reassembly, and JPEG — baseline AND progressive — via the
+  * pure-JVM [[Jpeg]] codec) are real parsing with no codec library;
+  * only formats still genuinely out of pure-JVM reach here (MP3/AAC
+  * audio, motion-compensated video) stay loudly stubbed.
   *
   * Ingestion paths:
   *  - real files: `spark.read.format("binaryFile")` (path, length, content)

@@ -483,6 +483,22 @@ class MediaSpec extends SparkSpec {
     Media.wavPcm(full.dropRight(2)) shouldBe None
   }
 
+  "HeaderDecoder over FLAC" should "report STREAMINFO geometry header-only" in {
+    import graft.multimodal.Flac
+    val pcm = Array.tabulate(777)(i => (i * 31) % 9000 - 4500)
+    val rec = Media.MediaRecord(4L, "audio/flac",
+      Flac.encode(22050, Array(pcm, pcm), blockSize = 256,
+        mode = Flac.Mode.MidSide))
+    val f = Media.HeaderDecoder.decode(Iterator(rec)).next()
+    // WAV's (rate, channels, frames) feature shape
+    f.width shouldBe 22050; f.height shouldBe 2; f.frames shouldBe 777
+    // and the stats path decodes the true samples
+    val st = Media.SampleStatsDecoder.decodeStats(Iterator(rec)).next()
+    st.n_samples shouldBe 777L * 2
+    st.min_val shouldBe pcm.min.toLong
+    st.max_val shouldBe pcm.max.toLong
+  }
+
   "imageDHash" should "compute the hand-derived gradient hash on a synthetic ramp" in {
     // 9×8 RGB with a horizontal brightness ramp: gray(x,y) = x·20, so
     // every right neighbor is strictly brighter → all 64 bits set.
