@@ -122,6 +122,14 @@ object MultimodalQueries {
         .select(col("id"), col("mime"), col("n_samples"),
           col("mean_val"), col("min_val"), col("max_val"))),
 
+    // X38: WebDataset shard source — the tar layout multimodal training
+    // corpora ship (sample = files sharing a basename stem). Gzip'd
+    // ustar shards with VERIFIED header checksums parse into per-file
+    // rows; the oracle regenerates every (sample, extension, content)
+    // row and its byte length from the doc columns.
+    "x38_webdataset" -> ((s, dir) =>
+      graft.sources.Tar.webdatasetEntries(mediaTar(s, dir))),
+
     // M17: FLAC audio decode — the lossless speech-corpus format (rice
     // residual partitions, fixed predictors, stereo decorrelation in
     // all three encoder modes, multi-frame streams, both CRCs). Unlike
@@ -418,6 +426,26 @@ object MultimodalQueries {
                 s"doc $id rec $r :: $text".getBytes("UTF-8")))
           }
         MediaRecord(id, "application/warc", Warc.encodeGz(recs))
+      }
+  }
+
+  /** The x38 fixture: doc_id % 3 == 2 → gzip'd ustar WebDataset shard
+    * with 1 + (id/3)%3 samples; sample k carries `<id>-<k>.txt`
+    * ("text <id> <k> :: <doc text>") and `<id>-<k>.cls`
+    * ((id + k) % 10). */
+  private def mediaTar(s: SparkSession, dir: String) = {
+    import s.implicits._
+    import graft.sources.Tar
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val nr = (1 + (id / 3) % 3).toInt
+        val entries = (0 until nr).flatMap { k =>
+          Seq(
+            s"$id-$k.txt" -> s"text $id $k :: $text".getBytes("UTF-8"),
+            s"$id-$k.cls" -> s"${(id + k) % 10}".getBytes("UTF-8"))
+        }
+        MediaRecord(id, "application/tar", Tar.encodeGz(entries))
       }
   }
 
@@ -799,6 +827,27 @@ object MultimodalQueries {
         |       sum(v)::DOUBLE / count(*) AS mean_val,
         |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
         |FROM v GROUP BY id, ch, nf""".stripMargin,
+
+    // the x38 twin regenerates every shard entry row — UNION of the two
+    // per-sample extensions, byte lengths via strlen (UTF-8 octets)
+    "x38_webdataset" ->
+      s"""WITH m AS (SELECT doc_id AS id, text,
+         |                  1 + (doc_id // 3) % 3 AS nr
+         |           FROM documents WHERE doc_id % 3 = 2),
+         |r AS (SELECT id, text,
+         |             unnest(generate_series(0, nr - 1)) AS k
+         |      FROM m),
+         |rows_ AS (
+         |  SELECT id, id || '-' || k AS sample_key, 'txt' AS ext,
+         |         'text ' || id || ' ' || k || ' :: ' || text AS content
+         |  FROM r
+         |  UNION ALL
+         |  SELECT id, id || '-' || k AS sample_key, 'cls' AS ext,
+         |         ((id + k) % 10)::VARCHAR AS content
+         |  FROM r)
+         |SELECT id, sample_key, ext, strlen(content)::INT AS n_bytes,
+         |       content
+         |FROM rows_""".stripMargin,
 
     // the m17 twin recomputes every decoded FLAC sample from the
     // fixture closed form — lossless means exact equality, full stop
