@@ -78,7 +78,8 @@ object Bench {
       "m7_avi_frames", "m8_wav_resample", "m9_image_dhash",
       "m10_gif_stats", "m11_gif_frames", "m12_png_palette",
       "m13_png_interlaced", "m14_png_deep", "m15_jpeg_progressive",
-      "m16_avi_mjpg", "m17_flac_stats", "m18_audio_transcode", "x36_warc_extract", "x37_warc_datasource", "x38_webdataset"),
+      "m16_avi_mjpg", "m17_flac_stats", "m18_audio_transcode", "x36_warc_extract", "x37_warc_datasource", "x38_webdataset",
+      "x39_webdataset_images"),
     "pipeline" -> Seq(
       "pipeline_events_first", "pipe_events_fixedmodel", "pipeline_events",
       "pipeline_events_approx", "pe_stage_cuts", "pe_stage_featurize",

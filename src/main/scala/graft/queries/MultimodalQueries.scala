@@ -122,6 +122,27 @@ object MultimodalQueries {
         .select(col("id"), col("mime"), col("n_samples"),
           col("mean_val"), col("min_val"), col("max_val"))),
 
+    // X39: IMAGE-TEXT WebDataset shards, the composed multimodal path:
+    // tar shard → selective .png entry extraction → binary column →
+    // full PNG decode → stats. Captions ride the same shards and are
+    // deliberately skipped (selective extraction is part of the
+    // semantics); the oracle recomputes every decoded pixel of every
+    // shard image from the closed form.
+    "x39_webdataset_images" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = mediaTarImages(s, dir).flatMap { rec =>
+        graft.sources.Tar.parse(rec.bytes).toSeq.flatten.collect {
+          case e if e.name.endsWith(".png") =>
+            val stem = e.name.stripSuffix(".png")
+            val k = stem.substring(stem.indexOf('-') + 1).toInt
+            MediaRecord(rec.id * 1000 + k, "image/png", e.bytes)
+        }
+      }
+      Media.extractStats(imgs).toDF()
+        .select(col("id"), col("mime"), col("n_samples"),
+          col("mean_val"), col("min_val"), col("max_val"))
+    }),
+
     // X38: WebDataset shard source — the tar layout multimodal training
     // corpora ship (sample = files sharing a basename stem). Gzip'd
     // ustar shards with VERIFIED header checksums parse into per-file
@@ -444,6 +465,28 @@ object MultimodalQueries {
           Seq(
             s"$id-$k.txt" -> s"text $id $k :: $text".getBytes("UTF-8"),
             s"$id-$k.cls" -> s"${(id + k) % 10}".getBytes("UTF-8"))
+        }
+        MediaRecord(id, "application/tar", Tar.encodeGz(entries))
+      }
+  }
+
+  /** The x39 fixture: doc_id % 3 == 0 → gzip'd WebDataset shard of
+    * image-text pairs; sample k of shard id carries `<id>-<k>.png`
+    * (w = 4 + k, h = 3 + id%4, sample j = (id·29 + k·7 + j·11) % 256)
+    * and a caption `<id>-<k>.txt` the image gate must skip. */
+  private def mediaTarImages(s: SparkSession, dir: String) = {
+    import s.implicits._
+    import graft.sources.Tar
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val nr = (1 + (id / 3) % 3).toInt
+        val entries = (0 until nr).flatMap { k =>
+          val w = 4 + k; val h = (3 + id % 4).toInt
+          Seq(
+            s"$id-$k.png" -> Media.pngBytesPixels(w, h,
+              j => ((id * 29 + k * 7 + j.toLong * 11) % 256).toInt),
+            s"$id-$k.txt" -> s"caption $id $k".getBytes("UTF-8"))
         }
         MediaRecord(id, "application/tar", Tar.encodeGz(entries))
       }
@@ -827,6 +870,25 @@ object MultimodalQueries {
         |       sum(v)::DOUBLE / count(*) AS mean_val,
         |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
         |FROM v GROUP BY id, ch, nf""".stripMargin,
+
+    // the x39 twin recomputes every decoded pixel of every shard image
+    // from the closed form — the tar walk, selective extraction, and
+    // PNG decode must compose losslessly
+    "x39_webdataset_images" ->
+      s"""WITH m AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0),
+         |r AS (SELECT id,
+         |             unnest(generate_series(0, (1 + (id // 3) % 3) - 1)) AS k
+         |      FROM m),
+         |g AS (SELECT id, k, 4 + k AS w, 3 + id % 4 AS h FROM r),
+         |v AS (SELECT id, k, w, h,
+         |             (id * 29 + k * 7 + j.j * 11) % 256 AS v
+         |      FROM g,
+         |      LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1)) AS j) j)
+         |SELECT (id * 1000 + k)::BIGINT AS id, 'image/png' AS mime,
+         |       (w * h * 3)::BIGINT AS n_samples,
+         |       sum(v)::DOUBLE / count(*) AS mean_val,
+         |       min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+         |FROM v GROUP BY id, k, w, h""".stripMargin,
 
     // the x38 twin regenerates every shard entry row — UNION of the two
     // per-sample extensions, byte lengths via strlen (UTF-8 octets)
