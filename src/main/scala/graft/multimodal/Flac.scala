@@ -12,8 +12,12 @@ package graft.multimodal
   * 4-bit rice residual partitions including the 5-bit escape, wasted
   * bits, and both frame CRCs (CRC-8 header, CRC-16 frame) verified —
   * a corrupt frame refuses the whole clip (loud, never a partial
-  * decode, the repo's media rule). Unsupported shapes (non-16-bit,
-  * variable blocking) return None loudly.
+  * decode, the repo's media rule). Unsupported shapes (non-16-bit
+  * sample size, STREAMINFO total-samples=0 — the spec's "unknown
+  * length", which the fixed-output-array design can't size) return
+  * None loudly. Variable-blocksize streams ARE accepted: the coded
+  * frame/sample number is consumed either way and frames decode
+  * sequentially, so the blocking strategy doesn't change the output.
   *
   * Encoder scope (fixtures + round-trip tests): fixed-blocksize frames,
   * per-subframe predictor search — best FIXED order 0-2, an order-8
@@ -468,6 +472,9 @@ object Flac {
       pos += len
     }
     if (!sawStreamInfo || sampleRate <= 0 || channels < 1) return None
+    // total=0 is FLAC's "unknown length" sentinel, not an empty clip —
+    // the fixed-output-array decode can't size it: refuse loudly
+    if (total == 0) return None
     if (total > Int.MaxValue / math.max(channels, 1) / 4) return None
     val out = Array.fill(channels)(new Array[Int](total.toInt))
     var got = 0L

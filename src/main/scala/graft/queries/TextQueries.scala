@@ -48,10 +48,14 @@ object TextQueries {
     // SQL-text user of the library (spark.sql, JDBC, notebook %%sql) gets
     // identical integer-exact semantics, including the constant-argument
     // fold (shingle width 5) through the SQL path.
+    // SQL-text literal rule: write float constants in scientific form
+    // (`1e6`), never `1000000.0` — Spark's SQL parser types the latter as
+    // DECIMAL (unlike the Column API's `lit(1000000.0)`, a Double), which
+    // silently retypes downstream arithmetic to DecimalType.
     "f15_sql_surface" -> ((s, dir) => {
       t(s, dir, "documents").createOrReplaceTempView("graft_docs")
       s.sql("""SELECT doc_id,
-              |  floor(string_entropy(text) * 1000000 + 0.5) / 1000000.0
+              |  floor(string_entropy(text) * 1e6 + 0.5) / 1e6
               |    AS entropy,
               |  poly_hash(text) AS text_hash,
               |  token_length_sum(filter(split(text, '\\s+'),
