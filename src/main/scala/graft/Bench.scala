@@ -60,8 +60,9 @@ object Bench {
       "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
       "d6_near_dup_clusters", "d7_dup_spans", "w3_sessionize"),
     "dedup2" -> Seq(
-      "d8_retain_best", "d9_simhash_pairs", "d10_incremental_lsh", "d11_edit_pairs",
-      "d12_prefix_jaccard", "x33_tfidf_cosine",
+      "d8_retain_best", "d9_simhash_pairs", "d9b_simhash_wide",
+      "d10_incremental_lsh", "d11_edit_pairs",
+      "d12_prefix_jaccard", "d12b_prefix_clean", "x33_tfidf_cosine",
       "x7b_fuzzy_decontaminate", "x15_cluster_split", "x16_lm_score",
       "x19_span_removal", "x20_line_dedup"),
     "bpe" -> Seq("x25_bpe_train", "x26_bpe_encode"),
@@ -80,6 +81,16 @@ object Bench {
       "m13_png_interlaced", "m14_png_deep", "m15_jpeg_progressive",
       "m16_avi_mjpg", "m17_flac_stats", "m18_audio_transcode", "x36_warc_extract", "x37_warc_datasource", "x38_webdataset",
       "x39_webdataset_images"),
+    // Streaming gates as TIMED entries (each runs its MemoryStream /
+    // file-arrival micro-batches to completion inside the timed body), so
+    // a state-store or sink regression shows up as a timing, not only as
+    // the correctness gate's green/red.
+    "streaming" -> Seq(
+      "st1_stream_c4_parity", "st2_stream_dedup", "st3_stream_window",
+      "st4_stream_sessions", "st5_stream_join", "st6_stream_hll",
+      "st7_stream_upsert", "st8_stream_late", "st9_stream_psi",
+      "st10_stream_sliding", "st11_stream_static", "st12_stream_dedup_wm",
+      "st13_stream_left_outer", "st14_stream_warc"),
     "pipeline" -> Seq(
       "pipeline_events_first", "pipe_events_fixedmodel", "pipeline_events",
       "pipeline_events_approx", "pe_stage_cuts", "pe_stage_featurize",

@@ -30,6 +30,20 @@ object TextFunctions {
   def polyHash(s: Column, mult: Long = HashMult1): Column =
     PolyHash.poly_hash(s, mult)
 
+  /** 60-bit token hash: two independent polynomial hashes (mults 31 and
+    * 131, both mod [[HashPrime]] < 2^30) packed as hi·2^30 + lo. A
+    * 64-bit-grade fingerprint space that stays EXACTLY reproducible in
+    * DuckDB BIGINT arithmetic — the twin's fold (h*131 + c) % p peaks
+    * below 2^37, nowhere near overflow, whereas a true single 64-bit
+    * polynomial hash would need a ~2^57 modulus whose fold overflows
+    * the oracle's signed multiply. Non-negative by construction, so
+    * signed bit extraction (h >> i) % 2 agrees between engines for all
+    * 60 bits. Feeds [[graft.operators.Dedup.simHashDocs]]'s wide
+    * configuration (the production SimHash width — 16-bit spaces
+    * saturate at ~10^5 docs). */
+  def wideTokenHash(s: Column): Column =
+    polyHash(s, HashMult1) * lit(1L << 30) + polyHash(s, 131L)
+
   /** Word n-gram shingles of a token array: array of space-joined n-grams.
     * Empty when there are fewer than n tokens. */
   def shingles(toks: Column, n: Int): Column =

@@ -431,12 +431,13 @@ object Dedup {
     * set; never an all-pairs comparison. */
   def simHashNearDupPairs(df: DataFrame, id: Column, text: Column,
                           bits: Int = 16, bands: Int = 4,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3,
+                          tokenHash: Column => Column = polyHash(_)): DataFrame = {
     require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
     require(maxHamming < bands,
       s"pigeonhole recall needs maxHamming ($maxHamming) < bands ($bands)")
     val bandBits = bits / bands
-    val fp = simHashDocs(df, id, text, bits).localCheckpoint(false)
+    val fp = simHashDocs(df, id, text, bits, tokenHash).localCheckpoint(false)
     val banded = fp.select(col("doc_id"),
         explode(array((0 until bands).map { b =>
           // Unsigned shift + mask: with bits=64 the sign bit is data, and a
@@ -463,10 +464,17 @@ object Dedup {
 
   /** Per-doc SimHash over token hashes (default 16 bits): bit i of the
     * fingerprint is the sign of Σ_tokens (2·bit_i(hash) − 1). Expressed as
-    * explode + one hash aggregation (map-side combined). */
-  def simHashDocs(df: DataFrame, id: Column, text: Column, bits: Int = 16): DataFrame = {
+    * explode + one hash aggregation (map-side combined). `tokenHash` must
+    * cover the requested bit width — the default 30-bit [[polyHash]] for
+    * bits ≤ 30, [[graft.functions.TextFunctions.wideTokenHash]] (60-bit)
+    * for the production-wide configuration (bits above the hash's range
+    * would read constant-zero and degenerate their bands into
+    * everyone-collides buckets). */
+  def simHashDocs(df: DataFrame, id: Column, text: Column, bits: Int = 16,
+                  tokenHash: Column => Column = polyHash(_)): DataFrame = {
+    require(bits <= 60, s"simhash bits ($bits) exceeds the 60-bit token hash")
     val tokenHashes = df.select(id.cast("long").as("doc_id"),
-      explode(transform(tokens(text), t => polyHash(t))).as("h"))
+      explode(transform(tokens(text), t => tokenHash(t))).as("h"))
     val bitSums = (0 until bits).map { i =>
       sum(shiftright(col("h"), i) % 2 * 2 - 1).as(s"b$i")
     }

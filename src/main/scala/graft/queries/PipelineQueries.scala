@@ -129,6 +129,37 @@ object PipelineQueries {
           a.length == b.length && matching == a.length))
         .toDF("n_run1", "n_run2", "n_matching", "deterministic")}),
 
+    // PINNED-MODEL GOLDEN, driver-checked: a committed fixture of one
+    // seeded sf0.01 training run's scored top-100 (graft.GoldenGen), and
+    // a gate that re-trains fresh and compares line-for-line. Closes the
+    // last no-oracle dimension: determinism pins same-process
+    // repeatability and the perplexity band bounds quality, but only a
+    // committed golden output catches a cross-version optimizer change
+    // (MLlib upgrade, hyperparameter default drift) that lands inside
+    // the band. The summary row is constants IFF the multiset of
+    // rendered rows matches exactly; the twin IS those constants. Valid
+    // at the driver's sf0.01 only (the fixture is that corpus); both
+    // collects are topK=100-bounded.
+    "pipe_events_golden" -> ((s, dir) => {
+      val fresh = EventsPipeline.runChecked(t(s, dir, "events"),
+          threshold = 1.0, topK = 100, topicCount = 10)
+        .collect().map(graft.GoldenGen.line).sorted
+      val in = getClass.getResourceAsStream(
+        "/graft/fixtures/golden/pipe_events_sf001.tsv")
+      require(in != null, "missing golden fixture — run graft.GoldenGen")
+      val golden =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toArray.sorted
+        finally in.close()
+      val gcount = golden.groupBy(identity).view.mapValues(_.length).toMap
+      val matching = fresh.groupBy(identity)
+        .map { case (k, fs) => math.min(fs.length, gcount.getOrElse(k, 0)) }
+        .sum
+      import s.implicits._
+      Seq((fresh.length.toLong, golden.length.toLong, matching.toLong,
+          fresh.length == golden.length && matching == golden.length))
+        .toDF("n_fresh", "n_golden", "n_matching", "matches_golden")}),
+
     // The three reference pipelines end-to-end over network-shaped
     // fabrications of the harness tables. LDA — rows-only checks, so each
     // runs through runChecked: the inline perplexity bound
@@ -268,6 +299,12 @@ object PipelineQueries {
     // twin, but seed-stability of the WHOLE trained pipeline does
     "pipe_events_determinism" ->
       """SELECT 100::BIGINT AS n_run1, 100::BIGINT AS n_run2,
-        |       100::BIGINT AS n_matching, TRUE AS deterministic""".stripMargin
+        |       100::BIGINT AS n_matching, TRUE AS deterministic""".stripMargin,
+
+    // the golden twin: the constants the gate emits iff a fresh seeded
+    // train+score reproduces the committed fixture bit-for-bit
+    "pipe_events_golden" ->
+      """SELECT 100::BIGINT AS n_fresh, 100::BIGINT AS n_golden,
+        |       100::BIGINT AS n_matching, TRUE AS matches_golden""".stripMargin
   )
 }

@@ -398,6 +398,38 @@ object TextQueries {
       Dedup.prefixJaccardPairs(t(s, dir, "documents"), col("doc_id"),
         col("text"), thresholdMilli = 900)),
 
+    // D12b: the prefix filter on a BOUNDED-CLUSTER-WIDTH corpus — the
+    // scale-proof variant. The raw fixture's 25-token templates make
+    // near-dup clusters hundreds wide (965k pairs at sf0.1 — output
+    // quadratic in template width, which is a FIXTURE property, not an
+    // operator cost), so d12 can't demonstrate its Σdf_prefix² candidate
+    // bound at replicas. This corpus rebuilds each doc-id DECADE as one
+    // genuine near-dup cluster: all 10 docs share the decade leader's
+    // (min doc_id) text plus a per-doc variant token (within-decade
+    // Jaccard T/(T+2) >= 0.9 for the fixture's ~25-token docs), and
+    // every 4th token carries a decade tag so CROSS-decade Jaccard caps
+    // at ~0.6 < 0.9 even when two decades drew the same template. Every
+    // cluster is therefore exactly <= 10 wide and pair output is
+    // corpus-LINEAR at any replica factor — a real corpus's shape. Same
+    // operator, same threshold; this entry rides the 30x/100x replica
+    // suites where d12 is documented out.
+    "d12b_prefix_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dec = (col("doc_id") / 10).cast("long")
+      val leaders = docs.groupBy(dec.as("dec"))
+        .agg(min(struct(col("doc_id"), col("text"))).as("m"))
+        .select(col("dec"), col("m.text").as("base"))
+      val corpus = docs.select(col("doc_id"), dec.as("dec"),
+          (col("doc_id") % 10).cast("string").as("v"))
+        .join(leaders, "dec")
+        .select(col("doc_id"), concat(
+          concat_ws(" ", transform(tokens(col("base")), (x, j) =>
+            when(j % 4 === 1, concat(lit("q"), col("dec").cast("string"),
+              lit("z"), x)).otherwise(x))),
+          lit(" v"), col("v")).as("text"))
+      Dedup.prefixJaccardPairs(corpus, col("doc_id"), col("text"),
+        thresholdMilli = 900)}),
+
     // X28: PMI-ranked collocations with the log replaced by its monotone
     // integer argument (lift_micro) — vocab-curation association mining
     // with a bit-exact twin (no engine-divergent ln anywhere).
@@ -420,6 +452,19 @@ object TextQueries {
     "d9_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashNearDupPairs(withDups(s, dir), col("doc_id"), col("text"),
         bits = 16, bands = 4, maxHamming = 3)),
+
+    // D9b: the WIDE SimHash configuration — the production shape: a
+    // 60-bit fingerprint (two packed 30-bit polynomial hashes; see
+    // wideTokenHash) in 4×15-bit bands, Hamming <= 3. The 16-bit gate
+    // (d9) proves pigeonhole recall in a deliberately saturating space;
+    // this one proves the width a real corpus needs: 15-bit band keys
+    // keep buckets sparse, so candidates stay near the true-pair count
+    // instead of the d9 fixture's quadratic collision load. Oracle is
+    // the same all-pairs twin at 60 bits.
+    "d9b_simhash_wide" -> ((s, dir) =>
+      Dedup.simHashNearDupPairs(withDups(s, dir), col("doc_id"), col("text"),
+        bits = 60, bands = 4, maxHamming = 3,
+        tokenHash = wideTokenHash)),
 
     // D10: incremental near-dup — the daily-ingest shape: a new batch
     // (doc_id % 11 == 0) LSH-checked against the existing corpus + itself,
@@ -677,10 +722,16 @@ object TextQueries {
          |  FROM documents)""".stripMargin
 
   /** char-level polynomial rolling hash of expression `e` (mod prime). */
-  private def hashSql(e: String): String =
+  private def hashSql(e: String): String = hashSqlM(e, 31L)
+
+  private def hashSqlM(e: String, mult: Long): String =
     s"""list_reduce(list_prepend(0::BIGINT,
        |  [ascii(c)::BIGINT for c in string_split($e, '')]),
-       |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+       |  (h, c) -> (h * $mult + c) % 1000000007)""".stripMargin
+
+  /** The 60-bit packed two-poly token hash (wideTokenHash's twin). */
+  private def wideHashSql(e: String): String =
+    s"(${hashSqlM(e, 31L)} * ${1L << 30} + ${hashSqlM(e, 131L)})"
 
   /** The BPE training replay as a chained-CTE block: word counts → the
     * double-spaced symbol representation → `numMerges` rounds of
@@ -1380,6 +1431,49 @@ object TextQueries {
          |       ((c * 1000) // (n_a + n_b - c))::BIGINT AS jaccard_milli
          |FROM cc WHERE c * 1000 >= 900 * (n_a + n_b - c)""".stripMargin,
 
+    // d12's twin over the leader-derived bounded-cluster corpus (Spark
+    // transform index j is 0-based, DuckDB list_transform's is 1-based:
+    // j%4==1 there is j%4==2 here)
+    "d12b_prefix_clean" ->
+      raw"""WITH lead AS (
+         |  SELECT doc_id // 10 AS dec, arg_min(text, doc_id) AS base
+         |  FROM documents GROUP BY 1),
+         |docs2 AS (
+         |  SELECT d.doc_id,
+         |    array_to_string(list_transform(
+         |      list_filter(string_split_regex(l.base, '\s+'), x -> len(x) > 0),
+         |      (x, j) -> CASE WHEN j % 4 = 2
+         |                THEN 'q' || l.dec::VARCHAR || 'z' || x
+         |                ELSE x END), ' ')
+         |    || ' v' || (d.doc_id % 10)::VARCHAR AS text
+         |  FROM documents d JOIN lead l ON l.dec = d.doc_id // 10),
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+         |                             x -> len(x) > 0) AS tk
+         |  FROM docs2),
+         |tok AS (SELECT DISTINCT doc_id, t.tok
+         |        FROM toks, LATERAL (SELECT unnest(tk) AS tok) t),
+         |dfq AS (SELECT tok, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS s FROM tok GROUP BY 1),
+         |pr AS (SELECT doc_id, tok, s FROM (
+         |    SELECT k.doc_id, k.tok, z.s,
+         |           row_number() OVER (PARTITION BY k.doc_id
+         |             ORDER BY d.df, k.tok) AS rnk
+         |    FROM tok k JOIN dfq d USING (tok) JOIN sz z USING (doc_id))
+         |  WHERE rnk <= s - ((s * 900 + 999) // 1000) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                a.s AS n_a, b.s AS n_b
+         |         FROM pr a JOIN pr b
+         |           ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |         WHERE greatest(a.s, b.s) * 900 <= least(a.s, b.s) * 1000),
+         |cc AS (SELECT id_a, id_b, n_a, n_b, count(*)::BIGINT AS c
+         |       FROM cand JOIN tok x ON x.doc_id = id_a
+         |                 JOIN tok y ON y.doc_id = id_b AND y.tok = x.tok
+         |       GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b,
+         |       ((c * 1000) // (n_a + n_b - c))::BIGINT AS jaccard_milli
+         |FROM cc WHERE c * 1000 >= 900 * (n_a + n_b - c)""".stripMargin,
+
     // the x28 twin replays the identical two-step integer-div lift
     // (division order matters and is part of the contract)
     "x28_pmi_collocations" ->
@@ -1474,6 +1568,33 @@ object TextQueries {
          |bits AS (
          |  SELECT doc_id, i, sum(((h >> i) % 2) * 2 - 1) AS s
          |  FROM th, LATERAL (SELECT unnest(generate_series(0, 15)) AS i)
+         |  GROUP BY doc_id, i),
+         |fp AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    // d9's all-pairs twin at the 60-bit width: same sign-sum fingerprint
+    // construction per bit, token hash = the packed two-poly wide hash
+    "d9b_simhash_wide" ->
+      s"""WITH dupd AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text FROM documents WHERE doc_id % 10 = 0),
+         |toksd AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+         |                             x -> len(x) > 0) AS tk
+         |  FROM dupd),
+         |th AS (
+         |  SELECT doc_id, ${wideHashSql("t.tok")} AS h
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toksd) t),
+         |bits AS (
+         |  SELECT doc_id, i, sum(((h >> i) % 2) * 2 - 1) AS s
+         |  FROM th, LATERAL (SELECT unnest(generate_series(0, 59)) AS i)
          |  GROUP BY doc_id, i),
          |fp AS (
          |  SELECT doc_id,

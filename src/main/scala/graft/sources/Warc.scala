@@ -97,7 +97,20 @@ object Warc {
 
   /** All records of a WARC blob (plain or gzipped), or None if ANY
     * record is malformed. */
-  def parse(bytes: Array[Byte]): Option[Seq[WarcRecord]] = {
+  def parse(bytes: Array[Byte]): Option[Seq[WarcRecord]] =
+    parseOwned(bytes, _ => true)
+
+  /** [[parse]] restricted to the records whose index satisfies `owns` —
+    * the split-read path of [[WarcDataSource]]. Non-owned records are
+    * still STRUCTURALLY validated (version line, headers, declared
+    * Content-Length, record separator) so the walk stays on record
+    * boundaries and `recIdx` stays globally exact, but their payload is
+    * neither copied nor HTTP-split nor charset-decoded — the dominant
+    * per-record costs. Payload-level malformation of a non-owned
+    * `response` record is caught by the split that owns it (every
+    * record has exactly one owner across a split set). */
+  def parseOwned(bytes: Array[Byte],
+                 owns: Int => Boolean): Option[Seq[WarcRecord]] = {
     val b = if (isGzip(bytes)) gunzipAll(bytes).getOrElse(return None)
             else bytes
     val records = Seq.newBuilder[WarcRecord]
@@ -139,8 +152,10 @@ object Warc {
       }
       if (contentLength < 0 || warcType.isEmpty) return None
       if (p + contentLength + 4 > b.length) return None // payload + sep
+      val owned = owns(idx)
       val payload =
-        java.util.Arrays.copyOfRange(b, p, (p + contentLength).toInt)
+        if (owned) java.util.Arrays.copyOfRange(b, p, (p + contentLength).toInt)
+        else Array.emptyByteArray // non-owned: declared-length skip, no copy
       p = (p + contentLength).toInt
       // mandatory two-CRLF record separator
       if (!(b(p) == '\r' && b(p + 1) == '\n' &&
@@ -148,7 +163,7 @@ object Warc {
       pos = p + 4
       // HTTP split for response records
       var status = -1; var cType = ""; var body = Array.emptyByteArray
-      if (warcType == "response") {
+      if (owned && warcType == "response") {
         val sep = indexOfDoubleCrlf(payload)
         if (sep < 0) return None
         val head = new String(payload, 0, sep, "US-ASCII")
@@ -164,7 +179,7 @@ object Warc {
         }.getOrElse("")
         body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
       }
-      records += WarcRecord(idx, warcType, uri, status, cType, body)
+      if (owned) records += WarcRecord(idx, warcType, uri, status, cType, body)
       idx += 1
     }
     Some(records.result())

@@ -17,20 +17,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[Warc.extractResponses]] (which needs the archive bytes pre-loaded
   * into a binary column). Spark-first mechanics, not a wrapper:
   *
-  *  - PLANNING: one input partition per archive file (the WARC gzip
-  *    member stream is not block-splittable without a sync-marker scan,
-  *    and crawl archives arrive as many ~1 GB files — file-level
-  *    parallelism is the format's native grain, exactly how Spark's own
-  *    binaryFile/text sources treat non-splittable compression). The
-  *    driver lists the directory once — bounded metadata, no data read.
+  *  - PLANNING ([[WarcScan.planInputPartitions]]): size-balanced task
+  *    grain, both directions. A file larger than `split_size` (option,
+  *    default 128 MiB) fans out into ceil(size/target) SPLITS; files
+  *    and splits then bin-pack into partitions up to the same target,
+  *    so a directory of tiny shards doesn't become thousands of
+  *    one-file tasks (the same two moves Spark's own FilePartition
+  *    planner makes). The driver lists the directory once — bounded
+  *    metadata, no data read.
+  *  - SPLIT SEMANTICS: WARC gzip members and plain records have no
+  *    seekable sync marker, so splits own records ROUND-ROBIN by record
+  *    index (split k of n owns records with idx % n == k). Every split
+  *    walks the whole archive's record STRUCTURE (and, for .gz, pays
+  *    the shared inflate — the splittable-gzip tradeoff: inflation is
+  *    the cheap linear pass) but copies/HTTP-splits/charset-decodes
+  *    ONLY its owned records, which is where archive read time actually
+  *    goes. `rec_idx` stays globally exact and each record has exactly
+  *    one owner, so a split union is bit-identical to an unsplit read.
   *  - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): the reader
   *    materializes ONLY requested columns; a `count()` or a
   *    uri-only projection never allocates body strings (the dominant
   *    cost — bodies are the archive).
   *  - FILTER PUSHDOWN ([[SupportsPushDownFilters]]): `warc_type = X`
-  *    equality is evaluated during the record walk, so request/metadata
-  *    records are dropped before any HTTP split or row assembly; the
-  *    filter is reported as pushed so Catalyst drops its residual.
+  *    equalities are evaluated during the record walk, so request/
+  *    metadata records are dropped before any HTTP split or row
+  *    assembly; accepted filters are reported as pushed so Catalyst
+  *    drops their residuals. Multiple equalities INTERSECT (a
+  *    conjunction of two different values is the empty scan), never
+  *    first-one-wins.
   *
   * Parse semantics are [[Warc.parse]]'s, including the loud
   * all-or-nothing refusal — a malformed archive raises (fail-fast task
@@ -50,7 +64,8 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
 object WarcDataSource {
   /** Full table schema; `rec_idx` is the record's position within its
     * archive (warcinfo/request records count — response indexes are
-    * stable regardless of what the filter pushes down). */
+    * stable regardless of what the filter pushes down or how the file
+    * splits). */
   val Schema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("rec_idx", IntegerType, nullable = false),
@@ -59,6 +74,35 @@ object WarcDataSource {
     StructField("http_status", IntegerType, nullable = false),
     StructField("content_type", StringType, nullable = false),
     StructField("body_text", StringType, nullable = false)))
+
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  /** One work unit: split `splitIdx` of `numSplits` over `file`
+    * (1-of-1 = the whole file). */
+  final case class FileSlice(file: String, splitIdx: Int, numSplits: Int)
+
+  /** Plan (size, file) pairs into partitions: big files fan out into
+    * round-robin splits, then slices bin-pack up to `target` bytes
+    * (first-fit over the size-sorted list — same shape as Spark's
+    * FilePartition packing). Deterministic: order depends only on
+    * names and sizes. */
+  def planSlices(files: Seq[(String, Long)], target: Long): Seq[Seq[FileSlice]] = {
+    require(target > 0, s"warc split_size must be positive, got $target")
+    val slices = files.sortBy(_._1).flatMap { case (f, size) =>
+      val n = math.max(1L, (size + target - 1) / target).toInt
+      (0 until n).map(k => (FileSlice(f, k, n), size / n))
+    }
+    // pack: descending by cost, first bin that fits, else new bin
+    val bins = collection.mutable.ArrayBuffer[(collection.mutable.ArrayBuffer[FileSlice], Long)]()
+    slices.sortBy { case (sl, cost) => (-cost, sl.file, sl.splitIdx) }
+      .foreach { case (sl, cost) =>
+        bins.indexWhere(_._2 + cost <= target) match {
+          case -1 => bins += ((collection.mutable.ArrayBuffer(sl), cost))
+          case i => bins(i) = (bins(i)._1 += sl, bins(i)._2 + cost)
+        }
+      }
+    bins.map(_._1.toSeq).toSeq
+  }
 }
 
 private class WarcTable(path: String) extends Table with SupportsRead {
@@ -70,14 +114,17 @@ private class WarcTable(path: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(path)
+    new WarcScanBuilder(path,
+      options.getLong("split_size", WarcDataSource.DefaultSplitBytes))
 }
 
-private class WarcScanBuilder(path: String)
+private class WarcScanBuilder(path: String, splitBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = WarcDataSource.Schema
-  private var typeFilter: Option[String] = None
+  // None = no type predicate; Some(set) = warc_type ∈ set (the
+  // INTERSECTION of every pushed equality — possibly empty)
+  private var typeFilter: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -89,34 +136,43 @@ private class WarcScanBuilder(path: String)
       case _ => false
     }
     pushed = accepted
-    typeFilter = accepted.collectFirst { case EqualTo(_, v: String) => v }
+    val values = accepted.map { case EqualTo(_, v: String) => v }.toSet
+    // a conjunction of equalities to DIFFERENT values is unsatisfiable:
+    // the intersection set goes empty and the reader yields no rows
+    // (never first-filter-wins)
+    typeFilter =
+      if (values.isEmpty) None
+      else if (values.size == 1) Some(values)
+      else Some(Set.empty[String])
     rejected // everything else stays a residual predicate
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WarcScan(path, required, typeFilter)
+  override def build(): Scan = new WarcScan(path, required, typeFilter, splitBytes)
 }
 
 private class WarcScan(path: String, required: StructType,
-                       typeFilter: Option[String]) extends Scan with Batch {
+                       typeFilter: Option[Set[String]],
+                       splitBytes: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"WarcScan(path=$path, columns=${required.fieldNames.mkString(",")}" +
-      typeFilter.map(t => s", warc_type=$t").getOrElse("") + ")"
+      typeFilter.map(t => s", warc_type=${t.mkString("|")}").getOrElse("") + ")"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // one partition per archive file: the format's native parallelism
-    // grain (driver-side listing is bounded metadata, like any FileIndex)
+    // size-balanced planning (see class doc): driver-side listing is
+    // bounded metadata, like any FileIndex
     val dir = new java.io.File(path)
     val files =
       if (dir.isFile) Array(dir)
       else Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && !f.getName.startsWith(".")
           && !f.getName.startsWith("_"))
-    files.sortBy(_.getName).map(f =>
-      WarcInputPartition(f.getAbsolutePath): InputPartition)
+    WarcDataSource.planSlices(
+      files.toSeq.map(f => (f.getAbsolutePath, f.length())), splitBytes)
+      .map(sl => WarcInputPartition(sl): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -127,16 +183,19 @@ private class WarcScan(path: String, required: StructType,
 }
 
 /** File-arrival streaming over an archive directory — crawl drops land
-  * as whole files, so the stream's offset IS the length of the
-  * lexicographically-sorted file list and each micro-batch covers the
-  * newly-arrived suffix, one partition per file (the batch grain).
+  * as whole files, so the stream's offset is the length of the
+  * lexicographically-sorted file list PLUS the name of the last file it
+  * covers, and each micro-batch covers the newly-arrived suffix, one
+  * partition per file (the batch grain).
   * CONTRACT (documented, like the built-in file source's assumptions):
-  * arrivals are append-only and lexicographically increasing — a file
-  * sorting before an already-committed one would silently shift the
-  * prefix, so [[planInputPartitions]] re-checks the slice bounds and
-  * fails loudly if the directory shrank. */
+  * arrivals are append-only and lexicographically increasing. Both
+  * violations fail LOUDLY at planning: a shrunken directory by count,
+  * and a late file that sorts before the committed prefix by the
+  * offset's recorded boundary name (a count alone would let such an
+  * arrival silently shift the slice — duplicate one file, drop
+  * another). */
 private class WarcMicroBatchStream(path: String, required: StructType,
-                                   typeFilter: Option[String])
+                                   typeFilter: Option[Set[String]])
     extends MicroBatchStream {
   private def listSorted(): Array[String] = {
     val dir = new java.io.File(path)
@@ -145,54 +204,84 @@ private class WarcMicroBatchStream(path: String, required: StructType,
         && !f.getName.startsWith("_"))
       .map(_.getAbsolutePath).sorted
   }
-  private case class WarcOffset(n: Int) extends Offset {
-    override def json(): String = n.toString
+  /** `last` = absolute path of file n-1 ("" when n == 0). Serialized as
+    * `n\nlast` — '\n' cannot appear in a path the lister returned.
+    * Legacy checkpoints (bare int, r8 format) deserialize with last=""
+    * which skips the boundary-name check once, then re-arms. */
+  private case class WarcOffset(n: Int, last: String) extends Offset {
+    override def json(): String = if (last.isEmpty) n.toString
+                                  else s"$n\n$last"
   }
-  override def initialOffset(): Offset = WarcOffset(0)
-  override def latestOffset(): Offset = WarcOffset(listSorted().length)
+  override def initialOffset(): Offset = WarcOffset(0, "")
+  override def latestOffset(): Offset = {
+    val files = listSorted()
+    WarcOffset(files.length, files.lastOption.getOrElse(""))
+  }
   override def deserializeOffset(json: String): Offset =
-    WarcOffset(json.trim.toInt)
+    json.indexOf('\n') match {
+      case -1 => WarcOffset(json.trim.toInt, "")
+      case i => WarcOffset(json.substring(0, i).toInt, json.substring(i + 1))
+    }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[WarcOffset].n
-    val e = end.asInstanceOf[WarcOffset].n
+    val so = start.asInstanceOf[WarcOffset]
+    val eo = end.asInstanceOf[WarcOffset]
     val files = listSorted()
-    if (files.length < e) throw new IllegalStateException(
-      s"warc stream: directory shrank below committed offset $e " +
+    def boundary(o: WarcOffset, which: String): Unit =
+      if (o.n > 0 && o.last.nonEmpty && files(o.n - 1) != o.last)
+        throw new IllegalStateException(
+          s"warc stream: file at committed $which offset ${o.n} is now " +
+            s"'${files(o.n - 1)}', offset recorded '${o.last}' — a late " +
+            "arrival sorted into the committed prefix; arrivals must be " +
+            "lexicographically increasing")
+    if (files.length < eo.n) throw new IllegalStateException(
+      s"warc stream: directory shrank below committed offset ${eo.n} " +
         s"(${files.length} files) — arrivals must be append-only")
-    files.slice(s, e).map(f => WarcInputPartition(f): InputPartition)
+    boundary(so, "start")
+    boundary(eo, "end")
+    files.slice(so.n, eo.n).map(f => WarcInputPartition(
+      Seq(WarcDataSource.FileSlice(f, 0, 1))): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required, typeFilter)
 }
 
-private case class WarcInputPartition(file: String) extends InputPartition
+private case class WarcInputPartition(slices: Seq[WarcDataSource.FileSlice])
+    extends InputPartition
 
 private class WarcReaderFactory(required: StructType,
-                                typeFilter: Option[String])
+                                typeFilter: Option[Set[String]])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(p.asInstanceOf[WarcInputPartition].file,
+    new WarcPartitionReader(p.asInstanceOf[WarcInputPartition].slices,
       required, typeFilter)
 }
 
-private class WarcPartitionReader(file: String, required: StructType,
-                                  typeFilter: Option[String])
+private class WarcPartitionReader(slices: Seq[WarcDataSource.FileSlice],
+                                  required: StructType,
+                                  typeFilter: Option[Set[String]])
     extends PartitionReader[InternalRow] {
-  // the whole archive parses up front (gzip members are one stream);
-  // rows then assemble lazily, only the pruned columns materialized
-  private val records: Iterator[Warc.WarcRecord] = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
-    val parsed = Warc.parse(bytes).getOrElse(
-      throw new java.io.IOException(s"malformed WARC archive: $file"))
-    val it = parsed.iterator
-    typeFilter match {
-      case Some(t) => it.filter(_.warcType == t)
-      case None => it
+  // slices parse lazily in sequence; within a slice the whole archive
+  // walks up front (gzip members are one stream) but only OWNED records
+  // materialize, and rows then assemble column-pruned
+  private var pathUtf: UTF8String = _
+  private val records: Iterator[Warc.WarcRecord] =
+    slices.iterator.flatMap { sl =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sl.file))
+      val owns: Int => Boolean =
+        if (sl.numSplits == 1) _ => true
+        else idx => idx % sl.numSplits == sl.splitIdx
+      val parsed = Warc.parseOwned(bytes, owns).getOrElse(
+        throw new java.io.IOException(s"malformed WARC archive: ${sl.file}"))
+      pathUtf = UTF8String.fromString(sl.file)
+      val it = parsed.iterator
+      typeFilter match {
+        case Some(types) => it.filter(r => types.contains(r.warcType))
+        case None => it
+      }
     }
-  }
-  private val pathUtf = UTF8String.fromString(file)
   // column extractors bound once against the PRUNED schema: body_text
   // (the expensive decode) never runs unless requested
   private val getters: Array[Warc.WarcRecord => Any] =

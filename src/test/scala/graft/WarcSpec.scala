@@ -89,10 +89,12 @@ class WarcSpec extends SparkSpec {
     dir
   }
 
-  "format(\"warc\")" should "read archive directories with one partition per file" in {
+  "format(\"warc\")" should "pack small archives into size-targeted partitions" in {
     val dir = writeArchiveDir()
     val df = spark.read.format("warc").load(dir)
-    df.rdd.getNumPartitions shouldBe 2
+    // both fixture files are far below the 128 MiB default target, so
+    // planning bin-packs them into ONE task instead of two tiny ones
+    df.rdd.getNumPartitions shouldBe 1
     val rows = df.collect()
     rows.length shouldBe 5 // 4 records in a.warc + 1 in b.warc.gz
     val resp = df.where($"warc_type" === "response")
@@ -144,6 +146,88 @@ class WarcSpec extends SparkSpec {
         "http://a.example/x", "http://a.example/y", "http://b.example/z")
       b2.find(_.getString(0).endsWith("/z")).get.getInt(1) shouldBe 301
     } finally q.stop()
+  }
+
+  it should "fail loudly when a late file sorts into the committed prefix" in {
+    val dir = java.nio.file.Files.createTempDirectory("warcooo").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.warc"),
+      archive())
+    val q = spark.readStream.format("warc").load(dir)
+      .select($"target_uri")
+      .writeStream.format("memory").queryName("warc_ooo")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // commits offset (1, .../b.warc)
+      // an arrival that sorts BEFORE the committed boundary would shift
+      // the slice — the offset's recorded file name catches it loudly
+      // instead of silently duplicating b and dropping a
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.warc"),
+        archive())
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      e.getMessage should include("lexicographically")
+    } finally q.stop()
+  }
+
+  it should "split one large archive across partitions with exact record boundaries" in {
+    // 40 records across plain and gzip archives, read with a split_size
+    // small enough to force multi-way splits: the union must be
+    // bit-identical to the unsplit read — every rec_idx exactly once,
+    // bodies intact across every split point
+    val dir = java.nio.file.Files.createTempDirectory("warcsplit").toString
+    def rec(i: Int) = Warc.record("response", s"http://s.example/$i",
+      Warc.httpResponse(200 + 100 * (i % 2), "text/plain",
+        (s"payload $i :: " + "x" * (50 + i * 7)).getBytes("UTF-8")))
+    val recs = (0 until 40).map(rec)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "big.warc"),
+      Warc.encode(recs.take(25)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "big2.warc.gz"),
+      Warc.encodeGz(recs.drop(25)))
+    val whole = spark.read.format("warc").load(dir)
+      .orderBy("path", "rec_idx").collect()
+    val split = spark.read.format("warc").option("split_size", 700)
+      .load(dir)
+    split.rdd.getNumPartitions should be > 2
+    split.orderBy("path", "rec_idx").collect() shouldBe whole
+    // rec_idx is the archive-global index in BOTH reads: 0..24 and 0..14
+    split.where($"path".endsWith("big.warc")).select($"rec_idx").collect()
+      .map(_.getInt(0)).sorted shouldBe (0 until 25).toArray
+    split.where($"path".endsWith("big2.warc.gz")).select($"rec_idx")
+      .collect().map(_.getInt(0)).sorted shouldBe (0 until 15).toArray
+    // pushdown composes with splitting: each split filters its own records
+    spark.read.format("warc").option("split_size", 700).load(dir)
+      .where($"warc_type" === "response").count() shouldBe 40L
+  }
+
+  it should "intersect conflicting warc_type equalities to the empty scan" in {
+    val dir = writeArchiveDir()
+    // both equalities are accepted as pushed; their value sets intersect
+    // to ∅ — the correct result is zero rows, never first-filter-wins
+    spark.read.format("warc").load(dir)
+      .where($"warc_type" === "response" && $"warc_type" === "request")
+      .count() shouldBe 0L
+    // sanity: a self-consistent conjunction still returns the real rows
+    spark.read.format("warc").load(dir)
+      .where($"warc_type" === "response" && $"warc_type" === "response")
+      .count() shouldBe 3L
+  }
+
+  "planSlices" should "fan out big files and bin-pack small ones deterministically" in {
+    import graft.sources.WarcDataSource.{planSlices, FileSlice}
+    // one 10-unit file at target 4 → 3 splits; two 1-unit files pack
+    val plan = planSlices(Seq(("big", 10L), ("s1", 1L), ("s2", 1L)), 4L)
+    plan.flatten.toSet shouldBe Set(
+      FileSlice("big", 0, 3), FileSlice("big", 1, 3), FileSlice("big", 2, 3),
+      FileSlice("s1", 0, 1), FileSlice("s2", 0, 1))
+    // first-fit packs each tiny file into a big-split bin's 1-unit gap
+    // (3 bins total, never 5 single-slice tasks)
+    plan.length shouldBe 3
+    plan.find(_.exists(_.file == "s1")).get.length shouldBe 2
+    plan.find(_.exists(_.file == "s2")).get.length shouldBe 2
+    // deterministic: same inputs, same plan, any listing order
+    planSlices(Seq(("s2", 1L), ("big", 10L), ("s1", 1L)), 4L) shouldBe plan
   }
 
   it should "fail the task loudly on a malformed archive file" in {
