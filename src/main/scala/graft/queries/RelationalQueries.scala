@@ -1048,11 +1048,21 @@ object RelationalQueries {
       val tmp = java.nio.file.Files.createTempDirectory("st14").toString
       val recs = graft.queries.MultimodalQueries.warcFixture(s, dir)
         .collect() // bounded: one small archive per fixture doc
+      // The stream runs CONCURRENTLY with each drop, so a micro-batch can
+      // observe any prefix of it: files must land in SORTED name order
+      // (any prefix is then lexicographically consistent — unsorted
+      // writes at 30x tripped the offset's boundary-name check, a real
+      // contract violation the old count-only offsets silently turned
+      // into a duplicate+drop) and each lands atomically via a
+      // dot-prefixed temp the lister ignores (a half-written archive
+      // would otherwise parse-fail loudly).
       def drop(n: Int, p: graft.multimodal.Media.MediaRecord => Boolean): Unit =
-        recs.filter(p).foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(tmp, f"$n%d_${r.id}%08d.warc.gz"),
-            r.bytes)
+        recs.filter(p).sortBy(_.id).foreach { r =>
+          val name = f"$n%d_${r.id}%08d.warc.gz"
+          val t = java.nio.file.Paths.get(tmp, s".$name")
+          java.nio.file.Files.write(t, r.bytes)
+          java.nio.file.Files.move(t, java.nio.file.Paths.get(tmp, name),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
       drop(0, _.id % 9 == 0)
       val q = s.readStream.format("warc").load(tmp)

@@ -183,17 +183,28 @@ private class WarcScan(path: String, required: StructType,
 }
 
 /** File-arrival streaming over an archive directory — crawl drops land
-  * as whole files, so the stream's offset is the length of the
-  * lexicographically-sorted file list PLUS the name of the last file it
-  * covers, and each micro-batch covers the newly-arrived suffix, one
+  * as whole files. The offset is (count, name-of-last-file) over the
+  * lexicographically-sorted listing, and a micro-batch covers the files
+  * whose names fall in the NAME INTERVAL (start.last, end.last] — one
   * partition per file (the batch grain).
+  *
+  * Interval-by-name (not index-slice) is load-bearing: a directory
+  * listing taken CONCURRENTLY with arrivals is not a consistent
+  * snapshot — readdir can transiently miss a just-renamed file while
+  * already seeing a later-sorting one (hash-ordered dirents), so an
+  * index slice against a later, healed listing silently duplicates one
+  * file and drops another. Name intervals self-heal that race: a file
+  * missed at latestOffset time but visible by planning time sorts into
+  * its interval and is processed exactly once.
+  *
   * CONTRACT (documented, like the built-in file source's assumptions):
-  * arrivals are append-only and lexicographically increasing. Both
-  * violations fail LOUDLY at planning: a shrunken directory by count,
-  * and a late file that sorts before the committed prefix by the
-  * offset's recorded boundary name (a count alone would let such an
-  * arrival silently shift the slice — duplicate one file, drop
-  * another). */
+  * arrivals are append-only and lexicographically increasing. True
+  * violations fail LOUDLY at planning, checked against the stream's
+  * seen-names set (bounded metadata, the built-in file source's
+  * device): a previously-assigned file vanishing (deletion), and a
+  * never-assigned file at or below the committed start boundary
+  * (out-of-order arrival — its interval has already been planned, so
+  * it would otherwise be lost silently). */
 private class WarcMicroBatchStream(path: String, required: StructType,
                                    typeFilter: Option[Set[String]])
     extends MicroBatchStream {
@@ -204,10 +215,11 @@ private class WarcMicroBatchStream(path: String, required: StructType,
         && !f.getName.startsWith("_"))
       .map(_.getAbsolutePath).sorted
   }
-  /** `last` = absolute path of file n-1 ("" when n == 0). Serialized as
-    * `n\nlast` — '\n' cannot appear in a path the lister returned.
-    * Legacy checkpoints (bare int, r8 format) deserialize with last=""
-    * which skips the boundary-name check once, then re-arms. */
+  /** `last` = absolute path of the offset's boundary file ("" at the
+    * stream start). Serialized as `n\nlast` — '\n' cannot appear in a
+    * path the lister returned. Legacy checkpoints (bare int, r8 format)
+    * deserialize with last="", handled by an index-slice fallback for
+    * that one transition. */
   private case class WarcOffset(n: Int, last: String) extends Offset {
     override def json(): String = if (last.isEmpty) n.toString
                                   else s"$n\n$last"
@@ -224,23 +236,56 @@ private class WarcMicroBatchStream(path: String, required: StructType,
     }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+  /** Names this stream object has assigned to a batch — the stray
+    * detector's memory (bounded: file-name metadata, like the built-in
+    * file source's seen log). A transiently-missed file that HEALS into
+    * its interval lands here, so it is never mistaken for an
+    * out-of-order arrival when the committed count undercounts it; a
+    * file below the boundary that was never assigned anywhere is a true
+    * violation. In-memory only: across a checkpoint restart the
+    * detector re-arms empty (pre-restart strays are beyond recall —
+    * the same horizon Spark's file source has past its log window). */
+  private val seen = collection.mutable.Set[String]()
+  private var adopted = false
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val so = start.asInstanceOf[WarcOffset]
     val eo = end.asInstanceOf[WarcOffset]
     val files = listSorted()
-    def boundary(o: WarcOffset, which: String): Unit =
-      if (o.n > 0 && o.last.nonEmpty && files(o.n - 1) != o.last)
-        throw new IllegalStateException(
-          s"warc stream: file at committed $which offset ${o.n} is now " +
-            s"'${files(o.n - 1)}', offset recorded '${o.last}' — a late " +
-            "arrival sorted into the committed prefix; arrivals must be " +
-            "lexicographically increasing")
-    if (files.length < eo.n) throw new IllegalStateException(
-      s"warc stream: directory shrank below committed offset ${eo.n} " +
-        s"(${files.length} files) — arrivals must be append-only")
-    boundary(so, "start")
-    boundary(eo, "end")
-    files.slice(so.n, eo.n).map(f => WarcInputPartition(
+    val batch =
+      if (so.last.isEmpty && so.n > 0) // legacy bare-int start offset
+        files.drop(so.n).filter(f => eo.last.isEmpty || f <= eo.last)
+      else files.filter(f => f > so.last && eo.last.nonEmpty && f <= eo.last)
+    if (!adopted) {
+      // first plan of this stream object: a checkpoint restore starts
+      // behind an already-committed boundary — adopt that prefix as
+      // seen; the stray detector arms from here forward (pre-restart
+      // strays are beyond recall, the same horizon the built-in file
+      // source has past its seen-log window)
+      if (so.last.nonEmpty) seen ++= files.filter(_ <= so.last)
+      adopted = true
+    }
+    // out-of-order arrival: a file at or below the committed start
+    // boundary that no batch was ever given — its interval has already
+    // been planned and committed, so it can never be assigned: fail
+    // loudly rather than lose it silently
+    val strays = files.filter(f =>
+      so.last.nonEmpty && f <= so.last && !seen(f))
+    if (strays.nonEmpty) throw new IllegalStateException(
+      s"warc stream: ${strays.length} files sorted at or below the " +
+        s"committed boundary '${so.last}' without ever being assigned " +
+        s"to a batch (first: '${strays.head}') — a late arrival sorted " +
+        "into the committed prefix; arrivals must be lexicographically " +
+        "increasing")
+    seen ++= batch
+    // shrink: stable dirents are always returned by a listing (only
+    // entries created DURING a concurrent listing may be missed), so a
+    // previously-assigned file absent now means real deletion
+    val gone = seen.diff(files.toSet).filter(f =>
+      eo.last.isEmpty || f <= eo.last)
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"warc stream: ${gone.size} previously-seen files vanished " +
+        s"(first: '${gone.toSeq.min}') — arrivals must be append-only")
+    batch.map(f => WarcInputPartition(
       Seq(WarcDataSource.FileSlice(f, 0, 1))): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
