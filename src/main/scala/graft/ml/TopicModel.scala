@@ -34,6 +34,18 @@ object TopicModel {
     * driver mid-train. */
   val MaxDriverVocab: Int = 1 << 20
 
+  /** Fixed partition count for the corpus handed to the LDA optimizer.
+    * The online optimizer's minibatch sampling (and the doc-id assignment
+    * MLlib derives via zipWithIndex) depend on the RDD's partition layout,
+    * so a layout inherited from the session (core count → shuffle
+    * partitions) makes "same seed" reproducible only within one session
+    * config. Training therefore pins its input to a CONSTANT hash layout —
+    * `repartition(TrainLayoutPartitions, col("doc"))` +
+    * `sortWithinPartitions("doc")` — a pure function of the data, so the
+    * same corpus + seed trains the identical model under local[4],
+    * local[32], or a 1000-executor cluster. */
+  val TrainLayoutPartitions: Int = 64
+
   /** The top-`cap` words of a (word, cnt) corpus by TOTAL corpus count
     * (ties broken lexicographically), as a dense dictionary in the same
     * lexicographic id order [[ModelIO.denseWordIds]] assigns. Fully
@@ -100,6 +112,13 @@ object TopicModel {
           .sortBy(_._1)
         (doc, Vectors.sparse(vocabSize, pairs.map(_._1).toArray, pairs.map(_._2).toArray))
       }.toDF("doc", "features")
+      // Pin the optimizer's input to a layout that is a pure function of
+      // the data (see [[TrainLayoutPartitions]]): hash-partition on doc,
+      // totally ordered within each partition (docs are unique after the
+      // groupBy). Explicit numPartitions also keeps AQE from re-coalescing
+      // the layout at runtime.
+      .repartition(TrainLayoutPartitions, col("doc"))
+      .sortWithinPartitions("doc")
       .cache()
 
     // EM's docConcentration must be > 1; online accepts any positive.

@@ -432,7 +432,7 @@ object Dedup {
   def simHashNearDupPairs(df: DataFrame, id: Column, text: Column,
                           bits: Int = 16, bands: Int = 4,
                           maxHamming: Int = 3,
-                          tokenHash: Column => Column = polyHash(_)): DataFrame = {
+                          tokenHash: Column => Column = DefaultTokenHash): DataFrame = {
     require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
     require(maxHamming < bands,
       s"pigeonhole recall needs maxHamming ($maxHamming) < bands ($bands)")
@@ -470,9 +470,22 @@ object Dedup {
     * for the production-wide configuration (bits above the hash's range
     * would read constant-zero and degenerate their bands into
     * everyone-collides buckets). */
+  /** The default token hash (30-bit [[polyHash]]) as a SHARED marker value:
+    * [[simHashDocs]] enforces `bits <= 30` on exactly this default — bits
+    * 30..59 over a 30-bit hash read constant zero, silently degenerating
+    * those bands into everyone-collides buckets, so a wider request must
+    * OPT IN with an explicitly wide hash (e.g.
+    * [[graft.functions.TextFunctions.wideTokenHash]]). */
+  private val DefaultTokenHash: Column => Column = polyHash(_)
+
   def simHashDocs(df: DataFrame, id: Column, text: Column, bits: Int = 16,
-                  tokenHash: Column => Column = polyHash(_)): DataFrame = {
+                  tokenHash: Column => Column = DefaultTokenHash): DataFrame = {
     require(bits <= 60, s"simhash bits ($bits) exceeds the 60-bit token hash")
+    require(!(tokenHash eq DefaultTokenHash) || bits <= 30,
+      s"simhash bits ($bits) exceeds the DEFAULT 30-bit polyHash token " +
+        "hash — bits 30..59 would read constant zero (degenerate " +
+        "everyone-collides bands); pass an explicitly wide tokenHash " +
+        "(TextFunctions.wideTokenHash, 60-bit) to unlock widths above 30")
     val tokenHashes = df.select(id.cast("long").as("doc_id"),
       explode(transform(tokens(text), t => tokenHash(t))).as("h"))
     val bitSums = (0 until bits).map { i =>

@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.functions.{Binning, Domains, Entropy}
 import graft.ml.TopicModel
 import graft.operators.{Corpus, Quantiles, Scoring}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** DNS suspicious-connects pipeline.
@@ -213,7 +213,8 @@ object DnsPipeline {
                  popularDomains: Set[String] = Set.empty,
                  topicCount: Int = 20, seed: Long = 42L,
                  feedback: Option[DataFrame] = None,
-                 maxRatio: Double = PerplexityBand): DataFrame = {
+                 maxRatio: Double = PerplexityBand,
+                 tiebreak: Seq[Column] = Nil): DataFrame = {
     val model = train(dns, popularDomains, topicCount, seed = seed,
       feedback = feedback)
     TopicModel.assertQuality(model.topics,
@@ -222,6 +223,6 @@ object DnsPipeline {
           model.cuts, model.popular),
         col("ip_dst"), col("word")),
       maxRatio, label = "dns LDA")
-    Scoring.suspicious(score(dns, model), threshold, topK)
+    Scoring.suspicious(score(dns, model), threshold, topK, tiebreak)
   }
 }

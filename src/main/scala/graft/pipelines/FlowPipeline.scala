@@ -161,12 +161,13 @@ object FlowPipeline {
   def runChecked(flows: DataFrame, threshold: Double = 1.0, topK: Int = -1,
                  topicCount: Int = 20, seed: Long = 42L,
                  feedback: Option[DataFrame] = None,
-                 maxRatio: Double = PerplexityBand): DataFrame = {
+                 maxRatio: Double = PerplexityBand,
+                 tiebreak: Seq[Column] = Nil): DataFrame = {
     val model = train(flows, topicCount = topicCount, seed = seed,
       feedback = feedback)
     TopicModel.assertQuality(model.topics,
       corpus(featurize(validTimes(flows), model.cuts)),
       maxRatio, label = "flow LDA")
-    Scoring.suspicious(score(flows, model), threshold, topK)
+    Scoring.suspicious(score(flows, model), threshold, topK, tiebreak)
   }
 }

@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.functions.{Binning, Domains, Entropy, TimeFunctions}
 import graft.ml.TopicModel
 import graft.operators.{Corpus, Quantiles, Scoring}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Proxy suspicious-connects pipeline.
@@ -199,7 +199,8 @@ object ProxyPipeline {
                  popularDomains: Set[String] = Set.empty,
                  topicCount: Int = 20, seed: Long = 42L,
                  feedback: Option[DataFrame] = None,
-                 maxRatio: Double = PerplexityBand): DataFrame = {
+                 maxRatio: Double = PerplexityBand,
+                 tiebreak: Seq[Column] = Nil): DataFrame = {
     val model = train(proxy, popularDomains, topicCount, seed = seed,
       feedback = feedback)
     TopicModel.assertQuality(model.topics,
@@ -208,6 +209,6 @@ object ProxyPipeline {
           model.cuts, model.popular),
         col("clientip"), col("word")),
       maxRatio, label = "proxy LDA")
-    Scoring.suspicious(score(proxy, model), threshold, topK)
+    Scoring.suspicious(score(proxy, model), threshold, topK, tiebreak)
   }
 }

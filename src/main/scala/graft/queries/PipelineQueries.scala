@@ -18,6 +18,101 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The four golden train+score runs shared by [[graft.GoldenGen]] (which
+    * writes the committed fixtures) and the `pipe_*_golden` gates (which
+    * re-run fresh and compare): deterministic fabrications of the harness
+    * tables, seeded training over [[graft.ml.TopicModel]]'s pinned
+    * core-count-independent layout, and a unique-id tiebreak so the
+    * top-100 is a TOTAL-order pure function of the corpus — the same run
+    * under local[4], local[32], or a cluster must reproduce every line. */
+  def goldenRuns: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_events_sf001" -> ((s, dir) =>
+      EventsPipeline.runChecked(t(s, dir, "events"),
+        threshold = 1.0, topK = 100, topicCount = 10)),
+
+    "pipe_flow_sf001" -> ((s, dir) =>
+      graft.pipelines.FlowPipeline.runChecked(flowInput(s, dir),
+          threshold = 1.0, topK = 100, topicCount = 5, seed = 42L,
+          tiebreak = Seq(col("event_id")))
+        .select("event_id", "sip", "dip", "src_word", "dst_word", "score")),
+
+    "pipe_dns_sf001" -> ((s, dir) =>
+      graft.pipelines.DnsPipeline.runChecked(dnsInput(s, dir),
+          threshold = 1.0, topK = 100,
+          popularDomains = Set("src1", "src3", "src5"), topicCount = 5,
+          seed = 42L, tiebreak = Seq(col("doc_id")))
+        .select("doc_id", "ip_dst", "word", "score")),
+
+    "pipe_proxy_sf001" -> ((s, dir) =>
+      graft.pipelines.ProxyPipeline.runChecked(proxyInput(s, dir),
+          threshold = 1.0, topK = 100, topicCount = 5, seed = 42L,
+          tiebreak = Seq(col("event_id")))
+        .select("event_id", "clientip", "word", "score"))
+  )
+
+  /** A golden-compare gate body: run the named [[goldenRuns]] entry fresh,
+    * compare its rendered rows as a multiset against the committed fixture,
+    * and emit one summary row whose values are constants IFF they match
+    * (the oracle twin IS those constants). Valid at the driver's sf0.01
+    * only (the fixtures are that corpus); the collect is topK=100-bounded. */
+  private def goldenGate(fixture: String): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val fresh = goldenRuns(fixture)(s, dir)
+        .collect().map(graft.GoldenGen.line).sorted
+      val in = getClass.getResourceAsStream(
+        s"/graft/fixtures/golden/$fixture.tsv")
+      require(in != null, s"missing golden fixture $fixture — run graft.GoldenGen")
+      val golden =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toArray.sorted
+        finally in.close()
+      val gcount = golden.groupBy(identity).view.mapValues(_.length).toMap
+      val matching = fresh.groupBy(identity)
+        .map { case (k, fs) => math.min(fs.length, gcount.getOrElse(k, 0)) }
+        .sum
+      import s.implicits._
+      Seq((fresh.length.toLong, golden.length.toLong, matching.toLong,
+          fresh.length == golden.length && matching == golden.length))
+        .toDF("n_fresh", "n_golden", "n_matching", "matches_golden")
+    }
+
+  /** The constants a golden gate emits on an exact fixture match. */
+  private val GoldenTwin =
+    """SELECT 100::BIGINT AS n_fresh, 100::BIGINT AS n_golden,
+      |       100::BIGINT AS n_matching, TRUE AS matches_golden""".stripMargin
+
+  /** The netflow fabrication behind pipe_flow_golden. */
+  private def flowInput(s: SparkSession, dir: String): DataFrame =
+    Fabrications.flowPorts(t(s, dir, "events"))
+      .withColumn("trhour", hour(col("ts")))
+      .withColumn("trminute", minute(col("ts")))
+      .withColumn("trsec", second(col("ts")))
+      .withColumn("ipkt", (col("value") * 10).cast("long") + 1)
+      .withColumn("ibyt", (col("value") * 1000).cast("long") + 40)
+
+  /** The dns fabrication behind pipe_dns_golden. */
+  private def dnsInput(s: SparkSession, dir: String): DataFrame =
+    dnsEvents(s, dir)
+      .withColumn("frame_time", concat(lit("t"), col("doc_id")))
+      .withColumn("ip_dst", concat(lit("10.1."), (col("doc_id") % 50).cast("string"), lit(".9")))
+      .withColumnRenamed("qname", "dns_qry_name")
+      .withColumnRenamed("qry_type", "dns_qry_type")
+      .withColumnRenamed("rcode", "dns_qry_rcode")
+
+  /** The proxy fabrication behind pipe_proxy_golden. */
+  private def proxyInput(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("p_time", date_format(col("ts"), "HH:mm:ss"))
+      .withColumn("clientip", concat(lit("10.2."), (col("user_id") % 50).cast("string"), lit(".7")))
+      .withColumn("host", concat(col("event_type"), lit(".example.com")))
+      .withColumn("reqmethod", when(col("event_id") % 2 === 0, "GET").otherwise("POST"))
+      .withColumn("useragent", col("event_type"))
+      .withColumn("resconttype",
+        when(col("event_id") % 2 === 0, lit("text/plain")).otherwise(lit("image/png")))
+      .withColumn("fulluri", concat(lit("http://h/"), col("event_type"), lit("?"), col("props")))
+      .withColumn("respcode", (lit(200) + col("event_id") % 3 * 100).cast("string"))
+
   private val LenCuts = Seq(100.0, 200.0, 300.0, 400.0)
   private val TimeCuts = Seq(100.0, 250.0, 400.0)
   private val SubLenCuts = Seq(3.0, 5.0, 8.0)
@@ -129,79 +224,22 @@ object PipelineQueries {
           a.length == b.length && matching == a.length))
         .toDF("n_run1", "n_run2", "n_matching", "deterministic")}),
 
-    // PINNED-MODEL GOLDEN, driver-checked: a committed fixture of one
-    // seeded sf0.01 training run's scored top-100 (graft.GoldenGen), and
-    // a gate that re-trains fresh and compares line-for-line. Closes the
-    // last no-oracle dimension: determinism pins same-process
-    // repeatability and the perplexity band bounds quality, but only a
-    // committed golden output catches a cross-version optimizer change
-    // (MLlib upgrade, hyperparameter default drift) that lands inside
-    // the band. The summary row is constants IFF the multiset of
-    // rendered rows matches exactly; the twin IS those constants. Valid
-    // at the driver's sf0.01 only (the fixture is that corpus); both
-    // collects are topK=100-bounded.
-    "pipe_events_golden" -> ((s, dir) => {
-      val fresh = EventsPipeline.runChecked(t(s, dir, "events"),
-          threshold = 1.0, topK = 100, topicCount = 10)
-        .collect().map(graft.GoldenGen.line).sorted
-      val in = getClass.getResourceAsStream(
-        "/graft/fixtures/golden/pipe_events_sf001.tsv")
-      require(in != null, "missing golden fixture — run graft.GoldenGen")
-      val golden =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).toArray.sorted
-        finally in.close()
-      val gcount = golden.groupBy(identity).view.mapValues(_.length).toMap
-      val matching = fresh.groupBy(identity)
-        .map { case (k, fs) => math.min(fs.length, gcount.getOrElse(k, 0)) }
-        .sum
-      import s.implicits._
-      Seq((fresh.length.toLong, golden.length.toLong, matching.toLong,
-          fresh.length == golden.length && matching == golden.length))
-        .toDF("n_fresh", "n_golden", "n_matching", "matches_golden")}),
-
-    // The three reference pipelines end-to-end over network-shaped
-    // fabrications of the harness tables. LDA — rows-only checks, so each
-    // runs through runChecked: the inline perplexity bound
-    // (TopicModel.assertQuality) turns a silent training regression into
-    // a non-null gate err.
-    "pipe_flow_full" -> ((s, dir) => {
-      val flows = Fabrications.flowPorts(t(s, dir, "events"))
-        .withColumn("trhour", hour(col("ts")))
-        .withColumn("trminute", minute(col("ts")))
-        .withColumn("trsec", second(col("ts")))
-        .withColumn("ipkt", (col("value") * 10).cast("long") + 1)
-        .withColumn("ibyt", (col("value") * 1000).cast("long") + 40)
-      graft.pipelines.FlowPipeline.runChecked(flows, threshold = 1.0, topK = 100,
-        topicCount = 5, seed = 42L)
-        .select("event_id", "sip", "dip", "src_word", "dst_word", "score")}),
-
-    "pipe_dns_full" -> ((s, dir) => {
-      val dns = dnsEvents(s, dir)
-        .withColumn("frame_time", concat(lit("t"), col("doc_id")))
-        .withColumn("ip_dst", concat(lit("10.1."), (col("doc_id") % 50).cast("string"), lit(".9")))
-        .withColumnRenamed("qname", "dns_qry_name")
-        .withColumnRenamed("qry_type", "dns_qry_type")
-        .withColumnRenamed("rcode", "dns_qry_rcode")
-      graft.pipelines.DnsPipeline.runChecked(dns, threshold = 1.0, topK = 100,
-        popularDomains = Set("src1", "src3", "src5"), topicCount = 5, seed = 42L)
-        .select("doc_id", "ip_dst", "word", "score")}),
-
-    "pipe_proxy_full" -> ((s, dir) => {
-      val proxy = t(s, dir, "events")
-        .withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
-        .withColumn("p_time", date_format(col("ts"), "HH:mm:ss"))
-        .withColumn("clientip", concat(lit("10.2."), (col("user_id") % 50).cast("string"), lit(".7")))
-        .withColumn("host", concat(col("event_type"), lit(".example.com")))
-        .withColumn("reqmethod", when(col("event_id") % 2 === 0, "GET").otherwise("POST"))
-        .withColumn("useragent", col("event_type"))
-        .withColumn("resconttype",
-          when(col("event_id") % 2 === 0, lit("text/plain")).otherwise(lit("image/png")))
-        .withColumn("fulluri", concat(lit("http://h/"), col("event_type"), lit("?"), col("props")))
-        .withColumn("respcode", (lit(200) + col("event_id") % 3 * 100).cast("string"))
-      graft.pipelines.ProxyPipeline.runChecked(proxy, threshold = 1.0, topK = 100,
-        topicCount = 5, seed = 42L)
-        .select("event_id", "clientip", "word", "score")})
+    // PINNED-MODEL GOLDENS, driver-checked: committed fixtures of one
+    // seeded sf0.01 train+score per pipeline (graft.GoldenGen), each gate
+    // re-training fresh and comparing line-for-line (see [[goldenGate]]).
+    // Determinism pins same-process repeatability and the perplexity band
+    // bounds quality, but only a committed golden output catches a
+    // cross-version optimizer change (MLlib upgrade, hyperparameter
+    // default drift) that lands inside the band — and the training
+    // layout-invariance pin (TopicModel.TrainLayoutPartitions) is what
+    // makes the same fixture valid under ANY session core count.
+    // These replaced the rows-only pipe_{flow,dns,proxy}_full gates (the
+    // r9 no_oracle set): the same runChecked pipelines execute inside —
+    // perplexity band included — but the result is now exact-compared.
+    "pipe_events_golden" -> goldenGate("pipe_events_sf001"),
+    "pipe_flow_golden" -> goldenGate("pipe_flow_sf001"),
+    "pipe_dns_golden" -> goldenGate("pipe_dns_sf001"),
+    "pipe_proxy_golden" -> goldenGate("pipe_proxy_sf001")
   )
 
   private def binSql(e: String, cuts: Seq[Double]): String = Binning.binSql(e, cuts)
@@ -301,10 +339,11 @@ object PipelineQueries {
       """SELECT 100::BIGINT AS n_run1, 100::BIGINT AS n_run2,
         |       100::BIGINT AS n_matching, TRUE AS deterministic""".stripMargin,
 
-    // the golden twin: the constants the gate emits iff a fresh seeded
-    // train+score reproduces the committed fixture bit-for-bit
-    "pipe_events_golden" ->
-      """SELECT 100::BIGINT AS n_fresh, 100::BIGINT AS n_golden,
-        |       100::BIGINT AS n_matching, TRUE AS matches_golden""".stripMargin
+    // the golden twins: the constants each gate emits iff a fresh seeded
+    // train+score reproduces its committed fixture bit-for-bit
+    "pipe_events_golden" -> GoldenTwin,
+    "pipe_flow_golden" -> GoldenTwin,
+    "pipe_dns_golden" -> GoldenTwin,
+    "pipe_proxy_golden" -> GoldenTwin
   )
 }

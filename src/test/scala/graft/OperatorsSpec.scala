@@ -254,6 +254,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  it should "reject widths past 30 bits on the default token hash" in {
+    // the default polyHash is 30-bit: bits 30..59 would read constant
+    // zero and degenerate their bands into everyone-collides buckets —
+    // widths above 30 must opt in with an explicitly wide hash
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simHashDocs(docs, col("doc_id"), col("text"), bits = 40)
+    }
+    e.getMessage should include("wide")
+    // an explicit 60-bit hash unlocks the width
+    Dedup.simHashDocs(docs, col("doc_id"), col("text"), bits = 40,
+      tokenHash = graft.functions.TextFunctions.wideTokenHash)
+      .count() should be > 0L
+    // and anything past the wide hash's 60 bits still fails
+    intercept[IllegalArgumentException] {
+      Dedup.simHashDocs(docs, col("doc_id"), col("text"), bits = 61,
+        tokenHash = graft.functions.TextFunctions.wideTokenHash)
+    }
+  }
+
   "Dedup.retainBest" should "keep the best-quality doc per cluster and all singletons" in {
     // 1, 2, 3 form one near-dup cluster; 3 has the longer text (higher
     // quality: more tokens). 4 is a singleton. Quality tiebreak: lowest id.

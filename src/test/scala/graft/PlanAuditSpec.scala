@@ -48,8 +48,8 @@ class PlanAuditSpec extends SparkSpec {
   /** Full-LDA pipelines train during query construction — minutes of work
     * for no plan information beyond what the fixedmodel gates already
     * audit (same scoring dataflow, frozen model). */
-  private val skip = Set("pipe_flow_full", "pipe_dns_full",
-    "pipe_proxy_full", "pipe_events_suspicious")
+  private val skip = Set("pipe_events_suspicious", "pipe_flow_golden",
+    "pipe_dns_golden", "pipe_proxy_golden")
 
   "every gate plan" should "avoid cross/nested-loop joins outside the vector family" in {
     val sfDir = "/root/testdata/sf0.001"
