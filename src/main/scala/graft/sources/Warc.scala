@@ -100,6 +100,167 @@ object Warc {
   def parse(bytes: Array[Byte]): Option[Seq[WarcRecord]] =
     parseOwned(bytes, _ => true)
 
+  /** Malformed-archive signal of the STREAMING walk ([[streamRecords]]):
+    * an IOException subtype so Spark task retry/failure semantics treat
+    * it like any unreadable input. */
+  final class WarcFormatException(label: String, reason: String)
+      extends java.io.IOException(s"malformed WARC archive $label: $reason")
+
+  /** STREAMING record walk — the scale path of [[WarcDataSource]]: reads
+    * `in` forward exactly once with O(record) peak heap. The byte-array
+    * walk ([[parseOwned]]) holds the whole inflated archive on heap —
+    * fatal for the multi-GB crawl files splitting exists for (and
+    * impossible past 2 GiB, the array limit); here non-owned record
+    * bodies are SKIPPED without materializing and owned bodies are the
+    * only allocation, so N splits of one archive cost N linear walks but
+    * only one record of memory each.
+    *
+    * Gzip (possibly multi-member, the Common Crawl layout) is detected
+    * from the magic bytes. Malformation throws [[WarcFormatException]]
+    * at the offending record — earlier records may already be consumed;
+    * the TASK still fails loudly, so no silently-partial archive ever
+    * commits (the same contract as parseOwned's all-or-nothing None,
+    * enforced at task level instead of blob level). The stream closes on
+    * exhaustion and on malformation; abandoning the iterator early
+    * (e.g. LIMIT) leaves closing to the caller. */
+  def streamRecords(raw: java.io.InputStream, owns: Int => Boolean,
+                    label: String = "warc"): Iterator[WarcRecord] = {
+    val pb = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(raw, 1 << 16), 2)
+    val h1 = pb.read(); val h2 = pb.read()
+    if (h2 >= 0) pb.unread(h2)
+    if (h1 >= 0) pb.unread(h1)
+    val in: java.io.InputStream =
+      if (h1 == 0x1f && h2 == 0x8b)
+        new java.io.BufferedInputStream(
+          new java.util.zip.GZIPInputStream(pb, 1 << 16), 1 << 16)
+      else pb
+
+    def fail(reason: String): Nothing = {
+      try in.close() catch { case _: java.io.IOException => }
+      throw new WarcFormatException(label, reason)
+    }
+    // one CRLF-terminated US-ASCII line (the terminator is consumed and
+    // stripped); anything else — EOF mid-line, bare LF — is malformed
+    def line(): String = {
+      val sb = new java.lang.StringBuilder(64)
+      var c = in.read()
+      while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
+      if (c < 0) fail("EOF inside a header line")
+      val len = sb.length()
+      if (len == 0 || sb.charAt(len - 1) != '\r')
+        fail("header line not CRLF-terminated")
+      sb.setLength(len - 1)
+      sb.toString
+    }
+    def readFully(n: Long): Array[Byte] = {
+      if (n > Int.MaxValue - 8) fail(s"record payload of $n bytes exceeds " +
+        "the single-record limit (2 GiB) — not a valid WARC Content-Length")
+      val buf = new Array[Byte](n.toInt)
+      var off = 0
+      while (off < buf.length) {
+        val r = in.read(buf, off, buf.length - off)
+        if (r < 0) fail("EOF inside a record payload")
+        off += r
+      }
+      buf
+    }
+    def skipFully(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        val s = in.skip(left)
+        if (s > 0) left -= s
+        else if (in.read() >= 0) left -= 1 // skip() can return 0 mid-stream
+        else fail("EOF inside a record payload")
+      }
+    }
+
+    new Iterator[WarcRecord] {
+      private var idx = 0
+      private var nextRec: WarcRecord = _
+      private var done = false
+
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null && !done) {
+          val first = in.read()
+          if (first < 0) { done = true; try in.close() catch { case _: java.io.IOException => } }
+          else {
+            // re-join the already-consumed first byte to the version line
+            val restOfVersion = line()
+            val ver = first.toChar + restOfVersion
+            if (ver != "WARC/1.0" && ver != "WARC/1.1")
+              fail(s"bad version line '$ver'")
+            var warcType = ""; var uri = ""; var contentLength = -1L
+            var headersDone = false
+            while (!headersDone) {
+              val l = line()
+              if (l.isEmpty) headersDone = true
+              else {
+                val colon = l.indexOf(':')
+                if (colon < 0) fail(s"header line without colon: '$l'")
+                val name = l.substring(0, colon).trim.toLowerCase
+                val value = l.substring(colon + 1).trim
+                name match {
+                  case "warc-type" => warcType = value
+                  case "warc-target-uri" => uri = value
+                  case "content-length" =>
+                    contentLength = try value.toLong catch {
+                      case _: NumberFormatException =>
+                        fail(s"bad Content-Length '$value'")
+                    }
+                  case _ => // WARC-Date, WARC-Record-ID, …: not needed
+                }
+              }
+            }
+            if (contentLength < 0) fail("missing Content-Length")
+            if (warcType.isEmpty) fail("missing WARC-Type")
+            val owned = owns(idx)
+            val payload =
+              if (owned) readFully(contentLength)
+              else { skipFully(contentLength); Array.emptyByteArray }
+            val sep = readFully(4)
+            if (!(sep(0) == '\r' && sep(1) == '\n' &&
+                  sep(2) == '\r' && sep(3) == '\n'))
+              fail("missing record separator (two CRLF)")
+            if (owned) {
+              var status = -1; var cType = ""; var body = Array.emptyByteArray
+              if (warcType == "response") {
+                val s = indexOfDoubleCrlf(payload)
+                if (s < 0) fail(s"response record $idx without HTTP header split")
+                val head = new String(payload, 0, s, "US-ASCII")
+                val lines = head.split(Crlf)
+                val parts = lines.head.split(" ")
+                if (parts.length < 2 || !parts(0).startsWith("HTTP/"))
+                  fail(s"response record $idx with bad status line")
+                status = try parts(1).toInt catch {
+                  case _: NumberFormatException =>
+                    fail(s"response record $idx with non-numeric status")
+                }
+                cType = lines.tail.collectFirst {
+                  case l if l.toLowerCase.startsWith("content-type:") =>
+                    l.substring(13).trim
+                }.getOrElse("")
+                body = java.util.Arrays.copyOfRange(payload, s + 4, payload.length)
+              }
+              nextRec = WarcRecord(idx, warcType, uri, status, cType, body)
+            }
+            idx += 1
+          }
+        }
+      }
+
+      override def hasNext: Boolean = {
+        if (nextRec == null && !done) advance()
+        nextRec != null
+      }
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException("warc iterator")
+        val r = nextRec; nextRec = null; r
+      }
+    }
+  }
+
   /** [[parse]] restricted to the records whose index satisfies `owns` —
     * the split-read path of [[WarcDataSource]]. Non-owned records are
     * still STRUCTURALLY validated (version line, headers, declared

@@ -103,6 +103,64 @@ object WarcDataSource {
       }
     bins.map(_._1.toSeq).toSeq
   }
+
+  /** The streaming batch a (start, end] offset pair selects from the
+    * current sorted listing. Offsets are (index, lastName); lastName ""
+    * marks a legacy r8 bare-int checkpoint. Name intervals are the
+    * primary boundary (immune to listing races — a transiently-missed
+    * file heals into its interval); a legacy START falls back to the
+    * index slice, and a legacy END (crash-replayed pending batch whose
+    * offset-WAL predates the name format) must ALSO bound by its index —
+    * its empty name passes every file, including ones that arrived after
+    * the recorded end, which the next batch (starting at that same end)
+    * would then re-plan as duplicates. */
+  /** List `path` (one file or a directory) through the Hadoop FileSystem
+    * API — the same layer the parquet scans use, so `s3a://`/`abfs://`/
+    * `hdfs://` crawl buckets work exactly like local directories (the
+    * pre-r10 lister was `java.io.File`-only). Hidden files (`.`/`_`
+    * prefixes) are skipped like Spark's own FileIndex. Returns
+    * name-sorted (path, size); when the USER's path carried no scheme,
+    * listed names are rendered schemeless too, so output `path` column
+    * values and committed stream offsets are byte-identical to the old
+    * lister's (and re-resolve through the same default FS on open). */
+  private[graft] def listFiles(path: String,
+                               conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
+    val hadScheme = path.matches("[A-Za-z][A-Za-z0-9+.-]*:.*")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    val stats = if (st.isFile) Array(st) else fs.listStatus(p).filter(_.isFile)
+    stats
+      .filter { s =>
+        val n = s.getPath.getName
+        !n.startsWith(".") && !n.startsWith("_")
+      }
+      .map { s =>
+        val name =
+          if (hadScheme) s.getPath.toString else s.getPath.toUri.getPath
+        (name, s.getLen)
+      }
+      .sortBy(_._1).toSeq
+  }
+
+  /** Open a listed file for the streaming record walk (executor side). */
+  private[graft] def open(file: String,
+                          conf: org.apache.hadoop.conf.Configuration): java.io.InputStream = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    p.getFileSystem(conf).open(p)
+  }
+
+  private[graft] def selectBatch(files: Seq[String],
+                                   startN: Int, startLast: String,
+                                   endN: Int, endLast: String): Seq[String] =
+    files.zipWithIndex
+      .filter { case (f, i) =>
+        (if (startLast.nonEmpty) f > startLast else i >= startN) &&
+        (if (endLast.nonEmpty) f <= endLast else i < endN)
+      }
+      .map(_._1)
 }
 
 private class WarcTable(path: String) extends Table with SupportsRead {
@@ -161,25 +219,24 @@ private class WarcScan(path: String, required: StructType,
     s"WarcScan(path=$path, columns=${required.fieldNames.mkString(",")}" +
       typeFilter.map(t => s", warc_type=${t.mkString("|")}").getOrElse("") + ")"
 
+  // driver-side session Hadoop conf, shipped to executors for FS opens
+  private val conf = new org.apache.spark.util.SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
   override def planInputPartitions(): Array[InputPartition] = {
     // size-balanced planning (see class doc): driver-side listing is
-    // bounded metadata, like any FileIndex
-    val dir = new java.io.File(path)
-    val files =
-      if (dir.isFile) Array(dir)
-      else Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith(".")
-          && !f.getName.startsWith("_"))
+    // bounded metadata, like any FileIndex — through the Hadoop FS API,
+    // so object-store crawl buckets plan like local directories
     WarcDataSource.planSlices(
-      files.toSeq.map(f => (f.getAbsolutePath, f.length())), splitBytes)
+      WarcDataSource.listFiles(path, conf.value), splitBytes)
       .map(sl => WarcInputPartition(sl): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, typeFilter)
+    new WarcReaderFactory(required, typeFilter, conf)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WarcMicroBatchStream(path, required, typeFilter)
+    new WarcMicroBatchStream(path, required, typeFilter, conf)
 }
 
 /** File-arrival streaming over an archive directory — crawl drops land
@@ -206,15 +263,11 @@ private class WarcScan(path: String, required: StructType,
   * (out-of-order arrival — its interval has already been planned, so
   * it would otherwise be lost silently). */
 private class WarcMicroBatchStream(path: String, required: StructType,
-                                   typeFilter: Option[Set[String]])
+                                   typeFilter: Option[Set[String]],
+                                   conf: org.apache.spark.util.SerializableConfiguration)
     extends MicroBatchStream {
-  private def listSorted(): Array[String] = {
-    val dir = new java.io.File(path)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith(".")
-        && !f.getName.startsWith("_"))
-      .map(_.getAbsolutePath).sorted
-  }
+  private def listSorted(): Array[String] =
+    WarcDataSource.listFiles(path, conf.value).map(_._1).toArray
   /** `last` = absolute path of the offset's boundary file ("" at the
     * stream start). Serialized as `n\nlast` — '\n' cannot appear in a
     * path the lister returned. Legacy checkpoints (bare int, r8 format)
@@ -251,10 +304,7 @@ private class WarcMicroBatchStream(path: String, required: StructType,
     val so = start.asInstanceOf[WarcOffset]
     val eo = end.asInstanceOf[WarcOffset]
     val files = listSorted()
-    val batch =
-      if (so.last.isEmpty && so.n > 0) // legacy bare-int start offset
-        files.drop(so.n).filter(f => eo.last.isEmpty || f <= eo.last)
-      else files.filter(f => f > so.last && eo.last.nonEmpty && f <= eo.last)
+    val batch = WarcDataSource.selectBatch(files, so.n, so.last, eo.n, eo.last)
     if (!adopted) {
       // first plan of this stream object: a checkpoint restore starts
       // behind an already-committed boundary — adopt that prefix as
@@ -286,42 +336,49 @@ private class WarcMicroBatchStream(path: String, required: StructType,
       s"warc stream: ${gone.size} previously-seen files vanished " +
         s"(first: '${gone.toSeq.min}') — arrivals must be append-only")
     batch.map(f => WarcInputPartition(
-      Seq(WarcDataSource.FileSlice(f, 0, 1))): InputPartition)
+      Seq(WarcDataSource.FileSlice(f, 0, 1))): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, typeFilter)
+    new WarcReaderFactory(required, typeFilter, conf)
 }
 
 private case class WarcInputPartition(slices: Seq[WarcDataSource.FileSlice])
     extends InputPartition
 
 private class WarcReaderFactory(required: StructType,
-                                typeFilter: Option[Set[String]])
+                                typeFilter: Option[Set[String]],
+                                conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(p.asInstanceOf[WarcInputPartition].slices,
-      required, typeFilter)
+      required, typeFilter, conf)
 }
 
 private class WarcPartitionReader(slices: Seq[WarcDataSource.FileSlice],
                                   required: StructType,
-                                  typeFilter: Option[Set[String]])
+                                  typeFilter: Option[Set[String]],
+                                  conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
-  // slices parse lazily in sequence; within a slice the whole archive
-  // walks up front (gzip members are one stream) but only OWNED records
-  // materialize, and rows then assemble column-pruned
+  // slices walk lazily in sequence as STREAMS ([[Warc.streamRecords]]):
+  // peak heap is O(record), never O(file) — a 100 GiB archive sliced 800
+  // ways costs 800 linear walks (the splittable-gzip tradeoff) but one
+  // record of memory each, where the old byte-array walk held the whole
+  // inflated archive per slice and failed outright past 2 GiB. Only
+  // OWNED records materialize; rows assemble column-pruned. Files open
+  // through the Hadoop FS API — object-store URIs read like local paths.
   private var pathUtf: UTF8String = _
+  private var openStream: java.io.InputStream = _
   private val records: Iterator[Warc.WarcRecord] =
     slices.iterator.flatMap { sl =>
-      val bytes = java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(sl.file))
       val owns: Int => Boolean =
         if (sl.numSplits == 1) _ => true
         else idx => idx % sl.numSplits == sl.splitIdx
-      val parsed = Warc.parseOwned(bytes, owns).getOrElse(
-        throw new java.io.IOException(s"malformed WARC archive: ${sl.file}"))
       pathUtf = UTF8String.fromString(sl.file)
-      val it = parsed.iterator
+      // track the live stream so an early close() (LIMIT) releases it;
+      // streamRecords closes it itself on exhaustion or malformation
+      val in = WarcDataSource.open(sl.file, conf.value)
+      openStream = in
+      val it = Warc.streamRecords(in, owns, sl.file)
       typeFilter match {
         case Some(types) => it.filter(r => types.contains(r.warcType))
         case None => it
@@ -356,5 +413,9 @@ private class WarcPartitionReader(slices: Seq[WarcDataSource.FileSlice],
     }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit =
+    if (openStream != null) {
+      try openStream.close() catch { case _: java.io.IOException => }
+      openStream = null
+    }
 }

@@ -148,6 +148,26 @@ class WarcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "bound a replayed all-legacy batch by its recorded end index" in {
+    import graft.sources.WarcDataSource.selectBatch
+    // crash between offset-WAL write and commit under the r8 bare-int
+    // format: the pending batch replays with BOTH offsets legacy
+    // (empty names). Files c,d arrived AFTER the recorded end (n=2) —
+    // the replay must stop at index 2 or the next batch (start = that
+    // same end) re-plans c,d as duplicates.
+    val files = Seq("a.warc", "b.warc", "c.warc", "d.warc")
+    selectBatch(files, 0, "", 2, "") shouldBe Seq("a.warc", "b.warc")
+    selectBatch(files, 2, "", 4, "") shouldBe Seq("c.warc", "d.warc")
+    // legacy start + name-format end: index lower bound, name upper bound
+    selectBatch(files, 1, "", 3, "c.warc") shouldBe Seq("b.warc", "c.warc")
+    // name-format both: pure (start, end] name interval
+    selectBatch(files, 9, "a.warc", 9, "c.warc") shouldBe Seq("b.warc", "c.warc")
+    // name-format start + legacy end: names above start, capped at index
+    selectBatch(files, 0, "a.warc", 3, "") shouldBe Seq("b.warc", "c.warc")
+    // empty stream boundaries select nothing
+    selectBatch(files, 0, "", 0, "") shouldBe Seq.empty
+  }
+
   it should "fail loudly when a late file sorts into the committed prefix" in {
     val dir = java.nio.file.Files.createTempDirectory("warcooo").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.warc"),
@@ -199,6 +219,79 @@ class WarcSpec extends SparkSpec {
     // pushdown composes with splitting: each split filters its own records
     spark.read.format("warc").option("split_size", 700).load(dir)
       .where($"warc_type" === "response").count() shouldBe 40L
+  }
+
+  "Warc.streamRecords" should "walk a stream identically to the byte-array parse" in {
+    val bytes = archive()
+    val streamed = Warc.streamRecords(
+      new java.io.ByteArrayInputStream(bytes), _ => true).toSeq
+    val parsed = Warc.parse(bytes).get
+    streamed.map(r => (r.recIdx, r.warcType, r.targetUri, r.httpStatus,
+      r.contentType, new String(r.body, "UTF-8"))) shouldBe
+      parsed.map(r => (r.recIdx, r.warcType, r.targetUri, r.httpStatus,
+        r.contentType, new String(r.body, "UTF-8")))
+    // gzip members too, and ownership restriction skips bodies
+    val gzStreamed = Warc.streamRecords(
+      new java.io.ByteArrayInputStream(Warc.encodeGz(Seq(
+        Warc.record("warcinfo", "", "software: fixture\r\n".getBytes("US-ASCII")),
+        Warc.record("request", "http://a.example/x",
+          "GET /x HTTP/1.1\r\nHost: a.example\r\n\r\n".getBytes("US-ASCII")),
+        Warc.record("response", "http://a.example/x",
+          Warc.httpResponse(200, "text/html; charset=utf-8",
+            "<html><body>alpha</body></html>".getBytes("UTF-8"))),
+        Warc.record("response", "http://a.example/y",
+          Warc.httpResponse(404, "text/plain", "gone".getBytes("UTF-8")))))),
+      idx => idx % 2 == 1).toSeq
+    gzStreamed.map(_.recIdx) shouldBe Seq(1, 3)
+    gzStreamed.last.httpStatus shouldBe 404
+  }
+
+  it should "throw on malformation instead of yielding partial silence" in {
+    val bad = archive().dropRight(2) // truncated record separator
+    val e = intercept[Warc.WarcFormatException] {
+      Warc.streamRecords(new java.io.ByteArrayInputStream(bad), _ => true)
+        .toSeq
+    }
+    e.getMessage should include("malformed")
+  }
+
+  it should "read a >2 GiB (inflated) multi-member archive with O(record) heap" in {
+    // The byte-array walk could never do this: readAllBytes / the inflate
+    // buffer cap at Int.MaxValue, and the whole archive would resident on
+    // heap per slice. Generate (not commit) a gzip archive whose INFLATED
+    // size passes 2 GiB — 72 members × 32 MiB zero bodies ≈ 2.25 GiB —
+    // compressed to a few MB on disk; walk it via the DSv2 source with a
+    // split_size that fans it into slices, asserting exact global record
+    // indexes and that bodies never materialize for a uri-only projection.
+    val members = 72
+    val bodyLen = 32 * 1024 * 1024
+    val dir = java.nio.file.Files.createTempDirectory("warcbig")
+    val f = dir.resolve("big.warc.gz")
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(f), 1 << 20)
+    val body = new Array[Byte](bodyLen) // zeros: ~32K gz per member
+    (0 until members).foreach { i =>
+      val gz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
+      gz.write(Warc.record("response", s"http://big.example/$i",
+        Warc.httpResponse(200, "application/octet-stream", body)))
+      gz.finish()
+    }
+    out.close()
+    (members.toLong * bodyLen) should be > (Int.MaxValue.toLong)
+    try {
+      // split on DISK size (the planner's unit): ~0.5 MB over a ~2 MB gz
+      // file fans into several slices, each an independent O(record) walk
+      val rows = spark.read.format("warc")
+        .option("split_size", (512L * 1024).toString)
+        .load(dir.toString)
+        .select($"rec_idx", $"target_uri")
+        .as[(Int, String)].collect().sortBy(_._1)
+      rows.length shouldBe members
+      rows.map(_._1).toSeq shouldBe (0 until members)
+      rows.map(_._2).toSeq shouldBe (0 until members).map(i => s"http://big.example/$i")
+    } finally {
+      java.nio.file.Files.delete(f); java.nio.file.Files.delete(dir)
+    }
   }
 
   it should "intersect conflicting warc_type equalities to the empty scan" in {
