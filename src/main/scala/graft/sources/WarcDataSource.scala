@@ -104,16 +104,18 @@ object WarcDataSource {
     bins.map(_._1.toSeq).toSeq
   }
 
-  /** The streaming batch a (start, end] offset pair selects from the
-    * current sorted listing. Offsets are (index, lastName); lastName ""
-    * marks a legacy r8 bare-int checkpoint. Name intervals are the
-    * primary boundary (immune to listing races — a transiently-missed
-    * file heals into its interval); a legacy START falls back to the
-    * index slice, and a legacy END (crash-replayed pending batch whose
-    * offset-WAL predates the name format) must ALSO bound by its index —
-    * its empty name passes every file, including ones that arrived after
-    * the recorded end, which the next batch (starting at that same end)
-    * would then re-plan as duplicates. */
+  /** The path's FileSystem, with local paths unwrapped to the RAW local
+    * FS: `LocalFileSystem` is a ChecksumFileSystem, and its per-open
+    * probe for a sibling `.crc` file doubles syscalls on the
+    * many-tiny-archives shape (the WARC stream's batch grain) for
+    * checksums WARC archives never carry. */
+  private def fsFor(p: org.apache.hadoop.fs.Path,
+                    conf: org.apache.hadoop.conf.Configuration): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(conf) match {
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
+      case other => other
+    }
+
   /** List `path` (one file or a directory) through the Hadoop FileSystem
     * API — the same layer the parquet scans use, so `s3a://`/`abfs://`/
     * `hdfs://` crawl buckets work exactly like local directories (the
@@ -127,7 +129,7 @@ object WarcDataSource {
                                conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
     val hadScheme = path.matches("[A-Za-z][A-Za-z0-9+.-]*:.*")
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
+    val fs = fsFor(p, conf)
     val st =
       try fs.getFileStatus(p)
       catch { case _: java.io.FileNotFoundException => return Seq.empty }
@@ -149,9 +151,19 @@ object WarcDataSource {
   private[graft] def open(file: String,
                           conf: org.apache.hadoop.conf.Configuration): java.io.InputStream = {
     val p = new org.apache.hadoop.fs.Path(file)
-    p.getFileSystem(conf).open(p)
+    fsFor(p, conf).open(p)
   }
 
+  /** The streaming batch a (start, end] offset pair selects from the
+    * current sorted listing. Offsets are (index, lastName); lastName ""
+    * marks a legacy r8 bare-int checkpoint. Name intervals are the
+    * primary boundary (immune to listing races — a transiently-missed
+    * file heals into its interval); a legacy START falls back to the
+    * index slice, and a legacy END (crash-replayed pending batch whose
+    * offset-WAL predates the name format) must ALSO bound by its index —
+    * its empty name passes every file, including ones that arrived after
+    * the recorded end, which the next batch (starting at that same end)
+    * would then re-plan as duplicates. */
   private[graft] def selectBatch(files: Seq[String],
                                    startN: Int, startLast: String,
                                    endN: Int, endLast: String): Seq[String] =
@@ -219,16 +231,21 @@ private class WarcScan(path: String, required: StructType,
     s"WarcScan(path=$path, columns=${required.fieldNames.mkString(",")}" +
       typeFilter.map(t => s", warc_type=${t.mkString("|")}").getOrElse("") + ")"
 
-  // driver-side session Hadoop conf, shipped to executors for FS opens
-  private val conf = new org.apache.spark.util.SerializableConfiguration(
-    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  // driver-side session Hadoop conf, shipped to executors as a BROADCAST:
+  // a bare SerializableConfiguration in the reader factory re-parses the
+  // whole property map per TASK, which on the stream's one-tiny-file-per-
+  // task grain dominates the actual read; the broadcast deserializes once
+  // per executor and costs each task an id lookup
+  private val conf = org.apache.spark.sql.SparkSession.active.sparkContext
+    .broadcast(new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 
   override def planInputPartitions(): Array[InputPartition] = {
     // size-balanced planning (see class doc): driver-side listing is
     // bounded metadata, like any FileIndex — through the Hadoop FS API,
     // so object-store crawl buckets plan like local directories
     WarcDataSource.planSlices(
-      WarcDataSource.listFiles(path, conf.value), splitBytes)
+      WarcDataSource.listFiles(path, conf.value.value), splitBytes)
       .map(sl => WarcInputPartition(sl): InputPartition).toArray
   }
 
@@ -264,10 +281,10 @@ private class WarcScan(path: String, required: StructType,
   * it would otherwise be lost silently). */
 private class WarcMicroBatchStream(path: String, required: StructType,
                                    typeFilter: Option[Set[String]],
-                                   conf: org.apache.spark.util.SerializableConfiguration)
+                                   conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration])
     extends MicroBatchStream {
   private def listSorted(): Array[String] =
-    WarcDataSource.listFiles(path, conf.value).map(_._1).toArray
+    WarcDataSource.listFiles(path, conf.value.value).map(_._1).toArray
   /** `last` = absolute path of the offset's boundary file ("" at the
     * stream start). Serialized as `n\nlast` — '\n' cannot appear in a
     * path the lister returned. Legacy checkpoints (bare int, r8 format)
@@ -347,7 +364,7 @@ private case class WarcInputPartition(slices: Seq[WarcDataSource.FileSlice])
 
 private class WarcReaderFactory(required: StructType,
                                 typeFilter: Option[Set[String]],
-                                conf: org.apache.spark.util.SerializableConfiguration)
+                                conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(p.asInstanceOf[WarcInputPartition].slices,
@@ -357,7 +374,7 @@ private class WarcReaderFactory(required: StructType,
 private class WarcPartitionReader(slices: Seq[WarcDataSource.FileSlice],
                                   required: StructType,
                                   typeFilter: Option[Set[String]],
-                                  conf: org.apache.spark.util.SerializableConfiguration)
+                                  conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration])
     extends PartitionReader[InternalRow] {
   // slices walk lazily in sequence as STREAMS ([[Warc.streamRecords]]):
   // peak heap is O(record), never O(file) — a 100 GiB archive sliced 800
@@ -376,7 +393,7 @@ private class WarcPartitionReader(slices: Seq[WarcDataSource.FileSlice],
       pathUtf = UTF8String.fromString(sl.file)
       // track the live stream so an early close() (LIMIT) releases it;
       // streamRecords closes it itself on exhaustion or malformation
-      val in = WarcDataSource.open(sl.file, conf.value)
+      val in = WarcDataSource.open(sl.file, conf.value.value)
       openStream = in
       val it = Warc.streamRecords(in, owns, sl.file)
       typeFilter match {
