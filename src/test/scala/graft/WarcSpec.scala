@@ -221,6 +221,32 @@ class WarcSpec extends SparkSpec {
       .where($"warc_type" === "response").count() shouldBe 40L
   }
 
+  it should "read scheme-qualified file: URIs through the Hadoop FS layer" in {
+    // the r10 lister/opener go through the Hadoop FileSystem API so
+    // object-store URIs (s3a://, abfs://) work like local dirs; prove the
+    // scheme'd path round-trip locally: listing, batch read, and the
+    // emitted path column keep the user's scheme form
+    val dir = java.nio.file.Files.createTempDirectory("warcuri")
+    java.nio.file.Files.write(dir.resolve("a.warc"), archive())
+    val uri = "file:" + dir.toString
+    val rows = spark.read.format("warc").load(uri)
+      .where($"warc_type" === "response")
+      .select($"path", $"target_uri")
+      .as[(String, String)].collect().sortBy(_._2)
+    rows.map(_._2).toSeq shouldBe Seq("http://a.example/x", "http://a.example/y")
+    all(rows.map(_._1)) should startWith("file:")
+    // and the schemeless form of the same dir still yields bare paths
+    val bare = spark.read.format("warc").load(dir.toString)
+      .select($"path").distinct().as[String].collect()
+    all(bare) should startWith("/")
+    // FS-layer listing helper agrees in both renderings
+    val conf = spark.sessionState.newHadoopConf()
+    graft.sources.WarcDataSource.listFiles(uri, conf)
+      .map(_._1).foreach(_ should startWith("file:"))
+    graft.sources.WarcDataSource.listFiles(dir.toString, conf)
+      .map(_._1).foreach(_ should startWith("/"))
+  }
+
   "Warc.streamRecords" should "walk a stream identically to the byte-array parse" in {
     val bytes = archive()
     val streamed = Warc.streamRecords(
