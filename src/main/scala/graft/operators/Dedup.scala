@@ -425,10 +425,17 @@ object Dedup {
     * `bands` contiguous blocks; by pigeonhole, any pair within Hamming
     * distance `maxHamming` < `bands` shares at least one UNCHANGED block,
     * so blocking on (band, block bits) has exact recall for that radius.
-    * Candidates (docs sharing any band key) are verified with the exact
-    * popcount of the fingerprint XOR. One shuffle on narrow (doc_id, band,
-    * key) rows — fingerprints re-attach to the (much smaller) candidate
-    * set; never an all-pairs comparison. */
+    *
+    * The candidate join runs over DISTINCT fingerprints, not docs — the
+    * load-bearing move for the classic simhash skew at crawl scale: a
+    * template page shared by millions of docs is ONE fingerprint, so its
+    * band bucket contributes one row per band instead of a quadratic
+    * doc bucket (join work is fingerprint-space-bound; only the OUTPUT
+    * expansion is pair-count-bound, which any all-pairs contract must
+    * pay). Exactly-equal fingerprints short-circuit the bands entirely
+    * (a same-key self-join at Hamming 0); unequal candidate fingerprints
+    * are verified ONCE per fingerprint pair with the exact popcount of
+    * the XOR, then expand to doc pairs through two narrow joins. */
   def simHashNearDupPairs(df: DataFrame, id: Column, text: Column,
                           bits: Int = 16, bands: Int = 4,
                           maxHamming: Int = 3,
@@ -438,7 +445,17 @@ object Dedup {
       s"pigeonhole recall needs maxHamming ($maxHamming) < bands ($bands)")
     val bandBits = bits / bands
     val fp = simHashDocs(df, id, text, bits, tokenHash).localCheckpoint(false)
-    val banded = fp.select(col("doc_id"),
+
+    // Hamming-0 pairs: identical fingerprints, paired by one equi-join on
+    // the fingerprint itself — work and output are both the pair count.
+    val same = fp.as("a").join(fp.as("b"),
+        col("a.simhash") === col("b.simhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        lit(0L).as("hamming"))
+
+    val fps = fp.select(col("simhash")).distinct()
+    val banded = fps.select(col("simhash"),
         explode(array((0 until bands).map { b =>
           // Unsigned shift + mask: with bits=64 the sign bit is data, and a
           // signed shiftright+% would sign-extend and emit negative keys for
@@ -447,19 +464,25 @@ object Dedup {
             shiftrightunsigned(col("simhash"), b * bandBits)
               .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
         }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val cand = banded.as("a")
+      .select(col("simhash"), col("bk.band"), col("bk.key"))
+    // distinct UNEQUAL fingerprint pairs sharing any band, popcount-verified
+    val fpPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
       .distinct()
-    cand
-      .join(fp.select(col("doc_id").as("id_a"), col("simhash").as("fp_a")), "id_a")
-      .join(fp.select(col("doc_id").as("id_b"), col("simhash").as("fp_b")), "id_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .where(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    // expand to doc pairs; fp_a ≠ fp_b means the two member sets are
+    // disjoint, so least/greatest normalizes each unordered pair exactly once
+    val cross = fpPairs
+      .join(fp.select(col("doc_id").as("__da"), col("simhash").as("fp_a")), "fp_a")
+      .join(fp.select(col("doc_id").as("__db"), col("simhash").as("fp_b")), "fp_b")
+      .select(least(col("__da"), col("__db")).as("id_a"),
+        greatest(col("__da"), col("__db")).as("id_b"),
+        col("hamming").cast("long").as("hamming"))
+    same.unionByName(cross)
   }
 
   /** Per-doc SimHash over token hashes (default 16 bits): bit i of the
