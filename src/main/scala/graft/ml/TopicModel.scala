@@ -34,16 +34,23 @@ object TopicModel {
     * driver mid-train. */
   val MaxDriverVocab: Int = 1 << 20
 
-  /** Fixed partition count for the corpus handed to the LDA optimizer.
+  /** Default partition count for the corpus handed to the LDA optimizer.
     * The online optimizer's minibatch sampling (and the doc-id assignment
     * MLlib derives via zipWithIndex) depend on the RDD's partition layout,
     * so a layout inherited from the session (core count → shuffle
     * partitions) makes "same seed" reproducible only within one session
     * config. Training therefore pins its input to a CONSTANT hash layout —
-    * `repartition(TrainLayoutPartitions, col("doc"))` +
+    * `repartition(layoutPartitions, col("doc"))` +
     * `sortWithinPartitions("doc")` — a pure function of the data, so the
     * same corpus + seed trains the identical model under local[4],
-    * local[32], or a 1000-executor cluster. */
+    * local[32], or a 1000-executor cluster.
+    *
+    * FIXTURE CONTRACT: the committed pipeline goldens
+    * (src/test/resources/golden/pipe_*) were trained at THIS default; a
+    * different `layoutPartitions` trains a numerically different (equally
+    * valid) model. Crawl-scale corpora should widen `layoutPartitions` to
+    * match cluster parallelism — reproducibility holds at any fixed value,
+    * it is only tied to the VALUE chosen, not to 64. */
   val TrainLayoutPartitions: Int = 64
 
   /** The top-`cap` words of a (word, cnt) corpus by TOTAL corpus count
@@ -70,12 +77,21 @@ object TopicModel {
     * with bounded driver memory. Scoring then sees unseen words through
     * the uniform-default path, exactly like unseen docs. When unset, the
     * vocabulary must already be bounded (discretized feature words) and
-    * the `maxDriverVocab` guard fails loudly otherwise. */
+    * the `maxDriverVocab` guard fails loudly otherwise.
+    *
+    * `layoutPartitions`: the pinned training-input layout (see
+    * [[TrainLayoutPartitions]] for the reproducibility + fixture
+    * contract). Any fixed value is layout-invariant across session
+    * configs; widen it on large clusters so LDA-fit input parallelism
+    * is not capped at 64 tasks. */
   def train(wordCounts: DataFrame, topicCount: Int = 20, alpha: Double = 2.5,
             seed: Long = 42L, maxIter: Int = 20,
             optimizer: String = "online",
             maxDriverVocab: Int = MaxDriverVocab,
-            vocabCap: Option[Int] = None): Model = {
+            vocabCap: Option[Int] = None,
+            layoutPartitions: Int = TrainLayoutPartitions): Model = {
+    require(layoutPartitions > 0,
+      s"layoutPartitions must be positive, got $layoutPartitions")
     val spark = wordCounts.sparkSession
     import spark.implicits._
 
@@ -117,7 +133,7 @@ object TopicModel {
       // totally ordered within each partition (docs are unique after the
       // groupBy). Explicit numPartitions also keeps AQE from re-coalescing
       // the layout at runtime.
-      .repartition(TrainLayoutPartitions, col("doc"))
+      .repartition(layoutPartitions, col("doc"))
       .sortWithinPartitions("doc")
       .cache()
 

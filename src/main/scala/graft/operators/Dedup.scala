@@ -454,7 +454,24 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         lit(0L).as("hamming"))
 
-    val fps = fp.select(col("simhash")).distinct()
+    val fpPairs = bandedFpPairs(fp.select(col("simhash")).distinct(),
+      bands, bandBits, maxHamming)
+    // expand to doc pairs; fp_a ≠ fp_b means the two member sets are
+    // disjoint, so least/greatest normalizes each unordered pair exactly once
+    val cross = fpPairs
+      .join(fp.select(col("doc_id").as("__da"), col("simhash").as("fp_a")), "fp_a")
+      .join(fp.select(col("doc_id").as("__db"), col("simhash").as("fp_b")), "fp_b")
+      .select(least(col("__da"), col("__db")).as("id_a"),
+        greatest(col("__da"), col("__db")).as("id_b"),
+        col("hamming").cast("long").as("hamming"))
+    same.unionByName(cross)
+  }
+
+  /** Distinct UNEQUAL fingerprint pairs within `maxHamming`, via band
+    * blocking + exact popcount — the fingerprint-space candidate core
+    * shared by [[simHashNearDupPairs]] and [[simHashClusters]]. */
+  private def bandedFpPairs(fps: DataFrame, bands: Int, bandBits: Int,
+                            maxHamming: Int): DataFrame = {
     val banded = fps.select(col("simhash"),
         explode(array((0 until bands).map { b =>
           // Unsigned shift + mask: with bits=64 the sign bit is data, and a
@@ -465,8 +482,7 @@ object Dedup {
               .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
         }: _*)).as("bk"))
       .select(col("simhash"), col("bk.band"), col("bk.key"))
-    // distinct UNEQUAL fingerprint pairs sharing any band, popcount-verified
-    val fpPairs = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.simhash") < col("b.simhash"))
@@ -474,15 +490,52 @@ object Dedup {
       .distinct()
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .where(col("hamming") <= maxHamming)
-    // expand to doc pairs; fp_a ≠ fp_b means the two member sets are
-    // disjoint, so least/greatest normalizes each unordered pair exactly once
-    val cross = fpPairs
-      .join(fp.select(col("doc_id").as("__da"), col("simhash").as("fp_a")), "fp_a")
-      .join(fp.select(col("doc_id").as("__db"), col("simhash").as("fp_b")), "fp_b")
-      .select(least(col("__da"), col("__db")).as("id_a"),
-        greatest(col("__da"), col("__db")).as("id_b"),
-        col("hamming").cast("long").as("hamming"))
-    same.unionByName(cross)
+  }
+
+  /** GROUP-DIRECT SimHash clustering — the consumer-shaped alternative to
+    * [[simHashNearDupPairs]] → [[connectedComponents]] when the goal is a
+    * cluster key per document (retention, splits), not the pair list.
+    * The pairs contract must expand a million-copy template page
+    * (identical fingerprints, Hamming 0) into ~n²/2 rows; here identical
+    * fingerprints are never paired at all: components run over the
+    * FINGERPRINT graph (nodes = distinct fingerprints, edges = unequal
+    * fingerprints within `maxHamming` from the same banded candidate
+    * core), and docs attach to their fingerprint's component by ONE
+    * equi-join. Every step is linear in docs + fingerprint pairs — a 10⁴
+    * member identical-fingerprint group costs 10⁴ rows end to end, not
+    * 5·10⁷ pairs.
+    *
+    * Output: (doc_id, cluster) for EVERY input document, cluster = the
+    * minimum doc_id reachable through the Hamming-≤`maxHamming` relation
+    * (identical fingerprints are distance 0, so exact-dup groups always
+    * share a cluster); documents with no neighbor within the radius are
+    * singletons (cluster = own id). Semantics are exactly
+    * `connectedComponents(simHashNearDupPairs(...))` completed with
+    * singleton rows — the d13 gate pins the equivalence against a
+    * recursive-closure oracle. */
+  def simHashClusters(df: DataFrame, id: Column, text: Column,
+                      bits: Int = 16, bands: Int = 4, maxHamming: Int = 3,
+                      tokenHash: Column => Column = DefaultTokenHash): DataFrame = {
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    require(maxHamming < bands,
+      s"pigeonhole recall needs maxHamming ($maxHamming) < bands ($bands)")
+    val fp = simHashDocs(df, id, text, bits, tokenHash).localCheckpoint(false)
+    val fpPairs = bandedFpPairs(fp.select(col("simhash")).distinct(),
+      bands, bits / bands, maxHamming)
+    // component label per FINGERPRINT (min fingerprint in the component);
+    // fingerprints with no in-radius unequal neighbor are absent → their
+    // own label via coalesce
+    val comp = connectedComponents(fpPairs.select(
+        col("fp_a").as("id_a"), col("fp_b").as("id_b")))
+      .select(col("doc_id").as("__fp"), col("cluster").as("__fcomp"))
+    val labeled = fp.join(comp, col("simhash") === col("__fp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__fcomp"), col("simhash")).as("__fcomp"))
+    // canonical cluster id = min doc_id in the fingerprint component: one
+    // map-side-combined aggregate over the (few) component keys + one join
+    val clusterIds = labeled.groupBy("__fcomp")
+      .agg(min(col("doc_id")).as("cluster"))
+    labeled.join(clusterIds, "__fcomp").select(col("doc_id"), col("cluster"))
   }
 
   /** Per-doc SimHash over token hashes (default 16 bits): bit i of the

@@ -466,6 +466,16 @@ object TextQueries {
         bits = 60, bands = 4, maxHamming = 3,
         tokenHash = wideTokenHash)),
 
+    // D13: GROUP-DIRECT SimHash clustering — the consumer-shaped form:
+    // cluster keys per doc with components in FINGERPRINT space, so an
+    // identical-fingerprint mega-group (a million-copy template page)
+    // costs linear rows end to end where the d9 pairs contract must
+    // expand ~n²/2 Hamming-0 pairs. Oracle: recursive closure over the
+    // all-pairs fingerprint graph, docs attached by fingerprint.
+    "d13_simhash_clusters" -> ((s, dir) =>
+      Dedup.simHashClusters(withDups(s, dir), col("doc_id"), col("text"),
+        bits = 16, bands = 4, maxHamming = 3)),
+
     // D10: incremental near-dup — the daily-ingest shape: a new batch
     // (doc_id % 11 == 0) LSH-checked against the existing corpus + itself,
     // never corpus×corpus.
@@ -1604,6 +1614,48 @@ object TextQueries {
          |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    // d13: the recursive-closure twin of group-direct clustering — the
+    // fingerprint construction is d9's; edges live in fingerprint space;
+    // min-reachable closure labels components; docs take the minimum
+    // doc_id of their fingerprint's component (isolated fingerprints are
+    // their own component → singleton or exact-dup-group clusters)
+    "d13_simhash_clusters" ->
+      s"""WITH RECURSIVE dupd AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text FROM documents WHERE doc_id % 10 = 0),
+         |toksd AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+         |                             x -> len(x) > 0) AS tk
+         |  FROM dupd),
+         |th AS (
+         |  SELECT doc_id, ${hashSql("t.tok")} AS h
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toksd) t),
+         |bits AS (
+         |  SELECT doc_id, i, sum(((h >> i) % 2) * 2 - 1) AS s
+         |  FROM th, LATERAL (SELECT unnest(generate_series(0, 15)) AS i)
+         |  GROUP BY doc_id, i),
+         |fp AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |fps AS (SELECT DISTINCT simhash FROM fp),
+         |fpe AS (
+         |  SELECT a.simhash AS fa, b.simhash AS fb
+         |  FROM fps a JOIN fps b ON a.simhash < b.simhash
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (SELECT fa AS a, fb AS b FROM fpe UNION SELECT fb, fa FROM fpe),
+         |reach(node, m) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m),
+         |comp AS (SELECT node AS simhash, min(m) AS fcomp FROM reach GROUP BY node),
+         |lab AS (
+         |  SELECT f.doc_id, coalesce(c.fcomp, f.simhash) AS fcomp
+         |  FROM fp f LEFT JOIN comp c ON c.simhash = f.simhash),
+         |cl AS (SELECT fcomp, min(doc_id) AS cluster FROM lab GROUP BY fcomp)
+         |SELECT l.doc_id, c.cluster FROM lab l JOIN cl c USING (fcomp)""".stripMargin,
 
     // d3's twin restricted to pairs touching the new batch (% 11 == 0):
     // the banding, signatures, and agreement math are identical — only

@@ -83,10 +83,14 @@ object Warc {
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
   /** Inflate a (possibly multi-member) gzip stream; None on any
-    * corruption — never a partial inflate. */
+    * corruption — never a partial inflate. Strict member decode
+    * ([[MemberGzipInputStream]]): a malformed subsequent member header
+    * or trailing garbage is corruption, not EOF — java.util.zip would
+    * silently truncate there, which on per-record-member archives means
+    * a silently-partial record set. */
   private def gunzipAll(b: Array[Byte]): Option[Array[Byte]] =
     try {
-      val in = new java.util.zip.GZIPInputStream(
+      val in = new MemberGzipInputStream(
         new java.io.ByteArrayInputStream(b))
       val out = new java.io.ByteArrayOutputStream(b.length * 4)
       val buf = new Array[Byte](8192)
@@ -106,46 +110,91 @@ object Warc {
   final class WarcFormatException(label: String, reason: String)
       extends java.io.IOException(s"malformed WARC archive $label: $reason")
 
+  /** Longest header line the streaming walk will buffer (64 KiB —
+    * real WARC/HTTP headers are far smaller). Past it, the walk fails
+    * loudly instead of accumulating the rest of a corrupt archive into
+    * one StringBuilder, which would defeat the O(record) heap bound. */
+  val MaxHeaderLine: Int = 1 << 16
+
   /** STREAMING record walk — the scale path of [[WarcDataSource]]: reads
     * `in` forward exactly once with O(record) peak heap. The byte-array
     * walk ([[parseOwned]]) holds the whole inflated archive on heap —
     * fatal for the multi-GB crawl files splitting exists for (and
     * impossible past 2 GiB, the array limit); here non-owned record
     * bodies are SKIPPED without materializing and owned bodies are the
-    * only allocation, so N splits of one archive cost N linear walks but
-    * only one record of memory each.
+    * only allocation.
     *
     * Gzip (possibly multi-member, the Common Crawl layout) is detected
-    * from the magic bytes. Malformation throws [[WarcFormatException]]
-    * at the offending record — earlier records may already be consumed;
-    * the TASK still fails loudly, so no silently-partial archive ever
-    * commits (the same contract as parseOwned's all-or-nothing None,
-    * enforced at task level instead of blob level). The stream closes on
-    * exhaustion and on malformation; abandoning the iterator early
-    * (e.g. LIMIT) leaves closing to the caller. */
+    * from the magic bytes and decoded STRICTLY ([[MemberGzipInputStream]]):
+    * per-member CRC verified, and a malformed subsequent member or
+    * trailing garbage throws instead of reading as clean EOF (the
+    * java.util.zip silent-truncation trap — a crawl archive corrupted at
+    * a member boundary would otherwise commit a partial record set).
+    * Malformation throws [[WarcFormatException]] at the offending record —
+    * earlier records may already be consumed; the TASK still fails
+    * loudly, so no silently-partial archive ever commits (the same
+    * contract as parseOwned's all-or-nothing None, enforced at task level
+    * instead of blob level). The stream closes on exhaustion and on
+    * malformation; abandoning the iterator early (e.g. LIMIT) leaves
+    * closing to the caller.
+    *
+    * `startIdx` offsets record indexes — the member-indexed range-slice
+    * path starts mid-archive and passes the slice's first global index.
+    * `onRecordStart(bytePos, idx)`, when non-null, fires before each
+    * record parses with the record's INFLATED (plain: absolute) start
+    * offset — the hook [[buildCutIndex]] uses, so index building and row
+    * production share this one parser. */
   def streamRecords(raw: java.io.InputStream, owns: Int => Boolean,
-                    label: String = "warc"): Iterator[WarcRecord] = {
-    val pb = new java.io.PushbackInputStream(
-      new java.io.BufferedInputStream(raw, 1 << 16), 2)
+                    label: String = "warc", startIdx: Int = 0,
+                    onRecordStart: (Long, Int) => Unit = null): Iterator[WarcRecord] = {
+    val pb = new java.io.PushbackInputStream(raw, 2)
     val h1 = pb.read(); val h2 = pb.read()
     if (h2 >= 0) pb.unread(h2)
     if (h1 >= 0) pb.unread(h1)
     val in: java.io.InputStream =
-      if (h1 == 0x1f && h2 == 0x8b)
-        new java.io.BufferedInputStream(
-          new java.util.zip.GZIPInputStream(pb, 1 << 16), 1 << 16)
+      if (h1 == 0x1f && h2 == 0x8b) new MemberGzipInputStream(pb)
       else pb
+    def closeAll(): Unit = {
+      try in.close() catch { case _: java.io.IOException => }
+      try pb.close() catch { case _: java.io.IOException => }
+    }
 
     def fail(reason: String): Nothing = {
-      try in.close() catch { case _: java.io.IOException => }
+      closeAll()
       throw new WarcFormatException(label, reason)
     }
+
+    // buffered position-tracked reader over the (inflated) stream: `pos`
+    // is the offset of the next unread byte in record-walk coordinates
+    val buf = new Array[Byte](1 << 16)
+    var bufPos = 0
+    var bufLen = 0
+    var pos = 0L
+    def readByte(): Int = {
+      if (bufPos >= bufLen) {
+        bufLen = try in.read(buf, 0, buf.length) catch {
+          case e: java.io.IOException if !e.isInstanceOf[WarcFormatException] =>
+            fail(e.getMessage)
+        }
+        bufPos = 0
+        if (bufLen < 0) { bufLen = 0; return -1 }
+      }
+      val b = buf(bufPos) & 0xff; bufPos += 1; pos += 1; b
+    }
     // one CRLF-terminated US-ASCII line (the terminator is consumed and
-    // stripped); anything else — EOF mid-line, bare LF — is malformed
+    // stripped); EOF mid-line, bare LF, or an uncapped run without LF is
+    // malformed. Bytes ≥ 0x80 decode to U+FFFD — exactly what the
+    // byte-array walk's US-ASCII decoder yields, so both walks render a
+    // non-ASCII WARC-Target-URI identically.
     def line(): String = {
       val sb = new java.lang.StringBuilder(64)
-      var c = in.read()
-      while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
+      var c = readByte()
+      while (c >= 0 && c != '\n') {
+        if (sb.length() >= MaxHeaderLine)
+          fail(s"header line exceeds $MaxHeaderLine bytes")
+        sb.append(if (c < 0x80) c.toChar else '�')
+        c = readByte()
+      }
       if (c < 0) fail("EOF inside a header line")
       val len = sb.length()
       if (len == 0 || sb.charAt(len - 1) != '\r')
@@ -156,39 +205,57 @@ object Warc {
     def readFully(n: Long): Array[Byte] = {
       if (n > Int.MaxValue - 8) fail(s"record payload of $n bytes exceeds " +
         "the single-record limit (2 GiB) — not a valid WARC Content-Length")
-      val buf = new Array[Byte](n.toInt)
+      val out = new Array[Byte](n.toInt)
       var off = 0
-      while (off < buf.length) {
-        val r = in.read(buf, off, buf.length - off)
+      // drain the walk buffer first, then bulk-read
+      val fromBuf = math.min(out.length, bufLen - bufPos)
+      if (fromBuf > 0) {
+        System.arraycopy(buf, bufPos, out, 0, fromBuf)
+        bufPos += fromBuf; off = fromBuf
+      }
+      while (off < out.length) {
+        val r = try in.read(out, off, out.length - off) catch {
+          case e: java.io.IOException if !e.isInstanceOf[WarcFormatException] =>
+            fail(e.getMessage)
+        }
         if (r < 0) fail("EOF inside a record payload")
         off += r
       }
-      buf
+      pos += out.length
+      out
     }
     def skipFully(n: Long): Unit = {
       var left = n
+      val fromBuf = math.min(left, (bufLen - bufPos).toLong)
+      bufPos += fromBuf.toInt; left -= fromBuf
       while (left > 0) {
-        val s = in.skip(left)
+        val s = try in.skip(left) catch {
+          case e: java.io.IOException if !e.isInstanceOf[WarcFormatException] =>
+            fail(e.getMessage)
+        }
         if (s > 0) left -= s
         else if (in.read() >= 0) left -= 1 // skip() can return 0 mid-stream
         else fail("EOF inside a record payload")
       }
+      pos += n
     }
 
     new Iterator[WarcRecord] {
-      private var idx = 0
+      private var idx = startIdx
       private var nextRec: WarcRecord = _
       private var done = false
 
       private def advance(): Unit = {
         nextRec = null
         while (nextRec == null && !done) {
-          val first = in.read()
-          if (first < 0) { done = true; try in.close() catch { case _: java.io.IOException => } }
+          val recStart = pos
+          val first = readByte()
+          if (first < 0) { done = true; closeAll() }
           else {
+            if (onRecordStart != null) onRecordStart(recStart, idx)
             // re-join the already-consumed first byte to the version line
             val restOfVersion = line()
-            val ver = first.toChar + restOfVersion
+            val ver = (if (first < 0x80) first.toChar else '�') + restOfVersion
             if (ver != "WARC/1.0" && ver != "WARC/1.1")
               fail(s"bad version line '$ver'")
             var warcType = ""; var uri = ""; var contentLength = -1L
@@ -259,6 +326,91 @@ object Warc {
         val r = nextRec; nextRec = null; r
       }
     }
+  }
+
+  // ---- member-indexed split support ---------------------------------------
+
+  /** A safe split point of an archive: byte offset `offset` (compressed
+    * coordinates for .gz files) starts BOTH a gzip member AND record
+    * number `recIdx` — a range slice beginning here decodes cleanly and
+    * knows its records' global indexes without touching earlier bytes. */
+  final case class CutPoint(offset: Long, recIdx: Int)
+
+  /** Safe split points of one archive (see [[CutPoint]]) plus its total
+    * record count. Bounded driver metadata: one entry per `minGap` of
+    * compressed bytes at most. */
+  final case class CutIndex(cuts: IndexedSeq[CutPoint], records: Int)
+
+  /** One-pass cut-point index of an archive — the planning side of
+    * member-indexed split reads ([[WarcDataSource]]). Walks the archive
+    * once (O(record) heap, O(size/minGap) index entries) recording the
+    * offsets where a slice may safely begin:
+    *
+    *  - per-record-gzip archives (the Common Crawl convention): every
+    *    gzip member whose first inflated byte starts a record — member
+    *    boundaries are found EXACTLY during the strict member walk
+    *    ([[MemberGzipInputStream]]), never by scanning for magic bytes
+    *    (which false-positive inside compressed data);
+    *  - plain archives: record start offsets directly.
+    *
+    * `minGap` thins the index: cuts closer than `minGap` compressed
+    * bytes to the previous kept cut are dropped (slices target 100+ MiB;
+    * per-record granularity would bloat the driver index on million-
+    * record archives). A monolithic single-member gzip archive yields
+    * only the (0,0) cut — correctly unsplittable by ranges.
+    *
+    * The walk shares [[streamRecords]]' parser (structure-only pass:
+    * `owns` rejects everything, so no payload materializes), so a cut
+    * index exists iff the row path can read the archive; malformation
+    * throws the same [[WarcFormatException]]. Does not close `raw`. */
+  def buildCutIndex(raw: java.io.InputStream, label: String = "warc",
+                    minGap: Long = 1L << 20): CutIndex = {
+    // gzip detect must happen HERE (not inside streamRecords) so the
+    // member callback can be attached; plain streams pass through with
+    // identity coordinates (member start == record start trivially).
+    val pb = new java.io.PushbackInputStream(raw, 2)
+    val h1 = pb.read(); val h2 = pb.read()
+    if (h2 >= 0) pb.unread(h2)
+    if (h1 >= 0) pb.unread(h1)
+    val cuts = IndexedSeq.newBuilder[CutPoint]
+    var lastKept = Long.MinValue
+    var records = 0
+    if (h1 == 0x1f && h2 == 0x8b) {
+      // members recorded as (compressedStart, inflatedStart), appended by
+      // the decoder BEFORE any byte of the member is served — so when the
+      // walker sees a record start at inflated offset R, a member
+      // starting at R is already present. `mi` advances monotonically:
+      // one linear merge of the two offset streams.
+      val members = collection.mutable.ArrayBuffer[(Long, Long)]()
+      val gz = new MemberGzipInputStream(pb, (c, i) => {
+        // thin at member level too: an archive of tiny members must not
+        // accumulate an unbounded driver-side list
+        if (members.isEmpty || c - members.last._1 >= minGap) members += ((c, i))
+      })
+      var mi = 0
+      val it = streamRecords(gz, _ => false, label,
+        onRecordStart = (r, idx) => {
+          records = idx + 1
+          while (mi < members.length && members(mi)._2 < r) mi += 1
+          if (mi < members.length && members(mi)._2 == r &&
+              (lastKept == Long.MinValue || members(mi)._1 - lastKept >= minGap)) {
+            cuts += CutPoint(members(mi)._1, idx)
+            lastKept = members(mi)._1
+          }
+        })
+      while (it.hasNext) it.next()
+    } else {
+      val it = streamRecords(pb, _ => false, label,
+        onRecordStart = (r, idx) => {
+          records = idx + 1
+          if (lastKept == Long.MinValue || r - lastKept >= minGap) {
+            cuts += CutPoint(r, idx)
+            lastKept = r
+          }
+        })
+      while (it.hasNext) it.next()
+    }
+    CutIndex(cuts.result(), records)
   }
 
   /** [[parse]] restricted to the records whose index satisfies `owns` —

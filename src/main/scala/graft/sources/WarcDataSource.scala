@@ -25,15 +25,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *    one-file tasks (the same two moves Spark's own FilePartition
   *    planner makes). The driver lists the directory once — bounded
   *    metadata, no data read.
-  *  - SPLIT SEMANTICS: WARC gzip members and plain records have no
-  *    seekable sync marker, so splits own records ROUND-ROBIN by record
-  *    index (split k of n owns records with idx % n == k). Every split
-  *    walks the whole archive's record STRUCTURE (and, for .gz, pays
-  *    the shared inflate — the splittable-gzip tradeoff: inflation is
-  *    the cheap linear pass) but copies/HTTP-splits/charset-decodes
-  *    ONLY its owned records, which is where archive read time actually
-  *    goes. `rec_idx` stays globally exact and each record has exactly
-  *    one owner, so a split union is bit-identical to an unsplit read.
+  *  - SPLIT SEMANTICS (`split_mode=index`, the default): oversized
+  *    files get a MEMBER CUT INDEX first — one linear walk per file (a
+  *    plan-time Spark job, cached for the JVM lifetime) recording the
+  *    byte offsets where a gzip member and a record start together
+  *    (plain files: record offsets). Splits are then BYTE RANGES on cut
+  *    boundaries: each slice seeks to its offset and inflates only its
+  *    own window, so an N-way split of one archive costs ~1× total
+  *    inflate (2× on the first, index-building read) instead of the N
+  *    full decompression walks the round-robin form pays. Per-record
+  *    gzip (the Common Crawl layout) cuts at every `indexMinGap`;
+  *    a monolithic single-member gzip archive has no interior cut and
+  *    falls back to ROUND-ROBIN ownership (split k of n owns records
+  *    with idx % n == k; every split walks the whole structure but
+  *    materializes only owned records) — also selectable outright with
+  *    `split_mode=roundrobin`. In both forms `rec_idx` stays globally
+  *    exact and each record has exactly one owner, so a split union is
+  *    bit-identical to an unsplit read.
   *  - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): the reader
   *    materializes ONLY requested columns; a `count()` or a
   *    uri-only projection never allocates body strings (the dominant
@@ -46,10 +54,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    conjunction of two different values is the empty scan), never
   *    first-one-wins.
   *
-  * Parse semantics are [[Warc.parse]]'s, including the loud
-  * all-or-nothing refusal — a malformed archive raises (fail-fast task
-  * error) rather than silently contributing partial rows; crawl jobs
-  * that prefer drop-and-continue use the operator form. */
+  * Parse semantics are [[Warc.streamRecords]]'s: a malformed archive
+  * THROWS at the offending record (fail-fast task error, including the
+  * strict gzip member checks), so no silently-partial archive ever
+  * commits rows; crawl jobs that prefer drop-and-continue per archive
+  * use the operator form ([[Warc.extractResponses]], all-or-nothing
+  * None per blob). */
 class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "warc"
 
@@ -77,32 +87,155 @@ object WarcDataSource {
 
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
 
-  /** One work unit: split `splitIdx` of `numSplits` over `file`
-    * (1-of-1 = the whole file). */
-  final case class FileSlice(file: String, splitIdx: Int, numSplits: Int)
+  /** One work unit of a scan task. */
+  sealed trait Slice { def file: String }
 
-  /** Plan (size, file) pairs into partitions: big files fan out into
-    * round-robin splits, then slices bin-pack up to `target` bytes
-    * (first-fit over the size-sorted list — same shape as Spark's
-    * FilePartition packing). Deterministic: order depends only on
-    * names and sizes. */
+  /** Round-robin split `splitIdx` of `numSplits` over `file` (1-of-1 =
+    * the whole file): every split walks the whole archive structure and
+    * owns records with idx % numSplits == splitIdx. The LEGACY split
+    * form — still used for whole-file reads, for `split_mode=roundrobin`,
+    * and as the fallback when an archive has no interior cut points
+    * (monolithic single-member gzip). */
+  final case class FileSlice(file: String, splitIdx: Int, numSplits: Int)
+      extends Slice
+
+  /** Member-indexed byte-range split: records of `file` beginning in
+    * [startOffset, endOffset) — both offsets are cut points from the
+    * file's [[Warc.CutIndex]] (a gzip-member start that is also a record
+    * start), so the slice SEEKS to startOffset, inflates only its own
+    * range, and knows its first record's global index without touching
+    * any earlier byte. N slices of one archive cost ~1× total inflate,
+    * where N round-robin splits cost N× — the difference between O(size)
+    * and O(size²/splitSize) total work on a multi-GB crawl archive. */
+  final case class RangeSlice(file: String, startOffset: Long,
+                              endOffset: Long, firstRecIdx: Int)
+      extends Slice
+
+  private def sliceOrder(s: Slice): (String, Long) = s match {
+    case FileSlice(f, k, _) => (f, k.toLong)
+    case RangeSlice(f, o, _, _) => (f, o)
+  }
+
+  /** First-fit-descending bin pack of (slice, cost) into bins of
+    * `target` — same shape as Spark's FilePartition packing.
+    * Deterministic: order depends only on names, sizes, and offsets. */
+  private def pack(slices: Seq[(Slice, Long)], target: Long): Seq[Seq[Slice]] = {
+    val bins = collection.mutable.ArrayBuffer[(collection.mutable.ArrayBuffer[Slice], Long)]()
+    slices.sortBy { case (sl, cost) =>
+      val (f, k) = sliceOrder(sl); (-cost, f, k)
+    }.foreach { case (sl, cost) =>
+      bins.indexWhere(_._2 + cost <= target) match {
+        case -1 => bins += ((collection.mutable.ArrayBuffer(sl), cost))
+        case i => bins(i) = (bins(i)._1 += sl, bins(i)._2 + cost)
+      }
+    }
+    bins.map(_._1.toSeq).toSeq
+  }
+
+  /** Plan (file, size) pairs into partitions: big files fan out into
+    * round-robin splits, then slices bin-pack up to `target` bytes.
+    * The index-free legacy planner (`split_mode=roundrobin`); the
+    * default path is [[planSlicesIndexed]]. */
   def planSlices(files: Seq[(String, Long)], target: Long): Seq[Seq[FileSlice]] = {
     require(target > 0, s"warc split_size must be positive, got $target")
     val slices = files.sortBy(_._1).flatMap { case (f, size) =>
       val n = math.max(1L, (size + target - 1) / target).toInt
-      (0 until n).map(k => (FileSlice(f, k, n), size / n))
+      (0 until n).map(k => (FileSlice(f, k, n): Slice, size / n))
     }
-    // pack: descending by cost, first bin that fits, else new bin
-    val bins = collection.mutable.ArrayBuffer[(collection.mutable.ArrayBuffer[FileSlice], Long)]()
-    slices.sortBy { case (sl, cost) => (-cost, sl.file, sl.splitIdx) }
-      .foreach { case (sl, cost) =>
-        bins.indexWhere(_._2 + cost <= target) match {
-          case -1 => bins += ((collection.mutable.ArrayBuffer(sl), cost))
-          case i => bins(i) = (bins(i)._1 += sl, bins(i)._2 + cost)
-        }
-      }
-    bins.map(_._1.toSeq).toSeq
+    pack(slices, target).map(_.map(_.asInstanceOf[FileSlice]))
   }
+
+  /** Cut-index granularity for a given slice target: cuts closer than
+    * this are thinned at index-build time (bounded driver metadata) —
+    * fine enough that slices land within ~1/16 of the target, capped at
+    * 1 MiB so the default 128 MiB target doesn't index every record. */
+  def indexMinGap(target: Long): Long =
+    math.max(1L, math.min(1L << 20, target / 16))
+
+  /** Plan with member indexes where available: an indexed file with ≥2
+    * cut points splits into byte-range slices on cut boundaries
+    * ([[RangeSlice]]); anything else (no index, or no interior cut —
+    * monolithic gzip) falls back to [[planSlices]]' round-robin form.
+    * Either way slices bin-pack into `target`-sized partitions, and the
+    * union of any plan's slices is bit-identical to the unsplit read. */
+  def planSlicesIndexed(files: Seq[(String, Long)], target: Long,
+                        indexes: Map[String, Warc.CutIndex]): Seq[Seq[Slice]] = {
+    require(target > 0, s"warc split_size must be positive, got $target")
+    val slices = files.sortBy(_._1).flatMap { case (f, size) =>
+      indexes.get(f).filter(_.cuts.length >= 2) match {
+        case Some(idx) if size > target =>
+          val cuts = idx.cuts
+          require(cuts.head.offset == 0L && cuts.head.recIdx == 0,
+            s"cut index of $f must start at (0,0), got ${cuts.head}")
+          val out = Seq.newBuilder[(Slice, Long)]
+          var start = cuts.head
+          cuts.tail.foreach { c =>
+            if (c.offset - start.offset >= target) {
+              out += ((RangeSlice(f, start.offset, c.offset, start.recIdx),
+                c.offset - start.offset))
+              start = c
+            }
+          }
+          out += ((RangeSlice(f, start.offset, size, start.recIdx),
+            size - start.offset))
+          out.result()
+        case _ =>
+          val n = math.max(1L, (size + target - 1) / target).toInt
+          (0 until n).map(k => (FileSlice(f, k, n): Slice, size / n))
+      }
+    }
+    pack(slices, target)
+  }
+
+  /** Driver-side cut-index cache, keyed (path, size): index building
+    * costs one linear walk of the archive, so repeated scans of the same
+    * listing must not rebuild. Entries are bounded metadata
+    * (≤ size/minGap cut points); keyed by size so an overwritten file
+    * re-indexes. JVM-lifetime, like Spark's own FileStatusCache. */
+  private[graft] val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Warc.CutIndex]()
+
+  /** Cut indexes for `files`, building the missing ones with ONE Spark
+    * job (a task per file — the walk is the linear pass the first read
+    * would pay anyway, done once here instead of once per slice).
+    * Runs at planning time from the driver. */
+  private[graft] def indexesFor(files: Seq[(String, Long)], minGap: Long,
+      conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration])
+      : Map[String, Warc.CutIndex] = {
+    val missing = files.filterNot(f => indexCache.containsKey((f._1, f._2)))
+    if (missing.nonEmpty) {
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      val built = sc.parallelize(missing, missing.size)
+        .map { case (f, size) =>
+          val in = open(f, conf.value.value)
+          try ((f, size), Warc.buildCutIndex(in, f, minGap))
+          finally { try in.close() catch { case _: java.io.IOException => } }
+        }.collect()
+      built.foreach { case (k, v) => indexCache.put(k, v) }
+    }
+    files.flatMap { case (f, s) =>
+      Option(indexCache.get((f, s))).map(f -> _)
+    }.toMap
+  }
+
+  /** The record iterator of one slice over an already-open positioned
+    * stream — shared by the partition reader and the split-cost specs,
+    * so what the tests measure IS the production read path. Round-robin
+    * slices walk from the stream's current position (0); range slices
+    * seek to their cut offset and read a bounded window. */
+  private[graft] def sliceRecords(sl: Slice,
+      in: java.io.InputStream with org.apache.hadoop.fs.Seekable): Iterator[Warc.WarcRecord] =
+    sl match {
+      case FileSlice(f, splitIdx, numSplits) =>
+        val owns: Int => Boolean =
+          if (numSplits == 1) _ => true
+          else idx => idx % numSplits == splitIdx
+        Warc.streamRecords(in, owns, f)
+      case RangeSlice(f, start, end, firstRec) =>
+        in.seek(start)
+        Warc.streamRecords(new BoundedInputStream(in, end - start),
+          _ => true, s"$f[$start,$end)", startIdx = firstRec)
+    }
 
   /** The path's FileSystem, with local paths unwrapped to the RAW local
     * FS: `LocalFileSystem` is a ChecksumFileSystem, and its per-open
@@ -147,9 +280,10 @@ object WarcDataSource {
       .sortBy(_._1).toSeq
   }
 
-  /** Open a listed file for the streaming record walk (executor side). */
+  /** Open a listed file for the streaming record walk (executor side).
+    * FSDataInputStream: seekable, so range slices position directly. */
   private[graft] def open(file: String,
-                          conf: org.apache.hadoop.conf.Configuration): java.io.InputStream = {
+                          conf: org.apache.hadoop.conf.Configuration): org.apache.hadoop.fs.FSDataInputStream = {
     val p = new org.apache.hadoop.fs.Path(file)
     fsFor(p, conf).open(p)
   }
@@ -175,6 +309,33 @@ object WarcDataSource {
       .map(_._1)
 }
 
+/** Reads exactly `limit` bytes of `in` then reports EOF — the window of
+  * a [[WarcDataSource.RangeSlice]]. Both window edges are cut points, so
+  * the wrapped gzip/record walk ends cleanly at the boundary. Closing
+  * closes `in`. */
+private[graft] final class BoundedInputStream(in: java.io.InputStream,
+                                              limit: Long)
+    extends java.io.InputStream {
+  private var left = limit
+  override def read(): Int =
+    if (left <= 0) -1
+    else { val b = in.read(); if (b >= 0) left -= 1; b }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (len == 0) return 0
+    if (left <= 0) return -1
+    val n = in.read(b, off, math.min(len.toLong, left).toInt)
+    if (n > 0) left -= n
+    n
+  }
+  override def skip(n: Long): Long = {
+    if (left <= 0) return 0
+    val s = in.skip(math.min(n, left))
+    if (s > 0) left -= s
+    s
+  }
+  override def close(): Unit = in.close()
+}
+
 private class WarcTable(path: String) extends Table with SupportsRead {
   require(path != null && path.nonEmpty,
     "warc source needs a path: spark.read.format(\"warc\").load(dir)")
@@ -183,12 +344,16 @@ private class WarcTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val mode = options.getOrDefault("split_mode", "index")
+    require(mode == "index" || mode == "roundrobin",
+      s"warc split_mode must be 'index' or 'roundrobin', got '$mode'")
     new WarcScanBuilder(path,
-      options.getLong("split_size", WarcDataSource.DefaultSplitBytes))
+      options.getLong("split_size", WarcDataSource.DefaultSplitBytes), mode)
+  }
 }
 
-private class WarcScanBuilder(path: String, splitBytes: Long)
+private class WarcScanBuilder(path: String, splitBytes: Long, splitMode: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = WarcDataSource.Schema
@@ -219,12 +384,13 @@ private class WarcScanBuilder(path: String, splitBytes: Long)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WarcScan(path, required, typeFilter, splitBytes)
+  override def build(): Scan =
+    new WarcScan(path, required, typeFilter, splitBytes, splitMode)
 }
 
 private class WarcScan(path: String, required: StructType,
                        typeFilter: Option[Set[String]],
-                       splitBytes: Long) extends Scan with Batch {
+                       splitBytes: Long, splitMode: String) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -243,9 +409,19 @@ private class WarcScan(path: String, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     // size-balanced planning (see class doc): driver-side listing is
     // bounded metadata, like any FileIndex — through the Hadoop FS API,
-    // so object-store crawl buckets plan like local directories
-    WarcDataSource.planSlices(
-      WarcDataSource.listFiles(path, conf.value.value), splitBytes)
+    // so object-store crawl buckets plan like local directories. Files
+    // larger than the split target get a member cut index first (one
+    // Spark job, one linear walk per un-cached file) so their splits are
+    // seek-and-read byte ranges, not N full decompression walks.
+    val files = WarcDataSource.listFiles(path, conf.value.value)
+    val indexes =
+      if (splitMode == "index") {
+        val oversized = files.filter(_._2 > splitBytes)
+        if (oversized.isEmpty) Map.empty[String, graft.sources.Warc.CutIndex]
+        else WarcDataSource.indexesFor(oversized,
+          WarcDataSource.indexMinGap(splitBytes), conf)
+      } else Map.empty[String, graft.sources.Warc.CutIndex]
+    WarcDataSource.planSlicesIndexed(files, splitBytes, indexes)
       .map(sl => WarcInputPartition(sl): InputPartition).toArray
   }
 
@@ -359,7 +535,7 @@ private class WarcMicroBatchStream(path: String, required: StructType,
     new WarcReaderFactory(required, typeFilter, conf)
 }
 
-private case class WarcInputPartition(slices: Seq[WarcDataSource.FileSlice])
+private case class WarcInputPartition(slices: Seq[WarcDataSource.Slice])
     extends InputPartition
 
 private class WarcReaderFactory(required: StructType,
@@ -371,31 +547,28 @@ private class WarcReaderFactory(required: StructType,
       required, typeFilter, conf)
 }
 
-private class WarcPartitionReader(slices: Seq[WarcDataSource.FileSlice],
+private class WarcPartitionReader(slices: Seq[WarcDataSource.Slice],
                                   required: StructType,
                                   typeFilter: Option[Set[String]],
                                   conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration])
     extends PartitionReader[InternalRow] {
   // slices walk lazily in sequence as STREAMS ([[Warc.streamRecords]]):
-  // peak heap is O(record), never O(file) — a 100 GiB archive sliced 800
-  // ways costs 800 linear walks (the splittable-gzip tradeoff) but one
-  // record of memory each, where the old byte-array walk held the whole
-  // inflated archive per slice and failed outright past 2 GiB. Only
-  // OWNED records materialize; rows assemble column-pruned. Files open
-  // through the Hadoop FS API — object-store URIs read like local paths.
+  // peak heap is O(record), never O(file). Range slices seek to their
+  // member cut offset and inflate only their own window; round-robin
+  // slices (whole-file / fallback) walk the whole structure but
+  // materialize only owned records. Rows assemble column-pruned. Files
+  // open through the Hadoop FS API — object-store URIs read like local
+  // paths.
   private var pathUtf: UTF8String = _
   private var openStream: java.io.InputStream = _
   private val records: Iterator[Warc.WarcRecord] =
     slices.iterator.flatMap { sl =>
-      val owns: Int => Boolean =
-        if (sl.numSplits == 1) _ => true
-        else idx => idx % sl.numSplits == sl.splitIdx
       pathUtf = UTF8String.fromString(sl.file)
       // track the live stream so an early close() (LIMIT) releases it;
       // streamRecords closes it itself on exhaustion or malformation
       val in = WarcDataSource.open(sl.file, conf.value.value)
       openStream = in
-      val it = Warc.streamRecords(in, owns, sl.file)
+      val it = WarcDataSource.sliceRecords(sl, in)
       typeFilter match {
         case Some(types) => it.filter(r => types.contains(r.warcType))
         case None => it

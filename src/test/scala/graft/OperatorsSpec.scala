@@ -254,6 +254,43 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  "Dedup.simHashClusters" should "match components-over-pairs completed with singletons" in {
+    val viaPairs = Dedup.connectedComponents(
+        Dedup.simHashNearDupPairs(docs, col("doc_id"), col("text"),
+          bits = 16, bands = 4, maxHamming = 3))
+      .as[(Long, Long)].collect().toMap
+    val direct = Dedup.simHashClusters(docs, col("doc_id"), col("text"),
+      bits = 16, bands = 4, maxHamming = 3)
+      .as[(Long, Long)].collect().toMap
+    // every doc present; paired docs agree with the closure, the rest are
+    // singletons
+    val ids = docs.select(col("doc_id")).as[Long].collect().toSet
+    direct.keySet shouldBe ids
+    ids.foreach { d =>
+      direct(d) shouldBe viaPairs.getOrElse(d, d)
+    }
+  }
+
+  it should "handle a 10^4-member identical-fingerprint group with linear output" in {
+    // the template-page shape: 10,000 byte-identical docs share ONE
+    // fingerprint. The pairs contract owes ~5*10^7 Hamming-0 rows here;
+    // group-direct clustering attaches all members to the fingerprint's
+    // component through one equi-join — output rows == doc count, and the
+    // run completes in seconds instead of materializing the quadratic
+    // bucket.
+    val mega = spark.range(10000).select(col("id").as("doc_id"),
+        lit("boilerplate template page text shared by every copy").as("text"))
+      .unionByName(Seq(
+        (20001L, "an unrelated document about rivers and mountains"),
+        (20002L, "completely different text on astronomy and chemistry telescopes stars"))
+        .toDF("doc_id", "text"))
+    val out = Dedup.simHashClusters(mega, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect()
+    out.length shouldBe 10002
+    // the whole template group carries the min id as its cluster
+    out.filter(_._1 < 10000L).map(_._2).distinct shouldBe Array(0L)
+  }
+
   it should "reject widths past 30 bits on the default token hash" in {
     // the default polyHash is 30-bit: bits 30..59 would read constant
     // zero and degenerate their bands into everyone-collides buckets —

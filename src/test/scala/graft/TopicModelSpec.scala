@@ -116,6 +116,29 @@ class TopicModelSpec extends SparkSpec {
     aProb.zip(bProb).foreach { case ((_, p1), (_, p2)) => p1 shouldBe p2 }
   }
 
+  it should "stay layout-invariant at a non-default layoutPartitions" in {
+    // layoutPartitions widens LDA-fit input parallelism on big clusters;
+    // reproducibility must hold at ANY fixed value, not just the pinned
+    // 64 the goldens were trained at. Same two-config proof as above but
+    // with layoutPartitions = 7.
+    def trained(shufflePartitions: Int, inputPartitions: Int) = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      try {
+        val m = TopicModel.train(corpus.repartition(inputPartitions),
+          topicCount = 3, maxIter = 8, seed = 7L, layoutPartitions = 7)
+        (m.docTopicMix.orderBy("doc").as[(String, Seq[Double])].collect(),
+          m.wordTopicProb.orderBy("word").as[(String, Seq[Double])].collect())
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val (aMix, aProb) = trained(shufflePartitions = 3, inputPartitions = 2)
+    val (bMix, bProb) = trained(shufflePartitions = 32, inputPartitions = 11)
+    aMix.map(_._1) shouldBe bMix.map(_._1)
+    aMix.zip(bMix).foreach { case ((_, m1), (_, m2)) => m1 shouldBe m2 }
+    aProb.map(_._1) shouldBe bProb.map(_._1)
+    aProb.zip(bProb).foreach { case ((_, p1), (_, p2)) => p1 shouldBe p2 }
+  }
+
   // ---- training-quality regression gates (VERDICT r3 #3): LDA training
   // has no exact oracle, but its quality is measurable. A regression in
   // TopicModel.train now trips one of these instead of sailing through

@@ -315,9 +315,247 @@ class WarcSpec extends SparkSpec {
       rows.length shouldBe members
       rows.map(_._1).toSeq shouldBe (0 until members)
       rows.map(_._2).toSeq shouldBe (0 until members).map(i => s"http://big.example/$i")
+
+      // member-indexed splits must cost ~1x total inflate: replay the
+      // planned slices through the production slice reader over a
+      // COUNTING stream — total compressed bytes read across ALL slices
+      // bounded by ~1.2x the file size (the round-robin form would read
+      // numSlices x size). Planning here mirrors planInputPartitions
+      // exactly (same index, same target).
+      import graft.sources.WarcDataSource
+      val size = java.nio.file.Files.size(f)
+      val target = 512L * 1024
+      val index = {
+        val in = new java.io.BufferedInputStream(
+          java.nio.file.Files.newInputStream(f), 1 << 16)
+        try Warc.buildCutIndex(in, "big", WarcDataSource.indexMinGap(target))
+        finally in.close()
+      }
+      index.records shouldBe members
+      val plan = WarcDataSource.planSlicesIndexed(
+        Seq((f.toString, size)), target, Map(f.toString -> index))
+      val slices = plan.flatten
+      slices.length should be > 2
+      all(slices) shouldBe a[WarcDataSource.RangeSlice]
+      class CountingSeekable extends java.io.InputStream
+          with org.apache.hadoop.fs.Seekable {
+        private val raf = new java.io.RandomAccessFile(f.toFile, "r")
+        var bytesRead = 0L
+        override def read(): Int =
+          { val b = raf.read(); if (b >= 0) bytesRead += 1; b }
+        override def read(b: Array[Byte], off: Int, len: Int): Int =
+          { val n = raf.read(b, off, len); if (n > 0) bytesRead += n; n }
+        override def seek(pos: Long): Unit = raf.seek(pos)
+        override def getPos: Long = raf.getFilePointer
+        override def seekToNewSource(t: Long): Boolean = false
+        override def close(): Unit = raf.close()
+      }
+      var totalRead = 0L
+      val replayed = slices.flatMap { sl =>
+        val cs = new CountingSeekable
+        try WarcDataSource.sliceRecords(sl, cs)
+          .map(r => (r.recIdx, r.targetUri)).toList
+        finally { totalRead += cs.bytesRead; cs.close() }
+      }
+      replayed.map(_._1).sorted shouldBe (0 until members)
+      info(f"slices=${slices.length} file=$size%d totalRead=$totalRead%d " +
+        f"ratio=${totalRead.toDouble / size}%.3f")
+      totalRead should be <= (size * 1.2).toLong
     } finally {
       java.nio.file.Files.delete(f); java.nio.file.Files.delete(dir)
     }
+  }
+
+  "MemberGzipInputStream" should "inflate multi-member streams identically to encode order" in {
+    import graft.sources.MemberGzipInputStream
+    val recs = (0 until 5).map(i => Warc.record("response", s"http://m.example/$i",
+      Warc.httpResponse(200, "text/plain", s"body-$i".getBytes("UTF-8"))))
+    val gz = Warc.encodeGz(recs)
+    val out = new java.io.ByteArrayOutputStream()
+    val in = new MemberGzipInputStream(new java.io.ByteArrayInputStream(gz))
+    val buf = new Array[Byte](1000) // odd size: force partial chunk serves
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray shouldBe Warc.encode(recs)
+  }
+
+  it should "report member boundaries with exact compressed and inflated offsets" in {
+    import graft.sources.MemberGzipInputStream
+    val recs = (0 until 3).map(i => Warc.record("metadata", s"http://m/$i",
+      ("x" * (10 + 7 * i)).getBytes("US-ASCII")))
+    // per-member compressed lengths: encode each alone
+    val memberBytes = recs.map(r => Warc.encodeGz(Seq(r)))
+    val expectedCompressed = memberBytes.map(_.length.toLong).scanLeft(0L)(_ + _).dropRight(1)
+    val expectedInflated = recs.map(_.length.toLong).scanLeft(0L)(_ + _).dropRight(1)
+    val seen = collection.mutable.ArrayBuffer[(Long, Long)]()
+    val in = new MemberGzipInputStream(
+      new java.io.ByteArrayInputStream(memberBytes.reduce(_ ++ _)),
+      (c, i) => seen += ((c, i)))
+    while (in.read() >= 0) ()
+    seen.toSeq shouldBe expectedCompressed.zip(expectedInflated)
+  }
+
+  it should "throw on trailing garbage and corrupt members instead of silent EOF" in {
+    import graft.sources.MemberGzipInputStream
+    def drain(b: Array[Byte]): Unit = {
+      val in = new MemberGzipInputStream(new java.io.ByteArrayInputStream(b))
+      while (in.read() >= 0) ()
+    }
+    val one = Warc.encodeGz(Seq(Warc.record("warcinfo", "", "a\r\n".getBytes)))
+    // trailing garbage after a clean member: java.util.zip reads this as
+    // clean EOF — here it must throw (a crawl archive corrupted at a
+    // member boundary would otherwise silently truncate the record set)
+    intercept[java.io.IOException] { drain(one ++ "junk!".getBytes) }
+      .getMessage should include("magic")
+    // a second member whose header is damaged: same silent-EOF trap
+    val two = one ++ one
+    val dmg = two.clone(); dmg(one.length + 1) = 0x00
+    intercept[java.io.IOException] { drain(dmg) }.getMessage should include("magic")
+    // and prove the trap is real: GZIPInputStream reads both corruptions
+    // as clean EOF after member one
+    def gzipDrains(b: Array[Byte]): Boolean = {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+      try { while (in.read() >= 0) (); true }
+      catch { case _: java.io.IOException => false }
+    }
+    gzipDrains(one ++ "junk!".getBytes) shouldBe true
+    gzipDrains(dmg) shouldBe true
+    // payload CRC damage still throws (parity with GZIPInputStream)
+    val crcBad = one.clone(); crcBad(crcBad.length - 6) = (crcBad(crcBad.length - 6) ^ 0x7f).toByte
+    intercept[java.io.IOException] { drain(crcBad) }.getMessage should include("CRC")
+    // truncation mid-member
+    intercept[java.io.IOException] { drain(one.dropRight(3)) }
+  }
+
+  it should "skip optional header fields (FNAME, FEXTRA, FCOMMENT)" in {
+    import graft.sources.MemberGzipInputStream
+    // hand-build a member with FLG = FEXTRA|FNAME|FCOMMENT around a raw
+    // deflate stream (GZIPOutputStream never emits these, real crawlers do)
+    val payload = Warc.record("warcinfo", "", "hdrs\r\n".getBytes("US-ASCII"))
+    val deflater = new java.util.zip.Deflater(6, true)
+    deflater.setInput(payload); deflater.finish()
+    val dbuf = new Array[Byte](payload.length * 2 + 64)
+    val dlen = deflater.deflate(dbuf)
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x1f, 0x8b, 8, 0x1c).map(_.toByte)) // FEXTRA|FNAME|FCOMMENT
+    out.write(new Array[Byte](6)) // MTIME XFL OS
+    out.write(Array[Byte](3, 0)); out.write(Array[Byte](9, 9, 9)) // FEXTRA len 3
+    out.write("name.warc ".getBytes("US-ASCII"))
+    out.write("a comment ".getBytes("US-ASCII"))
+    out.write(dbuf, 0, dlen)
+    val t = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    t.putInt(crc.getValue.toInt); t.putInt(payload.length)
+    out.write(t.array())
+    val got = new java.io.ByteArrayOutputStream()
+    val in = new MemberGzipInputStream(new java.io.ByteArrayInputStream(out.toByteArray))
+    val buf = new Array[Byte](4096)
+    var n = in.read(buf)
+    while (n >= 0) { got.write(buf, 0, n); n = in.read(buf) }
+    got.toByteArray shouldBe payload
+  }
+
+  "Warc.parse" should "refuse trailing garbage after the final gzip member" in {
+    val gz = Warc.encodeGz(Seq(Warc.record("warcinfo", "", "a\r\n".getBytes)))
+    Warc.parse(gz).isDefined shouldBe true
+    Warc.parse(gz ++ "tail".getBytes) shouldBe None
+  }
+
+  "Warc.streamRecords" should "cap runaway header lines instead of buffering the stream" in {
+    // a corrupt archive with no LF left: without the cap this accumulates
+    // the remainder into one StringBuilder, defeating O(record) heap
+    val junk = ("WARC/1.0\r\n" + "X" * (Warc.MaxHeaderLine + 100)).getBytes("US-ASCII")
+    val e = intercept[Warc.WarcFormatException] {
+      Warc.streamRecords(new java.io.ByteArrayInputStream(junk), _ => true).toSeq
+    }
+    e.getMessage should include("header line exceeds")
+  }
+
+  it should "decode non-ASCII header bytes exactly like the byte-array walk" in {
+    // a WARC-Target-URI with a raw 0xE9 byte: US-ASCII decoding maps it
+    // to U+FFFD in parseOwned; the streaming walk must agree (it used to
+    // decode Latin-1, yielding 'é' — two walks, two different strings)
+    val fixed = Warc.record("metadata", "http://x.example/caf_", "b".getBytes)
+    fixed(fixed.indexOf('_'.toByte)) = 0xe9.toByte
+    val streamed = Warc.streamRecords(
+      new java.io.ByteArrayInputStream(fixed), _ => true).toSeq
+    val parsed = Warc.parse(fixed).get
+    streamed.map(_.targetUri) shouldBe parsed.map(_.targetUri)
+    streamed.head.targetUri shouldBe "http://x.example/caf�"
+  }
+
+  it should "start mid-archive at a given record index" in {
+    val recs = (0 until 6).map(i => Warc.record("metadata", s"http://s/$i",
+      s"p$i".getBytes))
+    val tail = Warc.encode(recs.drop(4))
+    val got = Warc.streamRecords(new java.io.ByteArrayInputStream(tail),
+      _ => true, startIdx = 4).toSeq
+    got.map(_.recIdx) shouldBe Seq(4, 5)
+    got.map(_.targetUri) shouldBe Seq("http://s/4", "http://s/5")
+  }
+
+  "Warc.buildCutIndex" should "cut per-record gzip archives at exact member offsets" in {
+    val recs = (0 until 8).map(i => Warc.record("response", s"http://c/$i",
+      Warc.httpResponse(200, "text/plain", ("y" * (20 + i)).getBytes)))
+    val memberBytes = recs.map(r => Warc.encodeGz(Seq(r)))
+    val offsets = memberBytes.map(_.length.toLong).scanLeft(0L)(_ + _).dropRight(1)
+    val idx = Warc.buildCutIndex(
+      new java.io.ByteArrayInputStream(memberBytes.reduce(_ ++ _)), minGap = 1L)
+    idx.records shouldBe 8
+    idx.cuts.map(_.offset) shouldBe offsets
+    idx.cuts.map(_.recIdx) shouldBe (0 until 8)
+    // thinning: a wide minGap keeps ~every other cut, always from (0,0)
+    val thin = Warc.buildCutIndex(
+      new java.io.ByteArrayInputStream(memberBytes.reduce(_ ++ _)),
+      minGap = memberBytes.head.length * 2L)
+    thin.cuts.head shouldBe Warc.CutPoint(0L, 0)
+    thin.cuts.length should (be < 8 and be > 1)
+    thin.records shouldBe 8
+  }
+
+  it should "cut plain archives at record byte offsets and monolithic gzip only at zero" in {
+    val recs = (0 until 5).map(i => Warc.record("metadata", s"http://p/$i",
+      ("z" * (30 + i)).getBytes))
+    val plainIdx = Warc.buildCutIndex(
+      new java.io.ByteArrayInputStream(Warc.encode(recs)), minGap = 1L)
+    plainIdx.cuts.map(_.offset) shouldBe
+      recs.map(_.length.toLong).scanLeft(0L)(_ + _).dropRight(1)
+    plainIdx.cuts.map(_.recIdx) shouldBe (0 until 5)
+    // one gzip member spanning all records: no interior safe cut exists
+    val mono = {
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      recs.foreach(gz.write); gz.finish()
+      out.toByteArray
+    }
+    val monoIdx = Warc.buildCutIndex(new java.io.ByteArrayInputStream(mono),
+      minGap = 1L)
+    monoIdx.cuts shouldBe IndexedSeq(Warc.CutPoint(0L, 0))
+    monoIdx.records shouldBe 5
+  }
+
+  "planSlicesIndexed" should "emit byte-range slices for indexed files and fall back otherwise" in {
+    import graft.sources.WarcDataSource.{planSlicesIndexed, FileSlice, RangeSlice}
+    val idx = Warc.CutIndex(IndexedSeq(Warc.CutPoint(0, 0), Warc.CutPoint(4, 2),
+      Warc.CutPoint(8, 5), Warc.CutPoint(11, 7)), 9)
+    val plan = planSlicesIndexed(
+      Seq(("indexed", 14L), ("mono", 10L), ("small", 2L)), 4L,
+      Map("indexed" -> idx,
+        "mono" -> Warc.CutIndex(IndexedSeq(Warc.CutPoint(0, 0)), 3)))
+    val slices = plan.flatten
+    // indexed: ranges on cut boundaries ≥ target, carrying first indexes
+    slices.collect { case r: RangeSlice => r }.sortBy(_.startOffset) shouldBe Seq(
+      RangeSlice("indexed", 0, 4, 0), RangeSlice("indexed", 4, 8, 2),
+      RangeSlice("indexed", 8, 14, 5))
+    // monolithic gzip (one cut): legacy round-robin fan-out
+    slices.collect { case f: FileSlice if f.file == "mono" => f }.toSet shouldBe
+      Set(FileSlice("mono", 0, 3), FileSlice("mono", 1, 3), FileSlice("mono", 2, 3))
+    // small file: whole-file slice
+    slices should contain (FileSlice("small", 0, 1))
+    // deterministic
+    planSlicesIndexed(Seq(("small", 2L), ("indexed", 14L), ("mono", 10L)), 4L,
+      Map("indexed" -> idx,
+        "mono" -> Warc.CutIndex(IndexedSeq(Warc.CutPoint(0, 0)), 3))) shouldBe plan
   }
 
   it should "intersect conflicting warc_type equalities to the empty scan" in {
