@@ -61,6 +61,7 @@ object Bench {
       "d6_near_dup_clusters", "d7_dup_spans", "w3_sessionize"),
     "dedup2" -> Seq(
       "d8_retain_best", "d9_simhash_pairs", "d9b_simhash_wide",
+      "d13_simhash_clusters",
       "d10_incremental_lsh", "d11_edit_pairs",
       "d12_prefix_jaccard", "d12b_prefix_clean", "x33_tfidf_cosine",
       "x7b_fuzzy_decontaminate", "x15_cluster_split", "x16_lm_score",
@@ -94,11 +95,30 @@ object Bench {
     "pipeline" -> Seq(
       "pipeline_events_first", "pipe_events_fixedmodel", "pipeline_events",
       "pipeline_events_approx", "pe_stage_cuts", "pe_stage_featurize",
-      "pe_stage_lda_fit", "pe_stage_score"))
+      "pe_stage_lda_fit", "pe_stage_score"),
+    // Flow/dns/proxy full train+score pipelines with the same stage-split
+    // pattern (r10 verdict: the events-only stage bench is blind to
+    // shape-specific LDA/cuts regressions — flow's dual-perspective
+    // corpus is ~2× events' doc count, dns/proxy carry the
+    // subdomain/agent featurize shapes). Each pipeline family forks its
+    // own JVM like the rest of the suite.
+    "pipeline_flow" -> Seq(
+      "pipeline_flow", "pf_stage_cuts", "pf_stage_featurize",
+      "pf_stage_lda_fit", "pf_stage_score"),
+    "pipeline_dns" -> Seq(
+      "pipeline_dns", "pd_stage_cuts", "pd_stage_featurize",
+      "pd_stage_lda_fit", "pd_stage_score"),
+    "pipeline_proxy" -> Seq(
+      "pipeline_proxy", "pp_stage_cuts", "pp_stage_featurize",
+      "pp_stage_lda_fit", "pp_stage_score"))
 
   /** Names timed by timeStage (reported under "stages", not "queries"). */
   private val stageNames = Set("pipeline_events_first", "pe_stage_cuts",
-    "pe_stage_featurize", "pe_stage_lda_fit", "pe_stage_score")
+    "pe_stage_featurize", "pe_stage_lda_fit", "pe_stage_score",
+    "pf_stage_cuts", "pf_stage_featurize", "pf_stage_lda_fit",
+    "pf_stage_score", "pd_stage_cuts", "pd_stage_featurize",
+    "pd_stage_lda_fit", "pd_stage_score", "pp_stage_cuts",
+    "pp_stage_featurize", "pp_stage_lda_fit", "pp_stage_score")
 
   private def headline: Seq[String] =
     families.flatMap(_._2).filterNot(n =>
@@ -289,6 +309,119 @@ object Bench {
         }
       }
     }
+    // Flow/dns/proxy full pipelines + stage splits (the pe_* pattern; r10
+    // verdict item 2): all three train at topicCount=10 / maxIter=10 —
+    // the events bench shape — so stage sums track their pipeline entry
+    // and cross-pipeline numbers compare like for like. Inputs are the
+    // same fabrications the golden gates run on.
+    import graft.pipelines.{DnsPipeline, FlowPipeline, ProxyPipeline}
+    import graft.queries.PipelineQueries
+    import org.apache.spark.sql.functions.{col, lit}
+    val Pop = Set("src1", "src3", "src5")
+    def wanted(names: String*): Boolean =
+      names.exists(n => !skip(n) && !only.exists(!_.contains(n)))
+
+    time("pipeline_flow") {
+      val flows = PipelineQueries.flowInput(spark, sfDir)
+      val m = FlowPipeline.train(flows, topicCount = 10, maxIter = 10)
+      run(graft.operators.Scoring.suspicious(
+        FlowPipeline.score(flows, m), threshold = 1.0, topK = 100))
+    }
+    if (wanted("pf_stage_cuts", "pf_stage_featurize", "pf_stage_lda_fit",
+        "pf_stage_score")) {
+      val flows = FlowPipeline.validTimes(
+        PipelineQueries.flowInput(spark, sfDir)).withColumn("__w", lit(1L))
+      timeStage("pf_stage_cuts") { FlowPipeline.computeCuts(flows) }
+      val fcuts = FlowPipeline.computeCuts(flows)
+      timeStage("pf_stage_featurize") {
+        run(FlowPipeline.corpus(FlowPipeline.featurize(flows, fcuts), col("__w")))
+      }
+      val fwc = FlowPipeline.corpus(FlowPipeline.featurize(flows, fcuts), col("__w"))
+      var fTopics: graft.ml.TopicModel.Model = null
+      timeStage("pf_stage_lda_fit") {
+        fTopics = graft.ml.TopicModel.train(fwc, topicCount = 10, maxIter = 10)
+      }
+      if (fTopics != null) {
+        val fm = FlowPipeline.Model(fcuts, fTopics, 10)
+        timeStage("pf_stage_score") {
+          run(graft.operators.Scoring.suspicious(
+            FlowPipeline.score(PipelineQueries.flowInput(spark, sfDir), fm),
+            threshold = 1.0, topK = 100))
+        }
+      }
+    }
+
+    time("pipeline_dns") {
+      val dns = PipelineQueries.dnsInput(spark, sfDir)
+      val m = DnsPipeline.train(dns, popularDomains = Pop,
+        topicCount = 10, maxIter = 10)
+      run(graft.operators.Scoring.suspicious(
+        DnsPipeline.score(dns, m), threshold = 1.0, topK = 100))
+    }
+    if (wanted("pd_stage_cuts", "pd_stage_featurize", "pd_stage_lda_fit",
+        "pd_stage_score")) {
+      val popular = DnsPipeline.popularFrame(spark, Pop)
+      val withSub = DnsPipeline.withSubdomains(DnsPipeline.validRows(
+        PipelineQueries.dnsInput(spark, sfDir)).withColumn("__w", lit(1L)))
+      timeStage("pd_stage_cuts") { DnsPipeline.computeCuts(withSub) }
+      val dcuts = DnsPipeline.computeCuts(withSub)
+      timeStage("pd_stage_featurize") {
+        run(graft.operators.Corpus.wordCounts(
+          DnsPipeline.featurizeWithLookup(withSub, dcuts, popular),
+          col("ip_dst"), col("word"), col("__w")))
+      }
+      val dwc = graft.operators.Corpus.wordCounts(
+        DnsPipeline.featurizeWithLookup(withSub, dcuts, popular),
+        col("ip_dst"), col("word"), col("__w"))
+      var dTopics: graft.ml.TopicModel.Model = null
+      timeStage("pd_stage_lda_fit") {
+        dTopics = graft.ml.TopicModel.train(dwc, topicCount = 10, maxIter = 10)
+      }
+      if (dTopics != null) {
+        val dm = DnsPipeline.Model(dcuts, popular, dTopics, 10)
+        timeStage("pd_stage_score") {
+          run(graft.operators.Scoring.suspicious(
+            DnsPipeline.score(PipelineQueries.dnsInput(spark, sfDir), dm),
+            threshold = 1.0, topK = 100))
+        }
+      }
+    }
+
+    time("pipeline_proxy") {
+      val proxy = PipelineQueries.proxyInput(spark, sfDir)
+      val m = ProxyPipeline.train(proxy, topicCount = 10, maxIter = 10)
+      run(graft.operators.Scoring.suspicious(
+        ProxyPipeline.score(proxy, m), threshold = 1.0, topK = 100))
+    }
+    if (wanted("pp_stage_cuts", "pp_stage_featurize", "pp_stage_lda_fit",
+        "pp_stage_score")) {
+      val popular = ProxyPipeline.popularFrame(spark, Set.empty)
+      val withFeats = ProxyPipeline.withFeatures(ProxyPipeline.validRows(
+        PipelineQueries.proxyInput(spark, sfDir)).withColumn("__w", lit(1L)))
+      timeStage("pp_stage_cuts") { ProxyPipeline.computeCuts(withFeats) }
+      val pcuts = ProxyPipeline.computeCuts(withFeats)
+      timeStage("pp_stage_featurize") {
+        run(graft.operators.Corpus.wordCounts(
+          ProxyPipeline.featurizeWithLookup(withFeats, pcuts, popular),
+          col("clientip"), col("word"), col("__w")))
+      }
+      val pwc = graft.operators.Corpus.wordCounts(
+        ProxyPipeline.featurizeWithLookup(withFeats, pcuts, popular),
+        col("clientip"), col("word"), col("__w"))
+      var pTopics: graft.ml.TopicModel.Model = null
+      timeStage("pp_stage_lda_fit") {
+        pTopics = graft.ml.TopicModel.train(pwc, topicCount = 10, maxIter = 10)
+      }
+      if (pTopics != null) {
+        val pm = ProxyPipeline.Model(pcuts, popular, pTopics, 10)
+        timeStage("pp_stage_score") {
+          run(graft.operators.Scoring.suspicious(
+            ProxyPipeline.score(PipelineQueries.proxyInput(spark, sfDir), pm),
+            threshold = 1.0, topK = 100))
+        }
+      }
+    }
+
     val allContenders = (contendersAtStart ++ contenders()).distinct
     spark.stop()
     (timed, stages, spread, allContenders)

@@ -82,7 +82,7 @@ object PipelineQueries {
       |       100::BIGINT AS n_matching, TRUE AS matches_golden""".stripMargin
 
   /** The netflow fabrication behind pipe_flow_golden. */
-  private def flowInput(s: SparkSession, dir: String): DataFrame =
+  private[graft] def flowInput(s: SparkSession, dir: String): DataFrame =
     Fabrications.flowPorts(t(s, dir, "events"))
       .withColumn("trhour", hour(col("ts")))
       .withColumn("trminute", minute(col("ts")))
@@ -91,7 +91,7 @@ object PipelineQueries {
       .withColumn("ibyt", (col("value") * 1000).cast("long") + 40)
 
   /** The dns fabrication behind pipe_dns_golden. */
-  private def dnsInput(s: SparkSession, dir: String): DataFrame =
+  private[graft] def dnsInput(s: SparkSession, dir: String): DataFrame =
     dnsEvents(s, dir)
       .withColumn("frame_time", concat(lit("t"), col("doc_id")))
       .withColumn("ip_dst", concat(lit("10.1."), (col("doc_id") % 50).cast("string"), lit(".9")))
@@ -100,7 +100,7 @@ object PipelineQueries {
       .withColumnRenamed("rcode", "dns_qry_rcode")
 
   /** The proxy fabrication behind pipe_proxy_golden. */
-  private def proxyInput(s: SparkSession, dir: String): DataFrame =
+  private[graft] def proxyInput(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
       .withColumn("p_time", date_format(col("ts"), "HH:mm:ss"))

@@ -64,15 +64,20 @@ SCALED = {
     # old "base text + ' copy<i>'" form left every copy >0.2-Jaccard-similar
     # to EVERY other copy (one cluster of size=factor, C(factor,2) pairs per
     # base doc — 435 at 30x vs a real corpus's bounded clusters). Fix: tag
-    # every 4th token with a copy-DECADE marker, so every 5-gram shingle
+    # alternating tokens with a copy-DECADE marker, so every shingle
     # contains a marker and shingle sets are disjoint across decades (zero
     # cross-decade Jaccard), while the 10 copies inside a decade differ only
     # by the ' copy<i>' suffix (still genuine near-dups). Cluster size = 10
     # at ANY factor; cluster COUNT scales with the data, like a real corpus.
+    # Every-2nd (not every-4th) tagging is load-bearing for SIMHASH: 25%
+    # token churn across decades left cross-decade fingerprints within
+    # Hamming 3 of each other (the r10 300x point measured width-30 d9b
+    # clusters, 10x the true-pair mass), so the width bound held for the
+    # Jaccard operators but not the Hamming ones; 50% churn separates both.
     "documents": "doc_id + i*5000 AS doc_id,"
                  " array_to_string(list_transform("
                  "   list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0),"
-                 "   (x, j) -> CASE WHEN j % 4 = 1"
+                 "   (x, j) -> CASE WHEN j % 2 = 1"
                  "             THEN 'g' || (i // 10)::VARCHAR || 'q' || x ELSE x END),"
                  "   ' ') || CASE WHEN i = 0 THEN '' ELSE ' copy' || i END AS text,"
                  " lang, source, n_chars",
