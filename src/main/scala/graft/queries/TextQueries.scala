@@ -476,6 +476,15 @@ object TextQueries {
       Dedup.simHashClusters(withDups(s, dir), col("doc_id"), col("text"),
         bits = 16, bands = 4, maxHamming = 3)),
 
+    // D13b: group-direct clustering at the WIDE production width (60-bit
+    // wideTokenHash fingerprints, 4×15-bit bands — d9b's space): the
+    // non-saturating configuration whose fingerprint graph stays sparse,
+    // so this is the variant that rides the replica suites (d13's 16-bit
+    // space saturates at corpus scale like d9's).
+    "d13b_simhash_clusters_wide" -> ((s, dir) =>
+      Dedup.simHashClusters(withDups(s, dir), col("doc_id"), col("text"),
+        bits = 60, bands = 4, maxHamming = 3, tokenHash = wideTokenHash)),
+
     // D10: incremental near-dup — the daily-ingest shape: a new batch
     // (doc_id % 11 == 0) LSH-checked against the existing corpus + itself,
     // never corpus×corpus.
@@ -1635,6 +1644,44 @@ object TextQueries {
          |bits AS (
          |  SELECT doc_id, i, sum(((h >> i) % 2) * 2 - 1) AS s
          |  FROM th, LATERAL (SELECT unnest(generate_series(0, 15)) AS i)
+         |  GROUP BY doc_id, i),
+         |fp AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |fps AS (SELECT DISTINCT simhash FROM fp),
+         |fpe AS (
+         |  SELECT a.simhash AS fa, b.simhash AS fb
+         |  FROM fps a JOIN fps b ON a.simhash < b.simhash
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (SELECT fa AS a, fb AS b FROM fpe UNION SELECT fb, fa FROM fpe),
+         |reach(node, m) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m),
+         |comp AS (SELECT node AS simhash, min(m) AS fcomp FROM reach GROUP BY node),
+         |lab AS (
+         |  SELECT f.doc_id, coalesce(c.fcomp, f.simhash) AS fcomp
+         |  FROM fp f LEFT JOIN comp c ON c.simhash = f.simhash),
+         |cl AS (SELECT fcomp, min(doc_id) AS cluster FROM lab GROUP BY fcomp)
+         |SELECT l.doc_id, c.cluster FROM lab l JOIN cl c USING (fcomp)""".stripMargin,
+
+    // d13b: the same closure at the 60-bit wide width (wideTokenHash)
+    "d13b_simhash_clusters_wide" ->
+      s"""WITH RECURSIVE dupd AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text FROM documents WHERE doc_id % 10 = 0),
+         |toksd AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+         |                             x -> len(x) > 0) AS tk
+         |  FROM dupd),
+         |th AS (
+         |  SELECT doc_id, ${wideHashSql("t.tok")} AS h
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toksd) t),
+         |bits AS (
+         |  SELECT doc_id, i, sum(((h >> i) % 2) * 2 - 1) AS s
+         |  FROM th, LATERAL (SELECT unnest(generate_series(0, 59)) AS i)
          |  GROUP BY doc_id, i),
          |fp AS (
          |  SELECT doc_id,
