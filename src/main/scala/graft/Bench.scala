@@ -61,7 +61,7 @@ object Bench {
       "d6_near_dup_clusters", "d7_dup_spans", "w3_sessionize"),
     "dedup2" -> Seq(
       "d8_retain_best", "d9_simhash_pairs", "d9b_simhash_wide",
-      "d13_simhash_clusters",
+      "d13_simhash_clusters", "d13b_simhash_clusters_wide",
       "d10_incremental_lsh", "d11_edit_pairs",
       "d12_prefix_jaccard", "d12b_prefix_clean", "x33_tfidf_cosine",
       "x7b_fuzzy_decontaminate", "x15_cluster_split", "x16_lm_score",
