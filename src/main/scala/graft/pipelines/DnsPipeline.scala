@@ -149,16 +149,18 @@ object DnsPipeline {
   def train(dns: DataFrame, popularDomains: Set[String] = Set.empty,
             topicCount: Int = 20, alpha: Double = 2.5,
             seed: Long = 42L, maxIter: Int = 20,
-            feedback: Option[DataFrame] = None): Model =
+            feedback: Option[DataFrame] = None,
+            layoutPartitions: Int = TopicModel.TrainLayoutPartitions): Model =
     trainWithLookup(dns, popularFrame(dns.sparkSession, popularDomains),
-      topicCount, alpha, seed, maxIter, feedback)
+      topicCount, alpha, seed, maxIter, feedback, layoutPartitions)
 
   /** Train with a DISTRIBUTED popularity frame (the 100 TB-clean form —
     * the CLI default; [[train]] is the small-Set convenience). */
   def trainWithLookup(dns: DataFrame, popular: DataFrame,
                       topicCount: Int = 20, alpha: Double = 2.5,
                       seed: Long = 42L, maxIter: Int = 20,
-                      feedback: Option[DataFrame] = None): Model = {
+                      feedback: Option[DataFrame] = None,
+                      layoutPartitions: Int = TopicModel.TrainLayoutPartitions): Model = {
     val base = validRows(dns).withColumn("__w", lit(1L))
     val combined = feedback match {
       case Some(fb) => base.unionByName(
@@ -170,7 +172,8 @@ object DnsPipeline {
     val cuts = computeCuts(withSub)
     val feats = featurizeWithLookup(withSub, cuts, popular)
     val wc = Corpus.wordCounts(feats, col("ip_dst"), col("word"), col("__w"))
-    Model(cuts, popular, TopicModel.train(wc, topicCount, alpha, seed, maxIter), topicCount)
+    Model(cuts, popular, TopicModel.train(wc, topicCount, alpha, seed,
+      maxIter, layoutPartitions = layoutPartitions), topicCount)
   }
 
   def score(dns: DataFrame, model: Model): DataFrame = {

@@ -46,11 +46,13 @@ object EventsPipeline {
 
   def train(events: DataFrame, topicCount: Int = 10, alpha: Double = 2.5,
             seed: Long = 42L, maxIter: Int = 10,
-            exactCuts: Boolean = true): Model = {
+            exactCuts: Boolean = true,
+            layoutPartitions: Int = TopicModel.TrainLayoutPartitions): Model = {
     val cuts = if (exactCuts) computeCuts(events) else computeCutsApprox(events)
     val feats = featurize(events, cuts)
     val wc = Corpus.wordCounts(feats, col("user_id"), col("word"))
-    Model(cuts, TopicModel.train(wc, topicCount, alpha, seed, maxIter), topicCount)
+    Model(cuts, TopicModel.train(wc, topicCount, alpha, seed, maxIter,
+      layoutPartitions = layoutPartitions), topicCount)
   }
 
   def score(events: DataFrame, model: Model): DataFrame =

@@ -92,7 +92,8 @@ object FlowPipeline {
     * the quantile cuts once per row, not ×N. */
   def train(flows: DataFrame, topicCount: Int = 20, alpha: Double = 2.5,
             seed: Long = 42L, maxIter: Int = 20,
-            feedback: Option[DataFrame] = None): Model = {
+            feedback: Option[DataFrame] = None,
+            layoutPartitions: Int = TopicModel.TrainLayoutPartitions): Model = {
     val base = validTimes(flows).withColumn("__w", lit(1L))
     val combined = feedback match {
       case Some(fb) => base.unionByName(
@@ -103,7 +104,7 @@ object FlowPipeline {
     val cuts = computeCuts(combined)
     val feats = featurize(combined, cuts)
     val topics = TopicModel.train(corpus(feats, col("__w")),
-      topicCount, alpha, seed, maxIter)
+      topicCount, alpha, seed, maxIter, layoutPartitions = layoutPartitions)
     Model(cuts, topics, topicCount)
   }
 

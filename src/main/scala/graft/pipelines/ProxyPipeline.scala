@@ -136,16 +136,18 @@ object ProxyPipeline {
   def train(proxy: DataFrame, popularDomains: Set[String] = Set.empty,
             topicCount: Int = 20, alpha: Double = 2.5,
             seed: Long = 42L, maxIter: Int = 20,
-            feedback: Option[DataFrame] = None): Model =
+            feedback: Option[DataFrame] = None,
+            layoutPartitions: Int = TopicModel.TrainLayoutPartitions): Model =
     trainWithLookup(proxy, popularFrame(proxy.sparkSession, popularDomains),
-      topicCount, alpha, seed, maxIter, feedback)
+      topicCount, alpha, seed, maxIter, feedback, layoutPartitions)
 
   /** Train with a DISTRIBUTED popularity frame (the 100 TB-clean form —
     * the CLI default; [[train]] is the small-Set convenience). */
   def trainWithLookup(proxy: DataFrame, popular: DataFrame,
                       topicCount: Int = 20, alpha: Double = 2.5,
                       seed: Long = 42L, maxIter: Int = 20,
-                      feedback: Option[DataFrame] = None): Model = {
+                      feedback: Option[DataFrame] = None,
+                      layoutPartitions: Int = TopicModel.TrainLayoutPartitions): Model = {
     val base = validRows(proxy).withColumn("__w", lit(1L))
     val combined = feedback match {
       case Some(fb) => base.unionByName(
@@ -157,7 +159,8 @@ object ProxyPipeline {
     val cuts = computeCuts(feats0)
     val feats = featurizeWithLookup(feats0, cuts, popular)
     val wc = Corpus.wordCounts(feats, col("clientip"), col("word"), col("__w"))
-    Model(cuts, popular, TopicModel.train(wc, topicCount, alpha, seed, maxIter), topicCount)
+    Model(cuts, popular, TopicModel.train(wc, topicCount, alpha, seed,
+      maxIter, layoutPartitions = layoutPartitions), topicCount)
   }
 
   def score(proxy: DataFrame, model: Model): DataFrame = {
