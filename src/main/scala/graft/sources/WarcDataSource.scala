@@ -195,21 +195,92 @@ object WarcDataSource {
   private[graft] val indexCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Warc.CutIndex]()
 
-  /** Cut indexes for `files`, building the missing ones with ONE Spark
-    * job (a task per file — the walk is the linear pass the first read
-    * would pay anyway, done once here instead of once per slice).
-    * Runs at planning time from the driver. */
+  /** Sidecar index file of an archive: a dot-prefixed sibling — hidden
+    * to [[listFiles]] (and to Spark's own FileIndex convention), so the
+    * index never reads as an archive. */
+  private[graft] def sidecarPath(file: String): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.graftidx")
+  }
+
+  /** Persist a cut index next to its archive (the CDX-shaped move: crawl
+    * deployments index once, read forever). Text format, one header +
+    * one line per cut; the stored file size staleness-keys the sidecar
+    * against archive replacement. */
+  private[graft] def writeSidecar(file: String, size: Long, idx: Warc.CutIndex,
+                                  conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val sp = sidecarPath(file)
+    val out = fsFor(sp, conf).create(sp, true)
+    try {
+      val sb = new java.lang.StringBuilder(32 + idx.cuts.length * 16)
+      sb.append("graftwarcidx v1 ").append(size).append(' ')
+        .append(idx.records).append('\n')
+      idx.cuts.foreach(c =>
+        sb.append(c.offset).append(' ').append(c.recIdx).append('\n'))
+      out.write(sb.toString.getBytes("US-ASCII"))
+    } finally out.close()
+  }
+
+  /** Load a sidecar index if present, readable, version-matched, and
+    * fresh (stored size == current size); None otherwise — a stale or
+    * corrupt sidecar silently degrades to a rebuild, never a wrong
+    * plan. */
+  private[graft] def readSidecar(file: String, size: Long,
+                                 conf: org.apache.hadoop.conf.Configuration): Option[Warc.CutIndex] =
+    try {
+      val sp = sidecarPath(file)
+      val fs = fsFor(sp, conf)
+      if (!fs.exists(sp)) return None
+      val in = fs.open(sp)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "US-ASCII").getLines().toArray
+        finally in.close()
+      val head = lines.head.split(' ')
+      if (head.length != 4 || head(0) != "graftwarcidx" || head(1) != "v1" ||
+          head(2).toLong != size) return None
+      val cuts = lines.tail.filter(_.nonEmpty).map { l =>
+        val sep = l.indexOf(' ')
+        Warc.CutPoint(l.substring(0, sep).toLong, l.substring(sep + 1).toInt)
+      }
+      Some(Warc.CutIndex(cuts.toIndexedSeq, head(3).toInt))
+    } catch { case _: Exception => None }
+
+  /** Cut indexes for `files`: the JVM cache first, then sidecar files
+    * (`sidecar` = "read": load if present; "write": also persist after
+    * building — best-effort, a read-only source dir must not fail the
+    * read; "off": neither), then ONE Spark job building whatever is
+    * still missing (a task per file — the walk is the linear pass the
+    * first read would pay anyway, done once here instead of once per
+    * slice). Runs at planning time from the driver. A sidecar built
+    * under a different split_size carries its own cut granularity —
+    * [[planSlicesIndexed]]'s greedy merge respects the CURRENT target
+    * either way (finer cuts merge up; coarser cuts mean slices land on
+    * the coarser boundaries). */
   private[graft] def indexesFor(files: Seq[(String, Long)], minGap: Long,
-      conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration])
-      : Map[String, Warc.CutIndex] = {
-    val missing = files.filterNot(f => indexCache.containsKey((f._1, f._2)))
+      conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
+      sidecar: String = "read"): Map[String, Warc.CutIndex] = {
+    val missing0 = files.filterNot(f => indexCache.containsKey((f._1, f._2)))
+    val missing =
+      if (sidecar == "off") missing0
+      else missing0.filterNot { case (f, size) =>
+        readSidecar(f, size, conf.value.value).exists { idx =>
+          indexCache.put((f, size), idx); true
+        }
+      }
     if (missing.nonEmpty) {
       val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      val persist = sidecar == "write"
       val built = sc.parallelize(missing, missing.size)
         .map { case (f, size) =>
           val in = open(f, conf.value.value)
-          try ((f, size), Warc.buildCutIndex(in, f, minGap))
-          finally { try in.close() catch { case _: java.io.IOException => } }
+          val idx =
+            try Warc.buildCutIndex(in, f, minGap)
+            finally { try in.close() catch { case _: java.io.IOException => } }
+          if (persist) {
+            try writeSidecar(f, size, idx, conf.value.value)
+            catch { case _: java.io.IOException => } // read-only dir: skip
+          }
+          ((f, size), idx)
         }.collect()
       built.foreach { case (k, v) => indexCache.put(k, v) }
     }
@@ -348,12 +419,17 @@ private class WarcTable(path: String) extends Table with SupportsRead {
     val mode = options.getOrDefault("split_mode", "index")
     require(mode == "index" || mode == "roundrobin",
       s"warc split_mode must be 'index' or 'roundrobin', got '$mode'")
+    val sidecar = options.getOrDefault("index_sidecar", "read")
+    require(Set("read", "write", "off")(sidecar),
+      s"warc index_sidecar must be 'read', 'write', or 'off', got '$sidecar'")
     new WarcScanBuilder(path,
-      options.getLong("split_size", WarcDataSource.DefaultSplitBytes), mode)
+      options.getLong("split_size", WarcDataSource.DefaultSplitBytes), mode,
+      sidecar)
   }
 }
 
-private class WarcScanBuilder(path: String, splitBytes: Long, splitMode: String)
+private class WarcScanBuilder(path: String, splitBytes: Long, splitMode: String,
+                              sidecar: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = WarcDataSource.Schema
@@ -385,12 +461,13 @@ private class WarcScanBuilder(path: String, splitBytes: Long, splitMode: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new WarcScan(path, required, typeFilter, splitBytes, splitMode)
+    new WarcScan(path, required, typeFilter, splitBytes, splitMode, sidecar)
 }
 
 private class WarcScan(path: String, required: StructType,
                        typeFilter: Option[Set[String]],
-                       splitBytes: Long, splitMode: String) extends Scan with Batch {
+                       splitBytes: Long, splitMode: String,
+                       sidecar: String) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -419,7 +496,7 @@ private class WarcScan(path: String, required: StructType,
         val oversized = files.filter(_._2 > splitBytes)
         if (oversized.isEmpty) Map.empty[String, graft.sources.Warc.CutIndex]
         else WarcDataSource.indexesFor(oversized,
-          WarcDataSource.indexMinGap(splitBytes), conf)
+          WarcDataSource.indexMinGap(splitBytes), conf, sidecar)
       } else Map.empty[String, graft.sources.Warc.CutIndex]
     WarcDataSource.planSlicesIndexed(files, splitBytes, indexes)
       .map(sl => WarcInputPartition(sl): InputPartition).toArray

@@ -558,6 +558,55 @@ class WarcSpec extends SparkSpec {
         "mono" -> Warc.CutIndex(IndexedSeq(Warc.CutPoint(0, 0)), 3))) shouldBe plan
   }
 
+  it should "persist, reuse, and staleness-check a sidecar cut index" in {
+    import graft.sources.WarcDataSource
+    val dir = java.nio.file.Files.createTempDirectory("warcsidecar")
+    def rec(i: Int) = Warc.record("response", s"http://sc.example/$i",
+      Warc.httpResponse(200, "text/plain",
+        (s"payload $i :: " + "x" * (50 + i * 7)).getBytes("UTF-8")))
+    val f = dir.resolve("big.warc.gz")
+    java.nio.file.Files.write(f,
+      Warc.encodeGz((0 until 40).map(rec)))
+    val size = java.nio.file.Files.size(f)
+    val conf = spark.sessionState.newHadoopConf()
+    // write mode: the read plans with an index AND persists it
+    val viaWrite = spark.read.format("warc")
+      .option("split_size", 700).option("index_sidecar", "write")
+      .load(dir.toString).orderBy("rec_idx").collect()
+    viaWrite.length shouldBe 40
+    val sidecar = dir.resolve(".big.warc.gz.graftidx")
+    java.nio.file.Files.exists(sidecar) shouldBe true
+    // the lister never surfaces the dot-prefixed sidecar as an archive
+    WarcDataSource.listFiles(dir.toString, conf).map(_._1) shouldBe
+      Seq(f.toString)
+    // a fresh JVM-cache miss loads the sidecar instead of rebuilding:
+    // its parsed content equals a fresh build at the same granularity
+    WarcDataSource.indexCache.clear()
+    val loaded = WarcDataSource.readSidecar(f.toString, size, conf)
+    loaded shouldBe defined
+    val built = {
+      val in = new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(f))
+      try Warc.buildCutIndex(in, "big", WarcDataSource.indexMinGap(700))
+      finally in.close()
+    }
+    loaded.get shouldBe built
+    // and the sidecar-planned read is bit-identical to the legacy mode
+    val viaSidecar = spark.read.format("warc")
+      .option("split_size", 700).load(dir.toString)
+      .orderBy("rec_idx").collect()
+    val viaRR = spark.read.format("warc")
+      .option("split_size", 700).option("split_mode", "roundrobin")
+      .load(dir.toString).orderBy("rec_idx").collect()
+    viaSidecar shouldBe viaRR
+    viaSidecar shouldBe viaWrite
+    // staleness: a size mismatch (archive replaced) ignores the sidecar
+    WarcDataSource.readSidecar(f.toString, size + 1, conf) shouldBe None
+    // corruption degrades to None, never a wrong plan
+    java.nio.file.Files.write(sidecar, "not an index".getBytes)
+    WarcDataSource.readSidecar(f.toString, size, conf) shouldBe None
+  }
+
   it should "intersect conflicting warc_type equalities to the empty scan" in {
     val dir = writeArchiveDir()
     // both equalities are accepted as pushed; their value sets intersect
