@@ -506,14 +506,17 @@ private class WarcScan(path: String, required: StructType,
     new WarcReaderFactory(required, typeFilter, conf)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WarcMicroBatchStream(path, required, typeFilter, conf)
+    new WarcMicroBatchStream(path, required, typeFilter, conf, splitBytes,
+      splitMode, sidecar)
 }
 
 /** File-arrival streaming over an archive directory — crawl drops land
   * as whole files. The offset is (count, name-of-last-file) over the
   * lexicographically-sorted listing, and a micro-batch covers the files
-  * whose names fall in the NAME INTERVAL (start.last, end.last] — one
-  * partition per file (the batch grain).
+  * whose names fall in the NAME INTERVAL (start.last, end.last]; the
+  * batch's TASK grain is the batch planner's (member-indexed range
+  * slices for oversized archives, bin-packing for tiny drops) while
+  * offsets stay pure name intervals.
   *
   * Interval-by-name (not index-slice) is load-bearing: a directory
   * listing taken CONCURRENTLY with arrivals is not a consistent
@@ -534,7 +537,9 @@ private class WarcScan(path: String, required: StructType,
   * it would otherwise be lost silently). */
 private class WarcMicroBatchStream(path: String, required: StructType,
                                    typeFilter: Option[Set[String]],
-                                   conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration])
+                                   conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
+                                   splitBytes: Long, splitMode: String,
+                                   sidecar: String)
     extends MicroBatchStream {
   private def listSorted(): Array[String] =
     WarcDataSource.listFiles(path, conf.value.value).map(_._1).toArray
@@ -605,8 +610,22 @@ private class WarcMicroBatchStream(path: String, required: StructType,
     if (gone.nonEmpty) throw new IllegalStateException(
       s"warc stream: ${gone.size} previously-seen files vanished " +
         s"(first: '${gone.toSeq.min}') — arrivals must be append-only")
-    batch.map(f => WarcInputPartition(
-      Seq(WarcDataSource.FileSlice(f, 0, 1))): InputPartition).toArray
+    // size the batch's task grain exactly like the batch planner: an
+    // oversized arriving archive range-splits on its member cut index
+    // (a 100 GiB crawl drop used to land as ONE task) and tiny drops
+    // bin-pack; offsets stay pure name intervals, so checkpoint
+    // compatibility is untouched
+    val listing = WarcDataSource.listFiles(path, conf.value.value).toMap
+    val batchSized = batch.map(f => (f, listing.getOrElse(f, 0L)))
+    val indexes =
+      if (splitMode == "index") {
+        val oversized = batchSized.filter(_._2 > splitBytes)
+        if (oversized.isEmpty) Map.empty[String, graft.sources.Warc.CutIndex]
+        else WarcDataSource.indexesFor(oversized,
+          WarcDataSource.indexMinGap(splitBytes), conf, sidecar)
+      } else Map.empty[String, graft.sources.Warc.CutIndex]
+    WarcDataSource.planSlicesIndexed(batchSized, splitBytes, indexes)
+      .map(sl => WarcInputPartition(sl): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required, typeFilter, conf)

@@ -148,6 +148,35 @@ class WarcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "range-split an oversized arriving archive in streaming mode" in {
+    // a 100 GiB crawl drop used to land as ONE streaming task; the batch
+    // now plans with the same member-indexed slicer as the batch reader.
+    // The sidecar written during stream planning is the observable proof
+    // that the cut-index path engaged (and rec_idx exactness proves the
+    // range union).
+    val dir = java.nio.file.Files.createTempDirectory("warcstreamsplit")
+    def rec(i: Int) = Warc.record("response", s"http://ss.example/$i",
+      Warc.httpResponse(200, "text/plain",
+        (s"payload $i :: " + "y" * (60 + i * 5)).getBytes("UTF-8")))
+    java.nio.file.Files.write(dir.resolve("big.warc.gz"),
+      Warc.encodeGz((0 until 40).map(rec)))
+    val q = spark.readStream.format("warc")
+      .option("split_size", 700).option("index_sidecar", "write")
+      .load(dir.toString)
+      .select($"rec_idx", $"target_uri")
+      .writeStream.format("memory").queryName("warc_split_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("warc_split_stream")
+        .as[(Int, String)].collect().sortBy(_._1)
+      rows.map(_._1).toSeq shouldBe (0 until 40)
+      rows.map(_._2).toSeq shouldBe (0 until 40).map(i => s"http://ss.example/$i")
+      java.nio.file.Files.exists(
+        dir.resolve(".big.warc.gz.graftidx")) shouldBe true
+    } finally q.stop()
+  }
+
   it should "bound a replayed all-legacy batch by its recorded end index" in {
     import graft.sources.WarcDataSource.selectBatch
     // crash between offset-WAL write and commit under the r8 bare-int
