@@ -257,6 +257,17 @@ object Bench {
         else (measured.min, measured.max)
     }
 
+    // a requested stage whose prerequisite (the lda_fit model) was
+    // filtered out or failed must surface as an EXPLICIT failure marker,
+    // never vanish from the output as if it was never requested
+    def wanted(names: String*): Boolean =
+      names.exists(n => !skip(n) && !only.exists(!_.contains(n)))
+    def markUnreachable(name: String): Unit = if (wanted(name)) {
+      System.err.println(s"[bench] $name unreachable (lda_fit model missing)")
+      stages(name) = -1.0
+      spread(name) = (-1.0, -1.0)
+    }
+
     timeStage("pipeline_events_first") { pipelineEvents() }
 
     headline.foreach { name =>
@@ -307,7 +318,7 @@ object Bench {
             threshold = 1.0, topK = 100,
             tiebreak = Seq(org.apache.spark.sql.functions.col("event_id"))))
         }
-      }
+      } else markUnreachable("pe_stage_score")
     }
     // Flow/dns/proxy full pipelines + stage splits (the pe_* pattern; r10
     // verdict item 2): all three train at topicCount=10 / maxIter=10 —
@@ -318,8 +329,6 @@ object Bench {
     import graft.queries.PipelineQueries
     import org.apache.spark.sql.functions.{col, lit}
     val Pop = Set("src1", "src3", "src5")
-    def wanted(names: String*): Boolean =
-      names.exists(n => !skip(n) && !only.exists(!_.contains(n)))
 
     time("pipeline_flow") {
       val flows = PipelineQueries.flowInput(spark, sfDir)
@@ -348,7 +357,7 @@ object Bench {
             FlowPipeline.score(PipelineQueries.flowInput(spark, sfDir), fm),
             threshold = 1.0, topK = 100))
         }
-      }
+      } else markUnreachable("pf_stage_score")
     }
 
     time("pipeline_dns") {
@@ -384,7 +393,7 @@ object Bench {
             DnsPipeline.score(PipelineQueries.dnsInput(spark, sfDir), dm),
             threshold = 1.0, topK = 100))
         }
-      }
+      } else markUnreachable("pd_stage_score")
     }
 
     time("pipeline_proxy") {
@@ -419,7 +428,7 @@ object Bench {
             ProxyPipeline.score(PipelineQueries.proxyInput(spark, sfDir), pm),
             threshold = 1.0, topK = 100))
         }
-      }
+      } else markUnreachable("pp_stage_score")
     }
 
     val allContenders = (contendersAtStart ++ contenders()).distinct

@@ -528,9 +528,13 @@ object Dedup {
     val comp = connectedComponents(fpPairs.select(
         col("fp_a").as("id_a"), col("fp_b").as("id_b")))
       .select(col("doc_id").as("__fp"), col("cluster").as("__fcomp"))
+    // consumed twice (the winner aggregate and the final attach) —
+    // checkpoint so the fp ⋈ comp join runs once, per the file's
+    // multi-consumer convention
     val labeled = fp.join(comp, col("simhash") === col("__fp"), "left")
       .select(col("doc_id"),
         coalesce(col("__fcomp"), col("simhash")).as("__fcomp"))
+      .localCheckpoint(false)
     // canonical cluster id = min doc_id in the fingerprint component: one
     // map-side-combined aggregate over the (few) component keys + one join
     val clusterIds = labeled.groupBy("__fcomp")

@@ -67,13 +67,6 @@ final class MemberGzipInputStream(
     val b = cbuf(cpos) & 0xff; cpos += 1; b
   }
 
-  private def skipN(n: Int): Unit = (0 until n).foreach(_ => u8())
-
-  private def skipZeroTerminated(): Unit = {
-    var b = u8()
-    while (b != 0) b = u8()
-  }
-
   /** Parse one member header at the current position. Returns false iff
     * the stream is cleanly exhausted (EOF exactly at a member boundary);
     * throws on ANY other shape — a partial or invalid header here is the
@@ -81,21 +74,33 @@ final class MemberGzipInputStream(
   private def parseHeader(): Boolean = {
     if (!fill()) return false // clean EOF between members
     val start = compressedPos
-    val id1 = u8()
-    val id2 = if (fill()) u8() else fail("EOF after one header byte")
+    // header CRC runs over every header byte up to (excluding) the FHCRC
+    // field itself — GZIPInputStream verifies this; strictness parity
+    // demands we do too
+    val hcrc = new java.util.zip.CRC32
+    def h8(): Int = { val b = u8(); hcrc.update(b); b }
+    def hskip(n: Int): Unit = (0 until n).foreach(_ => h8())
+    def hskipZero(): Unit = { var b = h8(); while (b != 0) b = h8() }
+    val id1 = h8()
+    val id2 = if (fill()) h8() else fail("EOF after one header byte")
     if (id1 != 0x1f || id2 != 0x8b)
       fail(f"bad member magic 0x$id1%02x 0x$id2%02x at offset $start")
-    if (u8() != 8) fail("unsupported compression method (CM != deflate)")
-    val flg = u8()
+    if (h8() != 8) fail("unsupported compression method (CM != deflate)")
+    val flg = h8()
     if ((flg & 0xe0) != 0) fail(f"reserved FLG bits set (0x$flg%02x)")
-    skipN(6) // MTIME(4) XFL OS
+    hskip(6) // MTIME(4) XFL OS
     if ((flg & 0x04) != 0) { // FEXTRA: 2-byte little-endian length
-      val xlen = u8() | (u8() << 8)
-      skipN(xlen)
+      val xlen = h8() | (h8() << 8)
+      hskip(xlen)
     }
-    if ((flg & 0x08) != 0) skipZeroTerminated() // FNAME
-    if ((flg & 0x10) != 0) skipZeroTerminated() // FCOMMENT
-    if ((flg & 0x02) != 0) skipN(2)             // FHCRC
+    if ((flg & 0x08) != 0) hskipZero() // FNAME
+    if ((flg & 0x10) != 0) hskipZero() // FCOMMENT
+    if ((flg & 0x02) != 0) {           // FHCRC: low 16 bits of header CRC32
+      val stored = u8() | (u8() << 8)
+      val computed = (hcrc.getValue & 0xffffL).toInt
+      if (stored != computed)
+        fail(f"member header CRC mismatch (stored 0x$stored%04x, computed 0x$computed%04x)")
+    }
     inflater.reset()
     crc.reset()
     memberInflated = 0L

@@ -191,9 +191,20 @@ object WarcDataSource {
     * costs one linear walk of the archive, so repeated scans of the same
     * listing must not rebuild. Entries are bounded metadata
     * (≤ size/minGap cut points); keyed by size so an overwritten file
-    * re-indexes. JVM-lifetime, like Spark's own FileStatusCache. */
-  private[graft] val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Warc.CutIndex]()
+    * re-indexes (an in-place SAME-SIZE rewrite mid-session keeps the
+    * stale entry — the cross-session sidecar carries an mtime check; the
+    * in-JVM window shares Spark FileStatusCache's caveat). LRU-BOUNDED
+    * at [[IndexCacheMaxFiles]] files so a long-running streaming driver
+    * watching an ever-growing crawl directory cannot accrete heap
+    * without bound. */
+  private[graft] val IndexCacheMaxFiles = 1024
+  private[graft] val indexCache: java.util.Map[(String, Long), Warc.CutIndex] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), Warc.CutIndex](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), Warc.CutIndex]): Boolean =
+          size() > IndexCacheMaxFiles
+      })
 
   /** Sidecar index file of an archive: a dot-prefixed sibling — hidden
     * to [[listFiles]] (and to Spark's own FileIndex convention), so the
@@ -204,27 +215,42 @@ object WarcDataSource {
   }
 
   /** Persist a cut index next to its archive (the CDX-shaped move: crawl
-    * deployments index once, read forever). Text format, one header +
-    * one line per cut; the stored file size staleness-keys the sidecar
-    * against archive replacement. */
+    * deployments index once, read forever). Text format: a header
+    * carrying the archive's size AND mtime (both staleness-key the
+    * sidecar against replacement — including the in-place same-size
+    * rewrite a size-only check misses), one line per cut, and a
+    * trailing `end <cutCount>` footer so a truncated write can never
+    * parse as a complete (wrong) index. Written to a temp sibling then
+    * RENAMED — readers race against whole files, not partial writes. */
   private[graft] def writeSidecar(file: String, size: Long, idx: Warc.CutIndex,
                                   conf: org.apache.hadoop.conf.Configuration): Unit = {
     val sp = sidecarPath(file)
-    val out = fsFor(sp, conf).create(sp, true)
+    val fs = fsFor(sp, conf)
+    val mtime = fs.getFileStatus(new org.apache.hadoop.fs.Path(file))
+      .getModificationTime
+    val tmp = new org.apache.hadoop.fs.Path(sp.getParent, sp.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try {
-      val sb = new java.lang.StringBuilder(32 + idx.cuts.length * 16)
-      sb.append("graftwarcidx v1 ").append(size).append(' ')
-        .append(idx.records).append('\n')
+      val sb = new java.lang.StringBuilder(48 + idx.cuts.length * 16)
+      sb.append("graftwarcidx v2 ").append(size).append(' ').append(mtime)
+        .append(' ').append(idx.records).append('\n')
       idx.cuts.foreach(c =>
         sb.append(c.offset).append(' ').append(c.recIdx).append('\n'))
+      sb.append("end ").append(idx.cuts.length).append('\n')
       out.write(sb.toString.getBytes("US-ASCII"))
     } finally out.close()
+    if (!fs.rename(tmp, sp)) { // e.g. target locked: replace explicitly
+      fs.delete(sp, false)
+      if (!fs.rename(tmp, sp)) fs.delete(tmp, false)
+    }
   }
 
-  /** Load a sidecar index if present, readable, version-matched, and
-    * fresh (stored size == current size); None otherwise — a stale or
-    * corrupt sidecar silently degrades to a rebuild, never a wrong
-    * plan. */
+  /** Load a sidecar index if present, readable, version-matched, fresh
+    * (stored size AND archive mtime match), complete (footer cut count
+    * matches), and structurally sound (cuts start at (0,0) and are
+    * strictly increasing in both coordinates); None otherwise — a
+    * stale, truncated, or corrupt sidecar silently degrades to a
+    * rebuild, never a wrong plan. */
   private[graft] def readSidecar(file: String, size: Long,
                                  conf: org.apache.hadoop.conf.Configuration): Option[Warc.CutIndex] =
     try {
@@ -236,50 +262,63 @@ object WarcDataSource {
         try scala.io.Source.fromInputStream(in, "US-ASCII").getLines().toArray
         finally in.close()
       val head = lines.head.split(' ')
-      if (head.length != 4 || head(0) != "graftwarcidx" || head(1) != "v1" ||
+      if (head.length != 5 || head(0) != "graftwarcidx" || head(1) != "v2" ||
           head(2).toLong != size) return None
-      val cuts = lines.tail.filter(_.nonEmpty).map { l =>
+      val mtime = fs.getFileStatus(new org.apache.hadoop.fs.Path(file))
+        .getModificationTime
+      if (head(3).toLong != mtime) return None
+      val foot = lines.last.split(' ')
+      if (foot.length != 2 || foot(0) != "end") return None
+      val body = lines.slice(1, lines.length - 1).filter(_.nonEmpty)
+      if (body.length != foot(1).toInt) return None
+      val cuts = body.map { l =>
         val sep = l.indexOf(' ')
         Warc.CutPoint(l.substring(0, sep).toLong, l.substring(sep + 1).toInt)
       }
-      Some(Warc.CutIndex(cuts.toIndexedSeq, head(3).toInt))
+      val sound = cuts.nonEmpty && cuts.head == Warc.CutPoint(0L, 0) &&
+        cuts.sliding(2).forall {
+          case Array(a, b) => a.offset < b.offset && a.recIdx < b.recIdx
+          case _ => true
+        }
+      if (!sound) return None
+      Some(Warc.CutIndex(cuts.toIndexedSeq, head(4).toInt))
     } catch { case _: Exception => None }
 
-  /** Cut indexes for `files`: the JVM cache first, then sidecar files
-    * (`sidecar` = "read": load if present; "write": also persist after
-    * building — best-effort, a read-only source dir must not fail the
-    * read; "off": neither), then ONE Spark job building whatever is
-    * still missing (a task per file — the walk is the linear pass the
-    * first read would pay anyway, done once here instead of once per
-    * slice). Runs at planning time from the driver. A sidecar built
-    * under a different split_size carries its own cut granularity —
-    * [[planSlicesIndexed]]'s greedy merge respects the CURRENT target
-    * either way (finer cuts merge up; coarser cuts mean slices land on
-    * the coarser boundaries). */
+  /** Cut indexes for `files`: the JVM cache first, then ONE Spark job
+    * for whatever is missing — each task probes the file's SIDECAR
+    * first (`sidecar` = "read"/"write"; "off" skips the probe) and only
+    * walks the archive when none is usable, persisting afterwards under
+    * "write" (best-effort — a read-only source dir must not fail the
+    * read). Probing inside the job keeps the driver to one collect: a
+    * first scan over thousands of object-store archives pays its
+    * sidecar GETs in parallel tasks, never as serial driver round
+    * trips. A sidecar built under a different split_size carries its
+    * own cut granularity — [[planSlicesIndexed]]'s greedy merge
+    * respects the CURRENT target either way (finer cuts merge up;
+    * coarser cuts mean slices land on the coarser boundaries). */
   private[graft] def indexesFor(files: Seq[(String, Long)], minGap: Long,
       conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
       sidecar: String = "read"): Map[String, Warc.CutIndex] = {
-    val missing0 = files.filterNot(f => indexCache.containsKey((f._1, f._2)))
-    val missing =
-      if (sidecar == "off") missing0
-      else missing0.filterNot { case (f, size) =>
-        readSidecar(f, size, conf.value.value).exists { idx =>
-          indexCache.put((f, size), idx); true
-        }
-      }
+    val missing = files.filterNot(f => indexCache.containsKey((f._1, f._2)))
     if (missing.nonEmpty) {
       val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      val probeSidecar = sidecar != "off"
       val persist = sidecar == "write"
       val built = sc.parallelize(missing, missing.size)
         .map { case (f, size) =>
-          val in = open(f, conf.value.value)
-          val idx =
-            try Warc.buildCutIndex(in, f, minGap)
-            finally { try in.close() catch { case _: java.io.IOException => } }
-          if (persist) {
-            try writeSidecar(f, size, idx, conf.value.value)
-            catch { case _: java.io.IOException => } // read-only dir: skip
-          }
+          val c = conf.value.value
+          val idx = (if (probeSidecar) readSidecar(f, size, c) else None)
+            .getOrElse {
+              val in = open(f, c)
+              val fresh =
+                try Warc.buildCutIndex(in, f, minGap)
+                finally { try in.close() catch { case _: java.io.IOException => } }
+              if (persist) {
+                try writeSidecar(f, size, fresh, c)
+                catch { case _: java.io.IOException => } // read-only dir: skip
+              }
+              fresh
+            }
           ((f, size), idx)
         }.collect()
       built.foreach { case (k, v) => indexCache.put(k, v) }
@@ -578,7 +617,11 @@ private class WarcMicroBatchStream(path: String, required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val so = start.asInstanceOf[WarcOffset]
     val eo = end.asInstanceOf[WarcOffset]
-    val files = listSorted()
+    // ONE listing per plan: names drive the offset interval, sizes drive
+    // the task grain (a second listing would both double object-store
+    // LIST cost and open a race where the two listings disagree)
+    val listing = WarcDataSource.listFiles(path, conf.value.value)
+    val files = listing.map(_._1).toArray
     val batch = WarcDataSource.selectBatch(files, so.n, so.last, eo.n, eo.last)
     if (!adopted) {
       // first plan of this stream object: a checkpoint restore starts
@@ -615,8 +658,8 @@ private class WarcMicroBatchStream(path: String, required: StructType,
     // (a 100 GiB crawl drop used to land as ONE task) and tiny drops
     // bin-pack; offsets stay pure name intervals, so checkpoint
     // compatibility is untouched
-    val listing = WarcDataSource.listFiles(path, conf.value.value).toMap
-    val batchSized = batch.map(f => (f, listing.getOrElse(f, 0L)))
+    val sizes = listing.toMap
+    val batchSized = batch.map(f => (f, sizes(f)))
     val indexes =
       if (splitMode == "index") {
         val oversized = batchSized.filter(_._2 > splitBytes)

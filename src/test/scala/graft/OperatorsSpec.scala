@@ -291,7 +291,7 @@ class OperatorsSpec extends SparkSpec {
     out.filter(_._1 < 10000L).map(_._2).distinct shouldBe Array(0L)
   }
 
-  it should "reject widths past 30 bits on the default token hash" in {
+  "Dedup.simHashDocs width guard" should "reject widths past 30 bits on the default token hash" in {
     // the default polyHash is 30-bit: bits 30..59 would read constant
     // zero and degenerate their bands into everyone-collides buckets —
     // widths above 30 must opt in with an explicitly wide hash

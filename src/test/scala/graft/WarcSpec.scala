@@ -484,6 +484,42 @@ class WarcSpec extends SparkSpec {
     got.toByteArray shouldBe payload
   }
 
+  it should "verify the FHCRC header checksum when present" in {
+    import graft.sources.MemberGzipInputStream
+    val payload = Warc.record("warcinfo", "", "crc
+".getBytes("US-ASCII"))
+    val deflater = new java.util.zip.Deflater(6, true)
+    deflater.setInput(payload); deflater.finish()
+    val dbuf = new Array[Byte](payload.length * 2 + 64)
+    val dlen = deflater.deflate(dbuf)
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    def member(goodHcrc: Boolean): Array[Byte] = {
+      val head = new java.io.ByteArrayOutputStream()
+      head.write(Array(0x1f, 0x8b, 8, 0x02).map(_.toByte)) // FLG = FHCRC
+      head.write(new Array[Byte](6)) // MTIME XFL OS
+      val hcrc = new java.util.zip.CRC32(); hcrc.update(head.toByteArray)
+      val stored = (hcrc.getValue & 0xffffL).toInt ^ (if (goodHcrc) 0 else 0x5a5a)
+      head.write(stored & 0xff); head.write((stored >> 8) & 0xff)
+      head.write(dbuf, 0, dlen)
+      val t = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      t.putInt(crc.getValue.toInt); t.putInt(payload.length)
+      head.write(t.array())
+      head.toByteArray
+    }
+    def drain(b: Array[Byte]): Array[Byte] = {
+      val got = new java.io.ByteArrayOutputStream()
+      val in = new MemberGzipInputStream(new java.io.ByteArrayInputStream(b))
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { got.write(buf, 0, n); n = in.read(buf) }
+      got.toByteArray
+    }
+    drain(member(goodHcrc = true)) shouldBe payload
+    intercept[java.io.IOException] { drain(member(goodHcrc = false)) }
+      .getMessage should include("header CRC")
+  }
+
   "Warc.parse" should "refuse trailing garbage after the final gzip member" in {
     val gz = Warc.encodeGz(Seq(Warc.record("warcinfo", "", "a\r\n".getBytes)))
     Warc.parse(gz).isDefined shouldBe true
