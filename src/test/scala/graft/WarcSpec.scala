@@ -486,8 +486,7 @@ class WarcSpec extends SparkSpec {
 
   it should "verify the FHCRC header checksum when present" in {
     import graft.sources.MemberGzipInputStream
-    val payload = Warc.record("warcinfo", "", "crc
-".getBytes("US-ASCII"))
+    val payload = Warc.record("warcinfo", "", "crc\r\n".getBytes("US-ASCII"))
     val deflater = new java.util.zip.Deflater(6, true)
     deflater.setInput(payload); deflater.finish()
     val dbuf = new Array[Byte](payload.length * 2 + 64)
