@@ -362,9 +362,37 @@ object Warc {
     * The walk shares [[streamRecords]]' parser (structure-only pass:
     * `owns` rejects everything, so no payload materializes), so a cut
     * index exists iff the row path can read the archive; malformation
-    * throws the same [[WarcFormatException]]. Does not close `raw`. */
+    * throws the same [[WarcFormatException]]. Does not close `raw` —
+    * enforced by a close-shielding wrapper, since the plain-archive walk
+    * closes its own stream stack on exhaustion (the gzip walk's
+    * [[MemberGzipInputStream]] only releases its Inflater). */
   def buildCutIndex(raw: java.io.InputStream, label: String = "warc",
                     minGap: Long = 1L << 20): CutIndex = {
+    val shielded = new java.io.FilterInputStream(raw) {
+      override def close(): Unit = () // caller owns raw's lifecycle
+    }
+    var out: CutIndex = null
+    val it = streamRecordsIndexed(shielded, _ => false, label, minGap,
+      idx => out = idx)
+    while (it.hasNext) it.next()
+    out
+  }
+
+  /** [[streamRecords]] that ALSO builds the archive's [[CutIndex]] as a
+    * side effect of the walk — the piggyback path: a round-robin
+    * fallback read is already paying the full decompression walk, so
+    * slice 0 can leave a sidecar index behind for free and the NEXT
+    * scan plans member-indexed byte ranges ([[WarcDataSource]] wires
+    * this under `split_mode=roundrobin` + `index_sidecar=write`).
+    * `onIndex` fires exactly once, at CLEAN EXHAUSTION of the walk
+    * (never on malformation, never on an abandoned iterator), so a
+    * partial walk can never persist a partial index. Cut semantics,
+    * thinning, and the shared parser are [[buildCutIndex]]'s — that
+    * function IS this one with an owns-nothing walk. Closes the stream
+    * on exhaustion/malformation like streamRecords. */
+  def streamRecordsIndexed(raw: java.io.InputStream, owns: Int => Boolean,
+                           label: String = "warc", minGap: Long = 1L << 20,
+                           onIndex: CutIndex => Unit): Iterator[WarcRecord] = {
     // gzip detect must happen HERE (not inside streamRecords) so the
     // member callback can be attached; plain streams pass through with
     // identity coordinates (member start == record start trivially).
@@ -375,42 +403,150 @@ object Warc {
     val cuts = IndexedSeq.newBuilder[CutPoint]
     var lastKept = Long.MinValue
     var records = 0
-    if (h1 == 0x1f && h2 == 0x8b) {
-      // members recorded as (compressedStart, inflatedStart), appended by
-      // the decoder BEFORE any byte of the member is served — so when the
-      // walker sees a record start at inflated offset R, a member
-      // starting at R is already present. `mi` advances monotonically:
-      // one linear merge of the two offset streams.
-      val members = collection.mutable.ArrayBuffer[(Long, Long)]()
-      val gz = new MemberGzipInputStream(pb, (c, i) => {
-        // thin at member level too: an archive of tiny members must not
-        // accumulate an unbounded driver-side list
-        if (members.isEmpty || c - members.last._1 >= minGap) members += ((c, i))
-      })
-      var mi = 0
-      val it = streamRecords(gz, _ => false, label,
-        onRecordStart = (r, idx) => {
-          records = idx + 1
-          while (mi < members.length && members(mi)._2 < r) mi += 1
-          if (mi < members.length && members(mi)._2 == r &&
-              (lastKept == Long.MinValue || members(mi)._1 - lastKept >= minGap)) {
-            cuts += CutPoint(members(mi)._1, idx)
-            lastKept = members(mi)._1
-          }
+    val base: Iterator[WarcRecord] =
+      if (h1 == 0x1f && h2 == 0x8b) {
+        // members recorded as (compressedStart, inflatedStart), appended by
+        // the decoder BEFORE any byte of the member is served — so when the
+        // walker sees a record start at inflated offset R, a member
+        // starting at R is already present. `mi` advances monotonically:
+        // one linear merge of the two offset streams.
+        val members = collection.mutable.ArrayBuffer[(Long, Long)]()
+        val gz = new MemberGzipInputStream(pb, (c, i) => {
+          // thin at member level too: an archive of tiny members must not
+          // accumulate an unbounded driver-side list
+          if (members.isEmpty || c - members.last._1 >= minGap) members += ((c, i))
         })
-      while (it.hasNext) it.next()
-    } else {
-      val it = streamRecords(pb, _ => false, label,
-        onRecordStart = (r, idx) => {
-          records = idx + 1
-          if (lastKept == Long.MinValue || r - lastKept >= minGap) {
-            cuts += CutPoint(r, idx)
-            lastKept = r
-          }
-        })
-      while (it.hasNext) it.next()
+        var mi = 0
+        streamRecords(gz, owns, label,
+          onRecordStart = (r, idx) => {
+            records = idx + 1
+            while (mi < members.length && members(mi)._2 < r) mi += 1
+            if (mi < members.length && members(mi)._2 == r &&
+                (lastKept == Long.MinValue || members(mi)._1 - lastKept >= minGap)) {
+              cuts += CutPoint(members(mi)._1, idx)
+              lastKept = members(mi)._1
+            }
+          })
+      } else {
+        streamRecords(pb, owns, label,
+          onRecordStart = (r, idx) => {
+            records = idx + 1
+            if (lastKept == Long.MinValue || r - lastKept >= minGap) {
+              cuts += CutPoint(r, idx)
+              lastKept = r
+            }
+          })
+      }
+    new Iterator[WarcRecord] {
+      private var fired = false
+      override def hasNext: Boolean = {
+        val h = base.hasNext
+        if (!h && !fired) { // clean exhaustion: the whole walk completed
+          fired = true
+          onIndex(CutIndex(cuts.result(), records))
+        }
+        h
+      }
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException("warc iterator")
+        base.next()
+      }
     }
-    CutIndex(cuts.result(), records)
+  }
+
+  /** One-pass re-materialization of ANY readable archive (plain, or gzip
+    * of any member layout — including the monolithic single-member form
+    * that defeats range splitting) into the per-record-member gzip
+    * layout (the Common Crawl convention): each record becomes its own
+    * gzip member, so the output indexes into byte-range slices forever
+    * after. Records pass through BYTE-VERBATIM — every header line
+    * (WARC-Date, WARC-Record-ID, extension headers the row parser
+    * ignores) is copied untouched, so `parse(transcoded) ==
+    * parse(original)` record for record. O(64 KiB) peak heap (payloads
+    * stream through in chunks); malformation throws
+    * [[WarcFormatException]] at the offending record, same as every
+    * other walk. Returns the record count. Closes neither stream —
+    * callers own both lifecycles ([[WarcDataSource.rematerialize]] is
+    * the path-based wrapper). */
+  def transcodeToMemberGzip(raw: java.io.InputStream, out: java.io.OutputStream,
+                            label: String = "warc"): Int = {
+    val pb = new java.io.PushbackInputStream(raw, 2)
+    val h1 = pb.read(); val h2 = pb.read()
+    if (h2 >= 0) pb.unread(h2)
+    if (h1 >= 0) pb.unread(h1)
+    val in: java.io.InputStream =
+      if (h1 == 0x1f && h2 == 0x8b) new MemberGzipInputStream(pb) else pb
+    val bin = new java.io.BufferedInputStream(in, 1 << 16)
+    def fail(reason: String): Nothing = throw new WarcFormatException(label, reason)
+    val buf = new Array[Byte](1 << 16)
+    var count = 0
+    var eof = false
+    while (!eof) {
+      bin.mark(1)
+      if (bin.read() < 0) eof = true
+      else {
+        bin.reset()
+        // header block: capture bytes verbatim while extracting only what
+        // the record frame needs (version sanity + Content-Length)
+        val head = new java.io.ByteArrayOutputStream(512)
+        var contentLength = -1L
+        var version: String = null
+        var headersDone = false
+        while (!headersDone) {
+          val lineBuf = new java.io.ByteArrayOutputStream(128)
+          var c = bin.read()
+          while (c >= 0 && c != '\n') {
+            if (lineBuf.size >= MaxHeaderLine)
+              fail(s"header line exceeds $MaxHeaderLine bytes")
+            lineBuf.write(c); c = bin.read()
+          }
+          if (c < 0) fail("EOF inside a header line")
+          lineBuf.write('\n')
+          val lb = lineBuf.toByteArray
+          if (lb.length < 2 || lb(lb.length - 2) != '\r')
+            fail("header line not CRLF-terminated")
+          head.write(lb, 0, lb.length)
+          val s = new String(lb, 0, lb.length - 2, "US-ASCII")
+          if (version == null) {
+            version = s
+            if (s != "WARC/1.0" && s != "WARC/1.1")
+              fail(s"bad version line '$s'")
+          } else if (s.isEmpty) headersDone = true
+          else {
+            val colon = s.indexOf(':')
+            if (colon < 0) fail(s"header line without colon: '$s'")
+            if (s.substring(0, colon).trim.equalsIgnoreCase("content-length"))
+              contentLength =
+                try s.substring(colon + 1).trim.toLong
+                catch { case _: NumberFormatException =>
+                  fail(s"bad Content-Length '${s.substring(colon + 1).trim}'") }
+          }
+        }
+        if (contentLength < 0) fail("missing Content-Length")
+        // one gzip member per record: header + streamed payload + separator
+        val gz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
+        gz.write(head.toByteArray)
+        var left = contentLength
+        while (left > 0) {
+          val n = bin.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+          if (n < 0) fail("EOF inside a record payload")
+          gz.write(buf, 0, n); left -= n
+        }
+        val sep = new Array[Byte](4)
+        var off = 0
+        while (off < 4) {
+          val n = bin.read(sep, off, 4 - off)
+          if (n < 0) fail("EOF at record separator")
+          off += n
+        }
+        if (!(sep(0) == '\r' && sep(1) == '\n' && sep(2) == '\r' && sep(3) == '\n'))
+          fail("missing record separator (two CRLF)")
+        gz.write(sep)
+        gz.finish() // member boundary; `out` stays open for the next record
+        count += 1
+      }
+    }
+    count
   }
 
   /** [[parse]] restricted to the records whose index satisfies `owns` —

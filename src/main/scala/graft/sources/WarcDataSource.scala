@@ -54,12 +54,34 @@ import org.apache.spark.unsafe.types.UTF8String
   *    conjunction of two different values is the empty scan), never
   *    first-one-wins.
   *
+  *  - DEPLOYMENT RECIPE for an unindexed crawl bucket: set
+  *    `index_sidecar=write` on FIRST CONTACT — every built index
+  *    persists as a dot-prefixed sidecar next to its archive (mtime+size
+  *    staleness-keyed, footer-validated), so the bucket is indexed once
+  *    and read forever; later scans (default `index_sidecar=read`) probe
+  *    sidecars in parallel tasks and never re-walk. If even the first
+  *    scan's plan-time index job is too serial (one task per cold
+  *    archive — a single 100 GiB archive walks on one core), run the
+  *    first scan as `split_mode=roundrobin` + `index_sidecar=write`:
+  *    slice 0 of each oversized archive PIGGYBACKS index construction on
+  *    the read it is doing anyway and leaves the sidecar behind, so no
+  *    scan ever pays a dedicated index pass.
+  *
   * Parse semantics are [[Warc.streamRecords]]'s: a malformed archive
   * THROWS at the offending record (fail-fast task error, including the
   * strict gzip member checks), so no silently-partial archive ever
   * commits rows; crawl jobs that prefer drop-and-continue per archive
   * use the operator form ([[Warc.extractResponses]], all-or-nothing
-  * None per blob). */
+  * None per blob).
+  *
+  * COMPATIBILITY (strict member gzip, r11+): archives with trailing
+  * garbage or zero-padding after the last gzip member — which
+  * `java.util.zip` (and this source before r11) silently accepted as
+  * EOF — now fail the read loudly. That strictness is the point (a
+  * member-boundary corruption would otherwise commit a partial record
+  * set), but a previously-readable padded `.gz` file now errors: route
+  * such files through the drop-and-continue operator form
+  * ([[Warc.extractResponses]]) or strip the padding. */
 class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "warc"
 
@@ -152,14 +174,46 @@ object WarcDataSource {
   def indexMinGap(target: Long): Long =
     math.max(1L, math.min(1L << 20, target / 16))
 
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.sources.WarcDataSource")
+
+  /** The default `onFallback` of [[planSlicesIndexed]]: one WARN line per
+    * oversized file taking the N-walk round-robin fallback, naming the
+    * cost and the way out — an indexed-but-cutless file is a monolithic
+    * single-member gzip (re-materialize it, [[rematerialize]]); an
+    * unindexed one is a `split_mode=roundrobin` plan (switch to `index`,
+    * with `index_sidecar=write` on first contact). Without this line a
+    * user pointing the source at a single-member 50 GiB archive silently
+    * pays O(size²/splitSize) total inflate on every scan. */
+  private[graft] def logFallbackWarning(file: String, size: Long, n: Int,
+                                        indexed: Boolean): Unit =
+    log.warn(
+      if (indexed)
+        s"warc: $file ($size bytes) has no interior member cut point " +
+          s"(monolithic single-member gzip) — splitting into $n round-robin " +
+          s"walks, each a FULL decompression of the archive (~${n}x total " +
+          "inflate, every scan). Re-materialize it into per-record gzip " +
+          "members (WarcDataSource.rematerialize / Warc.transcodeToMemberGzip) " +
+          "to make it range-splittable."
+      else
+        s"warc: $file ($size bytes) splits into $n round-robin walks, each " +
+          s"a FULL decompression of the archive (~${n}x total inflate). Use " +
+          "split_mode=index (with index_sidecar=write on first contact) for " +
+          "seek-and-read byte-range splits.")
+
   /** Plan with member indexes where available: an indexed file with ≥2
     * cut points splits into byte-range slices on cut boundaries
     * ([[RangeSlice]]); anything else (no index, or no interior cut —
     * monolithic gzip) falls back to [[planSlices]]' round-robin form.
     * Either way slices bin-pack into `target`-sized partitions, and the
-    * union of any plan's slices is bit-identical to the unsplit read. */
+    * union of any plan's slices is bit-identical to the unsplit read.
+    * `onFallback(file, size, nSplits, hadIndex)` fires once per
+    * oversized file that takes the round-robin fallback (default: a
+    * WARN log naming the N×-inflate cost — [[logFallbackWarning]]). */
   def planSlicesIndexed(files: Seq[(String, Long)], target: Long,
-                        indexes: Map[String, Warc.CutIndex]): Seq[Seq[Slice]] = {
+                        indexes: Map[String, Warc.CutIndex],
+                        onFallback: (String, Long, Int, Boolean) => Unit =
+                          logFallbackWarning): Seq[Seq[Slice]] = {
     require(target > 0, s"warc split_size must be positive, got $target")
     val slices = files.sortBy(_._1).flatMap { case (f, size) =>
       indexes.get(f).filter(_.cuts.length >= 2) match {
@@ -181,10 +235,36 @@ object WarcDataSource {
           out.result()
         case _ =>
           val n = math.max(1L, (size + target - 1) / target).toInt
+          if (n > 1) onFallback(f, size, n, indexes.contains(f))
           (0 until n).map(k => (FileSlice(f, k, n): Slice, size / n))
       }
     }
     pack(slices, target)
+  }
+
+  /** Re-materialize `src` (any readable archive — notably a MONOLITHIC
+    * single-member gzip, which can never range-split) as `dst` in the
+    * per-record-member gzip layout, through the same Hadoop FS layer the
+    * scans use (object-store URIs work). One linear read, O(64 KiB)
+    * heap, record-verbatim ([[Warc.transcodeToMemberGzip]]); the output
+    * indexes into byte-range slices on every future scan. Returns the
+    * record count; on failure the partial `dst` is deleted. */
+  def rematerialize(src: String, dst: String,
+                    conf: org.apache.hadoop.conf.Configuration): Int = {
+    val in = open(src, conf)
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    val fs = fsFor(dp, conf)
+    val out = fs.create(dp, true)
+    var ok = false
+    try {
+      val n = Warc.transcodeToMemberGzip(in, out, src)
+      ok = true
+      n
+    } finally {
+      try in.close() catch { case _: java.io.IOException => }
+      try out.close() catch { case _: java.io.IOException => }
+      if (!ok) { try fs.delete(dp, false) catch { case _: java.io.IOException => } }
+    }
   }
 
   /** Driver-side cut-index cache, keyed (path, size): index building
@@ -197,7 +277,7 @@ object WarcDataSource {
     * at [[IndexCacheMaxFiles]] files so a long-running streaming driver
     * watching an ever-growing crawl directory cannot accrete heap
     * without bound. */
-  private[graft] val IndexCacheMaxFiles = 1024
+  private[graft] var IndexCacheMaxFiles = 1024 // var: spec shrinks it to drive eviction
   private[graft] val indexCache: java.util.Map[(String, Long), Warc.CutIndex] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[(String, Long), Warc.CutIndex](64, 0.75f, true) {
@@ -221,14 +301,19 @@ object WarcDataSource {
     * rewrite a size-only check misses), one line per cut, and a
     * trailing `end <cutCount>` footer so a truncated write can never
     * parse as a complete (wrong) index. Written to a temp sibling then
-    * RENAMED — readers race against whole files, not partial writes. */
+    * RENAMED — readers race against whole files, not partial writes.
+    * The temp name carries a per-writer UUID so two concurrent scans of
+    * the same directory (e.g. under different split_size, hence
+    * different cut granularity) can never interleave writes into one
+    * temp file and rename mixed content into place. */
   private[graft] def writeSidecar(file: String, size: Long, idx: Warc.CutIndex,
                                   conf: org.apache.hadoop.conf.Configuration): Unit = {
     val sp = sidecarPath(file)
     val fs = fsFor(sp, conf)
     val mtime = fs.getFileStatus(new org.apache.hadoop.fs.Path(file))
       .getModificationTime
-    val tmp = new org.apache.hadoop.fs.Path(sp.getParent, sp.getName + ".tmp")
+    val tmp = new org.apache.hadoop.fs.Path(sp.getParent,
+      s"${sp.getName}.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
     try {
       val sb = new java.lang.StringBuilder(48 + idx.cuts.length * 16)
@@ -299,12 +384,24 @@ object WarcDataSource {
   private[graft] def indexesFor(files: Seq[(String, Long)], minGap: Long,
       conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
       sidecar: String = "read"): Map[String, Warc.CutIndex] = {
-    val missing = files.filterNot(f => indexCache.containsKey((f._1, f._2)))
-    if (missing.nonEmpty) {
+    // take cache hits FIRST, then return hits ++ built directly: a
+    // listing wider than the LRU bound must still plan every file with
+    // its freshly-built index this scan (re-reading through the cache
+    // after the puts would lose early entries to eviction and silently
+    // degrade those files to the round-robin fallback — the exact
+    // crawl-bucket scale the index targets)
+    val hits = files.flatMap { case (f, s) =>
+      Option(indexCache.get((f, s))).map(f -> _)
+    }
+    val hitNames = hits.iterator.map(_._1).toSet
+    val missing = files.filterNot(f => hitNames(f._1))
+    val built: Array[((String, Long), Warc.CutIndex)] = if (missing.isEmpty) {
+      Array.empty
+    } else {
       val sc = org.apache.spark.sql.SparkSession.active.sparkContext
       val probeSidecar = sidecar != "off"
       val persist = sidecar == "write"
-      val built = sc.parallelize(missing, missing.size)
+      val out = sc.parallelize(missing, missing.size)
         .map { case (f, size) =>
           val c = conf.value.value
           val idx = (if (probeSidecar) readSidecar(f, size, c) else None)
@@ -321,11 +418,10 @@ object WarcDataSource {
             }
           ((f, size), idx)
         }.collect()
-      built.foreach { case (k, v) => indexCache.put(k, v) }
+      out.foreach { case (k, v) => indexCache.put(k, v) }
+      out
     }
-    files.flatMap { case (f, s) =>
-      Option(indexCache.get((f, s))).map(f -> _)
-    }.toMap
+    (hits ++ built.map { case ((f, _), idx) => f -> idx }).toMap
   }
 
   /** The record iterator of one slice over an already-open positioned
@@ -334,13 +430,19 @@ object WarcDataSource {
     * slices walk from the stream's current position (0); range slices
     * seek to their cut offset and read a bounded window. */
   private[graft] def sliceRecords(sl: Slice,
-      in: java.io.InputStream with org.apache.hadoop.fs.Seekable): Iterator[Warc.WarcRecord] =
+      in: java.io.InputStream with org.apache.hadoop.fs.Seekable,
+      minGap: Long = 1L << 20,
+      onIndex: Warc.CutIndex => Unit = null): Iterator[Warc.WarcRecord] =
     sl match {
       case FileSlice(f, splitIdx, numSplits) =>
         val owns: Int => Boolean =
           if (numSplits == 1) _ => true
           else idx => idx % numSplits == splitIdx
-        Warc.streamRecords(in, owns, f)
+        // piggyback: a full-structure walk can build the cut index for
+        // free — onIndex fires only on clean exhaustion, so an abandoned
+        // or failed walk never yields a (partial) index
+        if (onIndex != null) Warc.streamRecordsIndexed(in, owns, f, minGap, onIndex)
+        else Warc.streamRecords(in, owns, f)
       case RangeSlice(f, start, end, firstRec) =>
         in.seek(start)
         Warc.streamRecords(new BoundedInputStream(in, end - start),
@@ -352,7 +454,7 @@ object WarcDataSource {
     * probe for a sibling `.crc` file doubles syscalls on the
     * many-tiny-archives shape (the WARC stream's batch grain) for
     * checksums WARC archives never carry. */
-  private def fsFor(p: org.apache.hadoop.fs.Path,
+  private[graft] def fsFor(p: org.apache.hadoop.fs.Path,
                     conf: org.apache.hadoop.conf.Configuration): org.apache.hadoop.fs.FileSystem =
     p.getFileSystem(conf) match {
       case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
@@ -542,7 +644,14 @@ private class WarcScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, typeFilter, conf)
+    new WarcReaderFactory(required, typeFilter, conf,
+      // first-contact combination: a roundrobin read under sidecar=write
+      // leaves a cut index behind as a side effect of slice 0's walk, so
+      // even the degenerate N-walk first scan makes every later
+      // index-mode scan a seek-and-read plan (in index mode the plan-time
+      // job already probed/persisted, so the piggyback would be redundant)
+      piggybackIndex = splitMode == "roundrobin" && sidecar == "write",
+      splitBytes)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new WarcMicroBatchStream(path, required, typeFilter, conf, splitBytes,
@@ -671,7 +780,9 @@ private class WarcMicroBatchStream(path: String, required: StructType,
       .map(sl => WarcInputPartition(sl): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, typeFilter, conf)
+    new WarcReaderFactory(required, typeFilter, conf,
+      piggybackIndex = splitMode == "roundrobin" && sidecar == "write",
+      splitBytes)
 }
 
 private case class WarcInputPartition(slices: Seq[WarcDataSource.Slice])
@@ -679,17 +790,21 @@ private case class WarcInputPartition(slices: Seq[WarcDataSource.Slice])
 
 private class WarcReaderFactory(required: StructType,
                                 typeFilter: Option[Set[String]],
-                                conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration])
+                                conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
+                                piggybackIndex: Boolean = false,
+                                splitBytes: Long = WarcDataSource.DefaultSplitBytes)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(p.asInstanceOf[WarcInputPartition].slices,
-      required, typeFilter, conf)
+      required, typeFilter, conf, piggybackIndex, splitBytes)
 }
 
 private class WarcPartitionReader(slices: Seq[WarcDataSource.Slice],
                                   required: StructType,
                                   typeFilter: Option[Set[String]],
-                                  conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration])
+                                  conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
+                                  piggybackIndex: Boolean = false,
+                                  splitBytes: Long = WarcDataSource.DefaultSplitBytes)
     extends PartitionReader[InternalRow] {
   // slices walk lazily in sequence as STREAMS ([[Warc.streamRecords]]):
   // peak heap is O(record), never O(file). Range slices seek to their
@@ -707,7 +822,25 @@ private class WarcPartitionReader(slices: Seq[WarcDataSource.Slice],
       // streamRecords closes it itself on exhaustion or malformation
       val in = WarcDataSource.open(sl.file, conf.value.value)
       openStream = in
-      val it = WarcDataSource.sliceRecords(sl, in)
+      // first-contact piggyback: slice 0 of a round-robin split set is
+      // walking the whole structure anyway — under index_sidecar=write it
+      // leaves the cut index behind (best-effort, on clean exhaustion
+      // only), so the NEXT index-mode scan plans byte-range slices
+      // without ever paying a dedicated index walk
+      val onIndex: Warc.CutIndex => Unit = sl match {
+        case WarcDataSource.FileSlice(f, 0, n) if n > 1 && piggybackIndex =>
+          idx => try {
+            val c = conf.value.value
+            val size = WarcDataSource
+              .fsFor(new org.apache.hadoop.fs.Path(f), c)
+              .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+            WarcDataSource.writeSidecar(f, size, idx, c)
+            WarcDataSource.indexCache.put((f, size), idx)
+          } catch { case _: java.io.IOException => } // read-only dir: skip
+        case _ => null
+      }
+      val it = WarcDataSource.sliceRecords(sl, in,
+        WarcDataSource.indexMinGap(splitBytes), onIndex)
       typeFilter match {
         case Some(types) => it.filter(r => types.contains(r.warcType))
         case None => it

@@ -762,4 +762,233 @@ class WarcSpec extends SparkSpec {
     // request/warcinfo records of archive 1 contribute no rows
     rows.filter(_.getLong(0) == 1L).map(_.getInt(1)).sorted shouldBe Seq(2, 3)
   }
+
+  "planSlicesIndexed fallback warning" should "fire exactly for oversized round-robin fallbacks" in {
+    import graft.sources.WarcDataSource.planSlicesIndexed
+    val idx = Warc.CutIndex(IndexedSeq(Warc.CutPoint(0, 0), Warc.CutPoint(4, 2),
+      Warc.CutPoint(8, 5)), 9)
+    val mono = Warc.CutIndex(IndexedSeq(Warc.CutPoint(0, 0)), 3)
+    val fired = collection.mutable.ArrayBuffer[(String, Long, Int, Boolean)]()
+    planSlicesIndexed(
+      Seq(("indexed", 14L), ("mono", 10L), ("unindexed", 9L), ("small", 2L)),
+      4L, Map("indexed" -> idx, "mono" -> mono),
+      (f, s, n, i) => fired += ((f, s, n, i)))
+    // range-split files and sub-target files never warn; an
+    // indexed-but-cutless file (monolithic gzip) warns with hadIndex =
+    // true, an unindexed oversized file (roundrobin mode) with false
+    fired.sortBy(_._1) shouldBe Seq(
+      ("mono", 10L, 3, true), ("unindexed", 9L, 3, false))
+  }
+
+  "Warc.streamRecordsIndexed" should "fire onIndex only on clean exhaustion" in {
+    val bytes = Warc.encodeGz((0 until 6).map(i =>
+      Warc.record("response", s"http://ix.example/$i",
+        Warc.httpResponse(200, "text/plain", s"body $i".getBytes("UTF-8")))))
+    // abandoned early: never fires
+    var fired = 0
+    val it = Warc.streamRecordsIndexed(
+      new java.io.ByteArrayInputStream(bytes), _ => true, "ix", 1L,
+      _ => fired += 1)
+    it.next()
+    fired shouldBe 0
+    // full drain: fires exactly once, with the same index buildCutIndex
+    // yields (they share the walk), and re-asking hasNext never refires
+    var got: Warc.CutIndex = null
+    var n = 0
+    val it2 = Warc.streamRecordsIndexed(
+      new java.io.ByteArrayInputStream(bytes), _ => true, "ix", 1L,
+      idx => { got = idx; n += 1 })
+    while (it2.hasNext) it2.next()
+    it2.hasNext shouldBe false
+    n shouldBe 1
+    got shouldBe Warc.buildCutIndex(
+      new java.io.ByteArrayInputStream(bytes), "ix", 1L)
+    got.records shouldBe 6
+    got.cuts.length shouldBe 6 // per-record members at minGap 1
+    // malformation: throws, never fires a (partial) index
+    var badFired = 0
+    val truncated = java.util.Arrays.copyOf(bytes, bytes.length - 3)
+    intercept[java.io.IOException] {
+      val it3 = Warc.streamRecordsIndexed(
+        new java.io.ByteArrayInputStream(truncated), _ => true, "ix", 1L,
+        _ => badFired += 1)
+      while (it3.hasNext) it3.next()
+    }
+    badFired shouldBe 0
+  }
+
+  "Warc.transcodeToMemberGzip" should "re-materialize a monolithic archive into per-record members, byte-verbatim" in {
+    import graft.sources.MemberGzipInputStream
+    val plain = archive()
+    val monoGz = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write(plain); gz.close()
+      bo.toByteArray
+    }
+    // the monolithic form has no interior cut: range-unsplittable
+    Warc.buildCutIndex(new java.io.ByteArrayInputStream(monoGz), "mono", 1L)
+      .cuts.length shouldBe 1
+    val out = new java.io.ByteArrayOutputStream()
+    Warc.transcodeToMemberGzip(
+      new java.io.ByteArrayInputStream(monoGz), out, "mono") shouldBe 4
+    val t = out.toByteArray
+    (t(0) & 0xff) shouldBe 0x1f // gzip on the wire
+    // record-VERBATIM: the transcoded archive inflates to the exact
+    // original bytes (every header line preserved, not just parsed fields)
+    def inflate(b: Array[Byte]): Array[Byte] = {
+      val in = new MemberGzipInputStream(new java.io.ByteArrayInputStream(b))
+      val bo = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bo.write(buf, 0, n); n = in.read(buf) }
+      bo.toByteArray
+    }
+    inflate(t) shouldBe plain
+    // and now every record starts a member: indexable at record grain
+    val ci = Warc.buildCutIndex(new java.io.ByteArrayInputStream(t), "t", 1L)
+    ci.records shouldBe 4
+    ci.cuts.length shouldBe 4
+    // plain input transcodes identically to gzip input
+    val out2 = new java.io.ByteArrayOutputStream()
+    Warc.transcodeToMemberGzip(
+      new java.io.ByteArrayInputStream(plain), out2, "plain") shouldBe 4
+    inflate(out2.toByteArray) shouldBe plain
+    // malformation refuses loudly, same contract as every walk
+    intercept[Warc.WarcFormatException] {
+      Warc.transcodeToMemberGzip(
+        new java.io.ByteArrayInputStream(
+          java.util.Arrays.copyOf(plain, plain.length - 3)),
+        new java.io.ByteArrayOutputStream(), "trunc")
+    }
+  }
+
+  it should "rematerialize through the path helper so the next scan range-splits" in {
+    import graft.sources.WarcDataSource
+    val srcDir = java.nio.file.Files.createTempDirectory("warcmonosrc")
+    val dstDir = java.nio.file.Files.createTempDirectory("warcmonodst")
+    def rec(i: Int) = Warc.record("response", s"http://rm.example/$i",
+      Warc.httpResponse(200, "text/plain",
+        (s"payload $i :: " + "z" * (50 + i * 7)).getBytes("UTF-8")))
+    val plain = Warc.encode((0 until 40).map(rec))
+    val monoGz = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write(plain); gz.close()
+      bo.toByteArray
+    }
+    val src = srcDir.resolve("mono.warc.gz")
+    java.nio.file.Files.write(src, monoGz)
+    val conf = spark.sessionState.newHadoopConf()
+    // the monolithic read (round-robin fallback) is still exact
+    val before = spark.read.format("warc").option("split_size", 700)
+      .load(srcDir.toString)
+      .select($"rec_idx", $"target_uri", $"body_text")
+      .orderBy("rec_idx").collect()
+    before.length shouldBe 40
+    // re-materialize → per-record members in the destination
+    val dst = dstDir.resolve("remat.warc.gz")
+    WarcDataSource.rematerialize(src.toString, dst.toString, conf) shouldBe 40
+    // the transcoded archive reads bit-identically (modulo path)...
+    val after = spark.read.format("warc").option("split_size", 700)
+      .load(dstDir.toString)
+      .select($"rec_idx", $"target_uri", $"body_text")
+      .orderBy("rec_idx").collect()
+    after shouldBe before
+    // ...and its plan is now byte-range slices, not N full walks
+    val size = java.nio.file.Files.size(dst)
+    val idx = {
+      val in = new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(dst))
+      try Warc.buildCutIndex(in, "remat", WarcDataSource.indexMinGap(700))
+      finally in.close()
+    }
+    idx.cuts.length should be > 1
+    val slices = WarcDataSource.planSlicesIndexed(
+      Seq((dst.toString, size)), 700, Map(dst.toString -> idx)).flatten
+    slices.length should be > 1
+    all(slices) shouldBe a[WarcDataSource.RangeSlice]
+  }
+
+  "roundrobin + index_sidecar=write" should "piggyback sidecar emission on the fallback read" in {
+    import graft.sources.WarcDataSource
+    val dir = java.nio.file.Files.createTempDirectory("warcpiggy")
+    def rec(i: Int) = Warc.record("response", s"http://pg.example/$i",
+      Warc.httpResponse(200, "text/plain",
+        (s"payload $i :: " + "w" * (50 + i * 7)).getBytes("UTF-8")))
+    val f = dir.resolve("big.warc.gz")
+    java.nio.file.Files.write(f, Warc.encodeGz((0 until 40).map(rec)))
+    val size = java.nio.file.Files.size(f)
+    val conf = spark.sessionState.newHadoopConf()
+    WarcDataSource.indexCache.clear()
+    // the first-contact combination: a roundrobin read that leaves the
+    // index behind as a side effect of slice 0's full-structure walk
+    val viaRR = spark.read.format("warc")
+      .option("split_size", 700)
+      .option("split_mode", "roundrobin").option("index_sidecar", "write")
+      .load(dir.toString).orderBy("rec_idx").collect()
+    viaRR.length shouldBe 40
+    val sidecar = dir.resolve(".big.warc.gz.graftidx")
+    java.nio.file.Files.exists(sidecar) shouldBe true
+    // the sidecar is valid and matches a dedicated index build
+    val loaded = WarcDataSource.readSidecar(f.toString, size, conf)
+    loaded shouldBe defined
+    val built = {
+      val in = new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(f))
+      try Warc.buildCutIndex(in, "big", WarcDataSource.indexMinGap(700))
+      finally in.close()
+    }
+    loaded.get shouldBe built
+    // the NEXT (default index-mode) plan uses it: byte-range slices
+    val slices = WarcDataSource.planSlicesIndexed(
+      Seq((f.toString, size)), 700, Map(f.toString -> loaded.get)).flatten
+    slices.length should be > 1
+    all(slices) shouldBe a[WarcDataSource.RangeSlice]
+    // and the index-mode read (fresh JVM cache, sidecar-planned) is
+    // bit-identical to the roundrobin rows
+    WarcDataSource.indexCache.clear()
+    val viaIndex = spark.read.format("warc").option("split_size", 700)
+      .load(dir.toString).orderBy("rec_idx").collect()
+    viaIndex shouldBe viaRR
+  }
+
+  "indexesFor" should "return every freshly-built index even past the LRU cache bound" in {
+    import graft.sources.WarcDataSource
+    // more oversized files than IndexCacheMaxFiles can hold: the scan
+    // must still plan ALL of them with their fresh indexes (building
+    // then re-reading through the cache would lose early entries to
+    // eviction and silently degrade to round-robin walks)
+    val dir = java.nio.file.Files.createTempDirectory("warclru")
+    val nFiles = 5
+    (0 until nFiles).foreach { k =>
+      java.nio.file.Files.write(dir.resolve(f"f$k%02d.warc.gz"),
+        Warc.encodeGz((0 until 8).map(i =>
+          Warc.record("response", s"http://lru.example/$k/$i",
+            Warc.httpResponse(200, "text/plain",
+              (s"payload $k/$i :: " + "q" * 60).getBytes("UTF-8"))))))
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val files = WarcDataSource.listFiles(dir.toString, conf)
+    files.length shouldBe nFiles
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    // shrink the LRU bound below the listing size so the cache REALLY
+    // evicts during the puts — the returned map must still carry every
+    // file's fresh index (the pre-r12 re-read-through-the-cache form
+    // lost the evicted ones and degraded them to round-robin)
+    val saved = WarcDataSource.IndexCacheMaxFiles
+    try {
+      WarcDataSource.IndexCacheMaxFiles = 2
+      WarcDataSource.indexCache.clear()
+      val got = WarcDataSource.indexesFor(files, 1L, bc, sidecar = "off")
+      got.keySet shouldBe files.map(_._1).toSet
+      got.values.foreach(_.cuts.length should be > 1)
+      // the cache itself honors the shrunken bound (evictions happened)
+      WarcDataSource.indexCache.size() should be <= 2
+    } finally {
+      WarcDataSource.IndexCacheMaxFiles = saved
+      WarcDataSource.indexCache.clear()
+    }
+  }
 }
