@@ -1597,8 +1597,14 @@ object TextQueries {
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
-    // d9's all-pairs twin at the 60-bit width: same sign-sum fingerprint
-    // construction per bit, token hash = the packed two-poly wide hash
+    // d9's twin at the 60-bit width: same sign-sum fingerprint
+    // construction per bit, token hash = the packed two-poly wide hash.
+    // Candidate generation is BANDED like the operator's (4×15-bit band
+    // keys, pairs from shared-band buckets, then exact popcount): by the
+    // same pigeonhole the operator relies on (maxHamming 3 < 4 bands →
+    // any qualifying pair agrees on ≥1 whole band) the result set is
+    // IDENTICAL to the all-pairs form, but the twin stays corpus-feasible
+    // at 100×/300× replicas where all-pairs is ~1.5e9 popcount evals.
     "d9b_simhash_wide" ->
       s"""WITH dupd AS (
          |  SELECT doc_id, text FROM documents
@@ -1618,11 +1624,17 @@ object TextQueries {
          |fp AS (
          |  SELECT doc_id,
          |         sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS simhash
-         |  FROM bits GROUP BY doc_id)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+         |  FROM bits GROUP BY doc_id),
+         |bnd AS (
+         |  SELECT doc_id, simhash, i AS band, (simhash >> (i * 15)) & 32767 AS key
+         |  FROM fp, LATERAL (SELECT unnest(generate_series(0, 3)) AS i)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.simhash AS ha, b.simhash AS hb
+         |  FROM bnd a JOIN bnd b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
 
     // d13: the recursive-closure twin of group-direct clustering — the
     // fingerprint construction is d9's; edges live in fingerprint space;
@@ -1666,7 +1678,11 @@ object TextQueries {
          |cl AS (SELECT fcomp, min(doc_id) AS cluster FROM lab GROUP BY fcomp)
          |SELECT l.doc_id, c.cluster FROM lab l JOIN cl c USING (fcomp)""".stripMargin,
 
-    // d13b: the same closure at the 60-bit wide width (wideTokenHash)
+    // d13b: the same closure at the 60-bit wide width (wideTokenHash).
+    // Fingerprint edges come from the operator's banded decomposition
+    // (4×15-bit band keys over DISTINCT fingerprints — pigeonhole-exact
+    // for maxHamming 3 < 4 bands), not an all-pairs popcount scan, so
+    // the twin stays feasible at any replica scale.
     "d13b_simhash_clusters_wide" ->
       s"""WITH RECURSIVE dupd AS (
          |  SELECT doc_id, text FROM documents
@@ -1688,9 +1704,13 @@ object TextQueries {
          |         sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS simhash
          |  FROM bits GROUP BY doc_id),
          |fps AS (SELECT DISTINCT simhash FROM fp),
+         |fbnd AS (
+         |  SELECT simhash, i AS band, (simhash >> (i * 15)) & 32767 AS key
+         |  FROM fps, LATERAL (SELECT unnest(generate_series(0, 3)) AS i)),
          |fpe AS (
-         |  SELECT a.simhash AS fa, b.simhash AS fb
-         |  FROM fps a JOIN fps b ON a.simhash < b.simhash
+         |  SELECT DISTINCT a.simhash AS fa, b.simhash AS fb
+         |  FROM fbnd a JOIN fbnd b
+         |    ON a.band = b.band AND a.key = b.key AND a.simhash < b.simhash
          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
          |edges AS (SELECT fa AS a, fb AS b FROM fpe UNION SELECT fb, fa FROM fpe),
          |reach(node, m) AS (
