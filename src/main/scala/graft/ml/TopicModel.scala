@@ -225,13 +225,25 @@ object TopicModel {
     * err instead of passing on row count alone. */
   def assertQuality(model: Model, wordCounts: DataFrame,
                     maxRatio: Double = 1.0, label: String = "LDA"): Unit = {
+    val ratio = qualityRatio(model, wordCounts, label)
+    if (ratio > maxRatio) throw new IllegalStateException(
+      f"$label training-quality regression: perplexity ratio $ratio%.4f " +
+        f"exceeds the $maxRatio%.3f x uniform-baseline bound")
+  }
+
+  /** The measured quality ratio behind [[assertQuality]]: trained
+    * [[perplexity]] / uniform baseline (= vocabulary size). < 1.0 means
+    * the model beats knowing nothing; exposed separately so the
+    * no-SQL-twin pipeline gates can EMIT the measured value as evidence
+    * (a column in the gate's dumped result) instead of only
+    * asserting against the band. */
+  def qualityRatio(model: Model, wordCounts: DataFrame,
+                   label: String = "LDA"): Double = {
     val vocab = wordCounts.select("word").distinct().count().toDouble
     val pp = perplexity(model, wordCounts)
     System.err.println(f"[lda] $label perplexity=$pp%.4f uniform=$vocab%.0f " +
-      f"ratio=${pp / vocab}%.4f bound=$maxRatio%.3f")
-    if (pp > maxRatio * vocab) throw new IllegalStateException(
-      f"$label training-quality regression: perplexity $pp%.4f exceeds " +
-        f"$maxRatio%.3f x uniform baseline (vocab = $vocab%.0f)")
+      f"ratio=${pp / vocab}%.4f")
+    pp / vocab
   }
 
   /** Persist a trained model: both frames as parquet + a tiny JSON meta.

@@ -97,6 +97,15 @@ object EventsPipeline {
         col("user_id"), col("word")),
       maxRatio, label = "events LDA")
 
+  /** The measured perplexity/uniform ratio [[assertQuality]] bounds —
+    * exposed so the driver gate can emit the value as evidence columns
+    * next to its rows-only check (see pipe_events_suspicious). */
+  def qualityRatio(model: Model, events: DataFrame): Double =
+    TopicModel.qualityRatio(model.topics,
+      Corpus.wordCounts(featurize(events, model.cuts),
+        col("user_id"), col("word")),
+      label = "events LDA")
+
   /** [[run]] with the quality gate inline: LDA has no SQL twin, so the
     * driver's correctness check on this pipeline is rows-only — the
     * perplexity bound turns a silent training regression into a gate

@@ -194,12 +194,27 @@ object PipelineQueries {
       graft.ml.ModelIO.exportCorpus(wc)._1}),
 
     // Full suspicious-connects pipeline. LDA — no SQL twin, so the
-    // driver's check is rows-only; runChecked adds the inline perplexity
-    // bound (trained model must not be worse than uniform), turning a
-    // silent training regression into a non-null gate err.
-    "pipe_events_suspicious" -> ((s, dir) =>
-      EventsPipeline.runChecked(t(s, dir, "events"),
-        threshold = 1.0, topK = 100, topicCount = 10)),
+    // driver's check is rows-only; the inline perplexity bound (trained
+    // model must not be WORSE than half-way to uniform) turns a silent
+    // training regression into a non-null gate err. The gate result
+    // additionally CARRIES its quantitative evidence: the measured
+    // perplexity/uniform ratio and the pinned band ride along as
+    // constant columns, so the one no-oracle gate's dumped parquet
+    // documents how far inside the band the training landed (r11 item
+    // 7) instead of only pass/fail.
+    "pipe_events_suspicious" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val model = EventsPipeline.train(ev, topicCount = 10)
+      val ratio = EventsPipeline.qualityRatio(model, ev)
+      if (ratio > EventsPipeline.PerplexityBand) throw new IllegalStateException(
+        f"events LDA training-quality regression: perplexity ratio " +
+          f"$ratio%.4f exceeds the ${EventsPipeline.PerplexityBand}%.3f band")
+      graft.operators.Scoring.suspicious(
+        EventsPipeline.score(ev, model)
+          .select("event_id", "user_id", "event_type", "word", "score"),
+        threshold = 1.0, topK = 100, tiebreak = Seq(col("event_id")))
+        .withColumn("quality_ratio", lit(math.rint(ratio * 1e6) / 1e6))
+        .withColumn("quality_band", lit(EventsPipeline.PerplexityBand))}),
 
     // LDA-TRAINING DETERMINISM, driver-checked: the one property of the
     // no-oracle quartet a SQL twin CAN gate. The trained events pipeline
