@@ -139,6 +139,33 @@ class TopicModelSpec extends SparkSpec {
     aProb.zip(bProb).foreach { case ((_, p1), (_, p2)) => p1 shouldBe p2 }
   }
 
+  it should "reproduce bit-identical SCORES at the 256-wide crawl layout across session configs" in {
+    // layoutPartitions = 256 is the crawl-scale lever (every pipeline is
+    // LDA-fit-bound; widening the layout buys fit parallelism). The
+    // end-product contract: SCORES — not just the model frames — must be
+    // a pure function of (corpus, seed, layout), independent of session
+    // shuffle width and incoming partitioning, at the widened value too
+    // (256 > corpus rows, so most layout partitions are empty — the
+    // degenerate-layout edge a cluster-width setting hits on a small
+    // dev corpus).
+    def run(shufflePartitions: Int, inputPartitions: Int): Array[(String, String, Double)] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      try {
+        val m = TopicModel.train(corpus.repartition(inputPartitions),
+          topicCount = 3, maxIter = 8, seed = 7L, layoutPartitions = 256)
+        graft.operators.Scoring.score(corpus.select("doc", "word"),
+            col("doc"), col("word"), m)
+          .select("doc", "word", "score")
+          .orderBy("doc", "word").as[(String, String, Double)].collect()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = run(shufflePartitions = 3, inputPartitions = 2)
+    val b = run(shufflePartitions = 32, inputPartitions = 11)
+    a.length should be > 0
+    a shouldBe b // exact double equality — bit-identical scores
+  }
+
   // ---- training-quality regression gates (VERDICT r3 #3): LDA training
   // has no exact oracle, but its quality is measurable. A regression in
   // TopicModel.train now trips one of these instead of sailing through
