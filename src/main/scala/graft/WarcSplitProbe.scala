@@ -47,10 +47,11 @@ object WarcSplitProbe {
       f"${size / 1e6}%.1f MB on disk, split_size = $splitKiB KiB")
 
     val spark = GraftSession.fromEnv()
-    def scan(mode: String, label: String): Unit = {
+    def scan(mode: String, label: String, sidecar: String = "read"): Unit = {
       val t0 = System.nanoTime()
       val n = spark.read.format("warc")
         .option("split_mode", mode)
+        .option("index_sidecar", sidecar)
         .option("split_size", (splitKiB.toLong * 1024).toString)
         .load(dir.toString)
         .count()
@@ -61,7 +62,21 @@ object WarcSplitProbe {
     scan("roundrobin", "roundrobin")
     scan("index", "index_cold")   // pays the one-time index walk
     scan("index", "index_warm")   // cached index: ~1x total inflate
+    // FIRST-CONTACT recipe (r11 Missing 2): a roundrobin read under
+    // index_sidecar=write piggybacks index construction on slice 0's
+    // walk — same N-walk cost as plain roundrobin, but it leaves the
+    // sidecar behind; the next index-mode scan (JVM cache cleared to
+    // simulate a fresh driver) plans byte ranges straight from the
+    // sidecar, skipping the dedicated index walk index_cold pays.
+    scan("roundrobin", "rr_first_contact", sidecar = "write")
+    graft.sources.WarcDataSource.indexCache.clear()
+    scan("index", "index_after_rr")
+    val sidecarPath = graft.sources.WarcDataSource.sidecarPath(f.toString)
+    System.err.println(s"[probe] sidecar left by first contact: " +
+      s"${java.nio.file.Files.exists(java.nio.file.Paths.get(sidecarPath.toUri.getPath))}")
     spark.stop()
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(sidecarPath.toUri.getPath))
     java.nio.file.Files.delete(f)
     java.nio.file.Files.delete(dir)
   }
