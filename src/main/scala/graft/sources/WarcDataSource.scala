@@ -267,6 +267,36 @@ object WarcDataSource {
     }
   }
 
+  /** Distributed [[rematerialize]] of a whole archive directory — the
+    * bucket-level migration: every file of `srcDir` transcodes to the
+    * per-record-member gzip layout under `dstDir` (same base names,
+    * `.gz` appended to non-`.gz` names), ONE Spark task per archive, so
+    * a thousand-archive crawl bucket converts at cluster parallelism
+    * (the per-file walk itself is inherently sequential — gzip). Output
+    * names preserve the source's lexicographic ORDER (the streaming
+    * source's arrival contract survives the migration). Returns
+    * (file, records) per archive; any malformed archive fails its task
+    * loudly — the job, like every read, never silently drops part of a
+    * corpus. */
+  def rematerializeDir(srcDir: String, dstDir: String): Seq[(String, Int)] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val files = listFiles(srcDir, conf.value.value)
+    if (files.isEmpty) return Seq.empty
+    val dp = new org.apache.hadoop.fs.Path(dstDir)
+    fsFor(dp, conf.value.value).mkdirs(dp)
+    spark.sparkContext.parallelize(files.map(_._1), files.size)
+      .map { src =>
+        val name = new org.apache.hadoop.fs.Path(src).getName
+        val outName = if (name.endsWith(".gz")) name else s"$name.gz"
+        val dst = new org.apache.hadoop.fs.Path(dstDir, outName).toString
+        (src, rematerialize(src, dst, conf.value.value))
+      }
+      .collect().toSeq // bounded: one (path, count) pair per archive
+  }
+
   /** Driver-side cut-index cache, keyed (path, size): index building
     * costs one linear walk of the archive, so repeated scans of the same
     * listing must not rebuild. Entries are bounded metadata

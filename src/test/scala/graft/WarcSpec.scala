@@ -910,6 +910,45 @@ class WarcSpec extends SparkSpec {
     all(slices) shouldBe a[WarcDataSource.RangeSlice]
   }
 
+  it should "rematerialize a whole directory distributed, preserving names and content" in {
+    import graft.sources.WarcDataSource
+    val srcDir = java.nio.file.Files.createTempDirectory("warcdirsrc")
+    val dstDir = java.nio.file.Files.createTempDirectory("warcdirdst")
+    def rec(tag: String, i: Int) = Warc.record("response",
+      s"http://dm.example/$tag/$i",
+      Warc.httpResponse(200, "text/plain",
+        s"payload $tag $i".getBytes("UTF-8")))
+    // a plain archive and a monolithic-gzip archive — both layouts a
+    // real bucket mixes, both must land as per-record members
+    java.nio.file.Files.write(srcDir.resolve("a.warc"),
+      Warc.encode((0 until 5).map(rec("a", _))))
+    val bo = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bo)
+    gz.write(Warc.encode((0 until 7).map(rec("b", _)))); gz.close()
+    java.nio.file.Files.write(srcDir.resolve("b.warc.gz"), bo.toByteArray)
+    val res = WarcDataSource.rematerializeDir(srcDir.toString, dstDir.toString)
+    res.map(_._2).sum shouldBe 12
+    // names: .gz appended to plain sources, order preserved
+    val conf = spark.sessionState.newHadoopConf()
+    WarcDataSource.listFiles(dstDir.toString, conf).map(_._1)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName) shouldBe
+      Seq("a.warc.gz", "b.warc.gz")
+    // content: the migrated bucket reads identically (rec_idx included)
+    val cols = Seq("rec_idx", "target_uri", "http_status", "body_text")
+    val before = spark.read.format("warc").load(srcDir.toString)
+      .select(cols.head, cols.tail: _*).orderBy("target_uri").collect()
+    val after = spark.read.format("warc").load(dstDir.toString)
+      .select(cols.head, cols.tail: _*).orderBy("target_uri").collect()
+    after shouldBe before
+    // and every output is per-record-member: record-grain cut indexes
+    WarcDataSource.listFiles(dstDir.toString, conf).foreach { case (p, _) =>
+      val in = new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(java.nio.file.Paths.get(p)))
+      val ci = try Warc.buildCutIndex(in, p, 1L) finally in.close()
+      ci.cuts.length shouldBe ci.records
+    }
+  }
+
   "roundrobin + index_sidecar=write" should "piggyback sidecar emission on the fallback read" in {
     import graft.sources.WarcDataSource
     val dir = java.nio.file.Files.createTempDirectory("warcpiggy")
