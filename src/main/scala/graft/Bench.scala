@@ -55,7 +55,8 @@ object Bench {
       "x14_mixture", "x21_temperature_mix", "x23_shuffle_shards",
       "x24_pseudonymize", "x17_dsir_select", "x29_weighted_sample",
       "x30_quality_classifier", "x31_unigram_vocab", "x32_unigram_encode",
-      "x35_html_strip"),
+      "x35_html_strip", "x40_url_canonicalize", "d14_url_dedup",
+      "x41_link_graph"),
     "dedup" -> Seq(
       "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
       "d6_near_dup_clusters", "d7_dup_spans", "w3_sessionize"),
@@ -91,7 +92,8 @@ object Bench {
       "st4_stream_sessions", "st5_stream_join", "st6_stream_hll",
       "st7_stream_upsert", "st8_stream_late", "st9_stream_psi",
       "st10_stream_sliding", "st11_stream_static", "st12_stream_dedup_wm",
-      "st13_stream_left_outer", "st14_stream_warc"),
+      "st13_stream_left_outer", "st14_stream_warc",
+      "st15_stream_url_frontier"),
     "pipeline" -> Seq(
       "pipeline_events_first", "pipe_events_fixedmodel", "pipeline_events",
       "pipeline_events_approx", "pe_stage_cuts", "pe_stage_featurize",

@@ -5,12 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: substring filter for fast single-gate iteration
-    // (the driver's 2-arg contract runs everything; oracle_sql.json is
-    // always written in full so oracle_check can still run filtered)
+    // optional 3rd arg: comma-separated substring filters for fast
+    // multi-gate iteration — a query runs when ANY listed substring
+    // matches its name (the driver's 2-arg contract runs everything;
+    // oracle_sql.json is always written in full so oracle_check can
+    // still run filtered)
     val (sfDir, outDir, only) = args match {
       case Array(s, o) => (s, o, None)
-      case Array(s, o, f) => (s, o, Some(f))
+      case Array(s, o, f) =>
+        (s, o, Some(f.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     }
     // SPARK_GRAFT_VERIFY_SKIP: comma list for large-replica correctness
     // runs — skips the deliberately-quadratic small-corpus fixtures (v4
@@ -21,7 +24,8 @@ object Verify {
     val spark = GraftSession.fromEnv()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.contains) && !skip(name) }
+      .filter { case (name, _) =>
+        only.forall(_.exists(name.contains)) && !skip(name) }
       .foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): both give the single output file
       // the oracle compare wants, but coalesce collapses the query's final

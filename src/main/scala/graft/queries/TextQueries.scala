@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operator coverage over `documents`, with
@@ -29,6 +29,37 @@ object TextQueries {
     d.select(col("doc_id"), col("text"))
       .union(d.where(col("doc_id") % 10 === 0)
         .select(col("doc_id") + off, col("text")))
+  }
+
+  /** Deterministically messy crawl URLs over `documents` — mixed-case
+    * schemes/hosts, userinfo, default and explicit ports, www/www2
+    * prefixes, empty paths, unsorted + tracking query params, fragments,
+    * and a scheme-less passthrough — shared VERBATIM with the x40/d14
+    * twins (C4Injections-style). The variation axes are chosen so the
+    * identity-bearing parts (scheme class, visible port, path, surviving
+    * params) repeat across docs while the canonicalized-away parts
+    * (case, userinfo, www label, tracking params, fragment) differ —
+    * i.e. the corpus contains real URL-dedup collisions. */
+  private def urlFab(id: Column): Column = {
+    val scheme = when(id % 3 === 0, lit("HTTP"))
+      .when(id % 3 === 1, lit("https")).otherwise(lit("hTTp"))
+    val user = when(id % 7 === 0, lit("bob:secret@")).otherwise(lit(""))
+    val www = when(id % 2 === 0, lit("WWW."))
+      .when(id % 5 === 0, lit("www2.")).otherwise(lit(""))
+    val host = concat(lit("Site"), (id % 41).cast("string"), lit(".Example.COM"))
+    val port = when(id % 4 === 0, lit(":80")).when(id % 4 === 1, lit(":443"))
+      .when(id % 4 === 2, lit(":8080")).otherwise(lit(""))
+    val path = when(id % 6 === 0, lit(""))
+      .otherwise(concat(lit("/P/"), (id % 13).cast("string")))
+    val query = when(id % 9 === 0, lit(""))
+      .when(id % 9 === 3, lit("?utm_campaign=C"))
+      .otherwise(concat(lit("?utm_source=Feed&b="), (id % 5).cast("string"),
+        lit("&a="), (id % 3).cast("string"),
+        when(id % 6 === 1, lit("&gclid=XYZ")).otherwise(lit(""))))
+    val frag = when(id % 8 === 0, lit("#Sec2")).otherwise(lit(""))
+    when(id % 23 === 0, lit("relative/Path?b=2&a=1"))
+      .otherwise(concat(scheme, lit("://"), user, www, host, port, path,
+        query, frag))
   }
 
   private val langOrder = Seq("de", "en", "es", "fr", "zh")
@@ -702,7 +733,88 @@ object TextQueries {
         graft.operators.Unigram.buildVocab(docs, col("text"),
           topMulti = 20, maxPieceLen = 4))
       graft.operators.Unigram.encode(docs, col("doc_id"), col("text"),
-        vocab, maxPieceLen = 4, maxWordLen = 16)})
+        vocab, maxPieceLen = 4, maxWordLen = 16)}),
+
+    // X40: archive-style URL canonicalization (the SURT family of rules)
+    // over fabricated messy crawl URLs — canonical form + SURT sort key
+    // per doc. Map-only codegen'd regex/array chain, zero shuffle; the
+    // twin replays the fabrication and every rule in RE2.
+    "x40_url_canonicalize" -> ((s, dir) => {
+      val url = urlFab(col("doc_id"))
+      t(s, dir, "documents").select(col("doc_id"), url.as("url"),
+        graft.functions.Urls.canonical_url(url).as("canon_url"),
+        graft.functions.Urls.surt_key(url).as("surt_key"))}),
+
+    // D14: canonical-URL dedup — the same page fetched under case /
+    // userinfo / www / default-port / tracking-param / fragment variants
+    // collapses to one canonical key; keep-first (min doc_id) per key.
+    // One map-side-combined shuffle on the canonical string.
+    "d14_url_dedup" -> ((s, dir) => {
+      val url = urlFab(col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Urls.canonical_url(url).as("canon_url"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_dups"),
+          min(col("doc_id")).as("keep_doc_id"))}),
+
+    // X41: host-level web-graph construction — each doc becomes a page
+    // (own URL = urlFab(doc_id)) with 2-3 anchor links to other docs'
+    // URLs; extract hrefs, keep absolute ends, reduce to canonical
+    // hosts, count edge multiplicity. The twin derives the intended
+    // link targets directly from the fabrication, so the extraction +
+    // canonicalization chain is checked end-to-end against an
+    // independent construction.
+    "x41_link_graph" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><body><p>intro</p><a href=\""),
+        urlFab(col("doc_id") + 1),
+        lit("\">one</a><div><a class=\"x\" href='"),
+        urlFab(col("doc_id") * 2 + 3),
+        lit("'>two</a></div>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<a href=\""), urlFab(col("doc_id") + 7),
+            lit("\">three</a>"))).otherwise(lit("")),
+        lit("</body></html>"))
+      graft.functions.Urls.linkGraph(
+        t(s, dir, "documents")
+          .select(col("doc_id"), urlFab(col("doc_id")).as("src_url"),
+            page.as("html")),
+        col("src_url"), col("html"))}),
+
+    // ST15: streaming crawl-frontier dedup — the x40 canonicalizer
+    // composed with the st2 custom-state dedup stream: discovered URLs
+    // arrive as a stream and the STATE KEY is the canonical form, so
+    // case/userinfo/www/default-port/tracking/fragment variants collapse
+    // cross-batch in the state store. ts is monotone in doc_id (st2's
+    // argument), so the first-arrival winner IS min(doc_id) and the twin
+    // is keep-first per replayed canonical form.
+    "st15_stream_url_frontier" -> ((s, dir) => {
+      val schema = t(s, dir, "documents").schema
+      val base = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      import s.implicits._
+      val docs = base
+        .select(col("doc_id").cast("long").as("doc_id"),
+          graft.functions.Urls.canonical_url(urlFab(col("doc_id")))
+            .as("text"),
+          (col("doc_id") + lit(86400L)).cast("timestamp").as("ts"))
+        .as[graft.streaming.StreamingScore.StreamDoc]
+      val first = graft.streaming.StreamingScore.dedupStream(docs)
+        .select(col("doc_id"), col("text").as("canon_url"))
+      val out = java.nio.file.Files
+        .createTempDirectory("st15_out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("st15_ckpt").toString
+      first.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(out)})
   )
 
   /** Injected tails for the C4 gate, shared verbatim with the oracle
@@ -2062,8 +2174,129 @@ object TextQueries {
          |  WHERE len(t.tok) <= 16)
          |SELECT doc_id, count(*)::BIGINT AS n_words,
          |       sum(np)::BIGINT AS n_pieces, sum(nll)::BIGINT AS nll_micro
-         |FROM udw JOIN useg USING (word) GROUP BY 1""".stripMargin
+         |FROM udw JOIN useg USING (word) GROUP BY 1""".stripMargin,
+
+    // the x40 twin replays the urlFab fabrication verbatim, then every
+    // graft.functions.Urls rule in RE2 (see urlCanonCtes)
+    "x40_url_canonicalize" ->
+      s"""WITH $urlCanonCtes
+         |SELECT doc_id, url, canon_url, surt_key FROM uc""".stripMargin,
+
+    // the d14 twin groups the replayed canonical form: keep-first dedup
+    "d14_url_dedup" ->
+      s"""WITH $urlCanonCtes
+         |SELECT canon_url, count(*)::BIGINT AS n_dups,
+         |       min(doc_id)::BIGINT AS keep_doc_id
+         |FROM uc GROUP BY 1""".stripMargin,
+
+    // the x41 twin derives the intended link targets straight from the
+    // fabrication (no HTML round trip), drops non-absolute ends, and
+    // replays the url_host rules — an independent construction of what
+    // href extraction + canonicalization must yield
+    "x41_link_graph" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id, ${urlFabSql("doc_id")} AS su,
+         |    unnest([${urlFabSql("doc_id + 1")},
+         |      ${urlFabSql("doc_id * 2 + 3")},
+         |      CASE WHEN doc_id % 3 = 0 THEN ${urlFabSql("doc_id + 7")}
+         |        ELSE NULL END]) AS du
+         |  FROM documents),
+         |t1 AS (
+         |  SELECT su, du FROM t0
+         |  WHERE du IS NOT NULL
+         |    AND regexp_matches(su, '^[A-Za-z][A-Za-z0-9+.-]*://')
+         |    AND regexp_matches(du, '^[A-Za-z][A-Za-z0-9+.-]*://')),
+         |t2 AS (
+         |  SELECT ${urlHostSql("su")} AS src_host,
+         |    ${urlHostSql("du")} AS dst_host
+         |  FROM t1)
+         |SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+         |FROM t2 GROUP BY 1, 2""".stripMargin,
+
+    // the st15 twin: keep-first per replayed canonical form (ts monotone
+    // in doc_id makes the stream's first-arrival winner min(doc_id))
+    "st15_stream_url_frontier" ->
+      s"""WITH $urlCanonCtes
+         |SELECT min(doc_id)::BIGINT AS doc_id, canon_url
+         |FROM uc GROUP BY canon_url""".stripMargin
   )
+
+  /** Shared x40/d14 CTE block: the [[urlFab]] fabrication replayed
+    * verbatim, then each [[graft.functions.Urls]] canonicalization rule
+    * (userinfo strip, lowercase, scheme-conditional default-port strip,
+    * www-label strip, empty-path → `/`, fragment strip, tracking-param
+    * filter, byte-wise param sort, SURT host reversal) in RE2. Plain
+    * triple-quoted (NOT an interpolator): the regexes carry `$` anchors
+    * and `\?` literals. */
+  /** [[urlFab]] replayed as a DuckDB expression over an arbitrary id
+    * expression (single line — these snippets interpolate into
+    * stripMargin blocks, where a wrapped line starting with `||` would
+    * lose a pipe to the margin strip). */
+  private def urlFabSql(id: String): String =
+    raw"(CASE WHEN ($id) % 23 = 0 THEN 'relative/Path?b=2&a=1' " +
+      raw"ELSE (CASE ($id) % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'hTTp' END) || '://' || " +
+      raw"(CASE WHEN ($id) % 7 = 0 THEN 'bob:secret@' ELSE '' END) || " +
+      raw"(CASE WHEN ($id) % 2 = 0 THEN 'WWW.' WHEN ($id) % 5 = 0 THEN 'www2.' ELSE '' END) || " +
+      raw"'Site' || (($id) % 41)::VARCHAR || '.Example.COM' || " +
+      raw"(CASE ($id) % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END) || " +
+      raw"(CASE WHEN ($id) % 6 = 0 THEN '' ELSE '/P/' || (($id) % 13)::VARCHAR END) || " +
+      raw"(CASE WHEN ($id) % 9 = 0 THEN '' WHEN ($id) % 9 = 3 THEN '?utm_campaign=C' " +
+      raw"ELSE '?utm_source=Feed&b=' || (($id) % 5)::VARCHAR || '&a=' || (($id) % 3)::VARCHAR || " +
+      raw"(CASE WHEN ($id) % 6 = 1 THEN '&gclid=XYZ' ELSE '' END) END) || " +
+      raw"(CASE WHEN ($id) % 8 = 0 THEN '#Sec2' ELSE '' END) END)"
+
+  /** [[graft.functions.Urls.url_host]] replayed as a DuckDB expression
+    * over an arbitrary URL expression (single line, see [[urlFabSql]]). */
+  private def urlHostSql(u: String): String = {
+    val scheme = raw"lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val hp = raw"lower(regexp_replace(regexp_extract($u, " +
+      raw"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', ''))"
+    raw"regexp_replace(CASE WHEN $scheme = 'http' THEN regexp_replace($hp, ':80$$', '') " +
+      raw"WHEN $scheme = 'https' THEN regexp_replace($hp, ':443$$', '') ELSE $hp END, " +
+      raw"'^(www[0-9]*\.)+', '')"
+  }
+
+  private lazy val urlCanonCtes: String =
+    s"""uf AS (
+      |  SELECT doc_id, ${urlFabSql("doc_id")} AS url
+      |  FROM documents),
+      |up AS (""".stripMargin + "\n" +
+    """  SELECT doc_id, url,
+      |    regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://') AS is_abs,
+      |    lower(regexp_extract(url,
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_replace(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+      |      '^[^@]*@', '')) AS hp,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+      |    regexp_extract(regexp_replace(url, '#.*', ''),
+      |      '\?(.*)', 1) AS rawq
+      |  FROM uf),
+      |uh AS (
+      |  SELECT *,
+      |    regexp_replace(
+      |      CASE WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
+      |           WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+      |           ELSE hp END,
+      |      '^(www[0-9]*\.)+', '') AS host,
+      |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+      |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p,
+      |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|yclid|mc_eid|igshid)(=|$)'))),
+      |      '&') AS cq
+      |  FROM up),
+      |uc AS (
+      |  SELECT doc_id, url,
+      |    CASE WHEN is_abs THEN scheme || '://' || host || path ||
+      |        CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
+      |      ELSE url END AS canon_url,
+      |    CASE WHEN is_abs THEN
+      |        array_to_string(list_reverse(string_split(host, '.')), ',') ||
+      |        ')' || path ||
+      |        CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
+      |      ELSE url END AS surt_key
+      |  FROM uh)""".stripMargin
 
   /** Shared unigram-vocab CTE block: word counts → weighted substring
     * counts → all chars + top-20 multis → integer micro log-probs.
