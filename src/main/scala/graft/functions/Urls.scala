@@ -141,4 +141,58 @@ object Urls {
         url_host(col("dst_url")).as("dst_host"))
       .groupBy("src_host", "dst_host")
       .agg(count(lit(1)).as("n_links"))
+
+  private val AnchorPattern =
+    "(?is)<a\\b[^>]*href=[\"']([^\"']*)[\"'][^>]*>(.*?)</a>"
+
+  /** `(href, anchor_html)` pairs of every `<a href=...>...</a>` element,
+    * in document order — the raw material of anchor-text signals. Same
+    * regex-grade extraction contract as [[href_targets]] (quoted href,
+    * first closing `</a>` ends the element, no nesting resolution); two
+    * codegen'd passes of one pattern, zipped positionally. */
+  def anchor_pairs(html: Column): Column = {
+    val pat = lit(AnchorPattern)
+    arrays_zip(
+      regexp_extract_all(html, pat, lit(1)).as("href"),
+      regexp_extract_all(html, pat, lit(2)).as("anchor_html"))
+  }
+
+  /** Anchor-html → display text: inner tags stripped, whitespace
+    * collapsed, trimmed. ('' when the element had no text content.) */
+  def anchor_text(anchorHtml: Column): Column =
+    trim(regexp_replace(regexp_replace(anchorHtml, "<[^>]*>", " "),
+      "\\s+", " "))
+
+  /** Incoming-anchor-text aggregation — the link-derived DESCRIPTION of
+    * each target page (what the rest of the web calls it), the classic
+    * relevance/quality signal a crawl pipeline attaches to a document
+    * before ranking or curation. Extract every (href, anchor) pair,
+    * keep absolute src and dst with non-empty cleaned anchor text,
+    * canonicalize the target ([[canonical_url]] — variants of one page
+    * pool their anchors), count per (target, anchor), and keep each
+    * target's top-`k` anchors (count desc, anchor asc tiebreak).
+    *
+    * Plan shape at crawl scale: one map-only extract/explode/clean pass,
+    * a map-side-combined shuffle on (dst_url, anchor), then the grouped
+    * top-k window repartitions only the already-aggregated pair counts —
+    * the per-key row set entering the window is bounded by each page's
+    * DISTINCT anchor vocabulary, never its raw in-degree, so a
+    * 10⁸-inlink hub with 10³ distinct anchor strings costs 10³ window
+    * rows. No collect_set of unbounded anchor lists anywhere. */
+  def anchorTextTopK(df: DataFrame, srcUrl: Column, html: Column,
+      k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst_url")
+      .orderBy(col("n_anchors").desc, col("anchor"))
+    df.select(srcUrl.as("src_url"), explode(anchor_pairs(html)).as("p"))
+      .select(col("src_url"), col("p.href").as("dst_raw"),
+        anchor_text(col("p.anchor_html")).as("anchor"))
+      .where(is_absolute_url(col("src_url")) &&
+        is_absolute_url(col("dst_raw")) && col("anchor") =!= "")
+      .groupBy(canonical_url(col("dst_raw")).as("dst_url"), col("anchor"))
+      .agg(count(lit(1)).as("n_anchors"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
 }

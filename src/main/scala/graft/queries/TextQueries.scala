@@ -782,6 +782,31 @@ object TextQueries {
             page.as("html")),
         col("src_url"), col("html"))}),
 
+    // X42: incoming-anchor-text aggregation — each fabricated page links
+    // to 2-3 other pages with an anchor whose DISPLAY text needs the
+    // full extraction chain (mixed-case <A>, inner <b> tags, embedded
+    // newline/whitespace runs); targets canonicalize (variants of one
+    // page pool their anchors) and each target keeps its top-2 anchors
+    // by count with the anchor-asc tiebreak. The twin derives the
+    // (target, cleaned-anchor) pairs straight from the fabrication and
+    // replays canonicalization + the ranked window.
+    "x42_anchor_text" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><body><a href=\""), urlFab(col("doc_id") + 1),
+        lit("\">site "), ((col("doc_id") + 1) % 7).cast("string"),
+        lit("</a> text <a class='m' href='"),
+        urlFab(col("doc_id") * 2 + 3),
+        lit("'>read <b>more</b></a>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<A HREF=\""), urlFab(col("doc_id") + 7),
+            lit("\">  spaced\n  anchor </A>"))).otherwise(lit("")),
+        lit("</body></html>"))
+      graft.functions.Urls.anchorTextTopK(
+        t(s, dir, "documents")
+          .select(col("doc_id"), urlFab(col("doc_id")).as("src_url"),
+            page.as("html")),
+        col("src_url"), col("html"), k = 2)}),
+
     // ST15: streaming crawl-frontier dedup — the x40 canonicalizer
     // composed with the st2 custom-state dedup stream: discovered URLs
     // arrive as a stream and the STATE KEY is the canonical form, so
@@ -2213,6 +2238,38 @@ object TextQueries {
          |SELECT src_host, dst_host, count(*)::BIGINT AS n_links
          |FROM t2 GROUP BY 1, 2""".stripMargin,
 
+    // the x42 twin derives (target, cleaned-anchor) pairs straight from
+    // the fabrication (the anchor constants are the already-cleaned
+    // display texts), replays the canonicalization chain on the target,
+    // and ranks per-target anchors with the same (count desc, anchor)
+    // window
+    "x42_anchor_text" ->
+      s"""WITH a0 AS (
+         |  SELECT doc_id, ${urlFabSql("doc_id")} AS su,
+         |    unnest([
+         |      {'du': ${urlFabSql("doc_id + 1")},
+         |       'an': 'site ' || ((doc_id + 1) % 7)::VARCHAR},
+         |      {'du': ${urlFabSql("doc_id * 2 + 3")}, 'an': 'read more'},
+         |      CASE WHEN doc_id % 3 = 0 THEN
+         |        {'du': ${urlFabSql("doc_id + 7")}, 'an': 'spaced anchor'}
+         |      ELSE NULL END]) AS p
+         |  FROM documents),
+         |a1 AS (
+         |  SELECT p.du AS url, p.an AS an FROM a0
+         |  WHERE p.du IS NOT NULL
+         |    AND regexp_matches(su, '^[A-Za-z][A-Za-z0-9+.-]*://')
+         |    AND regexp_matches(p.du, '^[A-Za-z][A-Za-z0-9+.-]*://')),
+         |${urlCanonChainSql("a1", "an")},
+         |acnt AS (
+         |  SELECT canon_url AS dst_url, an AS anchor,
+         |    count(*)::BIGINT AS n_anchors
+         |  FROM uc GROUP BY 1, 2),
+         |ark AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY dst_url ORDER BY n_anchors DESC, anchor) AS r
+         |  FROM acnt)
+         |SELECT dst_url, anchor, n_anchors FROM ark WHERE r <= 2""".stripMargin,
+
     // the st15 twin: keep-first per replayed canonical form (ts monotone
     // in doc_id makes the stream's first-arrival winner min(doc_id))
     "st15_stream_url_frontier" ->
@@ -2256,12 +2313,14 @@ object TextQueries {
       raw"'^(www[0-9]*\.)+', '')"
   }
 
-  private lazy val urlCanonCtes: String =
-    s"""uf AS (
-      |  SELECT doc_id, ${urlFabSql("doc_id")} AS url
-      |  FROM documents),
-      |up AS (""".stripMargin + "\n" +
-    """  SELECT doc_id, url,
+  /** The [[graft.functions.Urls]] canonicalization rule chain as CTEs
+    * over an input CTE `src` carrying a `url` column plus `keep`
+    * passthrough columns (comma list): emits
+    * `uc(keep..., url, canon_url, surt_key)`. Literal `$` anchors in the
+    * regexes are `$$`-escaped against the interpolator. */
+  private def urlCanonChainSql(src: String, keep: String): String =
+    raw"""up AS (
+      |  SELECT $keep, url,
       |    regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://') AS is_abs,
       |    lower(regexp_extract(url,
       |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
@@ -2272,22 +2331,22 @@ object TextQueries {
       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
       |    regexp_extract(regexp_replace(url, '#.*', ''),
       |      '\?(.*)', 1) AS rawq
-      |  FROM uf),
+      |  FROM $src),
       |uh AS (
       |  SELECT *,
       |    regexp_replace(
-      |      CASE WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
-      |           WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+      |      CASE WHEN scheme = 'http' THEN regexp_replace(hp, ':80$$', '')
+      |           WHEN scheme = 'https' THEN regexp_replace(hp, ':443$$', '')
       |           ELSE hp END,
       |      '^(www[0-9]*\.)+', '') AS host,
       |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
       |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
       |      p -> p <> '' AND NOT regexp_matches(p,
-      |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|yclid|mc_eid|igshid)(=|$)'))),
+      |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|yclid|mc_eid|igshid)(=|$$)'))),
       |      '&') AS cq
       |  FROM up),
       |uc AS (
-      |  SELECT doc_id, url,
+      |  SELECT $keep, url,
       |    CASE WHEN is_abs THEN scheme || '://' || host || path ||
       |        CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
       |      ELSE url END AS canon_url,
@@ -2297,6 +2356,12 @@ object TextQueries {
       |        CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
       |      ELSE url END AS surt_key
       |  FROM uh)""".stripMargin
+
+  private lazy val urlCanonCtes: String =
+    s"""uf AS (
+      |  SELECT doc_id, ${urlFabSql("doc_id")} AS url
+      |  FROM documents),
+      |""".stripMargin + urlCanonChainSql("uf", "doc_id")
 
   /** Shared unigram-vocab CTE block: word counts → weighted substring
     * counts → all chars + top-20 multis → integer micro log-probs.

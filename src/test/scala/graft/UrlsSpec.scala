@@ -120,4 +120,43 @@ class UrlsSpec extends SparkSpec {
       ("src.com", "t1.com", 2L),
       ("src.com:8080", "t2.com", 1L))
   }
+
+  "anchor_pairs / anchor_text" should "extract and clean element text" in {
+    import spark.implicits._
+    val html =
+      "<A CLASS='z' HREF=\"http://a.com/1\">read <b>more</b></A>" +
+        "<a href='u2'>  line\n  broken </a>" +
+        "<a href=\"u3\"><img src='i'/></a>" +
+        "<a name='no-href'>skip</a>"
+    val got = Seq(html).toDF("h")
+      .select(explode(Urls.anchor_pairs(col("h"))).as("p"))
+      .select(col("p.href"), Urls.anchor_text(col("p.anchor_html")))
+      .as[(String, String)].collect().toSeq
+    got shouldBe Seq(
+      ("http://a.com/1", "read more"),
+      ("u2", "line broken"),
+      ("u3", ""))
+  }
+
+  "anchorTextTopK" should "pool anchors per canonical target and rank top-k" in {
+    import spark.implicits._
+    // t1.com/x reached under three variants -> one canonical key; "best"
+    // wins on count, then "alpha" beats "beta" on the tiebreak at k=2.
+    val pages = Seq(
+      ("http://s1.com/", "<a href=\"https://T1.com/x?utm_source=s\">best</a>" +
+        "<a href='https://t1.com/x'>alpha</a>"),
+      ("http://s2.com/", "<a href=\"https://www.t1.com:443/x\">best</a>" +
+        "<a href='https://t1.com/x'>beta</a>"),
+      ("not-absolute", "<a href=\"https://t1.com/x\">ignored</a>"),
+      ("http://s3.com/", "<a href='/rel'>rel</a>" +
+        "<a href=\"http://t2.com\"> <b></b> </a>"))
+      .toDF("src_url", "html")
+    val got = Urls.anchorTextTopK(pages, col("src_url"), col("html"), k = 2)
+      .as[(String, String, Long)].collect().toSet
+    // t2.com's only anchor cleans to '' -> dropped entirely; the
+    // non-absolute src and the relative dst never reach aggregation.
+    got shouldBe Set(
+      ("https://t1.com/x", "best", 2L),
+      ("https://t1.com/x", "alpha", 1L))
+  }
 }
