@@ -56,7 +56,7 @@ object Bench {
       "x24_pseudonymize", "x17_dsir_select", "x29_weighted_sample",
       "x30_quality_classifier", "x31_unigram_vocab", "x32_unigram_encode",
       "x35_html_strip", "x40_url_canonicalize", "d14_url_dedup",
-      "x41_link_graph", "x42_anchor_text"),
+      "x41_link_graph", "x42_anchor_text", "x43_link_density"),
     "dedup" -> Seq(
       "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
       "d6_near_dup_clusters", "d7_dup_spans", "w3_sessionize"),

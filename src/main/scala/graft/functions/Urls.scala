@@ -179,6 +179,38 @@ object Urls {
     * DISTINCT anchor vocabulary, never its raw in-degree, so a
     * 10⁸-inlink hub with 10³ distinct anchor strings costs 10³ window
     * rows. No collect_set of unbounded anchor lists anywhere. */
+  /** Per-document link-quality features — the C4/Gopher-family signal
+    * that separates navigation/link-farm/machine-generated pages from
+    * prose: total `<a>` links, external links (absolute target whose
+    * canonical host differs from the page's own), total cleaned
+    * anchor-text chars, anchor-chars-per-html-char density, and the
+    * external-link fraction (1e-6 fixed point, zero-link guard — the
+    * [[graft.operators.Corpus]] quality-stats conventions).
+    *
+    * Entirely map-only: the anchor array is folded per row with array
+    * HOFs (`filter`/`aggregate` over the extracted pairs) — no explode,
+    * no shuffle, one codegen'd pass per page at any corpus size. */
+  def linkDensityFeatures(df: DataFrame, docId: Column, srcUrl: Column,
+      html: Column): DataFrame = {
+    val pairs = anchor_pairs(html)
+    val srcHost = url_host(srcUrl)
+    val nLinks = size(pairs)
+    val nExternal = size(filter(pairs, p =>
+      is_absolute_url(p.getField("href")) &&
+        url_host(p.getField("href")) =!= srcHost))
+    val anchorChars = aggregate(pairs, lit(0), (acc, p) =>
+      acc + length(anchor_text(p.getField("anchor_html"))))
+    val fix6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000.0
+    df.select(docId.as("doc_id"),
+      nLinks.cast("long").as("n_links"),
+      nExternal.cast("long").as("n_external"),
+      anchorChars.cast("long").as("anchor_chars"),
+      fix6(anchorChars.cast("double") / length(html)).as("link_density"),
+      when(nLinks === 0, lit(0.0))
+        .otherwise(fix6(nExternal.cast("double") / nLinks))
+        .as("ext_ratio"))
+  }
+
   def anchorTextTopK(df: DataFrame, srcUrl: Column, html: Column,
       k: Int = 3): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

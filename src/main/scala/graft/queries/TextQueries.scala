@@ -62,6 +62,19 @@ object TextQueries {
         query, frag))
   }
 
+  /** Fabricated crawl page for the x42/x43 gates: 2-3 anchors whose
+    * display text exercises the extraction chain (mixed-case tag, inner
+    * tags, whitespace runs). Replayed verbatim by [[urlPageFabSql]]. */
+  private def urlPageFab(id: Column): Column = concat(
+    lit("<html><body><a href=\""), urlFab(id + 1),
+    lit("\">site "), ((id + 1) % 7).cast("string"),
+    lit("</a> text <a class='m' href='"), urlFab(id * 2 + 3),
+    lit("'>read <b>more</b></a>"),
+    when(id % 3 === 0,
+      concat(lit("<A HREF=\""), urlFab(id + 7),
+        lit("\">  spaced\n  anchor </A>"))).otherwise(lit("")),
+    lit("</body></html>"))
+
   private val langOrder = Seq("de", "en", "es", "fr", "zh")
 
   /** Marker phrases repeated enough to dominate the base text's English
@@ -790,22 +803,27 @@ object TextQueries {
     // by count with the anchor-asc tiebreak. The twin derives the
     // (target, cleaned-anchor) pairs straight from the fabrication and
     // replays canonicalization + the ranked window.
-    "x42_anchor_text" -> ((s, dir) => {
-      val page = concat(
-        lit("<html><body><a href=\""), urlFab(col("doc_id") + 1),
-        lit("\">site "), ((col("doc_id") + 1) % 7).cast("string"),
-        lit("</a> text <a class='m' href='"),
-        urlFab(col("doc_id") * 2 + 3),
-        lit("'>read <b>more</b></a>"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("<A HREF=\""), urlFab(col("doc_id") + 7),
-            lit("\">  spaced\n  anchor </A>"))).otherwise(lit("")),
-        lit("</body></html>"))
+    "x42_anchor_text" -> ((s, dir) =>
       graft.functions.Urls.anchorTextTopK(
         t(s, dir, "documents")
           .select(col("doc_id"), urlFab(col("doc_id")).as("src_url"),
-            page.as("html")),
-        col("src_url"), col("html"), k = 2)}),
+            urlPageFab(col("doc_id")).as("html")),
+        col("src_url"), col("html"), k = 2)),
+
+    // X43: per-document link-quality features over the same fabricated
+    // pages — link count, external-link count (canonical-host compare
+    // against the page's own host, non-absolute targets never external),
+    // cleaned-anchor chars, anchor-density and external fraction in the
+    // 1e-6 fixed point the other quality gates use. Map-only array
+    // folds, zero shuffle. The twin rebuilds the page string itself in
+    // SQL (so html_chars is checked against an independent construction)
+    // and derives every count from the fabrication.
+    "x43_link_density" -> ((s, dir) =>
+      graft.functions.Urls.linkDensityFeatures(
+        t(s, dir, "documents")
+          .select(col("doc_id"), urlFab(col("doc_id")).as("src_url"),
+            urlPageFab(col("doc_id")).as("html")),
+        col("doc_id"), col("src_url"), col("html"))),
 
     // ST15: streaming crawl-frontier dedup — the x40 canonicalizer
     // composed with the st2 custom-state dedup stream: discovered URLs
@@ -2270,6 +2288,41 @@ object TextQueries {
          |  FROM acnt)
          |SELECT dst_url, anchor, n_anchors FROM ark WHERE r <= 2""".stripMargin,
 
+    // the x43 twin rebuilds the page string itself in SQL (html_chars
+    // checked against an independent construction), derives the link
+    // list with its cleaned-anchor lengths from the fabrication, and
+    // replays the canonical-host compare for the external test (the
+    // always-true keep flags type the conditional third element without
+    // an empty-list literal)
+    "x43_link_density" ->
+      s"""WITH l0 AS (
+         |  SELECT doc_id, ${urlFabSql("doc_id")} AS su,
+         |    ${urlPageFabSql("doc_id")} AS page,
+         |    list_filter([
+         |      {'du': ${urlFabSql("doc_id + 1")}, 'ac': 6, 'k': true},
+         |      {'du': ${urlFabSql("doc_id * 2 + 3")}, 'ac': 9, 'k': true},
+         |      {'du': ${urlFabSql("doc_id + 7")}, 'ac': 13,
+         |       'k': doc_id % 3 = 0}], x -> x.k) AS links
+         |  FROM documents),
+         |l1 AS (
+         |  SELECT doc_id,
+         |    len(links)::BIGINT AS n_links,
+         |    len(list_filter(links, x ->
+         |      regexp_matches(x.du, '^[A-Za-z][A-Za-z0-9+.-]*://')
+         |      AND ${urlHostSql("x.du")} <> ${urlHostSql("su")}))::BIGINT
+         |      AS n_external,
+         |    list_sum(list_transform(links, x -> x.ac))::BIGINT
+         |      AS anchor_chars,
+         |    len(page) AS html_chars
+         |  FROM l0)
+         |SELECT doc_id, n_links, n_external, anchor_chars,
+         |  floor((anchor_chars::DOUBLE / html_chars) * 1000000 + 0.5)
+         |    / 1000000.0 AS link_density,
+         |  CASE WHEN n_links = 0 THEN 0.0
+         |    ELSE floor((n_external::DOUBLE / n_links) * 1000000 + 0.5)
+         |      / 1000000.0 END AS ext_ratio
+         |FROM l1""".stripMargin,
+
     // the st15 twin: keep-first per replayed canonical form (ts monotone
     // in doc_id makes the stream's first-arrival winner min(doc_id))
     "st15_stream_url_frontier" ->
@@ -2301,6 +2354,19 @@ object TextQueries {
       raw"ELSE '?utm_source=Feed&b=' || (($id) % 5)::VARCHAR || '&a=' || (($id) % 3)::VARCHAR || " +
       raw"(CASE WHEN ($id) % 6 = 1 THEN '&gclid=XYZ' ELSE '' END) END) || " +
       raw"(CASE WHEN ($id) % 8 = 0 THEN '#Sec2' ELSE '' END) END)"
+
+  /** [[urlPageFab]] replayed as a DuckDB expression — the x43 twin
+    * checks html length against this independent construction. chr(10)
+    * carries the embedded newline so the builder SQL stays single-line;
+    * `''` escapes the single quotes of the `class='m' href='` segment. */
+  private def urlPageFabSql(id: String): String =
+    raw"""('<html><body><a href="' || ${urlFabSql(s"($id) + 1")} || """ +
+      raw"""'">site ' || ((($id) + 1) % 7)::VARCHAR || """ +
+      raw"""'</a> text <a class=''m'' href=''' || ${urlFabSql(s"($id) * 2 + 3")} || """ +
+      raw"""'''>read <b>more</b></a>' || """ +
+      raw"""(CASE WHEN ($id) % 3 = 0 THEN '<A HREF="' || ${urlFabSql(s"($id) + 7")} || """ +
+      raw"""'">  spaced' || chr(10) || '  anchor </A>' ELSE '' END) || """ +
+      raw"""'</body></html>')"""
 
   /** [[graft.functions.Urls.url_host]] replayed as a DuckDB expression
     * over an arbitrary URL expression (single line, see [[urlFabSql]]). */

@@ -159,4 +159,28 @@ class UrlsSpec extends SparkSpec {
       ("https://t1.com/x", "best", 2L),
       ("https://t1.com/x", "alpha", 1L))
   }
+
+  "linkDensityFeatures" should "compute per-page link-quality features" in {
+    import spark.implicits._
+    // page 1: 40 html chars around 2 links — one internal (same canonical
+    // host as the page, www/port variance), one external, 3+4 anchor
+    // chars; page 2: relative target counts as a link but never external;
+    // page 3: no links at all.
+    val pages = Seq(
+      (1L, "http://e.com/p",
+        "<a href=\"http://WWW.e.com:80/q\">int</a><a href='http://x.org'>ext!</a>"),
+      (2L, "not-absolute", "<a href=\"/rel\">r</a>"),
+      (3L, "http://e.com/z", "<p>no links</p>"))
+      .toDF("doc_id", "src_url", "html")
+    val got = Urls.linkDensityFeatures(pages, col("doc_id"), col("src_url"),
+      col("html")).as[(Long, Long, Long, Long, Double, Double)]
+      .collect().toSet
+    val html1Len = "<a href=\"http://WWW.e.com:80/q\">int</a><a href='http://x.org'>ext!</a>".length
+    got shouldBe Set(
+      (1L, 2L, 1L, 7L,
+        math.floor(7.0 / html1Len * 1000000 + 0.5) / 1000000.0, 0.5),
+      (2L, 1L, 0L, 1L,
+        math.floor(1.0 / 20 * 1000000 + 0.5) / 1000000.0, 0.0),
+      (3L, 0L, 0L, 0L, 0.0, 0.0))
+  }
 }
