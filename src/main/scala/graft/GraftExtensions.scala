@@ -1,7 +1,8 @@
 package graft
 
 import graft.functions.{DotProductExpr, MinHashSignatureExpr, PolyHashExpr,
-  ShingleHashExpr, SignatureAgreeExpr, StringEntropyExpr, TokenLengthSumExpr}
+  ShingleHashExpr, SignatureAgreeExpr, SortedIntersectCountExpr,
+  StringEntropyExpr, TokenLengthSumExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -60,5 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // min_hash_signature(shingle_hashes, k): k affine minima in one pass
     register(ext, "min_hash_signature", classOf[MinHashSignatureExpr]) {
       c => MinHashSignatureExpr(c(0), constInt(c, 1, "min_hash_signature")) }
+    // sorted_intersect_count(a, b): |a ∩ b| of two sorted distinct-element
+    // string arrays — the allocation-free merge walk behind the d12 verify
+    register(ext, "sorted_intersect_count", classOf[SortedIntersectCountExpr]) {
+      c => SortedIntersectCountExpr(c(0), c(1)) }
   }
 }

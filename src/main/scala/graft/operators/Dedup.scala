@@ -760,17 +760,23 @@ object Dedup {
     // Verify: exact intersection counts. Joining candidates back to the
     // exploded token table shuffles |cand|·s̄ rows (97 M at the sf0.1
     // fixture — the gate's entire 39 s); attaching each side's token SET
-    // instead makes the count a map-side array_intersect over the narrow
-    // pair frame. The set side is broadcast when its estimate fits 256 MB
+    // instead makes the count a map-side merge over the narrow pair
+    // frame. The set side is broadcast when its estimate fits 256 MB
     // (the v6b verify pattern); a corpus past the gate shuffles the
     // arrays — |cand| rows, still far below the exploded join's volume.
+    // The sets are SORTED once per doc so the per-pair count is the
+    // native codegen'd merge walk ([[graft.functions.SetOps]]) instead of
+    // the interpreted array_intersect, which builds a hash set per
+    // candidate pair (the measured r12 verify hot path). Same integer
+    // count — the threshold decision and quotient are bit-identical.
     val sets = Scoring.sizeGatedBroadcast(
-      toks.groupBy("doc_id").agg(collect_list(col("tok")).as("tks")),
+      toks.groupBy("doc_id").agg(sort_array(collect_list(col("tok"))).as("tks")),
       256L << 20)
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("tks").as("tks_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("tks").as("tks_b")), "id_b")
-      .withColumn("c", size(array_intersect(col("tks_a"), col("tks_b"))).cast("long"))
+      .withColumn("c", graft.functions.SetOps.sorted_intersect_count(
+        col("tks_a"), col("tks_b")))
       .where(col("c") * 1000L >=
         lit(thresholdMilli) * (col("n_a") + col("n_b") - col("c")))
       .select(col("id_a"), col("id_b"),

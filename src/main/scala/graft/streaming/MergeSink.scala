@@ -67,8 +67,15 @@ object MergeSink {
         latestPerKey(cur.unionByName(withKb), keys, orderCols)
       }
     // materialize BEFORE the overwrite: the write must not scan the
-    // directory it is replacing
+    // directory it is replacing. Cluster by bucket BEFORE the partitioned
+    // write (guide §6 output sizing): without it every one of the up-to-
+    // `shuffle.partitions` tasks opens a writer PER bucket value it holds
+    // (≤ tasks × buckets fragments per batch — measured 32×64 at the st7
+    // gate), and each later batch re-reads that growing fragment pile.
+    // Hash-repartitioning on kb gives one file per touched bucket per
+    // batch; row content is unchanged (layout-only).
     merged.localCheckpoint()
+      .repartition(col("kb"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("kb")

@@ -123,6 +123,41 @@ class FunctionsSpec extends SparkSpec {
     got.map(_._1).toSeq shouldBe Seq(4, 0, 2, 2, 2)
   }
 
+  // --- sorted intersection count (native vs interpreted parity) ---
+
+  "sorted_intersect_count" should "match size(array_intersect) on sorted distinct arrays" in {
+    import spark.implicits._
+    // equal, disjoint, partial overlap, empty side, subset, unicode order
+    val rows: Seq[(Seq[String], Seq[String])] = Seq(
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "c", "e", "g"), Seq("b", "c", "d", "g")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("b"), Seq("a", "b", "c")),
+      (Seq("é", "a").sorted, Seq("é", "z").sorted))
+    val df = rows.toDF("a", "b")
+      .select(sort_array(col("a")).as("a"), sort_array(col("b")).as("b"))
+    val got = df.select(
+      SetOps.sorted_intersect_count(col("a"), col("b")).as("native"),
+      org.apache.spark.sql.functions.size(
+        array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (native, builtin) => native shouldBe builtin }
+    got.map(_._1).toSeq shouldBe Seq(3L, 0L, 2L, 0L, 1L, 1L)
+  }
+
+  it should "stay null-safe and work through the SQL registry" in {
+    import spark.implicits._
+    val df = Seq[(Option[Seq[String]], Option[Seq[String]])](
+      (None, Some(Seq("a"))), (Some(Seq("a")), None),
+      (Some(Seq("a", "b")), Some(Seq("b", "c")))).toDF("a", "b")
+    df.select(SetOps.sorted_intersect_count(col("a"), col("b")))
+      .as[Option[Long]].collect().toSeq shouldBe Seq(None, None, Some(1L))
+    df.createOrReplaceTempView("sic_probe")
+    spark.sql("SELECT sorted_intersect_count(a, b) FROM sic_probe")
+      .as[Option[Long]].collect().toSeq shouldBe Seq(None, None, Some(1L))
+  }
+
   "nfc" should "compose decomposed sequences and pass NFC text through" in {
     import spark.implicits._
     val df = Seq(

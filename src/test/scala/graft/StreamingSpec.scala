@@ -445,6 +445,26 @@ class StreamingSpec extends SparkSpec {
     read(p3) shouldBe Set("a" -> "a@50", "b" -> "b@40", "c" -> "c@5")
   }
 
+  it should "write one data file per touched bucket per batch" in {
+    import graft.streaming.MergeSink
+    // r12 layout fix: without the pre-write repartition(kb), every task
+    // holding rows of a bucket opened its own writer (≤ tasks × buckets
+    // fragments per batch); the state table must stay one-file-per-bucket
+    val root = java.nio.file.Files.createTempDirectory("mergef").toString
+    val p = s"$root/state"
+    // 200 keys spread over every bucket, one batch
+    val rows = (1 to 200).map(i => (s"k$i", i.toLong, i.toLong, s"v$i"))
+    MergeSink.mergeBatch(spark, rows.toDF("k", "t", "id", "v"),
+      Seq("k"), Seq("t", "id"), p, numBuckets = 8)
+    val buckets = new java.io.File(p).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("kb="))
+    buckets.length shouldBe 8
+    buckets.foreach { d =>
+      val dataFiles = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      withClue(s"bucket ${d.getName}: ") { dataFiles.length shouldBe 1 }
+    }
+  }
+
   "MergeSink.upsertStream" should "drain a MemoryStream into the state table" in {
     import graft.streaming.MergeSink
     implicit val sqlCtx = spark.sqlContext
