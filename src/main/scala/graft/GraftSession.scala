@@ -38,6 +38,28 @@ object GraftSession {
       // output are byte-identical; the flag only adds/removes integrity
       // sidecars).
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // Hadoop's OWN local-filesystem integrity layer is a second,
+      // independent checksum: the default `file://` implementations
+      // (LocalFs for FileContext, LocalFileSystem for FileSystem) extend
+      // ChecksumFs/ChecksumFileSystem, so EVERY local file create —
+      // state-store delta files, offset/commit logs, every parquet task
+      // file — writes and renames a hidden `.crc` sidecar next to the
+      // data file, and reads verify it. The r13 stack sampler put ~75%
+      // of st13's task-thread time in checkpoint-file create+rename
+      // (FileContextBasedCheckpointFileManager), and every state dir
+      // held one `.N.delta.crc` per `N.delta`. The raw implementations
+      // are the stock Hadoop non-checksumming locals; content is
+      // byte-identical, only the sidecar layer drops. Scale-neutral by
+      // construction: these two keys ONLY govern the `file:` scheme —
+      // HDFS/S3/GCS deployments resolve their own filesystems and
+      // checksum at the storage layer, exactly the r12 reasoning for
+      // disabling Spark's sidecar checksums. Measured (st13,
+      // stream-stream left-outer, warm, same-session interleave):
+      // 19-21 s -> 12 s.
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "org.apache.hadoop.fs.local.RawLocalFs")
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     // Deployment/experiment overrides: SPARK_GRAFT_CONF="k=v;k=v" lets a

@@ -409,8 +409,14 @@ object Dedup {
       .select(col("doc_id"),
         (floor(qualityScore(col("toks")) * 1000000 + 0.5) / 1000000.0)
           .as("quality"))
+    // lazy localCheckpoint: `labeled` feeds BOTH the winner aggregation
+    // and the verdict join below — without it the whole subtree
+    // (tokenize + qualityScore over every doc, the cluster left join)
+    // appears twice in the plan and computes twice (r13 plan audit:
+    // duplicated SortMergeJoin subtrees under d8)
     val labeled = scored.join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .localCheckpoint(false)
     val winners = labeled.groupBy("cluster")
       .agg(max(struct(col("quality"), (-col("doc_id")).as("neg"),
         col("doc_id").as("kid"))).as("m"))
@@ -750,12 +756,19 @@ object Dedup {
     // uniformly instead of leaving them wherever doc_id hashing put them.
     val prefR = pref.repartition(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    // The size-ratio prefilter still runs BEFORE the distinct (it kills
+    // pairs the cheapest way), but the distinct itself shuffles only the
+    // two ids (r13, guide §2.3 shuffle-fewer-bytes): n_a/n_b are
+    // recomputed after the set attach as size(tks) — the token sets ARE
+    // the distinct tokens, so size(tks) == s by construction and the
+    // emitted jaccard_milli is bit-identical. Halves the bytes of the
+    // operator's widest shuffle (the candidate dedup: 22 M rows at the
+    // sf0.1 fixture).
     val cand = prefR.as("a").join(pref.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.s").as("n_a"), col("b.s").as("n_b"))
-      .where(greatest(col("n_a"), col("n_b")) * thresholdMilli <=
-        least(col("n_a"), col("n_b")) * 1000L)
+      .where(greatest(col("a.s"), col("b.s")) * thresholdMilli <=
+        least(col("a.s"), col("b.s")) * 1000L)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     // Verify: exact intersection counts. Joining candidates back to the
     // exploded token table shuffles |cand|·s̄ rows (97 M at the sf0.1
@@ -775,6 +788,8 @@ object Dedup {
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("tks").as("tks_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("tks").as("tks_b")), "id_b")
+      .withColumn("n_a", size(col("tks_a")).cast("long"))
+      .withColumn("n_b", size(col("tks_b")).cast("long"))
       .withColumn("c", graft.functions.SetOps.sorted_intersect_count(
         col("tks_a"), col("tks_b")))
       .where(col("c") * 1000L >=

@@ -632,8 +632,12 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
     val comp = Dedup.connectedComponents(pairs)
       .select(col("doc_id").as("vec_id"), col("cluster"))
+    // lazy localCheckpoint: `labeled` feeds BOTH the winner aggregation
+    // and the verdict join — without it the assign ⟕ components subtree
+    // computes twice (r13 plan audit: duplicated subtrees under v10)
     val labeled = assign.join(comp, Seq("vec_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("vec_id")))
+      .localCheckpoint(false)
     // winner = min (centroid_cos, vec_id) — farthest-from-centroid, id tie
     val winners = labeled.groupBy("cluster")
       .agg(min(struct(col("centroid_cos"), col("vec_id").as("kid"))).as("m"))

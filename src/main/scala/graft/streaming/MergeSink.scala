@@ -52,30 +52,47 @@ object MergeSink {
                  orderCols: Seq[String], path: String,
                  numBuckets: Int = 64): Unit = {
     if (batch.isEmpty) return
-    val withKb = latestPerKey(batch, keys, orderCols)
+    val withKb = batch
       .withColumn("kb", bucketCol(keys, numBuckets))
       .localCheckpoint()
     val touched = withKb.select("kb").distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ numBuckets driver-side ints
     val hasState = new java.io.File(path).exists()
-    val merged =
+    val all =
       if (!hasState) withKb
       else {
         val cur = spark.read.parquet(path)
           .where(col("kb").isin(touched: _*)) // partition-pruned
           .select(withKb.columns.map(col): _*)
-        latestPerKey(cur.unionByName(withKb), keys, orderCols)
+        cur.unionByName(withKb)
       }
-    // materialize BEFORE the overwrite: the write must not scan the
-    // directory it is replacing. Cluster by bucket BEFORE the partitioned
-    // write (guide §6 output sizing): without it every one of the up-to-
-    // `shuffle.partitions` tasks opens a writer PER bucket value it holds
-    // (≤ tasks × buckets fragments per batch — measured 32×64 at the st7
-    // gate), and each later batch re-reads that growing fragment pile.
-    // Hash-repartitioning on kb gives one file per touched bucket per
-    // batch; row content is unchanged (layout-only).
-    merged.localCheckpoint()
+    // ONE exchange per batch (r13; guide §2.4): the old shape paid three
+    // — a per-key window over the batch, a second window over the merged
+    // union, and a final repartition(kb) for the write layout. But
+    // kb = f(keys), so hash-clustering by kb already co-locates every
+    // row of a key; sorting each bucket by (keys asc, orderCols desc)
+    // makes the winner of each key exactly the first row of its key run,
+    // detected with a null-safe lag compare. The window's PARTITION BY kb
+    // matches the repartition's hashpartitioning(kb), so Catalyst reuses
+    // the single exchange, and the output is already clustered by kb for
+    // the partitioned write (one file per touched bucket per batch, as
+    // before). Same winner rows — orderCols totally order rows within a
+    // key (contract above), so first-of-run == row_number()==1 under the
+    // per-key DESC window. Merge parallelism is min(numBuckets,
+    // shuffle.partitions): numBuckets is the operator's declared scale
+    // knob (it already bounds the write fan-out and the pruning unit),
+    // so a 100 TB state table raises numBuckets, not this code path.
+    val keyStruct = struct(keys.map(col): _*)
+    val w = Window.partitionBy(col("kb"))
+      .orderBy(keys.map(col(_).asc) ++ orderCols.map(col(_).desc): _*)
+    val merged = all
       .repartition(col("kb"))
+      .withColumn("__prev", lag(keyStruct, 1).over(w))
+      .where(!(col("__prev") <=> keyStruct))
+      .drop("__prev")
+    // materialize BEFORE the overwrite: the write must not scan the
+    // directory it is replacing.
+    merged.localCheckpoint()
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("kb")
