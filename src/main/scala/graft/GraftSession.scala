@@ -16,6 +16,18 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      // Let AQE rewrite a planned sort-merge join into a shuffled-hash
+      // join at runtime when every post-shuffle map output for the join
+      // is small (guide §3.1): SHJ skips both sides' sorts. Unlike the
+      // engine-wide planner flip (preferSortMergeJoin=false, which
+      // trusts pre-execution size ESTIMATES and can OOM when they are
+      // wrong), this conversion is gated on MEASURED map-output sizes —
+      // bounded build memory by construction, so it is safe at any
+      // scale and simply stops firing once partitions outgrow the
+      // threshold. 64m matches advisoryPartitionSizeInBytes (the
+      // conversion requires threshold <= advisory).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "64m")
       // Kryo for RDD shuffle/broadcast payloads (MLlib's documented
       // recommendation): the LDA fit tree-aggregates dense vocab×k
       // matrices and the dictionary/components paths shuffle object rows

@@ -16,6 +16,35 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The unique-id column per harness table, for hash-spreading. */
+  private val SpreadKeys = Map(
+    "documents" -> "doc_id", "embeddings" -> "vec_id",
+    "events" -> "event_id")
+
+  /** [[load]], hash-spread to session parallelism when the scan
+    * under-splits it. The sf fixtures are single-row-group parquet —
+    * unsplittable, so every scan is ONE task and all pre-shuffle per-row
+    * work (tokenize, vector math, fixture fabrication) runs serially no
+    * matter the core count (guide §2.5 input skew, the
+    * one-unsplittable-file case). When the scan has fewer partitions than
+    * `spark.sql.shuffle.partitions`, repartition by HASH of the table's
+    * unique id: a pure function of the data (layout-invariant), even
+    * spread, and — unlike round-robin — no sort-before-repartition pass
+    * (measured: round-robin's local binary sort of array/text rows per
+    * scan regressed the repeat-scan PQ queries 2-3x). On production
+    * inputs with enough row groups the condition is false and this is
+    * [[load]]. */
+  def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    if (sys.env.get("SPARK_GRAFT_SPREAD").contains("0")) return df
+    SpreadKeys.get(name) match {
+      case Some(key) =>
+        val p = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+        if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+      case None => df
+    }
+  }
+
   /** Multi-path scan: all paths in one read (the reference silently
     * dropped every path after the first — DNSPreLDA.scala:91
     * `inputPath.split(",")(0)`; reading the full list is the fix). */

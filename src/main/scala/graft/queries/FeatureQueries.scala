@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object FeatureQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
+    Tables.loadSpread(s, dir, name) // spread under-split scans (Tables doc)
 
   private val QuantityCuts = Seq(5.0, 15.0, 25.0, 35.0, 45.0)
 

@@ -20,9 +20,26 @@ object MultimodalQueries {
 
   /** PNG dims / WAV params as pure functions of (doc_id, n_chars) — the
     * oracle computes these same formulas directly. */
+
+  /** The documents slice doc_id % 3 == m behind every fixture fabrication,
+    * hash-spread to session parallelism: the sf fixtures are
+    * single-row-group parquet, so without the repartition every
+    * fabricate+decode pipeline below runs as ONE scan task regardless of
+    * core count (guide §2.5 — the one-unsplittable-file input-skew case;
+    * none of these queries has any other exchange, so the whole query was
+    * serial). Hash-partitioning on the unique doc_id is a pure function
+    * of the data (layout-invariant, unlike round-robin) and spreads
+    * evenly; the exchanged rows are the narrow pre-fabrication columns.
+    * Parallelism is session-derived, never a constant. */
+  private def docs3(s: SparkSession, dir: String, m: Int) =
+    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === m)
+      .repartition(
+        s.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+        col("doc_id"))
+
   private def media(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 0)
+    docs3(s, dir, 0)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, n) =>
         if (id % 2 == 0)
@@ -284,7 +301,7 @@ object MultimodalQueries {
     val palette = Array.tabulate(256)(i =>
       (((i * 3 + 1) % 256) << 16) | (((i * 5 + 2) % 256) << 8) |
         ((i * 7 + 3) % 256))
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 1)
+    docs3(s, dir, 1)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, n) =>
         val w = (3 + n % 14).toInt; val h = (1 + id % 7).toInt
@@ -308,7 +325,7 @@ object MultimodalQueries {
     val palette = Array.tabulate(256)(i =>
       (((i * 3 + 1) % 256) << 16) | (((i * 5 + 2) % 256) << 8) |
         ((i * 7 + 3) % 256))
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 0)
+    docs3(s, dir, 0)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, n) =>
         val w = (3 + n % 14).toInt; val h = (1 + id % 9).toInt
@@ -324,7 +341,7 @@ object MultimodalQueries {
     * height 2 + id%9, channel byte j = (id·29 + j·11) % 256. */
   private def mediaPng(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 1)
+    docs3(s, dir, 1)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, n) =>
         MediaRecord(id, "image/png",
@@ -338,7 +355,7 @@ object MultimodalQueries {
     * entry k channel c is (id·13 + k·17 + c·29) % 256. */
   private def mediaPngPalette(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 0)
+    docs3(s, dir, 0)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, n) =>
         val p = (2 + id % 7).toInt
@@ -362,7 +379,7 @@ object MultimodalQueries {
   private def mediaFlac(s: SparkSession, dir: String) = {
     import s.implicits._
     import graft.multimodal.Flac
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 1)
+    docs3(s, dir, 1)
       .select(col("doc_id")).as[Long]
       .map { id =>
         val ch = (1 + id % 2).toInt
@@ -387,7 +404,7 @@ object MultimodalQueries {
     * sample j without modeling the passes. */
   private def mediaPngInterlaced(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 2)
+    docs3(s, dir, 2)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, n) =>
         MediaRecord(id, "image/png",
@@ -402,7 +419,7 @@ object MultimodalQueries {
     * replication) — both reductions as pure closed forms of (id, j). */
   private def mediaPngDeep(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 2)
+    docs3(s, dir, 2)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, n) =>
         val w = (3 + n % 13).toInt; val h = (2 + id % 9).toInt
@@ -435,7 +452,7 @@ object MultimodalQueries {
   private def mediaWarc(s: SparkSession, dir: String) = {
     import s.implicits._
     import graft.sources.Warc
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 0)
+    docs3(s, dir, 0)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val nr = (1 + (id / 3) % 3).toInt
@@ -457,7 +474,7 @@ object MultimodalQueries {
   private def mediaTar(s: SparkSession, dir: String) = {
     import s.implicits._
     import graft.sources.Tar
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 2)
+    docs3(s, dir, 2)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val nr = (1 + (id / 3) % 3).toInt
@@ -477,7 +494,7 @@ object MultimodalQueries {
   private def mediaTarImages(s: SparkSession, dir: String) = {
     import s.implicits._
     import graft.sources.Tar
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 0)
+    docs3(s, dir, 0)
       .select(col("doc_id")).as[Long]
       .map { id =>
         val nr = (1 + (id / 3) % 3).toInt
@@ -499,7 +516,7 @@ object MultimodalQueries {
     * Huffman tables. Odd ids gray, even ids gray-valued RGB at 4:2:0. */
   private def mediaJpegProgressive(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 2)
+    docs3(s, dir, 2)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, n) =>
         def v(b: Int): Int = ((id * 53 + b.toLong * 19) % 256).toInt
@@ -526,7 +543,7 @@ object MultimodalQueries {
 
   private def mediaJpeg(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 2)
+    docs3(s, dir, 2)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, n) =>
         def v(b: Int): Int = ((id * 37 + b.toLong * 23) % 256).toInt
@@ -563,7 +580,7 @@ object MultimodalQueries {
     * oracle predicts the decoded MJPG samples exactly. */
   private def mediaAviMjpg(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 2)
+    docs3(s, dir, 2)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, n) =>
         val w = 8 * (1 + n % 2).toInt; val h = 8 * (1 + id % 2).toInt
@@ -581,7 +598,7 @@ object MultimodalQueries {
 
   private def mediaAvi(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 2)
+    docs3(s, dir, 2)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, n) =>
         val w = (3 + n % 5).toInt; val h = (1 + id % 4).toInt
@@ -597,7 +614,7 @@ object MultimodalQueries {
     * (id·17 + j·13) % 4001 − 2000. */
   private def mediaWav(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 1)
+    docs3(s, dir, 1)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, _) =>
         MediaRecord(id, "audio/wav",
@@ -611,7 +628,7 @@ object MultimodalQueries {
     * (id·17 + i·13) % 4001 − 2000. */
   private def mediaPcm(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.load(s, dir, "documents").where(col("doc_id") % 3 === 0)
+    docs3(s, dir, 0)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, n) =>
         if (id % 2 == 0)

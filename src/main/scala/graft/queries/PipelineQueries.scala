@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
+    Tables.loadSpread(s, dir, name) // spread under-split scans (Tables doc)
 
   /** The four golden train+score runs shared by [[graft.GoldenGen]] (which
     * writes the committed fixtures) and the `pipe_*_golden` gates (which

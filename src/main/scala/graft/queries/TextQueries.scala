@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
+    Tables.loadSpread(s, dir, name) // spread under-split scans (Tables doc)
 
   /** documents ∪ copies of every 10th doc — a deterministic corpus WITH
     * duplicates, since the synthetic one has none. Copy ids offset by

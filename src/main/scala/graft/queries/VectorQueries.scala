@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
+    Tables.loadSpread(s, dir, name) // spread under-split scans (Tables doc)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // V1: vector norms (the zip_with/aggregate dot-product primitive, A9).
